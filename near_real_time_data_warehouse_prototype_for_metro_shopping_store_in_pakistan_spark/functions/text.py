@@ -1,0 +1,88 @@
+"""Text-analysis column functions for the training-data pipeline ops.
+
+Beyond reference parity (the reference's only string ops are trim and
+quote sanitization, src/Meshjoin.java:94,555-573), a 100 TB training
+pipeline needs language ID, quality scoring, token counting and
+fingerprinting over a ``documents`` table. Everything here is built-in
+column expressions — no Python UDFs — so the hot path stays JVM-side
+inside whole-stage codegen, and every function has an exact ANSI-SQL
+equivalent for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WHITESPACE_RE = r"\s+"
+
+# Tiny deterministic stopword lists per language for the n-gram/stopword
+# language-ID heuristic. Order matters: argmax ties break by this order.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "un", "est"],
+    "es": ["el", "los", "y", "en", "un", "es"],
+    "zh": ["de5", "shi4", "bu4", "le5", "zai4"],
+}
+LANG_ORDER = list(LANG_STOPWORDS)
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"] + ["that", "it", "for", "on", "with", "as"]
+
+
+def normalized(text: Column) -> Column:
+    """Lowercase + collapse internal whitespace + trim."""
+    return F.regexp_replace(F.lower(F.trim(text)), WHITESPACE_RE, " ")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, WHITESPACE_RE)
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-ish proxy: count of alphanumeric runs + punctuation marks.
+
+    Matches the oracle's regex exactly; a real tokenizer would be a
+    Pandas UDF, but a regex count is a good scale-cheap estimator.
+    """
+    arr = F.regexp_extract_all(text, F.lit(r"([A-Za-z0-9]+|[^A-Za-z0-9\s])"), 1)
+    return F.size(arr)
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """Number of tokens of ``text`` that are in ``words`` (exact match,
+    lowercase)."""
+    toks = tokens(F.lower(text))
+    w = F.array(*[F.lit(x) for x in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(w, t)))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized(text))
+
+
+def md5_long(s: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5.
+
+    Identical in the DuckDB oracle as
+    ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`` — the shared
+    deterministic hash under MinHash / SimHash / LSH operators.
+    """
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")

@@ -1,0 +1,259 @@
+"""ANSI-SQL (DuckDB) oracles for every query in ``plans.queries``.
+
+The driver registers the raw parquet tables as views (region nation
+customer supplier part orders lineitem events documents embeddings) and
+runs these strings side-by-side with the Spark builders; column names,
+types and (rounded) values must match exactly.
+
+The STAR_PRELUDE mirrors ``plans.star`` line for line: same join keys,
+same revenue expression, same calendar derivations (DuckDB isodow 6/7
+== Spark dayofweek 1/7 == SATURDAY/SUNDAY, src/Meshjoin.java:311-312).
+"""
+
+from __future__ import annotations
+
+from .star import ANALYSIS_YEAR
+
+STAR_PRELUDE = f"""
+WITH sales_fact_base AS (
+    SELECT
+        l.l_orderkey              AS order_id,
+        l.l_partkey               AS product_id,
+        l.l_suppkey               AS supplier_id,
+        s.s_nationkey             AS store_id,
+        o.o_custkey               AS customer_id,
+        l.l_quantity              AS quantity_ordered,
+        CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+                                  AS revenue_cents,
+        o.o_orderdate             AS order_date
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+),
+sales_fact AS (
+    SELECT *,
+        revenue_cents / 100.0              AS total_revenue,
+        CAST(year(order_date) AS INT)      AS year,
+        CAST(month(order_date) AS INT)     AS month,
+        CAST(day(order_date) AS INT)       AS day,
+        CAST(weekofyear(order_date) AS INT) AS week,
+        CAST(quarter(order_date) AS INT)   AS quarter,
+        upper(strftime(order_date, '%A'))  AS day_name,
+        isodow(order_date) IN (6, 7)       AS is_weekend,
+        CASE
+            WHEN month(order_date) IN (3, 4, 5)  THEN 'Spring'
+            WHEN month(order_date) IN (6, 7, 8)  THEN 'Summer'
+            WHEN month(order_date) IN (9, 10, 11) THEN 'Fall'
+            WHEN month(order_date) IN (12, 1, 2) THEN 'Winter'
+        END AS season
+    FROM sales_fact_base
+),
+products AS (
+    SELECT p_partkey AS product_id, p_name AS product_name,
+           p_retailprice AS price,
+           CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+           p_brand AS brand, p_type AS product_type
+    FROM part
+),
+suppliers AS (
+    SELECT s_suppkey AS supplier_id, s_name AS supplier_name,
+           s_nationkey AS store_id
+    FROM supplier
+),
+stores AS (
+    SELECT n_nationkey AS store_id, n_name AS store_name FROM nation
+),
+customers_dim AS (
+    SELECT c_custkey AS customer_id, c_name AS customer_name,
+           c_mktsegment AS segment
+    FROM customer
+)
+"""
+
+
+def _q01(weekend: str) -> str:
+    return f"""{STAR_PRELUDE}
+SELECT f.month, p.product_name,
+       SUM(f.revenue_cents) / 100.0 AS total_revenue
+FROM sales_fact f
+JOIN products p ON f.product_id = p.product_id
+WHERE f.is_weekend = {weekend} AND f.year = {ANALYSIS_YEAR}
+GROUP BY f.month, p.product_name
+ORDER BY total_revenue DESC, f.month ASC, p.product_name ASC
+LIMIT 5
+"""
+
+
+Q02 = f"""{STAR_PRELUDE}
+, revenue AS (
+    SELECT f.store_id, st.store_name, f.quarter,
+           SUM(f.revenue_cents) AS total_cents
+    FROM sales_fact f
+    JOIN stores st ON f.store_id = st.store_id
+    WHERE f.year = {ANALYSIS_YEAR}
+    GROUP BY f.store_id, st.store_name, f.quarter
+),
+lagged AS (
+    SELECT *, LAG(total_cents) OVER (
+        PARTITION BY store_id ORDER BY quarter
+    ) AS prev_cents
+    FROM revenue
+)
+SELECT store_id, store_name, quarter,
+       total_cents / 100.0 AS total_revenue,
+       prev_cents / 100.0 AS previous_quarter_revenue,
+       (CASE WHEN total_cents >= prev_cents THEN 1 ELSE -1 END
+        * ((2 * abs(total_cents - prev_cents) * 10000 + prev_cents)
+           // (2 * prev_cents))) / 100.0 AS revenue_growth_rate
+FROM lagged
+WHERE prev_cents IS NOT NULL
+"""
+
+Q03 = f"""{STAR_PRELUDE}
+SELECT st.store_name, sp.supplier_name, p.product_name,
+       SUM(p.price_cents) / 100.0 AS total_sales
+FROM sales_fact f
+JOIN stores st ON f.store_id = st.store_id
+JOIN products p ON f.product_id = p.product_id
+JOIN suppliers sp ON f.supplier_id = sp.supplier_id
+GROUP BY st.store_name, sp.supplier_name, p.product_name
+"""
+
+Q04 = f"""{STAR_PRELUDE}
+SELECT p.product_name, f.season,
+       SUM(f.revenue_cents) / 100.0 AS total_sales
+FROM sales_fact f
+JOIN products p ON f.product_id = p.product_id
+GROUP BY p.product_name, f.season
+"""
+
+Q05 = f"""{STAR_PRELUDE}
+, monthly AS (
+    SELECT st.store_name, sp.supplier_name, f.year, f.month,
+           SUM(f.revenue_cents) AS total_cents
+    FROM sales_fact f
+    JOIN stores st ON f.store_id = st.store_id
+    JOIN suppliers sp ON f.supplier_id = sp.supplier_id
+    GROUP BY st.store_name, sp.supplier_name, f.year, f.month
+),
+lagged AS (
+    SELECT *, LAG(total_cents) OVER (
+        PARTITION BY store_name, supplier_name ORDER BY year, month
+    ) AS prev_cents
+    FROM monthly
+)
+SELECT store_name, supplier_name, year, month,
+       total_cents / 100.0 AS total_revenue,
+       COALESCE(
+           (CASE WHEN total_cents >= prev_cents THEN 1 ELSE -1 END
+            * ((2 * abs(total_cents - prev_cents) * 10000 + prev_cents)
+               // (2 * prev_cents))) / 100.0,
+           0.0) AS revenue_volatility
+FROM lagged
+"""
+
+Q06 = f"""{STAR_PRELUDE}
+SELECT p1.product_name AS product_1, p2.product_name AS product_2,
+       COUNT(*) AS frequency
+FROM sales_fact f1
+JOIN sales_fact f2
+  ON f1.order_id = f2.order_id AND f1.product_id < f2.product_id
+JOIN products p1 ON f1.product_id = p1.product_id
+JOIN products p2 ON f2.product_id = p2.product_id
+GROUP BY p1.product_name, p2.product_name
+ORDER BY frequency DESC, product_1 ASC, product_2 ASC
+LIMIT 5
+"""
+
+Q07 = f"""{STAR_PRELUDE}
+SELECT year, store_id, supplier_id, product_id,
+       SUM(revenue_cents) / 100.0 AS total_revenue
+FROM sales_fact
+GROUP BY ROLLUP (year, store_id, supplier_id, product_id)
+"""
+
+Q08 = f"""{STAR_PRELUDE}
+SELECT p.product_name, f.year,
+       SUM(CASE WHEN f.month <= 6 THEN f.revenue_cents ELSE 0 END) / 100.0 AS h1_revenue,
+       SUM(CASE WHEN f.month <= 6 THEN f.quantity_ordered ELSE 0.0 END) AS h1_quantity,
+       SUM(CASE WHEN f.month > 6 THEN f.revenue_cents ELSE 0 END) / 100.0 AS h2_revenue,
+       SUM(CASE WHEN f.month > 6 THEN f.quantity_ordered ELSE 0.0 END) AS h2_quantity,
+       SUM(f.revenue_cents) / 100.0 AS yearly_revenue,
+       SUM(f.quantity_ordered) AS yearly_quantity
+FROM sales_fact f
+JOIN products p ON f.product_id = p.product_id
+GROUP BY p.product_name, f.year
+"""
+
+Q09 = f"""{STAR_PRELUDE}
+, daily AS (
+    SELECT f.product_id, p.product_name, f.order_date,
+           SUM(f.revenue_cents) AS daily_cents,
+           SUM(f.revenue_cents) / 100.0 AS daily_sales
+    FROM sales_fact f
+    JOIN products p ON f.product_id = p.product_id
+    GROUP BY f.product_id, p.product_name, f.order_date
+),
+windowed AS (
+    -- half-up integer-cents running average, same math as the Spark
+    -- builder: (2*S + n) // (2*n) / 100.0
+    SELECT product_name, order_date, daily_sales,
+           ((2 * SUM(daily_cents) OVER w + COUNT(*) OVER w)
+            // (2 * COUNT(*) OVER w)) / 100.0 AS daily_avg_sales
+    FROM daily
+    WINDOW w AS (PARTITION BY product_id ORDER BY order_date)
+)
+SELECT product_name, order_date, daily_sales, daily_avg_sales,
+       CASE WHEN daily_sales > 2 * daily_avg_sales
+            THEN 'High Revenue Spike (Outlier)'
+            ELSE 'Normal'
+       END AS sales_status
+FROM windowed
+"""
+
+Q10 = f"""{STAR_PRELUDE}
+SELECT f.store_id, st.store_name, f.quarter, f.year,
+       SUM(f.revenue_cents) / 100.0 AS total_quarterly_revenue,
+       SUM(f.quantity_ordered) AS total_quarterly_quantity
+FROM sales_fact f
+JOIN stores st ON f.store_id = st.store_id
+GROUP BY f.store_id, st.store_name, f.quarter, f.year
+"""
+
+Q00 = """
+WITH li AS (
+    SELECT l_returnflag, l_linestatus, l_quantity,
+           CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS base_cents,
+           CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS disc_price_cents,
+           CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT) AS charge_cents,
+           CAST(ROUND(l_discount * 10000, 0) AS BIGINT) AS disc_bp
+    FROM lineitem
+)
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(base_cents) / 100.0 AS sum_base_price,
+       SUM(disc_price_cents) / 100.0 AS sum_disc_price,
+       SUM(charge_cents) / 100.0 AS sum_charge,
+       ((2 * SUM(CAST(l_quantity AS BIGINT)) * 100 + COUNT(*))
+        // (2 * COUNT(*))) / 100.0 AS avg_qty,
+       ((2 * SUM(base_cents) + COUNT(*)) // (2 * COUNT(*))) / 100.0 AS avg_price,
+       ((2 * SUM(disc_bp) + COUNT(*)) // (2 * COUNT(*))) / 10000.0 AS avg_disc,
+       COUNT(*) AS count_order
+FROM li
+GROUP BY l_returnflag, l_linestatus
+"""
+
+OLAP_ORACLES = {
+    "q00_pricing_summary": Q00,
+    "q01_weekend_top_products": _q01("TRUE"),
+    "q01_weekday_top_products": _q01("FALSE"),
+    "q02_store_quarterly_growth": Q02,
+    "q03_supplier_contribution": Q03,
+    "q04_seasonal_sales": Q04,
+    "q05_monthly_volatility": Q05,
+    "q06_market_basket": Q06,
+    "q07_rollup_revenue": Q07,
+    "q08_h1_h2_analysis": Q08,
+    "q09_daily_sales_outliers": Q09,
+    "q10_store_quarterly_sales": Q10,
+}

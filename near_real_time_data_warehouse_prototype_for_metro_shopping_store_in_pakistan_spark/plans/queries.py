@@ -1,0 +1,419 @@
+"""The reference OLAP workload (SQL/OLAP Queries - Metro.sql Q1-Q10 +
+STORE_QUARTERLY_SALES view) as Spark DataFrame builders over the star
+mapping in ``plans.star``.
+
+Each builder takes (spark, sf_dir) and returns a DataFrame whose column
+names/types match the DuckDB oracle in ``plans.oracles`` exactly (the
+driver hash-compares values with columns sorted by name).
+
+Determinism conventions (SURVEY §7 hard parts):
+- Money aggregates sum integer cents (``revenue_cents`` /
+  ``price_cents`` from plans.star) and divide by 100.0 once — exact
+  integer math, bit-identical across engines and summation orders.
+  Ratios/averages are computed from those exact values then rounded.
+- Every ORDER BY ... LIMIT k carries a full tie-break key.
+- Q8 adds ``year`` to the projection (the reference relies on MySQL's
+  lax ONLY_FULL_GROUP_BY — SQL/OLAP Queries - Metro.sql:124,247).
+
+Scale notes: every dimension join is an explicit ``broadcast()``; the
+only shuffles left are the aggregations' own key exchanges, and top-k
+is TakeOrderedAndProject (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .star import (
+    ANALYSIS_YEAR,
+    customers_dim,
+    products_dim,
+    sales_fact,
+    store_dim,
+    supplier_dim,
+)
+
+R2 = 2  # money rounding, DECIMAL(10,2) at rest (Star_Schema_Metro.sql:67)
+
+
+def _money(cents_col: str = "revenue_cents"):
+    """Exact money aggregate: SUM(cents)/100.0 (see plans.star)."""
+    return F.sum(cents_col) / 100.0
+
+
+def _pct_change_2dp(cur_cents: str, prev_cents: str):
+    """Half-up percent change at 2 dp in pure integer math.
+
+    round((cur-prev)/prev*100, 2) via rounding a computed double is NOT
+    cross-engine stable (Spark rounds the shortest decimal repr of the
+    double; DuckDB rounds x*10^s). Integer half-up division is:
+    sign * ((2*|diff|*10000 + prev) div (2*prev)) / 100.0, prev > 0.
+    Spark ``div`` truncates and DuckDB ``//`` floors — identical on the
+    non-negative operands used here.
+    """
+    return (
+        F.expr(
+            f"if({cur_cents} >= {prev_cents}, 1, -1) * "
+            f"((2 * abs({cur_cents} - {prev_cents}) * 10000 + {prev_cents}) "
+            f"div (2 * {prev_cents}))"
+        )
+        / 100.0
+    )
+
+
+def _fact_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sales_fact(spark, sf_dir).join(
+        F.broadcast(products_dim(spark, sf_dir)), "product_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q1 — top revenue products, weekend/weekday split, monthly drill-down
+# (SQL/OLAP Queries - Metro.sql:1-26; joins J5, agg A1, top-k O2)
+# --------------------------------------------------------------------------
+
+def _q01(spark: SparkSession, sf_dir: str, weekend: bool) -> DataFrame:
+    return (
+        _fact_products(spark, sf_dir)
+        .filter((F.col("is_weekend") == weekend) & (F.col("year") == ANALYSIS_YEAR))
+        .groupBy("month", "product_name")
+        .agg(_money().alias("total_revenue"))
+        .orderBy(F.desc("total_revenue"), F.asc("month"), F.asc("product_name"))
+        .limit(5)
+    )
+
+
+def q01_weekend_top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q01(spark, sf_dir, weekend=True)
+
+
+def q01_weekday_top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q01(spark, sf_dir, weekend=False)
+
+
+# --------------------------------------------------------------------------
+# Q2 — store quarterly revenue growth rate
+# (SQL/OLAP Queries - Metro.sql:29-72; CTE self-join J8 re-expressed as
+# lag() per SURVEY §2.3 — the INNER JOIN against the previous quarter
+# means rows without a previous quarter are dropped)
+# --------------------------------------------------------------------------
+
+def q02_store_quarterly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    revenue = (
+        sales_fact(spark, sf_dir)
+        .filter(F.col("year") == ANALYSIS_YEAR)
+        .join(F.broadcast(store_dim(spark, sf_dir)), "store_id")
+        .groupBy("store_id", "store_name", "quarter")
+        .agg(F.sum("revenue_cents").alias("total_cents"))
+    )
+    w = Window.partitionBy("store_id").orderBy("quarter")
+    return (
+        revenue.withColumn("prev_cents", F.lag("total_cents").over(w))
+        .filter(F.col("prev_cents").isNotNull())
+        .select(
+            "store_id",
+            "store_name",
+            "quarter",
+            (F.col("total_cents") / 100.0).alias("total_revenue"),
+            (F.col("prev_cents") / 100.0).alias("previous_quarter_revenue"),
+            _pct_change_2dp("total_cents", "prev_cents").alias(
+                "revenue_growth_rate"
+            ),
+        )
+        .orderBy("store_id", "quarter")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 — supplier sales contribution by store and product
+# (SQL/OLAP Queries - Metro.sql:75-95; 4-way star join J6. Note the
+# reference sums the product *price* per fact row, not revenue.)
+# --------------------------------------------------------------------------
+
+def q03_supplier_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        sales_fact(spark, sf_dir)
+        .join(F.broadcast(store_dim(spark, sf_dir)), "store_id")
+        .join(F.broadcast(products_dim(spark, sf_dir)), "product_id")
+        .join(
+            F.broadcast(
+                supplier_dim(spark, sf_dir).select("supplier_id", "supplier_name")
+            ),
+            "supplier_id",
+        )
+        .groupBy("store_name", "supplier_name", "product_name")
+        .agg(_money("price_cents").alias("total_sales"))
+        .orderBy("store_name", "supplier_name", F.desc("product_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 — seasonal product sales (SQL/OLAP Queries - Metro.sql:100-122;
+# season CASE F9)
+# --------------------------------------------------------------------------
+
+def q04_seasonal_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _fact_products(spark, sf_dir)
+        .groupBy("product_name", "season")
+        .agg(_money().alias("total_sales"))
+        .orderBy("product_name", "season")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — store×supplier monthly revenue volatility
+# (SQL/OLAP Queries - Metro.sql:127-175; previous-month CTE + LEFT JOIN
+# J9 re-expressed as lag over (store, supplier) ordered by (year,
+# month); IFNULL -> coalesce to 0 for the first month, F12)
+# --------------------------------------------------------------------------
+
+def q05_monthly_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = (
+        sales_fact(spark, sf_dir)
+        .join(F.broadcast(store_dim(spark, sf_dir)), "store_id")
+        .join(
+            F.broadcast(
+                supplier_dim(spark, sf_dir).select("supplier_id", "supplier_name")
+            ),
+            "supplier_id",
+        )
+        .groupBy("store_name", "supplier_name", "year", "month")
+        .agg(F.sum("revenue_cents").alias("total_cents"))
+    )
+    w = Window.partitionBy("store_name", "supplier_name").orderBy("year", "month")
+    return (
+        monthly.withColumn("prev_cents", F.lag("total_cents").over(w))
+        .select(
+            "store_name",
+            "supplier_name",
+            "year",
+            "month",
+            (F.col("total_cents") / 100.0).alias("total_revenue"),
+            F.coalesce(
+                _pct_change_2dp("total_cents", "prev_cents"), F.lit(0.0)
+            ).alias("revenue_volatility"),
+        )
+        .orderBy("store_name", "supplier_name", "year", "month")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — market-basket product affinity, top-5 co-purchased pairs
+# (SQL/OLAP Queries - Metro.sql:178-203; theta self-join J7)
+# --------------------------------------------------------------------------
+
+def q06_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = sales_fact(spark, sf_dir, time_attrs=False).select(
+        "order_id", "product_id"
+    )
+    f1 = fact.alias("f1")
+    f2 = fact.alias("f2")
+    names = products_dim(spark, sf_dir).select("product_id", "product_name")
+    pairs = f1.join(
+        f2,
+        (F.col("f1.order_id") == F.col("f2.order_id"))
+        & (F.col("f1.product_id") < F.col("f2.product_id")),
+    )
+    return (
+        pairs.join(
+            F.broadcast(names.alias("p1")),
+            F.col("f1.product_id") == F.col("p1.product_id"),
+        )
+        .join(
+            F.broadcast(names.alias("p2")),
+            F.col("f2.product_id") == F.col("p2.product_id"),
+        )
+        .groupBy(
+            F.col("p1.product_name").alias("product_1"),
+            F.col("p2.product_name").alias("product_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("frequency"))
+        .orderBy(F.desc("frequency"), "product_1", "product_2")
+        .limit(5)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — yearly revenue ROLLUP by store, supplier, product
+# (SQL/OLAP Queries - Metro.sql:207-228; A4. Spark rollup() emits the
+# same NULL-marker subtotal rows as MySQL WITH ROLLUP.)
+# --------------------------------------------------------------------------
+
+def q07_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        sales_fact(spark, sf_dir)
+        .rollup("year", "store_id", "supplier_id", "product_id")
+        .agg(_money().alias("total_revenue"))
+        .orderBy(
+            F.asc_nulls_first("year"),
+            F.asc_nulls_first("store_id"),
+            F.asc_nulls_first("supplier_id"),
+            F.asc_nulls_first("product_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — H1/H2 revenue & volume per product
+# (SQL/OLAP Queries - Metro.sql:232-248; conditional aggregation A3.
+# ``year`` added to the projection — declared deviation, the reference
+# depends on disabling ONLY_FULL_GROUP_BY.)
+# --------------------------------------------------------------------------
+
+def q08_h1_h2_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.col("revenue_cents")
+    qty = F.col("quantity_ordered")
+    h1 = F.col("month") <= 6
+    return (
+        _fact_products(spark, sf_dir)
+        .groupBy("product_name", "year")
+        .agg(
+            (F.sum(F.when(h1, cents).otherwise(0)) / 100.0).alias("h1_revenue"),
+            F.sum(F.when(h1, qty).otherwise(0.0)).alias("h1_quantity"),
+            (F.sum(F.when(~h1, cents).otherwise(0)) / 100.0).alias("h2_revenue"),
+            F.sum(F.when(~h1, qty).otherwise(0.0)).alias("h2_quantity"),
+            _money().alias("yearly_revenue"),
+            F.sum(qty).alias("yearly_quantity"),
+        )
+        .orderBy("product_name", "year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — daily sales spikes vs running average
+# (SQL/OLAP Queries - Metro.sql:251-269; windowed aggregate-of-aggregate
+# W2: group to daily sales, then AVG over (PARTITION BY product ORDER BY
+# date) with the default RANGE UNBOUNDED PRECEDING..CURRENT ROW frame —
+# Spark/MySQL/DuckDB defaults all match.)
+# --------------------------------------------------------------------------
+
+def q09_daily_sales_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _fact_products(spark, sf_dir)
+        .groupBy("product_id", "product_name", "order_date")
+        .agg(F.sum("revenue_cents").alias("daily_cents"))
+        .withColumn("daily_sales", F.col("daily_cents") / 100.0)
+    )
+    # Exact running average in integer cents with half-up integer
+    # division — float division + round() is NOT cross-engine stable
+    # (Spark rounds the shortest decimal repr, DuckDB rounds x*100).
+    w = Window.partitionBy("product_id").orderBy("order_date")
+    return (
+        daily.withColumn("cum_cents", F.sum("daily_cents").over(w))
+        .withColumn("cum_n", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "daily_avg_sales",
+            F.expr("(2 * cum_cents + cum_n) div (2 * cum_n)") / 100.0,
+        )
+        .withColumn(
+            "sales_status",
+            F.when(
+                F.col("daily_sales") > 2 * F.col("daily_avg_sales"),
+                "High Revenue Spike (Outlier)",
+            ).otherwise("Normal"),
+        )
+        .select(
+            "product_name", "order_date", "daily_sales", "daily_avg_sales",
+            "sales_status",
+        )
+        .orderBy("product_name", "order_date")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 — STORE_QUARTERLY_SALES view
+# (SQL/OLAP Queries - Metro.sql:272-288; V1. ``store_quarterly_sales``
+# also registers it as a temp view in the session catalog.)
+# --------------------------------------------------------------------------
+
+def q10_store_quarterly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        sales_fact(spark, sf_dir)
+        .join(F.broadcast(store_dim(spark, sf_dir)), "store_id")
+        .groupBy("store_id", "store_name", "quarter", "year")
+        .agg(
+            _money().alias("total_quarterly_revenue"),
+            F.sum("quantity_ordered").alias("total_quarterly_quantity"),
+        )
+        .orderBy("store_name", "year", "quarter")
+    )
+    df.createOrReplaceTempView("store_quarterly_sales")
+    return df
+
+
+# --------------------------------------------------------------------------
+# Flagship extra: TPC-H Q1-style pricing summary over lineitem — the
+# canonical scan-heavy aggregate used by bench.py as the throughput
+# headline (pure map-side-combinable hash agg; no joins).
+# --------------------------------------------------------------------------
+
+def q00_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measures are per-row rounded to cents (basis points for the
+    discount) then summed as integers — exact, order-independent."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base_cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_price_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    charge_cents = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100,
+        0,
+    ).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 10000, 0).cast("long")
+    qty_long = F.col("l_quantity").cast("long")  # quantities are integral
+    n = F.count(F.lit(1))
+    # Averages via half-up integer division (see _pct_change_2dp note).
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        (F.sum(base_cents) / 100.0).alias("sum_base_price"),
+        (F.sum(disc_price_cents) / 100.0).alias("sum_disc_price"),
+        (F.sum(charge_cents) / 100.0).alias("sum_charge"),
+        F.sum(qty_long).alias("_qty_total"),
+        F.sum(base_cents).alias("_base_cents"),
+        F.sum(disc_bp).alias("_disc_bp"),
+        n.alias("count_order"),
+    )
+    return (
+        agg.withColumn(
+            "avg_qty",
+            F.expr(
+                "(2 * _qty_total * 100 + count_order) div (2 * count_order)"
+            )
+            / 100.0,
+        )
+        .withColumn(
+            "avg_price",
+            F.expr("(2 * _base_cents + count_order) div (2 * count_order)") / 100.0,
+        )
+        .withColumn(
+            "avg_disc",
+            F.expr("(2 * _disc_bp + count_order) div (2 * count_order)") / 10000.0,
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc",
+            "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+OLAP_QUERIES = {
+    "q00_pricing_summary": q00_pricing_summary,
+    "q01_weekend_top_products": q01_weekend_top_products,
+    "q01_weekday_top_products": q01_weekday_top_products,
+    "q02_store_quarterly_growth": q02_store_quarterly_growth,
+    "q03_supplier_contribution": q03_supplier_contribution,
+    "q04_seasonal_sales": q04_seasonal_sales,
+    "q05_monthly_volatility": q05_monthly_volatility,
+    "q06_market_basket": q06_market_basket,
+    "q07_rollup_revenue": q07_rollup_revenue,
+    "q08_h1_h2_analysis": q08_h1_h2_analysis,
+    "q09_daily_sales_outliers": q09_daily_sales_outliers,
+    "q10_store_quarterly_sales": q10_store_quarterly_sales,
+}

@@ -1,0 +1,58 @@
+"""SparkSession bootstrap tuned for the warehouse workload.
+
+The reference has no engine configuration beyond hard-coded buffer
+sizes (src/Main.java:11, src/GenerateStream.java:8). On Spark the
+equivalent knobs are AQE + shuffle partition sizing; everything else
+(join strategy, pushdown, codegen) is Catalyst's job.
+
+Scale notes (100 TB / 1000-executor design intent):
+- AQE enabled: runtime coalescing of small post-shuffle partitions and
+  skew-join splitting replace any hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE
+  coalesces. On a real cluster this would be set ~2-3x total cores.
+- Arrow enabled for the few Pandas-UDF paths (multimodal stubs); all
+  hot-path operators are built-in functions, JVM-side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "metro-warehouse-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    Session timezone is pinned to UTC so calendar derivations
+    (year/month/quarter/weekday — SURVEY §2.8 F1-F8) are stable and
+    match the DuckDB oracle's naive-timestamp semantics.
+    """
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.maxResultSize", "4g")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
