@@ -20,6 +20,10 @@ from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakista
 from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.plans.oracles import (
     OLAP_ORACLES,
 )
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.plans.pipeline_queries import (
+    PIPELINE_ORACLES,
+    PIPELINE_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,10 +34,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(OLAP_QUERIES)
+    out.update(PIPELINE_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(OLAP_ORACLES)
+    out.update(PIPELINE_ORACLES)
     return out

@@ -1,0 +1,68 @@
+"""Event-stream analytics over the ``events`` table (event_id, ts,
+user_id, event_type, value, props-JSON).
+
+These are the batch shapes of the streaming operators in
+``streaming/``: tumbling-window rollup, gap-based sessionization, and
+JSON property extraction. Money-style ``value`` sums use integer cents
+(see plans.star determinism note).
+
+Scale notes: the rollup is a single hash aggregate keyed on
+(window, type) — map-side combinable; sessionization shuffles once on
+user_id and is then a linear window pass (at 100 TB: partition by
+user_id, sort within partitions — exactly Spark's window exec).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, in microseconds
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        (F.sum(cents) / 100.0).alias("value_sum"),
+    )
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap
+    to the previous event exceeds ``gap_us`` microseconds. Ordering is
+    (ts, event_id) — total, so the running sum is deterministic."""
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(ts_us).over(order)
+    is_new = F.when(
+        prev_us.isNull() | ((ts_us - prev_us) > gap_us), 1
+    ).otherwise(0)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        events.withColumn("session_seq", F.sum(is_new).over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents) / 100.0).alias("value_sum"),
+        )
+    )
+
+
+def json_property_rollup(events: DataFrame, key: str = "k") -> DataFrame:
+    """Extract an integer property from the JSON ``props`` column and
+    aggregate per event type."""
+    k = F.get_json_object(F.col("props"), f"$.{key}").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )

@@ -1,0 +1,97 @@
+"""Document profiling operators: token stats, language ID, quality
+scoring, fingerprints — all built-in column expressions (JVM-side),
+each with an exact DuckDB oracle.
+
+Determinism: counts are integers; ratios are divisions of identical
+integers (same double on every engine); no fractional rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    ENGLISH_STOPWORDS,
+    LANG_ORDER,
+    LANG_STOPWORDS,
+    fingerprint,
+    md5_long,
+    normalized,
+    punct_count,
+    tokens,
+)
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    w = F.array(*[F.lit(x) for x in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(w, t)))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = tokens(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).cast("int").alias("n_chars_measured"),
+        punct_count(F.col(text_col)).cast("int").alias("n_punct"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID with a fixed-priority argmax
+    (LANG_ORDER breaks ties) — deterministic and oracle-exact."""
+    toks = tokens(F.lower(F.col(text_col)))
+    out = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        *[
+            _hits(toks, LANG_STOPWORDS[lang]).alias(f"hits_{lang}")
+            for lang in LANG_ORDER
+        ],
+    )
+    # First lang (in LANG_ORDER priority) whose hits >= all others.
+    chain = None
+    for lang in LANG_ORDER:
+        cond = None
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            ge = F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
+            cond = ge if cond is None else (cond & ge)
+        chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
+    return out.withColumn("lang_pred", chain.otherwise(LANG_ORDER[0]))
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality: length band + punctuation ratio + stopword
+    density, combined into an integer 0-100 score."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col).cast("int")
+    n_punct = punct_count(F.col(text_col)).cast("int")
+    stop_hits = _hits(toks, ENGLISH_STOPWORDS)
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.when((n_tokens >= 10) & (n_tokens <= 1000), 40).otherwise(0)
+        + F.when(punct_ratio <= 0.1, 30).otherwise(0)
+        + F.when(stop_ratio >= 0.02, 30).otherwise(0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        score.cast("int").alias("quality_score"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: md5 of whitespace-normalized lowercase
+    text, plus its 60-bit integer prefix (bucketable)."""
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col(text_col)).alias("fp"),
+        md5_long(normalized(F.col(text_col))).alias("fp_long"),
+    )

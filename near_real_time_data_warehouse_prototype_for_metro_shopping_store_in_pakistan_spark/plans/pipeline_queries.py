@@ -1,0 +1,385 @@
+"""Training-data pipeline workload: dedup family, similarity search,
+text profiling, event analytics — as driver-contract callables with
+exact DuckDB oracles.
+
+These go beyond the reference's surface (SURVEY §2.12 lists what it
+lacks); they're the operators a 100 TB corpus pipeline needs, built on
+``operators/``. Oracle SQL is generated from the same constants
+(stopword lists, thresholds, scales) as the Spark builders, so the two
+sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.text import ENGLISH_STOPWORDS, LANG_ORDER, LANG_STOPWORDS
+from ..operators import dedup, events, similarity, text_profile
+from ..sources.testdata import table
+
+JACCARD_THRESHOLD = 0.5
+NEARDUP_COSINE_THRESHOLD = 0.4
+ANN_NUM_QUERIES = 10
+ANN_K = 5
+
+
+# --------------------------------------------------------------------------
+# Spark builders
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicate_groups(table(spark, sf_dir, "documents"))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_similar_pairs(
+        table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(table(spark, sf_dir, "documents"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprints(table(spark, sf_dir, "documents"))
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(
+        table(spark, sf_dir, "embeddings"), num_queries=ANN_NUM_QUERIES, k=ANN_K
+    )
+
+
+def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_neardup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COSINE_THRESHOLD
+    )
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_profile.token_stats(table(spark, sf_dir, "documents"))
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_profile.language_id(table(spark, sf_dir, "documents"))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_profile.quality_scores(table(spark, sf_dir, "documents"))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_profile.fingerprints(table(spark, sf_dir, "documents"))
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.hourly_rollup(table(spark, sf_dir, "events"))
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.sessionize(table(spark, sf_dir, "events"))
+
+
+def events_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.json_property_rollup(table(spark, sf_dir, "events"))
+
+
+PIPELINE_QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ann_cosine_topk": ann_cosine_topk,
+    "embed_cosine_neardup": embed_cosine_neardup,
+    "text_token_stats": text_token_stats,
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+    "text_fingerprint": text_fingerprint,
+    "events_hourly_rollup": events_hourly_rollup,
+    "events_sessionize": events_sessionize,
+    "events_json_rollup": events_json_rollup,
+}
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles (shared SQL fragments mirror functions.text exactly)
+# --------------------------------------------------------------------------
+
+def _sql_md5_long(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _sql_tokens(expr: str) -> str:
+    """Mirror functions.text.tokens: blank -> [], else split on \\s+."""
+    t = f"trim({expr})"
+    return (
+        f"CASE WHEN {t} = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split_regex({t}, '\\s+') END"
+    )
+
+
+def _sql_in_list(words: list[str]) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+_SHINGLES = """
+sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, length(text) - 4),
+                                     i -> substr(text, i, 5))) AS shingle
+        FROM documents WHERE length(text) >= 5
+    )
+)
+"""
+
+_SCALED_VECS = """
+v AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+    FROM embeddings
+),
+elem AS (
+    -- parallel unnest is lockstep in DuckDB: (index, value) pairs
+    SELECT vec_id, unnest(generate_series(1, len(q))) AS i, unnest(q) AS val
+    FROM v
+),
+norms AS (SELECT vec_id, SUM(val * val) AS norm_sq FROM elem GROUP BY vec_id)
+"""
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+ORACLE_DEDUP_JACCARD = f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, c / (sa.n + sb.n - c) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+"""
+
+ORACLE_DEDUP_MINHASH = f"""
+WITH {_SHINGLES},
+seeded AS (
+    SELECT sh.doc_id, s.seed,
+           MIN({_sql_md5_long("CAST(s.seed AS VARCHAR) || '|' || sh.shingle")}) AS minhash
+    FROM sh, generate_series(0, 15) s(seed)
+    GROUP BY sh.doc_id, s.seed
+),
+bands AS (
+    SELECT doc_id, seed // 2 AS band,
+           MAX(CASE WHEN seed % 2 = 0 THEN minhash END) AS h0,
+           MAX(CASE WHEN seed % 2 = 1 THEN minhash END) AS h1
+    FROM seeded GROUP BY doc_id, seed // 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+            AND a.doc_id < b.doc_id
+"""
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_sql_tokens("lower(text)")}) AS tok FROM documents
+),
+perbit AS (
+    SELECT doc_id, b.bit,
+           SUM(CASE WHEN ({_sql_md5_long("tok")} // CAST(pow(2, b.bit) AS BIGINT)) % 2 = 1
+                    THEN 1 ELSE -1 END) AS s
+    FROM toks, generate_series(0, 15) b(bit)
+    GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM perbit GROUP BY doc_id
+"""
+
+ORACLE_ANN_TOPK = f"""
+WITH {_SCALED_VECS},
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.val * b.val) AS dot
+    FROM elem a
+    JOIN elem b ON a.i = b.i AND a.vec_id < {ANN_NUM_QUERIES}
+               AND b.vec_id != a.vec_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE)
+           / (sqrt(CAST(qn.norm_sq AS DOUBLE)) * sqrt(CAST(nn.norm_sq AS DOUBLE)))
+           AS cosine
+    FROM dots
+    JOIN norms qn ON query_id = qn.vec_id
+    JOIN norms nn ON neighbor_id = nn.vec_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+ORACLE_EMBED_NEARDUP = f"""
+WITH {_SCALED_VECS},
+dots AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.val * b.val) AS dot
+    FROM elem a JOIN elem b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+)
+SELECT vec_a, vec_b,
+       CAST(dot AS DOUBLE)
+       / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE)))
+       AS cosine
+FROM dots
+JOIN norms na ON vec_a = na.vec_id
+JOIN norms nb ON vec_b = nb.vec_id
+WHERE CAST(dot AS DOUBLE)
+      / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE)))
+      >= {NEARDUP_COSINE_THRESHOLD}
+"""
+
+_PUNCT = "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INT)"
+
+ORACLE_TOKEN_STATS = f"""
+SELECT doc_id,
+       CAST(len({_sql_tokens("text")}) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_measured,
+       {_PUNCT} AS n_punct
+FROM documents
+"""
+
+
+def _langid_oracle() -> str:
+    hits = ",\n           ".join(
+        f"CAST(len(list_filter(toks, t -> t IN ({_sql_in_list(LANG_STOPWORDS[lang])}))) AS INT) AS hits_{lang}"
+        for lang in LANG_ORDER
+    )
+    cases = []
+    for lang in LANG_ORDER:
+        conds = " AND ".join(
+            f"hits_{lang} >= hits_{other}" for other in LANG_ORDER if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{LANG_ORDER[0]}' END"
+    return f"""
+WITH t AS (
+    SELECT doc_id, lang AS lang_true, {_sql_tokens("lower(text)")} AS toks
+    FROM documents
+),
+h AS (
+    SELECT doc_id, lang_true,
+           {hits}
+    FROM t
+)
+SELECT *, {case_sql} AS lang_pred FROM h
+"""
+
+
+def _quality_oracle() -> str:
+    stops = _sql_in_list(ENGLISH_STOPWORDS)
+    return f"""
+WITH t AS (
+    SELECT doc_id, text, {_sql_tokens("lower(text)")} AS toks FROM documents
+),
+c AS (
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           {_PUNCT} AS n_punct,
+           CAST(len(list_filter(toks, x -> x IN ({stops}))) AS INT) AS stop_hits
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       n_punct / greatest(n_chars, 1) AS punct_ratio,
+       stop_hits / greatest(n_tokens, 1) AS stop_ratio,
+       CAST((CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 40 ELSE 0 END)
+          + (CASE WHEN n_punct / greatest(n_chars, 1) <= 0.1 THEN 30 ELSE 0 END)
+          + (CASE WHEN stop_hits / greatest(n_tokens, 1) >= 0.02 THEN 30 ELSE 0 END)
+         AS INT) AS quality_score
+FROM c
+"""
+
+
+_NORMALIZED = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+ORACLE_FINGERPRINT = f"""
+SELECT doc_id,
+       md5({_NORMALIZED}) AS fp,
+       {_sql_md5_long(_NORMALIZED)} AS fp_long
+FROM documents
+"""
+
+_VALUE_CENTS = "CAST(round(value * 100, 0) AS BIGINT)"
+
+ORACLE_EVENTS_HOURLY = f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       SUM({_VALUE_CENTS}) / 100.0 AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+ORACLE_EVENTS_SESSIONS = f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, value,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS gap_us
+    FROM events
+),
+flagged AS (
+    SELECT *, CASE WHEN gap_us IS NULL OR gap_us > {events.SESSION_GAP_US}
+                   THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+),
+sessions AS (
+    SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_seq
+    FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       SUM({_VALUE_CENTS}) / 100.0 AS value_sum
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type, count(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type
+"""
+
+PIPELINE_ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "ann_cosine_topk": ORACLE_ANN_TOPK,
+    "embed_cosine_neardup": ORACLE_EMBED_NEARDUP,
+    "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_langid": _langid_oracle(),
+    "text_quality": _quality_oracle(),
+    "text_fingerprint": ORACLE_FINGERPRINT,
+    "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
+    "events_sessionize": ORACLE_EVENTS_SESSIONS,
+    "events_json_rollup": ORACLE_EVENTS_JSON,
+}
