@@ -1,0 +1,211 @@
+"""The reference's MESHJOIN ETL re-expressed as set-at-a-time Spark.
+
+Reference pipeline (SURVEY §3.1; src/Meshjoin.java):
+- ``Insert_Dimensions`` (src/Meshjoin.java:170-239): re-read the two
+  master CSVs, normalize the denormalized product file into
+  Products/Supplier/Store dims, insert-if-absent each row.
+- ``performMeshJoin`` (src/Meshjoin.java:263-300): per stream record,
+  derive time attributes, nested-loop match against the product buffer
+  (J1, :343-399) then the customer buffer (J2, :401-457); insert a fact
+  row for the *first* occurrence of each Order_ID only (:373,419);
+  unmatched records are dropped (:295-298).
+- ``CalculateMeasures`` (src/Meshjoin.java:705-753): re-join fact with
+  products and set Total_Units_Sold / Total_Revenue =
+  round(quantity * price, 3) per row (:724-725).
+
+Spark mapping: the nested loops are one broadcast stream-static join
+each; the per-row existence checks are a single left-anti join per
+batch; measures fold into the load projection (no post-pass). The
+MESHJOIN disk-partition-cycling algorithm itself is vestigial in the
+reference (buffers registered but never used in the join —
+src/Meshjoin.java:22-23,155 vs :343-457) and is superseded by the
+broadcast join (SURVEY §4).
+
+Scale notes: master data (products/customers) broadcasts; the only
+shuffle is the dropDuplicates on the dedup key, which at 100 TB rides
+the same hash partitioning the fact table is written with. The fact
+is written partitioned by (year, month) — time-range queries prune.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.time import time_dimension, with_time_attributes
+
+# The reference keeps only the first record per Order_ID even though a
+# real order may hold many products (SURVEY §7 hard parts); the key is
+# configurable so multi-line-per-order sources (e.g. lineitem) keep all
+# lines.
+DEFAULT_FACT_KEY = ("order_id",)
+
+
+def normalize_dimensions(
+    products_master: DataFrame, customers_master: DataFrame
+) -> dict[str, DataFrame]:
+    """Split the denormalized 7-column product master into
+    Products/Supplier/Store dims + pass through Customers
+    (= Insert_Dimensions, src/Meshjoin.java:170-239)."""
+    products = products_master.select(
+        "product_id", "product_name", "price", "supplier_id", "store_id"
+    ).dropDuplicates(["product_id"])
+    supplier = products_master.select("supplier_id", "supplier_name").dropDuplicates(
+        ["supplier_id"]
+    )
+    store = products_master.select("store_id", "store_name").dropDuplicates(
+        ["store_id"]
+    )
+    customers = customers_master.select(
+        "customer_id", "customer_name", "gender"
+    ).dropDuplicates(["customer_id"])
+    return {
+        "products": products,
+        "supplier": supplier,
+        "store": store,
+        "customers": customers,
+    }
+
+
+def build_fact(
+    transactions: DataFrame,
+    products_master: DataFrame,
+    customers_master: DataFrame,
+    fact_key: tuple[str, ...] = DEFAULT_FACT_KEY,
+) -> DataFrame:
+    """Stream-batch × master-data join + measure derivation.
+
+    Join semantics follow J1/J2 precedence (SURVEY §2.3): a record
+    lands in the fact if its product matched (J1) OR its customer
+    matched (J2); records matching neither are dropped
+    (src/Meshjoin.java:295-298). Product-side attributes (store,
+    supplier, price) resolve whenever the product matched — on the
+    customer-only path they are the reference's point lookups
+    (src/Meshjoin.java:428-429), which the single join already covers.
+
+    Measures: Total_Units_Sold = quantity, Total_Revenue =
+    round(quantity * price, 3) HALF_UP (src/Meshjoin.java:724-725).
+    """
+    prod = F.broadcast(
+        products_master.select(
+            "product_id", "price", "supplier_id", "store_id"
+        ).dropDuplicates(["product_id"])
+    )
+    cust = F.broadcast(
+        customers_master.select("customer_id").dropDuplicates(["customer_id"])
+        .withColumn("_cust_matched", F.lit(True))
+    )
+    joined = (
+        transactions.join(prod.withColumn("_prod_matched", F.lit(True)), "product_id", "left")
+        .join(cust, "customer_id", "left")
+        .filter(
+            F.coalesce(F.col("_prod_matched"), F.lit(False))
+            | F.coalesce(F.col("_cust_matched"), F.lit(False))
+        )
+    )
+    # The reference keeps the first queue arrival per Order_ID
+    # (src/Meshjoin.java:373,419); batch has no arrival order, so pick
+    # the minimum over the remaining columns — deterministic under any
+    # partitioning (plain dropDuplicates keeps an arbitrary row).
+    from pyspark.sql import Window
+
+    order_cols = [c for c in joined.columns if c not in fact_key]
+    w = Window.partitionBy(*fact_key).orderBy(
+        *[F.col(c).asc_nulls_last() for c in order_cols]
+    )
+    deduped = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    fact = (
+        with_time_attributes(deduped, "order_date")
+        .withColumn("total_units_sold", F.col("quantity_ordered"))
+        .withColumn(
+            "total_revenue", F.round(F.col("quantity_ordered") * F.col("price"), 3)
+        )
+        .drop("_prod_matched", "_cust_matched")
+    )
+    return fact
+
+
+@dataclass
+class ParquetWarehouse:
+    """Idempotent insert-if-absent parquet sink (= the reference's
+    ``alreadyExists`` + INSERT pattern, src/Meshjoin.java:612-626, as a
+    per-batch left-anti join).
+
+    Plain-parquet caveat (SURVEY §7): append-only with key-anti-join is
+    crash-safe for at-least-once upstreams because replayed rows are
+    filtered; concurrent writers would need a transactional table
+    format (Delta/Iceberg) — single-writer here, like the reference's
+    single consumer thread.
+    """
+
+    spark: SparkSession
+    root: str
+    keys: dict[str, list[str]] = field(
+        default_factory=lambda: {
+            "products": ["product_id"],
+            "supplier": ["supplier_id"],
+            "store": ["store_id"],
+            "customers": ["customer_id"],
+            "time_dimension": ["time_id"],
+            "sales_fact": ["order_id"],
+        }
+    )
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def read(self, name: str) -> DataFrame | None:
+        p = self.path(name)
+        try:
+            return self.spark.read.parquet(p)
+        except Exception:
+            return None
+
+    def insert_if_absent(self, name: str, batch: DataFrame) -> None:
+        key = self.keys[name]
+        incoming = batch.dropDuplicates(key)
+        existing = self.read(name)
+        if existing is not None:
+            incoming = incoming.join(
+                existing.select(*key).dropDuplicates(key), key, "left_anti"
+            )
+            # align column order for parquet append
+            incoming = incoming.select(*existing.columns)
+        incoming.write.mode("append").parquet(self.path(name))
+
+    def load_batch(
+        self,
+        transactions: DataFrame,
+        products_master: DataFrame,
+        customers_master: DataFrame,
+        fact_key: tuple[str, ...] = DEFAULT_FACT_KEY,
+    ) -> None:
+        """One micro-batch (or one full batch) through the whole ETL:
+        dims -> time dimension -> fact, each insert-if-absent."""
+        dims = normalize_dimensions(products_master, customers_master)
+        for name, df in dims.items():
+            self.insert_if_absent(name, df)
+        fact = build_fact(transactions, products_master, customers_master, fact_key)
+        self.insert_if_absent("time_dimension", time_dimension(fact, "order_date"))
+        fact_cols = [
+            "order_id", "order_date", "product_id", "customer_id", "supplier_id",
+            "store_id", "quantity_ordered", "total_units_sold", "total_revenue",
+            "year", "month",
+        ]
+        self.insert_if_absent("sales_fact", fact.select(*fact_cols))
+
+    def totals(self) -> DataFrame:
+        """Running totals the reference prints after each batch
+        (src/Meshjoin.java:745-746)."""
+        fact = self.read("sales_fact")
+        return fact.agg(
+            F.sum("total_revenue").alias("tot_revenue"),
+            F.sum("total_units_sold").alias("total_quantity_sold"),
+        )

@@ -79,11 +79,15 @@ def read_transactions(spark: SparkSession, path: str) -> DataFrame:
     null/blank keys, unparsable quantities or dates are dropped.
     """
     df = _trim_all(_read_csv(spark, path, TRANSACTIONS_SCHEMA))
+    # try_* variants: ANSI mode would otherwise raise on malformed
+    # input; the reference skips such rows (src/Meshjoin.java:241-261).
     typed = df.select(
         "order_id",
-        F.to_timestamp("order_date_raw", ORDER_DATE_FORMAT).alias("order_date"),
+        F.try_to_timestamp(
+            F.col("order_date_raw"), F.lit(ORDER_DATE_FORMAT)
+        ).alias("order_date"),
         "product_id",
-        F.col("quantity_ordered_raw").cast("int").alias("quantity_ordered"),
+        F.col("quantity_ordered_raw").try_cast("int").alias("quantity_ordered"),
         "customer_id",
         "time_id",
     )
@@ -103,7 +107,9 @@ def read_products_master(spark: SparkSession, path: str) -> DataFrame:
     """Denormalized product master; bad-length/bad-price rows skipped
     (src/Meshjoin.java:184-199)."""
     df = _trim_all(_read_csv(spark, path, PRODUCTS_SCHEMA))
-    typed = df.withColumn("price", F.col("price_raw").cast("double")).drop("price_raw")
+    typed = df.withColumn("price", F.col("price_raw").try_cast("double")).drop(
+        "price_raw"
+    )
     return typed.filter(
         F.col("product_id").isNotNull()
         & (F.col("product_id") != "")

@@ -1,0 +1,85 @@
+"""Streaming ETL tests: streaming ≡ batch equivalence and idempotency
+under replay (SURVEY §5.2, ST1-ST5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.etl import (
+    ParquetWarehouse,
+)
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.csv_inputs import (
+    read_customers_master,
+    read_products_master,
+    read_transactions,
+)
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.pipeline import (
+    stream_etl,
+)
+
+from .test_etl import CUSTOMERS_CSV, PRODUCTS_CSV, TRANSACTIONS_CSV
+
+HEADER = "Order_ID,Order_Date,Product_ID,Quantity,Customer_ID,Time_ID\n"
+
+
+@pytest.fixture(scope="module")
+def stream_env(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream")
+    (d / "masters").mkdir()
+    (d / "tx").mkdir()
+    (d / "products.csv").write_text(PRODUCTS_CSV)
+    (d / "customers.csv").write_text(CUSTOMERS_CSV)
+    lines = TRANSACTIONS_CSV.strip().splitlines()[1:]
+    mid = len(lines) // 2
+    (d / "tx" / "part1.csv").write_text(HEADER + "\n".join(lines[:mid]) + "\n")
+    (d / "tx" / "part2.csv").write_text(HEADER + "\n".join(lines[mid:]) + "\n")
+    (d / "tx_full.csv").write_text(TRANSACTIONS_CSV)
+    return d
+
+
+def _fact_rows(spark, root):
+    wh = ParquetWarehouse(spark, root)
+    df = wh.read("sales_fact")
+    return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+
+def test_streaming_equals_batch(spark, stream_env):
+    products = read_products_master(spark, str(stream_env / "products.csv"))
+    customers = read_customers_master(spark, str(stream_env / "customers.csv"))
+
+    q = stream_etl(
+        spark,
+        str(stream_env / "tx"),
+        str(stream_env / "wh_stream"),
+        str(stream_env / "ckpt1"),
+        products,
+        customers,
+    )
+    q.awaitTermination(120)
+
+    batch_wh = ParquetWarehouse(spark, str(stream_env / "wh_batch"))
+    tx = read_transactions(spark, str(stream_env / "tx_full.csv"))
+    batch_wh.load_batch(tx, products, customers)
+
+    assert _fact_rows(spark, str(stream_env / "wh_stream")) == _fact_rows(
+        spark, str(stream_env / "wh_batch")
+    )
+
+
+def test_streaming_replay_is_idempotent(spark, stream_env):
+    products = read_products_master(spark, str(stream_env / "products.csv"))
+    customers = read_customers_master(spark, str(stream_env / "customers.csv"))
+    before = _fact_rows(spark, str(stream_env / "wh_stream"))
+
+    # fresh checkpoint -> the source re-delivers every file (an
+    # at-least-once replay); the key anti-join must filter all of it
+    q = stream_etl(
+        spark,
+        str(stream_env / "tx"),
+        str(stream_env / "wh_stream"),
+        str(stream_env / "ckpt2"),
+        products,
+        customers,
+    )
+    q.awaitTermination(120)
+    assert _fact_rows(spark, str(stream_env / "wh_stream")) == before
