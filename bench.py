@@ -51,6 +51,7 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(suite[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"{name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -63,7 +64,8 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import md5_long
+
 SCALE = 1_000_000
 
 
@@ -84,6 +86,101 @@ def cosine_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_buckets(
+    emb: DataFrame,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sign-random-projection (hyperplane LSH) bucket per vector.
+
+    Plane p's pseudo-random direction has component r[p][i] = +1 if
+    md5_long(p||'|'||i) is odd else -1 — deterministic, identical in
+    the DuckDB oracle, and never materialized: the projection
+    sum_i(r*v_i) folds into the explode/groupBy. bucket =
+    sum_p(2^p · [proj_p > 0]) ∈ [0, 2^num_planes).
+
+    Scale: narrow explode (dim × num_planes rows per vector) then one
+    groupBy on vec_id — no corpus×corpus anything. Cosine-similar
+    vectors collide with probability (1 - θ/π)^num_planes.
+    """
+    v = scaled_vectors(emb, vec_col, id_col)
+    elem = v.select(
+        id_col, "norm_sq", F.posexplode("q").alias("i", "val")
+    )
+    planes = elem.select(
+        id_col,
+        "norm_sq",
+        "i",
+        "val",
+        F.explode(F.sequence(F.lit(0), F.lit(num_planes - 1))).alias("p"),
+    )
+    sign = F.when(
+        md5_long(
+            F.concat(F.col("p").cast("string"), F.lit("|"), F.col("i").cast("string"))
+        )
+        % 2
+        == 1,
+        1,
+    ).otherwise(-1)
+    proj = (
+        planes.withColumn("term", sign * F.col("val"))
+        .groupBy(id_col, "norm_sq", "p")
+        .agg(F.sum("term").alias("proj"))
+    )
+    bucket = F.sum(
+        F.when(F.col("proj") > 0, F.pow(F.lit(2), F.col("p")).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    return (
+        proj.groupBy(id_col, "norm_sq")
+        .agg(bucket.alias("bucket"))
+        .join(v.select(id_col, "q"), id_col)
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via hyperplane-LSH buckets —
+    the scale path next to the exact ``cosine_topk`` baseline.
+
+    Candidates are only vectors sharing the query's bucket, so the
+    join is key-bounded (equi-join on ``bucket``) instead of a full
+    scan per query; exact cosine is then computed inside the bucket
+    and ranked. Recall is tunable via ``num_planes`` (fewer planes →
+    bigger buckets → higher recall/cost); production adds multiprobe
+    or band-OR over several independent tables, same plan shape.
+    """
+    b = hyperplane_buckets(emb, num_planes, vec_col, id_col)
+    queries = b.filter(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("bucket"),
+        F.col("q").alias("qq"),
+        F.col("norm_sq").alias("qn"),
+    )
+    cos = _dot(F.col("qq"), F.col("q")) / (
+        F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("norm_sq").cast("double"))
+    )
+    scored = b.join(F.broadcast(queries), "bucket").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

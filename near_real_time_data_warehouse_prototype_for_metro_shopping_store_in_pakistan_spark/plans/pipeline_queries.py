@@ -13,14 +13,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..functions.text import ENGLISH_STOPWORDS, LANG_ORDER, LANG_STOPWORDS
-from ..operators import dedup, events, similarity, text_profile
+from ..operators import dedup, events, multimodal, similarity, text_profile
 from ..sources.testdata import table
 
 JACCARD_THRESHOLD = 0.5
 NEARDUP_COSINE_THRESHOLD = 0.4
 ANN_NUM_QUERIES = 10
 ANN_K = 5
+ANN_LSH_PLANES = 8
 
 
 # --------------------------------------------------------------------------
@@ -49,6 +52,41 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(
         table(spark, sf_dir, "embeddings"), num_queries=ANN_NUM_QUERIES, k=ANN_K
     )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_lsh_topk(
+        table(spark, sf_dir, "embeddings"),
+        num_queries=ANN_NUM_QUERIES,
+        k=ANN_K,
+        num_planes=ANN_LSH_PLANES,
+    )
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    return multimodal.decode_media(media, fake=True)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media)
+    # Project hash-stable scalars for the oracle compare (the raw
+    # array<double> column is exercised by unit tests).
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.element_at("features", 1).alias("f0"),
+        F.element_at("features", 4).alias("f3"),
+        F.element_at("features", 8).alias("f7"),
+    )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    decoded = multimodal.decode_media(media, fake=True)
+    return multimodal.sample_frame_indices(decoded, every_n=30, max_frames=16)
 
 
 def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,7 +129,11 @@ PIPELINE_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
     "embed_cosine_neardup": embed_cosine_neardup,
+    "multimodal_decode": multimodal_decode,
+    "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "text_token_stats": text_token_stats,
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -231,6 +273,104 @@ ranked AS (
     FROM scored
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+ORACLE_ANN_LSH = f"""
+WITH {_SCALED_VECS},
+planes AS (
+    SELECT e.vec_id, e.i, e.val, p.p,
+           CASE WHEN {_sql_md5_long("CAST(p.p AS VARCHAR) || '|' || CAST(e.i - 1 AS VARCHAR)")} % 2 = 1
+                THEN 1 ELSE -1 END AS sign
+    FROM elem e, generate_series(0, {ANN_LSH_PLANES - 1}) p(p)
+),
+proj AS (
+    SELECT vec_id, p, SUM(sign * val) AS proj FROM planes GROUP BY vec_id, p
+),
+buckets AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS bucket
+    FROM proj GROUP BY vec_id
+),
+dots AS (
+    SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+           SUM(a.val * b.val) AS dot
+    FROM buckets qa
+    JOIN buckets qb ON qa.bucket = qb.bucket AND qb.vec_id != qa.vec_id
+    JOIN elem a ON a.vec_id = qa.vec_id
+    JOIN elem b ON b.vec_id = qb.vec_id AND b.i = a.i
+    WHERE qa.vec_id < {ANN_NUM_QUERIES}
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE)
+           / (sqrt(CAST(qn.norm_sq AS DOUBLE)) * sqrt(CAST(nn.norm_sq AS DOUBLE)))
+           AS cosine
+    FROM dots
+    JOIN norms qn ON query_id = qn.vec_id
+    JOIN norms nn ON neighbor_id = nn.vec_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+# Multimodal fake-decode oracle: every field is the same pure function
+# of md5(utf8(text)) the Pandas stage computes (operators.multimodal).
+_MEDIA_TYPE = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+_H = _sql_md5_long("text")
+
+_MEDIA_BASE = f"""
+media AS (
+    SELECT doc_id,
+           {_MEDIA_TYPE} AS media_type,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           {_H} AS h
+    FROM documents
+)
+"""
+
+ORACLE_MULTIMODAL_DECODE = f"""
+WITH {_MEDIA_BASE}
+SELECT doc_id, media_type, n_bytes,
+       CASE WHEN media_type IN ('image', 'video')
+            THEN CAST(64 + h % 1024 AS INT) END AS width,
+       CASE WHEN media_type IN ('image', 'video')
+            THEN CAST(64 + (h // 1024) % 1024 AS INT) END AS height,
+       CASE WHEN media_type = 'audio' THEN CAST(1 + h % 100000 AS INT)
+            WHEN media_type = 'video' THEN CAST(1 + h % 3600 AS INT)
+       END AS n_frames,
+       CASE WHEN media_type = 'audio' THEN 16000 END AS sample_rate,
+       h AS fp_long
+FROM media
+"""
+
+_FEAT = "CAST({h} AS DOUBLE) / CAST(pow(16, 15) AS DOUBLE)"
+
+ORACLE_MULTIMODAL_FEATURES = f"""
+SELECT doc_id,
+       {_MEDIA_TYPE} AS media_type,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       {_FEAT.format(h=_sql_md5_long("text || '|0'"))} AS f0,
+       {_FEAT.format(h=_sql_md5_long("text || '|3'"))} AS f3,
+       {_FEAT.format(h=_sql_md5_long("text || '|7'"))} AS f7
+FROM documents
+"""
+
+ORACLE_MULTIMODAL_FRAMES = f"""
+WITH {_MEDIA_BASE}
+SELECT doc_id,
+       CAST(1 + h % 3600 AS INT) AS n_frames,
+       CAST(unnest((generate_series(0, CAST(1 + h % 3600 AS INT) - 1, 30))[1:16])
+            AS INT) AS frame_index
+FROM media WHERE media_type = 'video'
 """
 
 ORACLE_EMBED_NEARDUP = f"""
@@ -374,7 +514,11 @@ PIPELINE_ORACLES = {
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "ann_cosine_topk": ORACLE_ANN_TOPK,
+    "ann_lsh_topk": ORACLE_ANN_LSH,
     "embed_cosine_neardup": ORACLE_EMBED_NEARDUP,
+    "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAMES,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_langid": _langid_oracle(),
     "text_quality": _quality_oracle(),

@@ -43,6 +43,17 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
+        # local[*] runs everything in the driver JVM; the 1g default
+        # heap GC-thrashes on wide shuffles. Overridable via env; only
+        # effective when this process launches the JVM (normal case).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
+        # Keep JVM unified-logging (gc warnings etc.) off stdout so
+        # harness contracts that parse our stdout (bench.py's one JSON
+        # line) never see interleaved JVM noise.
+        .config("spark.driver.extraJavaOptions", "-Xlog:disable")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,96 @@
+"""Multimodal binary-column plumbing: Arrow-batched mapInPandas decode
+/ feature-extract, stub gating, frame sampling. The fake codec is
+deterministic (md5-derived), so results are recomputable in pure
+Python here and in DuckDB in test_pipeline_queries."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+    multimodal,
+    similarity,
+)
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.testdata import (
+    table,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+
+
+def _h(payload: bytes, salt: str = "") -> int:
+    return int(hashlib.md5(payload + salt.encode()).hexdigest()[:15], 16)
+
+
+def test_media_adapter_schema(media):
+    assert [f.name for f in media.schema.fields] == [
+        "doc_id", "media_type", "payload", "n_bytes",
+    ]
+    row = media.orderBy("doc_id").first()
+    assert row.media_type == multimodal.MEDIA_TYPES[row.doc_id % 3]
+    assert row.n_bytes == len(bytes(row.payload))
+
+
+def test_fake_decode_matches_python(media):
+    rows = {r.doc_id: r for r in multimodal.decode_media(media).collect()}
+    src = {r.doc_id: r for r in media.collect()}
+    assert rows.keys() == src.keys()
+    for doc_id, r in list(rows.items())[:50]:
+        payload = bytes(src[doc_id].payload)
+        expected = multimodal._fake_decode_row(r.media_type, payload)
+        assert r.fp_long == _h(payload)
+        for k in ("width", "height", "n_frames", "sample_rate"):
+            assert getattr(r, k) == expected[k], (doc_id, k)
+
+
+def test_real_decode_is_gated(media):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media, fake=False)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, 64, 64)
+
+
+def test_feature_extraction_shape_and_values(media):
+    feats = multimodal.extract_features(media, dim=multimodal.FEATURE_DIM)
+    rows = feats.orderBy("doc_id").limit(20).collect()
+    src = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    for r in rows:
+        assert len(r.features) == multimodal.FEATURE_DIM
+        assert all(0.0 <= x < 1.0 for x in r.features)
+        expected0 = _h(src[r.doc_id], "|0") / float(16**15)
+        assert r.features[0] == expected0
+
+
+def test_frame_sampling_caps_and_stride(spark, sf_dir, media):
+    decoded = multimodal.decode_media(media)
+    frames = multimodal.sample_frame_indices(decoded, every_n=30, max_frames=16)
+    pdf = frames.toPandas()
+    assert (pdf["frame_index"] % 30 == 0).all()
+    per_doc = pdf.groupby("doc_id").agg(
+        n=("frame_index", "size"), mx=("frame_index", "max"),
+        nf=("n_frames", "first"),
+    )
+    assert (per_doc["n"] <= 16).all()
+    assert (per_doc["mx"] < per_doc["nf"]).all()
+    # only video rows sampled
+    assert set(pdf["doc_id"] % 3) == {2}
+
+
+def test_fake_features_feed_similarity(spark, sf_dir, media):
+    """Features compose with the ANN operator: array<double> renamed to
+    the embedding contract runs through cosine_topk unchanged."""
+    feats = (
+        multimodal.extract_features(media)
+        .selectExpr("doc_id as vec_id", "features as embedding")
+        .limit(50)
+    )
+    out = similarity.cosine_topk(feats, num_queries=2, k=3)
+    rows = out.collect()
+    assert {r.query_id for r in rows} <= {0, 1}
+    assert all(1 <= r.rank <= 3 for r in rows)
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
