@@ -73,27 +73,189 @@ def jaccard_similar_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    strategy: str = "block_gemm",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >=
-    threshold).
+    threshold). Two physical strategies, identical output:
 
-    Exact-but-quadratic-in-collisions baseline: pairs are generated by
-    an equi-join on shingle (only docs sharing a shingle ever meet).
-    The MinHash path below is the sub-quadratic scale alternative.
+    - ``block_gemm`` (default): encode each doc's shingle set against
+      a global shingle dictionary and compute ALL pairwise
+      intersection sizes as a tiled binary matrix product
+      (cogrouped ``applyInPandas`` + numpy, like
+      similarity.cosine_neardup_pairs). Wins when shingle overlap is
+      DENSE (small vocab / near-dup-heavy corpora): the shingle-join
+      materializes Σ_s C(df_s, 2) rows — ~15e9 on the sf0.1 documents
+      table (2k distinct shingles × ~4k-doc buckets) — while the GEMM
+      moves each doc O(#blocks) times and multiplies in BLAS.
+    - ``shingle_join``: PPJoin-style prefix-filtered bucket join —
+      the classic sparse-overlap path (big vocab, rare collisions),
+      where the dictionary-dense matrix would be wasteful.
+    """
+    if strategy == "block_gemm":
+        return _jaccard_block_gemm(docs, n, threshold, text_col, id_col)
+    assert strategy == "shingle_join", strategy
+    return _jaccard_shingle_join(docs, n, threshold, text_col, id_col)
+
+
+def _jaccard_block_gemm(
+    docs: DataFrame,
+    n: int,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    block_size: int = 2048,
+) -> DataFrame:
+    """Tiled exact set-intersection counting: docs × docs through a
+    shingle-dictionary binary matrix, one numpy product per tile."""
+    import numpy as np
+    import pandas as pd
+
+    sh = char_shingles(docs, n, text_col, id_col)
+    # Global dense shingle ids. The dictionary is the *distinct* vocab
+    # — orders of magnitude smaller than the (doc, shingle) relation;
+    # the single-partition window is over vocab rows only (char
+    # n-gram vocab is charset-bounded). At larger vocabs swap for a
+    # sort-based zipWithIndex; ids only need to be dense, not ordered.
+    from pyspark.sql import Window
+
+    vocab = sh.select("shingle").distinct().withColumn(
+        "sid", F.row_number().over(Window.orderBy("shingle")) - 1
+    )
+    doc_sets = (
+        sh.join(F.broadcast(vocab), "shingle")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
+        .select(F.col(id_col).alias("vid"), "sids")
+    )
+    v = doc_sets.withColumn("blk", F.floor(F.col("vid") / block_size).cast("long"))
+    blks = v.select("blk").distinct()
+    pairs = (
+        blks.alias("x")
+        .join(blks.alias("y"), F.col("x.blk") <= F.col("y.blk"))
+        .select(F.col("x.blk").alias("ba"), F.col("y.blk").alias("bb"))
+    )
+    left = (
+        v.alias("l")
+        .join(F.broadcast(pairs.alias("pl")), F.col("l.blk") == F.col("pl.ba"))
+        .select("pl.ba", "pl.bb", "l.vid", "l.sids")
+    )
+    right = (
+        v.alias("r")
+        .join(F.broadcast(pairs.alias("pr")), F.col("r.blk") == F.col("pr.bb"))
+        .select(
+            F.col("pr.ba").alias("rba"),
+            F.col("pr.bb").alias("rbb"),
+            F.col("r.vid").alias("rvid"),
+            F.col("r.sids").alias("rsids"),
+        )
+    )
+
+    def tile(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        if lpdf.empty or rpdf.empty:
+            return empty
+        la = [np.asarray(x, dtype=np.int64) for x in lpdf["sids"]]
+        lb = [np.asarray(x, dtype=np.int64) for x in rpdf["rsids"]]
+        vmax = int(
+            max(max((a[-1] for a in la if len(a)), default=0),
+                max((b[-1] for b in lb if len(b)), default=0))
+        ) + 1
+        inter = np.zeros((len(la), len(lb)), dtype=np.int64)
+        chunk = 1 << 15
+        for lo in range(0, vmax, chunk):
+            hi = min(lo + chunk, vmax)
+            A = np.zeros((len(la), hi - lo), dtype=np.float32)
+            B = np.zeros((len(lb), hi - lo), dtype=np.float32)
+            for i, s in enumerate(la):
+                seg = s[(s >= lo) & (s < hi)] - lo
+                A[i, seg] = 1.0
+            for j, s in enumerate(lb):
+                seg = s[(s >= lo) & (s < hi)] - lo
+                B[j, seg] = 1.0
+            # float32 products are exact for counts < 2^24 per chunk
+            inter += (A @ B.T).astype(np.int64)
+        na = np.array([len(a) for a in la], dtype=np.int64)
+        nb = np.array([len(b) for b in lb], dtype=np.int64)
+        union = na[:, None] + nb[None, :] - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        ia = lpdf["vid"].to_numpy()
+        ib = rpdf["rvid"].to_numpy()
+        keep = (jac >= threshold) & (ia[:, None] < ib[None, :])
+        ii, jj = np.nonzero(keep)
+        return pd.DataFrame(
+            {"doc_a": ia[ii], "doc_b": ib[jj], "jaccard": jac[ii, jj]}
+        )
+
+    return (
+        left.groupby("ba", "bb")
+        .cogroup(right.groupby("rba", "rbb"))
+        .applyInPandas(tile, f"doc_a long, doc_b long, jaccard double")
+    )
+
+
+def _jaccard_shingle_join(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse-overlap path: candidate generation by prefix-filtered
+    shingle-bucket join, exact verification.
+
+    Candidate generation uses PPJoin-style **prefix filtering**: order
+    each doc's shingles by global (frequency, shingle) and keep only
+    the rarest ``⌊n·(1-t)⌋+1`` as its prefix — J(x,y) ≥ t requires the
+    prefixes to share at least one shingle (two sets can disagree on at
+    most n-⌈t·n⌉ leading elements of the canonical order and still
+    overlap enough). Joining prefixes instead of full shingle sets
+    removes the common-shingle bucket blow-up (' the ' never makes a
+    prefix), which is the whole cost at scale; candidates are then
+    verified with an exact intersection count, so the OUTPUT is
+    identical to the naive all-collisions join and the DuckDB oracle is
+    the naive formulation.
+
+    Still exact and worst-case quadratic (all-identical corpora); the
+    MinHash path below is the probabilistic sub-quadratic alternative.
     """
     sh = char_shingles(docs, n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    canon = Window.partitionBy(id_col).orderBy("df", "shingle")
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(canon))
+        .join(sizes, id_col)
+        .filter(
+            F.col("rn")
+            <= F.floor(F.col("n_shingles") * (1.0 - threshold)) + F.lit(1)
+        )
+        .select(id_col, "shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # exact verification: intersection size per surviving candidate pair
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col(f"sb.{id_col}"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.alias("sa")
@@ -113,6 +275,28 @@ def jaccard_similar_pairs(
     )
 
 
+# Universal-hash family for MinHash: h_j(x) = (A[j]·(x mod P) + B[j]) mod P
+# over the Mersenne prime P = 2^31 - 1. A/B are fixed md5-derived
+# constants shared (as literals) with the DuckDB oracle, so the two
+# engines compute the identical family. Keeping x mod P < 2^31 bounds
+# A·x < 2^62 — no 64-bit overflow.
+MINHASH_P = (1 << 31) - 1
+MAX_NUM_HASHES = 32
+
+
+def _minhash_constant(j: int, which: str) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"{j}|{which}".encode()).hexdigest()[:15], 16)
+    if which == "A":
+        return h % (MINHASH_P - 1) + 1  # non-zero multiplier
+    return h % MINHASH_P
+
+
+MINHASH_A = [_minhash_constant(j, "A") for j in range(MAX_NUM_HASHES)]
+MINHASH_B = [_minhash_constant(j, "B") for j in range(MAX_NUM_HASHES)]
+
+
 def minhash_signatures(
     docs: DataFrame,
     n: int = 5,
@@ -120,22 +304,23 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signature rows: (id, seed, minhash) for seed in
-    [0, num_hashes). minhash = min over shingles of
-    md5_long(seed || '|' || shingle)."""
+    """Wide MinHash signatures: one row per doc with columns m0..m{k-1},
+    m_j = min over shingles of (A[j]·(md5_long(shingle) mod P) + B[j])
+    mod P.
+
+    Plan shape: md5 once per (doc, shingle) row, then ONE hash
+    aggregate with ``num_hashes`` min() expressions — no seed explode
+    (a num_hashes× row blow-up) and no repeated md5. Map-side
+    combinable; the only shuffle is the groupBy(doc_id)."""
     sh = char_shingles(docs, n, text_col, id_col)
-    seeded = sh.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "shingle",
-    )
-    h = md5_long(
-        F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))
-    )
-    return (
-        seeded.withColumn("h", h)
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
+    base = sh.withColumn("hx", md5_long(F.col("shingle")) % MINHASH_P)
+    return base.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.col("hx") * MINHASH_A[j] + MINHASH_B[j]) % MINHASH_P
+            ).alias(f"m{j}")
+            for j in range(num_hashes)
+        ]
     )
 
 
@@ -148,23 +333,31 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b): docs whose signatures agree
-    on all rows of at least one band.
+    on every hash of at least one band.
 
-    The only wide operation is the band-bucket self-join — candidates
-    meet in O(num_hashes/band_size) buckets instead of all-pairs.
-    Currently specialized to band_size=2 (two minhash columns per
-    band), which matches the calibrated threshold.
+    The only wide operations are the signature groupBy and the
+    band-bucket self-join — candidates meet in
+    O(num_hashes/band_size) buckets instead of all-pairs. Currently
+    specialized to band_size=2 (two minhash columns per band), which
+    matches the calibrated threshold.
     """
     assert band_size == 2, "banding specialized to band_size=2"
     sig = minhash_signatures(docs, n, num_hashes, text_col, id_col)
-    bands = (
-        sig.withColumn("band", (F.col("seed") / 2).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.max(F.when(F.col("seed") % 2 == 0, F.col("minhash"))).alias("h0"),
-            F.max(F.when(F.col("seed") % 2 == 1, F.col("minhash"))).alias("h1"),
-        )
-    )
+    bands = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"m{2 * b}").alias("h0"),
+                        F.col(f"m{2 * b + 1}").alias("h1"),
+                    )
+                    for b in range(num_hashes // 2)
+                ]
+            )
+        ).alias("bd"),
+    ).select(id_col, "bd.band", "bd.h0", "bd.h1")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -190,33 +383,26 @@ def simhash_fingerprints(
     occurrence weighted): bit b is set iff sum over tokens of
     (+1 if bit b of md5_long(token) else -1) > 0.
 
-    Pure integer math — no shifts (kept as div/mod so the DuckDB
-    oracle is expression-identical)."""
+    Plan shape: one token explode, ONE hash aggregate with ``bits``
+    conditional sums — no per-bit row explosion (a bits× blow-up) and
+    md5 computed once per token row (codegen CSE). The per-bit counts
+    `s_b` then fold into the fingerprint in a final projection. At
+    100 TB: a narrow map + single map-side-combinable groupBy(doc_id).
+    Result is bit-identical to the per-bit-explode formulation, so the
+    DuckDB oracle is unchanged."""
     toks = docs.select(
         id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    ).withColumn("h", md5_long(F.col("tok")))
+    # s_b = (#tokens with bit b set) - (#tokens with bit b unset)
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h div {1 << b}) % 2") == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    per_bit = (
-        toks.withColumn("h", md5_long(F.col("tok")))
-        .select(
-            id_col,
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        )
-        .withColumn(
-            # h is a 60-bit value: extract bit via exact integer div
-            # (double division would lose precision past 2^53)
-            "sign",
-            F.when(
-                F.expr("(h div cast(pow(2, bit) as bigint)) % 2") == 1, 1
-            ).otherwise(-1),
-        )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("sign").alias("s"))
+    fingerprint = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0) for b in range(bits)
     )
-    return per_bit.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("bit")).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+    return sums.select(id_col, fingerprint.cast("long").alias("simhash"))

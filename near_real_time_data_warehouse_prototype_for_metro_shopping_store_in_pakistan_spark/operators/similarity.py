@@ -190,27 +190,79 @@ def cosine_neardup_pairs(
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    block_size: int = 2048,
 ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold — embedding-space
-    near-dup detection.
+    near-dup detection, executed as a distributed block matrix product.
 
-    This is the exact corpus×corpus baseline; at 100 TB one uses the
-    SimHash-style hyperplane LSH to bucket candidates first (see
-    dedup.simhash_fingerprints applied to sign patterns), keeping the
-    join key-bounded. Kept exact here because the oracle must be exact.
+    Vectors are tiled into id-range blocks; each block-pair (ba <= bb)
+    becomes one cogrouped-``applyInPandas`` task computing the tile's
+    dot products with a single int64 numpy GEMM — ~100× the per-row
+    array-lambda throughput, still exact integer math (micro-unit
+    components keep every dot < 2^47; see module docstring), and the
+    cosine expression evaluates in the identical IEEE order as the
+    column formula, so results are bit-equal to the naive join and the
+    DuckDB oracle is unchanged.
+
+    Scale shape: row inflation is O(#blocks) copies of the corpus —
+    the unavoidable cost of an EXACT all-pairs op; tasks are
+    independent tiles (no shuffle after the block join). At 100 TB one
+    bounds candidates first with hyperplane LSH
+    (``hyperplane_buckets``) and runs this GEMM per bucket.
     """
-    v = scaled_vectors(emb, vec_col, id_col)
-    a = v.select(
-        F.col(id_col).alias("vec_a"), F.col("q").alias("qa"), F.col("norm_sq").alias("na")
+    import numpy as np
+    import pandas as pd
+
+    v = scaled_vectors(emb, vec_col, id_col).select(
+        F.col(id_col).alias("vid"), "q", "norm_sq"
     )
-    b = v.select(
-        F.col(id_col).alias("vec_b"), F.col("q").alias("qb"), F.col("norm_sq").alias("nb")
+    v = v.withColumn("blk", F.floor(F.col("vid") / block_size).cast("long"))
+    blks = v.select("blk").distinct()
+    pairs = (
+        blks.alias("x")
+        .join(blks.alias("y"), F.col("x.blk") <= F.col("y.blk"))
+        .select(F.col("x.blk").alias("ba"), F.col("y.blk").alias("bb"))
     )
-    cos = _dot(F.col("qa"), F.col("qb")) / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    left = (
+        v.alias("l")
+        .join(F.broadcast(pairs.alias("pl")), F.col("l.blk") == F.col("pl.ba"))
+        .select("pl.ba", "pl.bb", "l.vid", "l.q", "l.norm_sq")
     )
+    # distinct column names (fresh expr ids) keep the left/right
+    # cogroup free of self-join ambiguity
+    right = (
+        v.alias("r")
+        .join(F.broadcast(pairs.alias("pr")), F.col("r.blk") == F.col("pr.bb"))
+        .select(
+            F.col("pr.ba").alias("rba"),
+            F.col("pr.bb").alias("rbb"),
+            F.col("r.vid").alias("rvid"),
+            F.col("r.q").alias("rq"),
+            F.col("r.norm_sq").alias("rnorm_sq"),
+        )
+    )
+
+    def gemm(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        if lpdf.empty or rpdf.empty:
+            return empty
+        A = np.array([np.asarray(x, dtype=np.int64) for x in lpdf["q"]])
+        B = np.array([np.asarray(x, dtype=np.int64) for x in rpdf["rq"]])
+        dots = A @ B.T  # exact int64
+        na = np.sqrt(lpdf["norm_sq"].to_numpy(dtype=np.float64))
+        nb = np.sqrt(rpdf["rnorm_sq"].to_numpy(dtype=np.float64))
+        # same association order as the column formula: dot / (√na·√nb)
+        cos = dots / (na[:, None] * nb[None, :])
+        ia = lpdf["vid"].to_numpy()
+        ib = rpdf["rvid"].to_numpy()
+        keep = (cos >= threshold) & (ia[:, None] < ib[None, :])
+        ii, jj = np.nonzero(keep)
+        return pd.DataFrame(
+            {"vec_a": ia[ii], "vec_b": ib[jj], "cosine": cos[ii, jj]}
+        )
+
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        left.groupby("ba", "bb")
+        .cogroup(right.groupby("rba", "rbb"))
+        .applyInPandas(gemm, "vec_a long, vec_b long, cosine double")
     )

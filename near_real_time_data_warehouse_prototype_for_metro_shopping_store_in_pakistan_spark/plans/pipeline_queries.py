@@ -211,25 +211,37 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 """
 
-ORACLE_DEDUP_MINHASH = f"""
+def _minhash_oracle() -> str:
+    """Mirror dedup.minhash_signatures: the affine family constants are
+    injected as literals from the same Python lists — no drift."""
+    p = dedup.MINHASH_P
+    mins = ",\n           ".join(
+        f"MIN((hx * {dedup.MINHASH_A[j]} + {dedup.MINHASH_B[j]}) % {p}) AS m{j}"
+        for j in range(16)
+    )
+    band_rows = ", ".join(f"(0 + {b}, m{2 * b}, m{2 * b + 1})" for b in range(8))
+    return f"""
 WITH {_SHINGLES},
-seeded AS (
-    SELECT sh.doc_id, s.seed,
-           MIN({_sql_md5_long("CAST(s.seed AS VARCHAR) || '|' || sh.shingle")}) AS minhash
-    FROM sh, generate_series(0, 15) s(seed)
-    GROUP BY sh.doc_id, s.seed
+base AS (
+    SELECT doc_id, {_sql_md5_long("shingle")} % {p} AS hx FROM sh
+),
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM base GROUP BY doc_id
 ),
 bands AS (
-    SELECT doc_id, seed // 2 AS band,
-           MAX(CASE WHEN seed % 2 = 0 THEN minhash END) AS h0,
-           MAX(CASE WHEN seed % 2 = 1 THEN minhash END) AS h1
-    FROM seeded GROUP BY doc_id, seed // 2
+    SELECT doc_id, bd.band, bd.h0, bd.h1
+    FROM sig, LATERAL (VALUES {band_rows}) bd(band, h0, h1)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a
 JOIN bands b ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
             AND a.doc_id < b.doc_id
 """
+
+
+ORACLE_DEDUP_MINHASH = _minhash_oracle()
 
 ORACLE_DEDUP_SIMHASH = f"""
 WITH toks AS (

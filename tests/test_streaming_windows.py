@@ -1,0 +1,101 @@
+"""Event-time streaming: watermarked window rollup and stateful
+sessionization equal their batch twins when replaying time-rolled
+event files (the standard log-replay contract)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+    events as batch_events,
+)
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.testdata import (
+    read_events,
+)
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming import (
+    windows as sw,
+)
+
+FLUSH_TYPE = "_flush"
+
+
+@pytest.fixture(scope="module")
+def event_env(spark, sf_dir, tmp_path_factory):
+    """Three time-rolled parquet files: first half, second half, and a
+    far-future sentinel event per user. The sentinel advances the
+    watermark past every real window and exceeds every session gap, so
+    append mode emits all real windows/sessions."""
+    d = tmp_path_factory.mktemp("events_stream")
+    src = read_events(spark, sf_dir)
+    mid, hi = src.select(
+        F.expr("percentile(unix_micros(ts), 0.5)").cast("long"),
+        (F.max(F.unix_micros("ts"))).cast("long"),
+    ).first()
+    stream_dir = str(d / "events")
+    first = src.filter(F.unix_micros("ts") <= mid)
+    second = src.filter(F.unix_micros("ts") > mid)
+    flush_us = hi + 365 * 24 * 3600 * 1_000_000
+    flush = src.groupBy("user_id").agg(F.max("event_id").alias("event_id")).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        F.timestamp_micros(F.lit(flush_us)).alias("ts"),
+        "user_id",
+        F.lit(FLUSH_TYPE).alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    # write in arrival order so file mod-times give deterministic replay
+    for i, part in enumerate([first, second, flush]):
+        part.coalesce(1).write.mode("append").parquet(stream_dir)
+    return {"dir": stream_dir, "src": src}
+
+
+def _drain(writer, tmp_path, name):
+    q = (
+        writer.option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(180)
+    return q
+
+
+def test_streaming_window_rollup_equals_batch(spark, event_env, tmp_path):
+    stream = sw.read_event_stream(spark, event_env["dir"], max_files_per_trigger=1)
+    out = sw.streaming_hourly_rollup(stream)
+    _drain(out.writeStream, tmp_path, "rollup")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.value_sum)
+        for r in spark.table("rollup").collect()
+        if r.event_type != FLUSH_TYPE
+    }
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.value_sum)
+        for r in batch_events.hourly_rollup(event_env["src"])
+        .drop("n_users")
+        .collect()
+    }
+    assert got == expected
+
+
+def test_streaming_sessionize_equals_batch(spark, event_env, tmp_path):
+    stream = sw.read_event_stream(spark, event_env["dir"], max_files_per_trigger=1)
+    out = sw.streaming_sessionize(stream)
+    _drain(out.writeStream, tmp_path, "sessions")
+    got = sorted(
+        (r.user_id, r.session_seq, r.session_start, r.session_end,
+         r.n_events, r.value_sum)
+        for r in spark.table("sessions").collect()
+    )
+    # every real session is closed by the sentinel; the sentinel's own
+    # session stays open in state and is never emitted
+    expected = sorted(
+        (r.user_id, r.session_seq, r.session_start, r.session_end,
+         r.n_events, r.value_sum)
+        for r in batch_events.sessionize(event_env["src"]).collect()
+    )
+    assert got == expected
