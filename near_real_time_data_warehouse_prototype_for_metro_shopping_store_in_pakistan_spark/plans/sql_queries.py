@@ -1,0 +1,209 @@
+"""The OLAP workload as Spark SQL strings — the second surface of the
+query layer (SURVEY §7 step 4: every query exists as BOTH a DataFrame
+builder in ``plans.queries`` and a ``spark.sql`` string here, proving
+the engine serves users who bring SQL text, like the reference's
+``SQL/OLAP Queries - Metro.sql``).
+
+The strings run against the views registered by
+``plans.star.register_star_views`` (+ the raw testdata views for the
+lineitem pricing summary) and reproduce the DataFrame builders'
+results exactly: same integer-cents money math, same half-up integer
+division for ratios, same tie-broken ORDER BY ... LIMIT — see the
+determinism notes in ``plans.queries``. ``tests/test_sql_queries.py``
+asserts SQL ≡ DataFrame per query.
+
+Broadcast behavior: the DataFrame side marks dimensions with
+``F.broadcast``; here the ``/*+ BROADCAST(alias) */`` hint states the
+same physical intent in SQL.
+"""
+
+from __future__ import annotations
+
+from .star import ANALYSIS_YEAR
+
+# Shared fragment: exact half-up percent change at 2 dp in integer
+# math (see plans.queries._pct_change_2dp).
+def _pct(cur: str, prev: str) -> str:
+    return (
+        f"(if({cur} >= {prev}, 1, -1) * "
+        f"((2 * abs({cur} - {prev}) * 10000 + {prev}) div (2 * {prev}))) / 100.0D"
+    )
+
+
+SQL_QUERIES: dict[str, str] = {
+    "q01_weekend_top_products": f"""
+        SELECT /*+ BROADCAST(p) */ month, product_name,
+               SUM(revenue_cents) / 100.0D AS total_revenue
+        FROM sales_fact f JOIN products p USING (product_id)
+        WHERE is_weekend = true AND year = {ANALYSIS_YEAR}
+        GROUP BY month, product_name
+        ORDER BY total_revenue DESC, month ASC, product_name ASC
+        LIMIT 5
+    """,
+    "q01_weekday_top_products": f"""
+        SELECT /*+ BROADCAST(p) */ month, product_name,
+               SUM(revenue_cents) / 100.0D AS total_revenue
+        FROM sales_fact f JOIN products p USING (product_id)
+        WHERE is_weekend = false AND year = {ANALYSIS_YEAR}
+        GROUP BY month, product_name
+        ORDER BY total_revenue DESC, month ASC, product_name ASC
+        LIMIT 5
+    """,
+    "q02_store_quarterly_growth": f"""
+        WITH revenue AS (
+            SELECT /*+ BROADCAST(s) */ store_id, store_name, quarter,
+                   SUM(revenue_cents) AS total_cents
+            FROM sales_fact f JOIN stores s USING (store_id)
+            WHERE year = {ANALYSIS_YEAR}
+            GROUP BY store_id, store_name, quarter
+        ),
+        w AS (
+            SELECT *, LAG(total_cents) OVER (
+                       PARTITION BY store_id ORDER BY quarter) AS prev_cents
+            FROM revenue
+        )
+        SELECT store_id, store_name, quarter,
+               total_cents / 100.0D AS total_revenue,
+               prev_cents / 100.0D AS previous_quarter_revenue,
+               {_pct("total_cents", "prev_cents")} AS revenue_growth_rate
+        FROM w WHERE prev_cents IS NOT NULL
+        ORDER BY store_id, quarter
+    """,
+    "q03_supplier_contribution": """
+        SELECT /*+ BROADCAST(st, p, sp) */ store_name, supplier_name,
+               product_name, SUM(price_cents) / 100.0D AS total_sales
+        FROM sales_fact f
+        JOIN stores st USING (store_id)
+        JOIN products p USING (product_id)
+        JOIN suppliers sp USING (supplier_id)
+        GROUP BY store_name, supplier_name, product_name
+        ORDER BY store_name, supplier_name, product_name DESC
+    """,
+    "q04_seasonal_sales": """
+        SELECT /*+ BROADCAST(p) */ product_name, season,
+               SUM(revenue_cents) / 100.0D AS total_sales
+        FROM sales_fact f JOIN products p USING (product_id)
+        GROUP BY product_name, season
+        ORDER BY product_name, season
+    """,
+    "q05_monthly_volatility": f"""
+        WITH monthly AS (
+            SELECT /*+ BROADCAST(st, sp) */ store_name, supplier_name,
+                   year, month, SUM(revenue_cents) AS total_cents
+            FROM sales_fact f
+            JOIN stores st USING (store_id)
+            JOIN suppliers sp USING (supplier_id)
+            GROUP BY store_name, supplier_name, year, month
+        ),
+        w AS (
+            SELECT *, LAG(total_cents) OVER (
+                       PARTITION BY store_name, supplier_name
+                       ORDER BY year, month) AS prev_cents
+            FROM monthly
+        )
+        SELECT store_name, supplier_name, year, month,
+               total_cents / 100.0D AS total_revenue,
+               coalesce({_pct("total_cents", "prev_cents")}, 0.0D)
+                   AS revenue_volatility
+        FROM w
+        ORDER BY store_name, supplier_name, year, month
+    """,
+    "q06_market_basket": """
+        SELECT /*+ BROADCAST(p1, p2) */ p1.product_name AS product_1,
+               p2.product_name AS product_2, COUNT(*) AS frequency
+        FROM sales_fact f1
+        JOIN sales_fact f2
+          ON f1.order_id = f2.order_id AND f1.product_id < f2.product_id
+        JOIN products p1 ON f1.product_id = p1.product_id
+        JOIN products p2 ON f2.product_id = p2.product_id
+        GROUP BY p1.product_name, p2.product_name
+        ORDER BY frequency DESC, product_1, product_2
+        LIMIT 5
+    """,
+    "q07_rollup_revenue": """
+        SELECT year, store_id, supplier_id, product_id,
+               SUM(revenue_cents) / 100.0D AS total_revenue
+        FROM sales_fact
+        GROUP BY ROLLUP (year, store_id, supplier_id, product_id)
+        ORDER BY year ASC NULLS FIRST, store_id ASC NULLS FIRST,
+                 supplier_id ASC NULLS FIRST, product_id ASC NULLS FIRST
+    """,
+    "q08_h1_h2_analysis": """
+        SELECT /*+ BROADCAST(p) */ product_name, year,
+               SUM(CASE WHEN month <= 6 THEN revenue_cents ELSE 0 END) / 100.0D
+                   AS h1_revenue,
+               SUM(CASE WHEN month <= 6 THEN quantity_ordered ELSE 0.0D END)
+                   AS h1_quantity,
+               SUM(CASE WHEN month > 6 THEN revenue_cents ELSE 0 END) / 100.0D
+                   AS h2_revenue,
+               SUM(CASE WHEN month > 6 THEN quantity_ordered ELSE 0.0D END)
+                   AS h2_quantity,
+               SUM(revenue_cents) / 100.0D AS yearly_revenue,
+               SUM(quantity_ordered) AS yearly_quantity
+        FROM sales_fact f JOIN products p USING (product_id)
+        GROUP BY product_name, year
+        ORDER BY product_name, year
+    """,
+    "q09_daily_sales_outliers": """
+        WITH daily AS (
+            SELECT /*+ BROADCAST(p) */ product_id, product_name, order_date,
+                   SUM(revenue_cents) AS daily_cents
+            FROM sales_fact f JOIN products p USING (product_id)
+            GROUP BY product_id, product_name, order_date
+        ),
+        runsum AS (
+            SELECT *,
+                   SUM(daily_cents) OVER w AS cum_cents,
+                   COUNT(*) OVER w AS cum_n
+            FROM daily
+            WINDOW w AS (PARTITION BY product_id ORDER BY order_date)
+        )
+        SELECT product_name, order_date,
+               daily_cents / 100.0D AS daily_sales,
+               ((2 * cum_cents + cum_n) div (2 * cum_n)) / 100.0D
+                   AS daily_avg_sales,
+               CASE WHEN daily_cents / 100.0D >
+                         2 * (((2 * cum_cents + cum_n) div (2 * cum_n)) / 100.0D)
+                    THEN 'High Revenue Spike (Outlier)' ELSE 'Normal'
+               END AS sales_status
+        FROM runsum
+        ORDER BY product_name, order_date
+    """,
+    "q10_store_quarterly_sales": """
+        SELECT /*+ BROADCAST(s) */ store_id, store_name, quarter, year,
+               SUM(revenue_cents) / 100.0D AS total_quarterly_revenue,
+               SUM(quantity_ordered) AS total_quarterly_quantity
+        FROM sales_fact f JOIN stores s USING (store_id)
+        GROUP BY store_id, store_name, quarter, year
+        ORDER BY store_name, year, quarter
+    """,
+    # TPC-H Q1-style pricing summary over the raw lineitem view.
+    "q00_pricing_summary": """
+        WITH base AS (
+            SELECT l_returnflag, l_linestatus, l_quantity,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS base_cents,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT) AS disc_price_cents,
+                   CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              * 100, 0) AS BIGINT) AS charge_cents,
+                   CAST(round(l_discount * 10000, 0) AS BIGINT) AS disc_bp,
+                   CAST(l_quantity AS BIGINT) AS qty_long
+            FROM lineitem
+        )
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               SUM(base_cents) / 100.0D AS sum_base_price,
+               SUM(disc_price_cents) / 100.0D AS sum_disc_price,
+               SUM(charge_cents) / 100.0D AS sum_charge,
+               ((2 * SUM(qty_long) * 100 + COUNT(*)) div (2 * COUNT(*))) / 100.0D
+                   AS avg_qty,
+               ((2 * SUM(base_cents) + COUNT(*)) div (2 * COUNT(*))) / 100.0D
+                   AS avg_price,
+               ((2 * SUM(disc_bp) + COUNT(*)) div (2 * COUNT(*))) / 10000.0D
+                   AS avg_disc,
+               COUNT(*) AS count_order
+        FROM base
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+}
