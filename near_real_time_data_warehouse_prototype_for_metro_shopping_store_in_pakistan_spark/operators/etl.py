@@ -157,6 +157,13 @@ class ParquetWarehouse:
             "sales_fact": ["order_id"],
         }
     )
+    # Hive-style partition columns per table: time-range queries prune
+    # fact partitions at the directory level (the Spark substitute for
+    # the reference's order_date secondary index,
+    # SQL/Star_Schema_Metro.sql:85).
+    partitioning: dict[str, list[str]] = field(
+        default_factory=lambda: {"sales_fact": ["year", "month"]}
+    )
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -178,7 +185,11 @@ class ParquetWarehouse:
             )
             # align column order for parquet append
             incoming = incoming.select(*existing.columns)
-        incoming.write.mode("append").parquet(self.path(name))
+        writer = incoming.write.mode("append")
+        parts = self.partitioning.get(name)
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(self.path(name))
 
     def load_batch(
         self,

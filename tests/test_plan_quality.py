@@ -1,0 +1,80 @@
+"""Physical-plan guards: the plans we designed for are the plans
+Catalyst actually produces (broadcasts for star joins, column-pruned
+scans, partition-pruned warehouse reads). These assertions are the
+scale contract — a regression here is a 100 TB performance bug even
+when results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.etl import (
+    ParquetWarehouse,
+)
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.plans.queries import (
+    q00_pricing_summary,
+    q01_weekend_top_products,
+    q06_market_basket,
+)
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_star_join_broadcasts(spark, sf_dir):
+    plan = plan_of(q01_weekend_top_products(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # dimension joins must not degrade to shuffle joins
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_is_column_pruned(spark, sf_dir):
+    plan = plan_of(q00_pricing_summary(spark, sf_dir))
+    # lineitem has 16 columns; the pricing summary needs 7 — the scan
+    # schema must not include unused wide columns
+    assert "l_comment" not in plan
+    assert "l_shipdate" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_market_basket_self_join_is_keyed(spark, sf_dir):
+    plan = plan_of(q06_market_basket(spark, sf_dir))
+    # the theta predicate must ride the order_id equi-join, never a
+    # cartesian/nested-loop product of the fact with itself
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_warehouse_fact_partition_pruning(spark, tmp_path):
+    from .test_etl import CUSTOMERS_CSV, PRODUCTS_CSV, TRANSACTIONS_CSV
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.csv_inputs import (
+        read_customers_master,
+        read_products_master,
+        read_transactions,
+    )
+
+    d = tmp_path / "wh"
+    (tmp_path / "products.csv").write_text(PRODUCTS_CSV)
+    (tmp_path / "customers.csv").write_text(CUSTOMERS_CSV)
+    (tmp_path / "tx.csv").write_text(TRANSACTIONS_CSV)
+    wh = ParquetWarehouse(spark, str(d))
+    wh.load_batch(
+        read_transactions(spark, str(tmp_path / "tx.csv")),
+        read_products_master(spark, str(tmp_path / "products.csv")),
+        read_customers_master(spark, str(tmp_path / "customers.csv")),
+    )
+    fact = wh.read("sales_fact")
+    assert "year" in fact.columns and "month" in fact.columns
+
+    plan = plan_of(fact.filter("year = 2019 AND month = 3"))
+    # the filter must prune hive partitions, not scan-and-filter
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "year" in pf_line and "month" in pf_line
