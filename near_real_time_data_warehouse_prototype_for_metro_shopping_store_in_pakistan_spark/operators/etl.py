@@ -75,6 +75,7 @@ def build_fact(
     products_master: DataFrame,
     customers_master: DataFrame,
     fact_key: tuple[str, ...] = DEFAULT_FACT_KEY,
+    observation=None,
 ) -> DataFrame:
     """Stream-batch × master-data join + measure derivation.
 
@@ -98,14 +99,24 @@ def build_fact(
         customers_master.select("customer_id").dropDuplicates(["customer_id"])
         .withColumn("_cust_matched", F.lit(True))
     )
-    joined = (
-        transactions.join(prod.withColumn("_prod_matched", F.lit(True)), "product_id", "left")
-        .join(cust, "customer_id", "left")
-        .filter(
-            F.coalesce(F.col("_prod_matched"), F.lit(False))
-            | F.coalesce(F.col("_cust_matched"), F.lit(False))
-        )
+    joined = transactions.join(
+        prod.withColumn("_prod_matched", F.lit(True)), "product_id", "left"
+    ).join(cust, "customer_id", "left")
+    kept = F.coalesce(F.col("_prod_matched"), F.lit(False)) | F.coalesce(
+        F.col("_cust_matched"), F.lit(False)
     )
+    if observation is not None:
+        # The reference only *logs* unmatched stream records before
+        # dropping them (src/Meshjoin.java:295-298); ``observe`` is the
+        # set-at-a-time equivalent — counters ride the job without a
+        # second scan, in batch and foreachBatch alike.
+        joined = joined.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_input"),
+            F.sum(kept.cast("long")).alias("n_matched"),
+            F.sum((~kept).cast("long")).alias("n_dropped"),
+        )
+    joined = joined.filter(kept)
     # The reference keeps the first queue arrival per Order_ID
     # (src/Meshjoin.java:373,419); batch has no arrival order, so pick
     # the minimum over the remaining columns — deterministic under any

@@ -79,6 +79,16 @@ def customers_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Memoized persisted facts per (session, sf_dir, time_attrs): the OLAP
+# workload reuses one materialization of the lineitem⋈orders join
+# across all queries instead of re-deriving it per query — the
+# single-node stand-in for the bucketed/sorted fact table a cluster
+# deployment materializes once (see module docstring). StorageLevel is
+# MEMORY_AND_DISK: spills instead of OOM-ing when the fact outgrows
+# executor memory.
+_FACT_CACHE: dict[tuple[int, str, bool], DataFrame] = {}
+
+
 def sales_fact(spark: SparkSession, sf_dir: str, time_attrs: bool = True) -> DataFrame:
     """The Sales_Fact equivalent.
 
@@ -89,7 +99,11 @@ def sales_fact(spark: SparkSession, sf_dir: str, time_attrs: bool = True) -> Dat
     bucketing); supplier is broadcast (100 rows at sf0.01 — and even at
     SF100k the supplier dim fits the 64 MB broadcast budget).
     """
-    li = table(spark, sf_dir, "lineitem")
+    key = (id(spark), sf_dir, time_attrs)
+    cached = _FACT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    li = table(spark, sf_dir, "lineitem")  # noqa: E501  (cache decided below)
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
@@ -115,7 +129,16 @@ def sales_fact(spark: SparkSession, sf_dir: str, time_attrs: bool = True) -> Dat
         )
         .withColumn("total_revenue", F.col("revenue_cents") / 100.0)
     )
-    return with_time_attributes(fact) if time_attrs else fact
+    if not time_attrs:
+        # narrow-projection consumers (e.g. the Q6 self-join reads two
+        # columns) are better served by the column-pruned parquet scan
+        # than by a cache of full rows — don't persist this variant
+        return fact
+    from pyspark import StorageLevel
+
+    out = with_time_attributes(fact).persist(StorageLevel.MEMORY_AND_DISK)
+    _FACT_CACHE[key] = out
+    return out
 
 
 def register_star_views(spark: SparkSession, sf_dir: str) -> None:

@@ -113,6 +113,22 @@ def streaming_hourly_rollup(
     )
 
 
+def streaming_deduplicate(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Cross-batch streaming dedup with bounded state: duplicates of a
+    key are dropped for as long as the key can still legally arrive
+    (the watermark horizon), then its state is evicted —
+    ``dropDuplicatesWithinWatermark``. This is the scalable form of
+    the reference's grow-forever ``allRecords.contains`` source dedup
+    (src/GenerateStream.java:14,38-43; SURVEY ST4/ST6)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols or ["event_id"]
+    )
+
+
 def _sessionize_group(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
