@@ -185,6 +185,103 @@ def ann_lsh_topk(
     )
 
 
+def ivf_assignments(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its best
+    centroid by cosine (ties break on centroid id).
+
+    Centroids are a deterministic subset of the corpus (the first
+    ``n_centroids`` ids) — the seeding step of k-means|| without the
+    iterations, which keeps the operator reproducible and
+    oracle-checkable; production would plug trained centroids into the
+    same plan. Assignment is a broadcast of the centroid set against
+    one corpus scan — no shuffle until the tiny groupBy."""
+    v = scaled_vectors(emb, vec_col, id_col)
+    cents = F.broadcast(
+        v.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col("q").alias("cq"),
+            F.col("norm_sq").alias("cn"),
+        )
+    )
+    cos = _dot(F.col("q"), F.col("cq")) / (
+        F.sqrt(F.col("norm_sq").cast("double")) * F.sqrt(F.col("cn").cast("double"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    return (
+        v.crossJoin(cents)
+        .withColumn("ccos", cos)
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select(id_col, "q", "norm_sq", F.col("centroid_id").alias("cell"))
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via an IVF inverted index —
+    the cell-partitioned scale path beside the hyperplane-LSH one.
+
+    Each query scans only the ``n_probe`` cells whose centroids are
+    closest to it (~n_probe/n_centroids of the corpus) instead of the
+    full scan of ``cosine_topk``; exact cosine is computed inside the
+    probed cells. Recall/cost tunes with (n_centroids, n_probe). The
+    candidate join is a key-bounded equi-join on ``cell``.
+    """
+    assigned = ivf_assignments(emb, n_centroids, vec_col, id_col)
+    v = scaled_vectors(emb, vec_col, id_col)
+    qv = v.filter(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("norm_sq").alias("qn"),
+    )
+    cents = F.broadcast(
+        v.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col("q").alias("cq"),
+            F.col("norm_sq").alias("cn"),
+        )
+    )
+    qcos = _dot(F.col("qq"), F.col("cq")) / (
+        F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double"))
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("centroid_id")
+    )
+    probes = (
+        qv.crossJoin(cents)
+        .withColumn("qcos", qcos)
+        .withColumn("prank", F.row_number().over(wprobe))
+        .filter(F.col("prank") <= n_probe)
+        .select("query_id", "qq", "qn", F.col("centroid_id").alias("cell"))
+    )
+    cos = _dot(F.col("qq"), F.col("q")) / (
+        F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("norm_sq").cast("double"))
+    )
+    scored = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,

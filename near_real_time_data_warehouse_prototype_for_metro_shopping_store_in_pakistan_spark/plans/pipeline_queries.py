@@ -24,6 +24,8 @@ NEARDUP_COSINE_THRESHOLD = 0.4
 ANN_NUM_QUERIES = 10
 ANN_K = 5
 ANN_LSH_PLANES = 8
+ANN_IVF_CENTROIDS = 16
+ANN_IVF_PROBE = 4
 
 
 # --------------------------------------------------------------------------
@@ -60,6 +62,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_queries=ANN_NUM_QUERIES,
         k=ANN_K,
         num_planes=ANN_LSH_PLANES,
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_ivf_topk(
+        table(spark, sf_dir, "embeddings"),
+        num_queries=ANN_NUM_QUERIES,
+        k=ANN_K,
+        n_centroids=ANN_IVF_CENTROIDS,
+        n_probe=ANN_IVF_PROBE,
     )
 
 
@@ -130,6 +142,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embed_cosine_neardup": embed_cosine_neardup,
     "multimodal_decode": multimodal_decode,
     "multimodal_features": multimodal_features,
@@ -312,6 +325,65 @@ dots AS (
     JOIN elem a ON a.vec_id = qa.vec_id
     JOIN elem b ON b.vec_id = qb.vec_id AND b.i = a.i
     WHERE qa.vec_id < {ANN_NUM_QUERIES}
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE)
+           / (sqrt(CAST(qn.norm_sq AS DOUBLE)) * sqrt(CAST(nn.norm_sq AS DOUBLE)))
+           AS cosine
+    FROM dots
+    JOIN norms qn ON query_id = qn.vec_id
+    JOIN norms nn ON neighbor_id = nn.vec_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+ORACLE_ANN_IVF = f"""
+WITH {_SCALED_VECS},
+cdots AS (
+    SELECT a.vec_id AS vid, c.vec_id AS centroid_id, SUM(a.val * c.val) AS dot
+    FROM elem a JOIN elem c ON a.i = c.i AND c.vec_id < {ANN_IVF_CENTROIDS}
+    GROUP BY 1, 2
+),
+cscored AS (
+    SELECT vid, centroid_id,
+           CAST(dot AS DOUBLE)
+           / (sqrt(CAST(n1.norm_sq AS DOUBLE)) * sqrt(CAST(n2.norm_sq AS DOUBLE)))
+           AS ccos
+    FROM cdots
+    JOIN norms n1 ON vid = n1.vec_id
+    JOIN norms n2 ON centroid_id = n2.vec_id
+),
+assign AS (
+    SELECT vid, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+        FROM cscored
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT vid AS query_id, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+        FROM cscored WHERE vid < {ANN_NUM_QUERIES}
+    ) WHERE rn <= {ANN_IVF_PROBE}
+),
+cand AS (
+    SELECT p.query_id, a.vid AS neighbor_id
+    FROM probes p JOIN assign a ON p.cell = a.cell AND a.vid != p.query_id
+),
+dots AS (
+    SELECT c.query_id, c.neighbor_id, SUM(a.val * b.val) AS dot
+    FROM cand c
+    JOIN elem a ON a.vec_id = c.query_id
+    JOIN elem b ON b.vec_id = c.neighbor_id AND b.i = a.i
     GROUP BY 1, 2
 ),
 scored AS (
@@ -527,6 +599,7 @@ PIPELINE_ORACLES = {
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "ann_lsh_topk": ORACLE_ANN_LSH,
+    "ann_ivf_topk": ORACLE_ANN_IVF,
     "embed_cosine_neardup": ORACLE_EMBED_NEARDUP,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
