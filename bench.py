@@ -29,6 +29,77 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def bench_streaming(spark, sf_dir: str) -> dict:
+    """Streaming MESHJOIN-equivalent throughput: replay transactions
+    derived from the testdata through the full foreachBatch ETL
+    (stream-static joins, dedup, idempotent anti-join upserts) and
+    report rows/sec. This is the apples-to-apples number against the
+    reference's producer/consumer pipeline (its 50-row batches over
+    JDBC vs our micro-batched set-at-a-time loads)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.pipeline import (
+        stream_etl,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        tx = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                F.concat(F.lit("O"), F.col("l_orderkey"),
+                         F.lit("-"), F.col("l_linenumber")).alias("order_id"),
+                F.date_format("o_orderdate", "yyyy-MM-dd H:mm:ss").alias(
+                    "order_date_raw"
+                ),
+                F.concat(F.lit("P"), F.col("l_partkey")).alias("product_id"),
+                F.col("l_quantity").cast("int").cast("string").alias(
+                    "quantity_ordered_raw"
+                ),
+                F.concat(F.lit("C"), F.col("o_custkey")).alias("customer_id"),
+                F.concat(F.lit("T"), F.col("l_orderkey")).alias("time_id"),
+            )
+        )
+        n_tx = tx.count()
+        tx.repartition(8).write.option("header", "true").csv(f"{root}/tx")
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").limit(1)
+        products_master = part.crossJoin(supp).select(
+            F.concat(F.lit("P"), F.col("p_partkey")).alias("product_id"),
+            F.col("p_name").alias("product_name"),
+            F.col("p_retailprice").alias("price"),
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("supplier_id"),
+            F.col("s_name").alias("supplier_name"),
+            F.concat(F.lit("ST"), F.col("s_nationkey")).alias("store_id"),
+            F.col("s_name").alias("store_name"),
+        )
+        customers_master = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.concat(F.lit("C"), F.col("c_custkey")).alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.lit("U").alias("gender"),
+        )
+        t0 = time.perf_counter()
+        q = stream_etl(
+            spark,
+            f"{root}/tx",
+            f"{root}/wh",
+            f"{root}/ckpt",
+            products_master,
+            customers_master,
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        return {"rows": n_tx, "sec": round(dt, 3),
+                "rows_per_sec": round(n_tx / dt, 1)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -53,6 +124,9 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"{name}: {timings[name]}s", file=sys.stderr, flush=True)
 
+    streaming = bench_streaming(spark, sf_dir)
+    print(f"streaming_etl: {streaming}", file=sys.stderr, flush=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -61,6 +135,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming_etl": streaming,
                 "sf": sf,
                 "n_queries": len(timings),
             }

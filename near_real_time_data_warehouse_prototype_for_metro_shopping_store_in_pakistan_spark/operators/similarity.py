@@ -92,36 +92,37 @@ def cosine_topk(
 
 def hyperplane_buckets(
     emb: DataFrame,
-    num_planes: int = 8,
+    num_planes: int = 6,
+    num_tables: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Sign-random-projection (hyperplane LSH) bucket per vector.
+    """Sign-random-projection (hyperplane LSH) buckets, one per hash
+    table: rows (id, table_id, bucket, q, norm_sq).
 
-    Plane p's pseudo-random direction has component r[p][i] = +1 if
-    md5_long(p||'|'||i) is odd else -1 — deterministic, identical in
-    the DuckDB oracle, and never materialized: the projection
-    sum_i(r*v_i) folds into the explode/groupBy. bucket =
-    sum_p(2^p · [proj_p > 0]) ∈ [0, 2^num_planes).
+    Table t / plane p's pseudo-random direction has component
+    r[t·P+p][i] = +1 if md5_long(g||'|'||i) is odd else -1 (g the
+    global plane index) — deterministic, identical in the DuckDB
+    oracle, and never materialized: the projection sum_i(r·v_i) folds
+    into the explode/groupBy. bucket = sum_p(2^p · [proj_p > 0]).
 
-    Scale: narrow explode (dim × num_planes rows per vector) then one
-    groupBy on vec_id — no corpus×corpus anything. Cosine-similar
-    vectors collide with probability (1 - θ/π)^num_planes.
+    Multiple independent tables are the standard recall lever
+    (band-OR): a close pair collides in ≥1 of L tables with prob
+    1-(1-p^P)^L. Scale: narrow explode (dim × L·P rows per vector)
+    then one groupBy — no corpus×corpus anything.
     """
     v = scaled_vectors(emb, vec_col, id_col)
-    elem = v.select(
-        id_col, "norm_sq", F.posexplode("q").alias("i", "val")
-    )
+    total = num_planes * num_tables
+    elem = v.select(id_col, F.posexplode("q").alias("i", "val"))
     planes = elem.select(
         id_col,
-        "norm_sq",
         "i",
         "val",
-        F.explode(F.sequence(F.lit(0), F.lit(num_planes - 1))).alias("p"),
+        F.explode(F.sequence(F.lit(0), F.lit(total - 1))).alias("g"),
     )
     sign = F.when(
         md5_long(
-            F.concat(F.col("p").cast("string"), F.lit("|"), F.col("i").cast("string"))
+            F.concat(F.col("g").cast("string"), F.lit("|"), F.col("i").cast("string"))
         )
         % 2
         == 1,
@@ -129,8 +130,10 @@ def hyperplane_buckets(
     ).otherwise(-1)
     proj = (
         planes.withColumn("term", sign * F.col("val"))
-        .groupBy(id_col, "norm_sq", "p")
+        .groupBy(id_col, "g")
         .agg(F.sum("term").alias("proj"))
+        .withColumn("table_id", (F.col("g") / num_planes).cast("int"))
+        .withColumn("p", F.col("g") % num_planes)
     )
     bucket = F.sum(
         F.when(F.col("proj") > 0, F.pow(F.lit(2), F.col("p")).cast("long")).otherwise(
@@ -138,9 +141,9 @@ def hyperplane_buckets(
         )
     )
     return (
-        proj.groupBy(id_col, "norm_sq")
+        proj.groupBy(id_col, "table_id")
         .agg(bucket.alias("bucket"))
-        .join(v.select(id_col, "q"), id_col)
+        .join(v, id_col)
     )
 
 
@@ -148,39 +151,52 @@ def ann_lsh_topk(
     emb: DataFrame,
     num_queries: int = 10,
     k: int = 5,
-    num_planes: int = 8,
+    num_planes: int = 6,
+    num_tables: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k cosine neighbors via hyperplane-LSH buckets —
-    the scale path next to the exact ``cosine_topk`` baseline.
+    """Approximate top-k cosine neighbors via multi-table
+    hyperplane-LSH — the bucket-join scale path next to the exact
+    ``cosine_topk`` baseline.
 
-    Candidates are only vectors sharing the query's bucket, so the
-    join is key-bounded (equi-join on ``bucket``) instead of a full
-    scan per query; exact cosine is then computed inside the bucket
-    and ranked. Recall is tunable via ``num_planes`` (fewer planes →
-    bigger buckets → higher recall/cost); production adds multiprobe
-    or band-OR over several independent tables, same plan shape.
+    Candidates are vectors sharing the query's bucket in ANY of the
+    ``num_tables`` hash tables (band-OR), so the join is key-bounded
+    (equi-join on (table_id, bucket)) instead of a full scan per
+    query; candidate pairs are deduped across tables, then exact
+    cosine is computed and ranked. Recall tunes with
+    (num_planes ↓, num_tables ↑); cost with the opposite.
     """
-    b = hyperplane_buckets(emb, num_planes, vec_col, id_col)
+    b = hyperplane_buckets(emb, num_planes, num_tables, vec_col, id_col)
     queries = b.filter(F.col(id_col) < num_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.col("bucket"),
-        F.col("q").alias("qq"),
-        F.col("norm_sq").alias("qn"),
+        F.col(id_col).alias("query_id"), "table_id", "bucket"
+    )
+    cand = (
+        b.select(id_col, "table_id", "bucket")
+        .join(F.broadcast(queries), ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    v = scaled_vectors(emb, vec_col, id_col)
+    qv = F.broadcast(
+        v.filter(F.col(id_col) < num_queries).select(
+            F.col(id_col).alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("norm_sq").alias("qn"),
+        )
     )
     cos = _dot(F.col("qq"), F.col("q")) / (
         F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("norm_sq").cast("double"))
     )
-    scored = b.join(F.broadcast(queries), "bucket").filter(
-        F.col("query_id") != F.col(id_col)
+    scored = (
+        cand.join(qv, "query_id")
+        .join(v.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.select(
-            "query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cosine")
-        )
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

@@ -23,7 +23,8 @@ JACCARD_THRESHOLD = 0.5
 NEARDUP_COSINE_THRESHOLD = 0.4
 ANN_NUM_QUERIES = 10
 ANN_K = 5
-ANN_LSH_PLANES = 8
+ANN_LSH_PLANES = 6
+ANN_LSH_TABLES = 4
 ANN_IVF_CENTROIDS = 16
 ANN_IVF_PROBE = 4
 
@@ -62,6 +63,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_queries=ANN_NUM_QUERIES,
         k=ANN_K,
         num_planes=ANN_LSH_PLANES,
+        num_tables=ANN_LSH_TABLES,
     )
 
 
@@ -303,28 +305,35 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}
 ORACLE_ANN_LSH = f"""
 WITH {_SCALED_VECS},
 planes AS (
-    SELECT e.vec_id, e.i, e.val, p.p,
-           CASE WHEN {_sql_md5_long("CAST(p.p AS VARCHAR) || '|' || CAST(e.i - 1 AS VARCHAR)")} % 2 = 1
+    SELECT e.vec_id, e.i, e.val, g.g,
+           CASE WHEN {_sql_md5_long("CAST(g.g AS VARCHAR) || '|' || CAST(e.i - 1 AS VARCHAR)")} % 2 = 1
                 THEN 1 ELSE -1 END AS sign
-    FROM elem e, generate_series(0, {ANN_LSH_PLANES - 1}) p(p)
+    FROM elem e,
+         generate_series(0, {ANN_LSH_PLANES * ANN_LSH_TABLES - 1}) g(g)
 ),
 proj AS (
-    SELECT vec_id, p, SUM(sign * val) AS proj FROM planes GROUP BY vec_id, p
+    SELECT vec_id, g // {ANN_LSH_PLANES} AS table_id,
+           g % {ANN_LSH_PLANES} AS p, SUM(sign * val) AS proj
+    FROM planes GROUP BY vec_id, g // {ANN_LSH_PLANES}, g % {ANN_LSH_PLANES}
 ),
 buckets AS (
-    SELECT vec_id,
+    SELECT vec_id, table_id,
            CAST(SUM(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
                 AS BIGINT) AS bucket
-    FROM proj GROUP BY vec_id
+    FROM proj GROUP BY vec_id, table_id
+),
+cand AS (
+    SELECT DISTINCT qa.vec_id AS query_id, qb.vec_id AS neighbor_id
+    FROM buckets qa
+    JOIN buckets qb ON qa.table_id = qb.table_id AND qa.bucket = qb.bucket
+                   AND qb.vec_id != qa.vec_id
+    WHERE qa.vec_id < {ANN_NUM_QUERIES}
 ),
 dots AS (
-    SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
-           SUM(a.val * b.val) AS dot
-    FROM buckets qa
-    JOIN buckets qb ON qa.bucket = qb.bucket AND qb.vec_id != qa.vec_id
-    JOIN elem a ON a.vec_id = qa.vec_id
-    JOIN elem b ON b.vec_id = qb.vec_id AND b.i = a.i
-    WHERE qa.vec_id < {ANN_NUM_QUERIES}
+    SELECT c.query_id, c.neighbor_id, SUM(a.val * b.val) AS dot
+    FROM cand c
+    JOIN elem a ON a.vec_id = c.query_id
+    JOIN elem b ON b.vec_id = c.neighbor_id AND b.i = a.i
     GROUP BY 1, 2
 ),
 scored AS (
