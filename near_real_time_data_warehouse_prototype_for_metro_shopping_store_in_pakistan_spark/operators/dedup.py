@@ -73,7 +73,7 @@ def jaccard_similar_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    strategy: str = "block_gemm",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >=
     threshold). Two physical strategies, identical output:
@@ -90,7 +90,19 @@ def jaccard_similar_pairs(
     - ``shingle_join``: PPJoin-style prefix-filtered bucket join —
       the classic sparse-overlap path (big vocab, rare collisions),
       where the dictionary-dense matrix would be wasteful.
+    - ``auto`` (default): one cheap aggregate over the shingle
+      relation measures mean document frequency (rows / distinct
+      shingles) and picks the strategy — the same cost-based
+      physical-plan choice an optimizer would make from column stats.
     """
+    if strategy == "auto":
+        sh = char_shingles(docs, n, text_col, id_col)
+        stats = sh.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.approx_count_distinct("shingle").alias("vocab"),
+        ).first()
+        avg_df = stats["rows"] / max(stats["vocab"], 1)
+        strategy = "block_gemm" if avg_df > 32 else "shingle_join"
     if strategy == "block_gemm":
         return _jaccard_block_gemm(docs, n, threshold, text_col, id_col)
     assert strategy == "shingle_join", strategy
