@@ -78,6 +78,26 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized(text))
 
 
+ROLL_BASE = 257
+ROLL_MOD = 1_000_000_007  # both engines stay in BIGINT: acc*257+c < 2^39
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling hash (Rabin-Karp style) over character
+    codepoints: h = Σ c_i·B^(n-i) mod P, folded left-to-right so each
+    step is (acc·B + c) mod P — O(n), no big integers, exactly
+    reproducible in DuckDB via list_reduce. Empty text hashes to 0."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(text.substr(i, F.lit(1))),
+    )
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLL_BASE + c) % ROLL_MOD,
+    )
+
+
 def md5_long(s: Column) -> Column:
     """Portable 60-bit integer hash: first 15 hex chars of md5.
 

@@ -19,6 +19,7 @@ from ..functions.text import (
     md5_long,
     normalized,
     punct_count,
+    rolling_hash,
     tokens,
 )
 
@@ -89,9 +90,40 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: md5 of whitespace-normalized lowercase
-    text, plus its 60-bit integer prefix (bucketable)."""
+    text, its 60-bit integer prefix (bucketable), and a Rabin-Karp
+    polynomial rolling hash of the normalized text."""
     return docs.select(
         "doc_id",
         fingerprint(F.col(text_col)).alias("fp"),
         md5_long(normalized(F.col(text_col))).alias("fp_long"),
+        rolling_hash(normalized(F.col(text_col))).alias("roll_hash"),
+    )
+
+
+def bottomk_sketch(
+    docs: DataFrame,
+    n: int = 5,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing-style document sketch: rolling-hash every character
+    n-gram, keep each document's k smallest hashes — a fixed-size
+    locality-sensitive fingerprint set (bottom-k of a permutation ≈
+    MinHash over one hash function; two docs' sketches overlap in
+    proportion to their n-gram Jaccard). Rows: (doc_id, rank, kgram_hash).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import char_shingles
+
+    sh = char_shingles(docs, n, text_col, id_col)
+    hashed = sh.select(
+        id_col, rolling_hash(F.col("shingle")).alias("kgram_hash")
+    ).dropDuplicates([id_col, "kgram_hash"])
+    w = Window.partitionBy(id_col).orderBy("kgram_hash")
+    return (
+        hashed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "kgram_hash")
     )

@@ -125,6 +125,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile.fingerprints(table(spark, sf_dir, "documents"))
 
 
+def text_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_profile.bottomk_sketch(table(spark, sf_dir, "documents"))
+
+
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.hourly_rollup(table(spark, sf_dir, "events"))
 
@@ -153,6 +157,7 @@ PIPELINE_QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
+    "text_bottomk_sketch": text_bottomk_sketch,
     "events_hourly_rollup": events_hourly_rollup,
     "events_sessionize": events_sessionize,
     "events_json_rollup": events_json_rollup,
@@ -549,11 +554,38 @@ FROM c
 
 _NORMALIZED = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+
+def _sql_rolling_hash(expr: str) -> str:
+    """Mirror functions.text.rolling_hash (same BASE/MOD constants)."""
+    from ..functions.text import ROLL_BASE, ROLL_MOD
+
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, length({expr})), "
+        f"i -> CAST(unicode(({expr})[i]) AS BIGINT))), "
+        f"(acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD})"
+    )
+
+
 ORACLE_FINGERPRINT = f"""
 SELECT doc_id,
        md5({_NORMALIZED}) AS fp,
-       {_sql_md5_long(_NORMALIZED)} AS fp_long
+       {_sql_md5_long(_NORMALIZED)} AS fp_long,
+       coalesce({_sql_rolling_hash(_NORMALIZED)}, 0) AS roll_hash
 FROM documents
+"""
+
+ORACLE_BOTTOMK = f"""
+WITH {_SHINGLES},
+hashed AS (
+    SELECT DISTINCT doc_id, {_sql_rolling_hash("shingle")} AS kgram_hash FROM sh
+),
+ranked AS (
+    SELECT doc_id, kgram_hash, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY kgram_hash) AS INT) AS rank
+    FROM hashed
+)
+SELECT doc_id, rank, kgram_hash FROM ranked WHERE rank <= 8
 """
 
 _VALUE_CENTS = "CAST(round(value * 100, 0) AS BIGINT)"
@@ -617,6 +649,7 @@ PIPELINE_ORACLES = {
     "text_langid": _langid_oracle(),
     "text_quality": _quality_oracle(),
     "text_fingerprint": ORACLE_FINGERPRINT,
+    "text_bottomk_sketch": ORACLE_BOTTOMK,
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
     "events_sessionize": ORACLE_EVENTS_SESSIONS,
     "events_json_rollup": ORACLE_EVENTS_JSON,
