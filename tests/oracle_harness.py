@@ -32,8 +32,12 @@ def _normalize(rows, colnames):
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            # collapse -0.0 / +0.0 and format to kill last-ulp noise
-            return f"{v + 0.0:.6f}"
+            # 17 significant digits = exact round-trip for IEEE doubles;
+            # the determinism doctrine (integer cents / integer division
+            # / identical association order) means both engines must
+            # produce the SAME double, so we compare bit-exactly.
+            # +0.0 collapses -0.0/+0.0.
+            return f"{v + 0.0:.17g}"
         if isinstance(v, (list, tuple)):
             return tuple(norm_val(x) for x in v)
         return v
