@@ -52,19 +52,24 @@ def exact_duplicate_groups(
 
 
 def char_shingles(
-    docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct character n-gram shingles per document: (id, shingle).
+    """Character n-gram shingles per document: (id, shingle), distinct
+    per doc by default (set ``distinct=False`` when a downstream
+    aggregation subsumes the dedup — saves the shuffle).
 
     Narrow explode; ~len(text) rows per doc before dropDuplicates.
     """
     idx = F.sequence(F.lit(1), F.length(text_col) - (n - 1))
     shingle = lambda i: F.col(text_col).substr(i, F.lit(n))  # noqa: E731
-    return (
-        docs.filter(F.length(text_col) >= n)
-        .select(F.col(id_col), F.explode(F.transform(idx, shingle)).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
+    out = docs.filter(F.length(text_col) >= n).select(
+        F.col(id_col), F.explode(F.transform(idx, shingle)).alias("shingle")
     )
+    return out.dropDuplicates([id_col, "shingle"]) if distinct else out
 
 
 def jaccard_similar_pairs(
@@ -323,8 +328,10 @@ def minhash_signatures(
     Plan shape: md5 once per (doc, shingle) row, then ONE hash
     aggregate with ``num_hashes`` min() expressions — no seed explode
     (a num_hashes× row blow-up) and no repeated md5. Map-side
-    combinable; the only shuffle is the groupBy(doc_id)."""
-    sh = char_shingles(docs, n, text_col, id_col)
+    combinable; the only shuffle is the groupBy(doc_id). Raw
+    (non-distinct) shingles: min() over the multiset equals min() over
+    the set, so the per-shingle dedup shuffle is skipped."""
+    sh = char_shingles(docs, n, text_col, id_col, distinct=False)
     base = sh.withColumn("hx", md5_long(F.col("shingle")) % MINHASH_P)
     return base.groupBy(id_col).agg(
         *[
