@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import ENGLISH_STOPWORDS, LANG_ORDER, LANG_STOPWORDS
-from ..operators import dedup, events, multimodal, similarity, text_profile
+from ..operators import asof, dedup, events, multimodal, similarity, text_profile
 from ..sources.testdata import table
 
 JACCARD_THRESHOLD = 0.5
@@ -129,6 +129,30 @@ def text_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile.bottomk_sketch(table(spark, sf_dir, "documents"))
 
 
+def events_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: each purchase event joined to the user's
+    latest click strictly before it (as-of join, merge formulation)."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof.asof_join(
+        purchases,
+        clicks.withColumnRenamed("event_id", "click_id").withColumnRenamed(
+            "ts", "click_ts"
+        ),
+        on=["user_id"],
+        left_time="ts",
+        right_time="click_ts",
+        right_cols={"click_id": "prior_click_id", "click_ts": "prior_click_ts"},
+        strict=True,
+        tiebreak="click_id",
+    )
+
+
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.hourly_rollup(table(spark, sf_dir, "events"))
 
@@ -158,6 +182,7 @@ PIPELINE_QUERIES = {
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
     "text_bottomk_sketch": text_bottomk_sketch,
+    "events_asof_prior_click": events_asof_prior_click,
     "events_hourly_rollup": events_hourly_rollup,
     "events_sessionize": events_sessionize,
     "events_json_rollup": events_json_rollup,
@@ -590,6 +615,23 @@ SELECT doc_id, rank, kgram_hash FROM ranked WHERE rank <= 8
 
 _VALUE_CENTS = "CAST(round(value * 100, 0) AS BIGINT)"
 
+ORACLE_EVENTS_ASOF = """
+WITH clicks AS (
+    SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id, row_number() OVER (
+            PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ) WHERE rn = 1
+),
+p AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       c.event_id AS prior_click_id, c.ts AS prior_click_ts
+FROM p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.ts < p.ts
+"""
+
 ORACLE_EVENTS_HOURLY = f"""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
@@ -650,6 +692,7 @@ PIPELINE_ORACLES = {
     "text_quality": _quality_oracle(),
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_bottomk_sketch": ORACLE_BOTTOMK,
+    "events_asof_prior_click": ORACLE_EVENTS_ASOF,
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
     "events_sessionize": ORACLE_EVENTS_SESSIONS,
     "events_json_rollup": ORACLE_EVENTS_JSON,
