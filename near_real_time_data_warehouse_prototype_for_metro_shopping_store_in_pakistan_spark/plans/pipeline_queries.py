@@ -16,7 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import ENGLISH_STOPWORDS, LANG_ORDER, LANG_STOPWORDS
-from ..operators import asof, dedup, events, multimodal, similarity, text_profile
+from ..operators import (
+    asof,
+    dedup,
+    events,
+    multimodal,
+    rangejoin,
+    similarity,
+    text_profile,
+)
 from ..sources.testdata import table
 
 JACCARD_THRESHOLD = 0.5
@@ -153,6 +161,26 @@ def events_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join: every event matched back to the
+    session interval that contains it (bin-bucketed equi-join, no
+    per-key cross product). Self-consistency: the assignment must
+    agree with the sessionizer that produced the intervals."""
+    ev = table(spark, sf_dir, "events")
+    sessions = events.sessionize(ev).select(
+        "user_id", "session_seq", "session_start", "session_end"
+    )
+    points = ev.select("event_id", "user_id", "ts")
+    return rangejoin.interval_join(
+        points,
+        sessions,
+        on=["user_id"],
+        point_time="ts",
+        interval_start="session_start",
+        interval_end="session_end",
+    )
+
+
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.hourly_rollup(table(spark, sf_dir, "events"))
 
@@ -183,6 +211,7 @@ PIPELINE_QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_bottomk_sketch": text_bottomk_sketch,
     "events_asof_prior_click": events_asof_prior_click,
+    "events_range_join_sessions": events_range_join_sessions,
     "events_hourly_rollup": events_hourly_rollup,
     "events_sessionize": events_sessionize,
     "events_json_rollup": events_json_rollup,
@@ -640,8 +669,8 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
-ORACLE_EVENTS_SESSIONS = f"""
-WITH ordered AS (
+_SESSIONS_CTE = f"""
+ordered AS (
     SELECT user_id, ts, event_id, value,
            epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
@@ -660,11 +689,31 @@ sessions AS (
     ) AS session_seq
     FROM flagged
 )
+"""
+
+ORACLE_EVENTS_SESSIONS = f"""
+WITH {_SESSIONS_CTE}
 SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
        COUNT(*) AS n_events,
        SUM({_VALUE_CENTS}) / 100.0 AS value_sum
 FROM sessions GROUP BY user_id, session_seq
+"""
+
+# Independent formulation of the range join: DuckDB's own BETWEEN
+# (IEJoin) containment join against the aggregated session intervals.
+ORACLE_EVENTS_RANGEJOIN = f"""
+WITH {_SESSIONS_CTE},
+ivals AS (
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_seq
+)
+SELECT e.event_id, e.user_id, e.ts,
+       i.session_seq, i.session_start, i.session_end
+FROM events e
+JOIN ivals i ON e.user_id = i.user_id
+            AND e.ts BETWEEN i.session_start AND i.session_end
 """
 
 ORACLE_EVENTS_JSON = """
@@ -693,6 +742,7 @@ PIPELINE_ORACLES = {
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_bottomk_sketch": ORACLE_BOTTOMK,
     "events_asof_prior_click": ORACLE_EVENTS_ASOF,
+    "events_range_join_sessions": ORACLE_EVENTS_RANGEJOIN,
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
     "events_sessionize": ORACLE_EVENTS_SESSIONS,
     "events_json_rollup": ORACLE_EVENTS_JSON,
