@@ -56,6 +56,31 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     )
 
 
+def session_window_rollup(
+    events: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Gap sessions via Spark's NATIVE ``session_window`` — the
+    built-in counterpart of ``sessionize``. Semantics differ at the
+    exact boundary (native merges while gap < g, the custom chain
+    merges gap <= g) and the native window end is last-event + gap
+    rather than last-event; otherwise the groupings coincide."""
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents) / 100.0).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_window_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def json_property_rollup(events: DataFrame, key: str = "k") -> DataFrame:
     """Extract an integer property from the JSON ``props`` column and
     aggregate per event type."""

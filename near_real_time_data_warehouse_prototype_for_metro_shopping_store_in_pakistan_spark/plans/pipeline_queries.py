@@ -189,6 +189,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.sessionize(table(spark, sf_dir, "events"))
 
 
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.session_window_rollup(table(spark, sf_dir, "events"))
+
+
 def events_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.json_property_rollup(table(spark, sf_dir, "events"))
 
@@ -214,6 +218,7 @@ PIPELINE_QUERIES = {
     "events_range_join_sessions": events_range_join_sessions,
     "events_hourly_rollup": events_hourly_rollup,
     "events_sessionize": events_sessionize,
+    "events_session_window": events_session_window,
     "events_json_rollup": events_json_rollup,
 }
 
@@ -716,6 +721,37 @@ JOIN ivals i ON e.user_id = i.user_id
             AND e.ts BETWEEN i.session_start AND i.session_end
 """
 
+# Native session_window semantics: sessions merge while gap < g
+# (boundary-exclusive, unlike the sessionize chain's <=), and the
+# window end is last event + gap.
+ORACLE_EVENTS_SESSION_WINDOW = f"""
+WITH ordered AS (
+    SELECT user_id, ts, value,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts
+           ) AS gap_us
+    FROM events
+),
+flagged AS (
+    SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= {events.SESSION_GAP_US}
+                   THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+),
+sessions AS (
+    SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_seq
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_window_end,
+       COUNT(*) AS n_events,
+       SUM({_VALUE_CENTS}) / 100.0 AS value_sum
+FROM sessions GROUP BY user_id, session_seq
+"""
+
 ORACLE_EVENTS_JSON = """
 SELECT event_type, count(*) AS n_events,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
@@ -745,5 +781,6 @@ PIPELINE_ORACLES = {
     "events_range_join_sessions": ORACLE_EVENTS_RANGEJOIN,
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
     "events_sessionize": ORACLE_EVENTS_SESSIONS,
+    "events_session_window": ORACLE_EVENTS_SESSION_WINDOW,
     "events_json_rollup": ORACLE_EVENTS_JSON,
 }

@@ -113,6 +113,18 @@ def streaming_hourly_rollup(
     )
 
 
+def streaming_session_window_rollup(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Native stateful sessions: ``session_window`` + watermark (the
+    built-in alternative to the ``applyInPandasWithState`` sessionizer
+    below; Spark merges/extends session state per key and emits a
+    session once the watermark passes its close)."""
+    from ..operators.events import session_window_rollup
+
+    return session_window_rollup(events.withWatermark("ts", watermark), gap)
+
+
 def streaming_deduplicate(
     events: DataFrame,
     key_cols: list[str] | None = None,

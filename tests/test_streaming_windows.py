@@ -82,6 +82,23 @@ def test_streaming_window_rollup_equals_batch(spark, event_env, tmp_path):
     assert got == expected
 
 
+def test_streaming_native_session_window_equals_batch(spark, event_env, tmp_path):
+    stream = sw.read_event_stream(spark, event_env["dir"], max_files_per_trigger=1)
+    out = sw.streaming_session_window_rollup(stream)
+    _drain(out.writeStream, tmp_path, "native_sessions")
+    # the sentinel's own session never closes (watermark stops at it),
+    # so emitted sessions = batch sessions over the original events
+    got = sorted(
+        (r.user_id, r.session_start, r.session_window_end, r.n_events, r.value_sum)
+        for r in spark.table("native_sessions").collect()
+    )
+    expected = sorted(
+        (r.user_id, r.session_start, r.session_window_end, r.n_events, r.value_sum)
+        for r in batch_events.session_window_rollup(event_env["src"]).collect()
+    )
+    assert got == expected
+
+
 def test_streaming_sessionize_equals_batch(spark, event_env, tmp_path):
     stream = sw.read_event_stream(spark, event_env["dir"], max_files_per_trigger=1)
     out = sw.streaming_sessionize(stream)
