@@ -81,6 +81,65 @@ def session_window_rollup(
     )
 
 
+def multi_grain_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style continuous aggregate: ONE pass produces every
+    time granularity (year → month → day → hour + grand total) via
+    ROLLUP grouping sets — the batch equivalent of maintaining
+    per-grain materialized rollups, with Spark computing the partial
+    aggregates hierarchically instead of four separate scans."""
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        events.select(
+            F.year("ts").alias("year"),
+            F.month("ts").alias("month"),
+            F.dayofmonth("ts").alias("day"),
+            F.hour("ts").alias("hour"),
+            "value",
+        )
+        .rollup("year", "month", "day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents) / 100.0).alias("value_sum"),
+        )
+    )
+
+
+# KMV (k-minimum-values) sketch size; estimate stays within ~1/sqrt(k)
+KMV_K = 64
+_KMV_SPACE = float(16**15)  # md5_long hash space (60-bit)
+
+
+def kmv_distinct_users(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Deterministic distinct-count SKETCH per event type: keep the k
+    smallest distinct md5 hashes of user_id; estimate
+    |distinct| ≈ (k-1) · |hash space| / kth-smallest-hash.
+
+    The mergeable-sketch shape of approx_count_distinct, but built on
+    the portable md5 hash so the estimate is bit-identical in the
+    DuckDB oracle (HLL implementations differ per engine and can't be
+    oracle-checked). At scale the k-smallest selection is a per-group
+    top-k (rank filter after one shuffle), state O(k) per group.
+    """
+    from ..functions.text import md5_long
+    from pyspark.sql import Window
+
+    h = md5_long(F.col("user_id").cast("string"))
+    hashed = events.select("event_type", h.alias("h")).dropDuplicates(
+        ["event_type", "h"]
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    agg = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise((k - 1) * F.lit(_KMV_SPACE) / F.col("kth"))
+    return agg.select("event_type", "n_kept", "kth", est.alias("distinct_est"))
+
+
 def json_property_rollup(events: DataFrame, key: str = "k") -> DataFrame:
     """Extract an integer property from the JSON ``props`` column and
     aggregate per event type."""

@@ -197,6 +197,14 @@ def events_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.json_property_rollup(table(spark, sf_dir, "events"))
 
 
+def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.multi_grain_rollup(table(spark, sf_dir, "events"))
+
+
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.kmv_distinct_users(table(spark, sf_dir, "events"))
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -220,6 +228,8 @@ PIPELINE_QUERIES = {
     "events_sessionize": events_sessionize,
     "events_session_window": events_session_window,
     "events_json_rollup": events_json_rollup,
+    "events_multi_grain_rollup": events_multi_grain_rollup,
+    "events_kmv_distinct": events_kmv_distinct,
 }
 
 
@@ -760,6 +770,43 @@ SELECT event_type, count(*) AS n_events,
 FROM events GROUP BY event_type
 """
 
+ORACLE_EVENTS_MULTI_GRAIN = f"""
+SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
+       hour(ts) AS hour,
+       count(*) AS n_events,
+       SUM({_VALUE_CENTS}) / 100.0 AS value_sum
+FROM events
+GROUP BY ROLLUP (year(ts), month(ts), day(ts), hour(ts))
+"""
+
+
+def _kmv_oracle() -> str:
+    k = events.KMV_K
+    return f"""
+WITH hashed AS (
+    SELECT DISTINCT event_type,
+           {_sql_md5_long("CAST(user_id AS VARCHAR)")} AS h
+    FROM events
+),
+kept AS (
+    SELECT event_type, h FROM (
+        SELECT event_type, h, row_number() OVER (
+            PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+    ) WHERE rn <= {k}
+),
+agg AS (
+    SELECT event_type, count(*) AS n_kept, MAX(h) AS kth
+    FROM kept GROUP BY event_type
+)
+SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept, kth,
+       CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+            ELSE ({k} - 1) * CAST(pow(16, 15) AS DOUBLE) / kth
+       END AS distinct_est
+FROM agg
+"""
+
+
 PIPELINE_ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
@@ -783,4 +830,6 @@ PIPELINE_ORACLES = {
     "events_sessionize": ORACLE_EVENTS_SESSIONS,
     "events_session_window": ORACLE_EVENTS_SESSION_WINDOW,
     "events_json_rollup": ORACLE_EVENTS_JSON,
+    "events_multi_grain_rollup": ORACLE_EVENTS_MULTI_GRAIN,
+    "events_kmv_distinct": _kmv_oracle(),
 }
