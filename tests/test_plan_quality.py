@@ -52,6 +52,18 @@ def test_market_basket_self_join_is_keyed(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_temporal_joins_avoid_cross_products(spark, sf_dir):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.plans.pipeline_queries import (
+        events_asof_prior_click,
+        events_range_join_sessions,
+    )
+
+    for q in (events_asof_prior_click, events_range_join_sessions):
+        plan = plan_of(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
 def test_warehouse_fact_partition_pruning(spark, tmp_path):
     from .test_etl import CUSTOMERS_CSV, PRODUCTS_CSV, TRANSACTIONS_CSV
     from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.csv_inputs import (

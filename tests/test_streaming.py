@@ -66,6 +66,38 @@ def test_streaming_equals_batch(spark, stream_env):
     )
 
 
+def test_streaming_checkpoint_resume_processes_only_new_files(
+    spark, stream_env, tmp_path
+):
+    """Restarting with the SAME checkpoint after new files arrive must
+    process only the unseen files (source offset tracking) and leave
+    the warehouse equal to a full batch load."""
+    products = read_products_master(spark, str(stream_env / "products.csv"))
+    customers = read_customers_master(spark, str(stream_env / "customers.csv"))
+    wh_root = str(tmp_path / "wh_resume")
+    ckpt = str(tmp_path / "ckpt_resume")
+    tx_dir = tmp_path / "tx_incremental"
+    tx_dir.mkdir()
+    part1 = (stream_env / "tx" / "part1.csv").read_text()
+    part2 = (stream_env / "tx" / "part2.csv").read_text()
+
+    (tx_dir / "part1.csv").write_text(part1)
+    q = stream_etl(spark, str(tx_dir), wh_root, ckpt, products, customers)
+    q.awaitTermination(120)
+    rows_after_first = _fact_rows(spark, wh_root)
+
+    (tx_dir / "part2.csv").write_text(part2)
+    q = stream_etl(spark, str(tx_dir), wh_root, ckpt, products, customers)
+    q.awaitTermination(120)
+    rows_after_second = _fact_rows(spark, wh_root)
+
+    assert len(rows_after_second) > len(rows_after_first)
+    batch_wh = ParquetWarehouse(spark, str(tmp_path / "wh_batch_resume"))
+    tx = read_transactions(spark, str(stream_env / "tx_full.csv"))
+    batch_wh.load_batch(tx, products, customers)
+    assert rows_after_second == _fact_rows(spark, str(tmp_path / "wh_batch_resume"))
+
+
 def test_streaming_replay_is_idempotent(spark, stream_env):
     products = read_products_master(spark, str(stream_env / "products.csv"))
     customers = read_customers_master(spark, str(stream_env / "customers.csv"))
