@@ -62,12 +62,23 @@ def char_shingles(
     per doc by default (set ``distinct=False`` when a downstream
     aggregation subsumes the dedup — saves the shuffle).
 
-    Narrow explode; ~len(text) rows per doc before dropDuplicates.
+    Narrow explode; ~len(text) rows per doc before dropDuplicates
+    (that shuffle, not the explode, is the dominant cost). Generated
+    as explode(sequence) + substr — flat codegen expressions rather
+    than an interpreted transform(...) lambda.
     """
-    idx = F.sequence(F.lit(1), F.length(text_col) - (n - 1))
-    shingle = lambda i: F.col(text_col).substr(i, F.lit(n))  # noqa: E731
-    out = docs.filter(F.length(text_col) >= n).select(
-        F.col(id_col), F.explode(F.transform(idx, shingle)).alias("shingle")
+    out = (
+        docs.filter(F.length(text_col) >= n)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - (n - 1))
+            ).alias("_pos"),
+        )
+        .select(
+            id_col, F.col(text_col).substr(F.col("_pos"), F.lit(n)).alias("shingle")
+        )
     )
     return out.dropDuplicates([id_col, "shingle"]) if distinct else out
 
