@@ -243,8 +243,42 @@ FROM li
 GROUP BY l_returnflag, l_linestatus
 """
 
+Q11 = """
+SELECT l.l_orderkey AS order_id,
+       o.o_orderdate AS order_date,
+       o.o_orderpriority AS order_priority,
+       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+           / 100.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1996-03-15'
+  AND l.l_shipdate > DATE '1996-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, order_date, order_id
+LIMIT 10
+"""
+
+Q12 = f"""
+SELECT n.n_name AS nation,
+       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+           / 100.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = {ANALYSIS_YEAR}
+GROUP BY 1
+ORDER BY revenue DESC, nation
+"""
+
 OLAP_ORACLES = {
     "q00_pricing_summary": Q00,
+    "q11_shipping_priority": Q11,
+    "q12_local_supplier_volume": Q12,
     "q01_weekend_top_products": _q01("TRUE"),
     "q01_weekday_top_products": _q01("FALSE"),
     "q02_store_quarterly_growth": Q02,

@@ -403,6 +403,96 @@ def q00_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Extension queries beyond the reference's Q1-Q10: the two classic
+# TPC-H shapes the star mapping supports directly — selective-dimension
+# top-k (Q3 pattern) and the region-bound same-nation join (Q5
+# pattern). Same integer-cents discipline as the rest of the suite.
+# --------------------------------------------------------------------------
+
+TPCH_SEGMENT = "BUILDING"
+TPCH_DATE = "1996-03-15"
+TPCH_REGION = "ASIA"
+
+
+def q11_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 pattern: top-10 undelivered orders by revenue for one
+    market segment (o_orderpriority stands in for the reference
+    benchmark's o_shippriority, absent from this testdata)."""
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == TPCH_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") < F.lit(TPCH_DATE).cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit(TPCH_DATE).cast("date")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg((F.sum(cents) / 100.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "order_date", "order_id")
+        .limit(10)
+    )
+
+
+def q12_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 pattern: per-nation revenue where the customer and the
+    supplier share the nation, one region, one year."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == TPCH_REGION
+    )
+    local_nations = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    supp = F.broadcast(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+            "s_suppkey", "s_nationkey"
+        )
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.year("o_orderdate") == ANALYSIS_YEAR)
+        .select("o_orderkey", "o_custkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(local_nations, supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg((F.sum(cents) / 100.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
 OLAP_QUERIES = {
     "q00_pricing_summary": q00_pricing_summary,
     "q01_weekend_top_products": q01_weekend_top_products,
@@ -416,4 +506,6 @@ OLAP_QUERIES = {
     "q08_h1_h2_analysis": q08_h1_h2_analysis,
     "q09_daily_sales_outliers": q09_daily_sales_outliers,
     "q10_store_quarterly_sales": q10_store_quarterly_sales,
+    "q11_shipping_priority": q11_shipping_priority,
+    "q12_local_supplier_volume": q12_local_supplier_volume,
 }

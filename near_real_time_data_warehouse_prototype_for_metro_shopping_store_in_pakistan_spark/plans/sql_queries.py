@@ -177,6 +177,37 @@ SQL_QUERIES: dict[str, str] = {
         GROUP BY store_id, store_name, quarter, year
         ORDER BY store_name, year, quarter
     """,
+    "q11_shipping_priority": """
+        SELECT l.l_orderkey AS order_id,
+               o.o_orderdate AS order_date,
+               o.o_orderpriority AS order_priority,
+               SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                        AS BIGINT)) / 100.0D AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < DATE '1996-03-15'
+          AND l.l_shipdate > DATE '1996-03-15'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, order_date, order_id
+        LIMIT 10
+    """,
+    "q12_local_supplier_volume": f"""
+        SELECT n.n_name AS nation,
+               SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                        AS BIGINT)) / 100.0D AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+                       AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = {ANALYSIS_YEAR}
+        GROUP BY 1
+        ORDER BY revenue DESC, nation
+    """,
     # TPC-H Q1-style pricing summary over the raw lineitem view.
     "q00_pricing_summary": """
         WITH base AS (
