@@ -136,7 +136,13 @@ def sales_fact(spark: SparkSession, sf_dir: str, time_attrs: bool = True) -> Dat
         return fact
     from pyspark import StorageLevel
 
-    out = with_time_attributes(fact).persist(StorageLevel.MEMORY_AND_DISK)
+    # day / week / day_name feed no OLAP query — keep the persisted
+    # rows lean (they exist on the ETL warehouse path, not here)
+    out = (
+        with_time_attributes(fact)
+        .drop("day", "week", "day_name")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     _FACT_CACHE[key] = out
     return out
 
