@@ -48,6 +48,12 @@ def asof_join(
     DuckDB oracle).
     """
     key = list(on)
+    reserved = {"_t", "_prio", "_pay", "_match", "_rn"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    assert not clash, (
+        f"asof_join reserves internal column names {sorted(reserved)}; "
+        f"rename input columns {sorted(clash)} before joining"
+    )
     if tiebreak is not None:
         w0 = Window.partitionBy(*key, right_time).orderBy(F.desc(tiebreak))
         right = (

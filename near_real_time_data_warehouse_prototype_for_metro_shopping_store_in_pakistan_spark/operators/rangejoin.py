@@ -36,45 +36,68 @@ def interval_join(
     """Join each point row to the interval row(s) containing it
     (``interval_start <= point_time <= interval_end``, same key).
     Column sets must be disjoint apart from ``on``.
+
+    ``how="left"`` additionally keeps each unmatched point row once
+    (interval columns null). Point-row identity is a deterministic
+    per-key sequence number — NOT the point's column values — so
+    legitimately duplicate point rows are each preserved, null point
+    keys pass through as unmatched, and interval payload columns that
+    are genuinely NULL cannot be mistaken for "no match" (the match
+    test is the join itself, never an isNotNull on a payload column).
     """
     assert how in ("inner", "left")
     key = list(on)
+    reserved = {"_bin", "_pt_seq"}
+    clash = reserved & (set(points.columns) | set(intervals.columns))
+    assert not clash, f"interval_join reserves columns {sorted(reserved)}: {clash}"
     p_us = F.unix_micros(F.col(point_time))
     lo_us = F.unix_micros(F.col(interval_start))
     hi_us = F.unix_micros(F.col(interval_end))
-    binned_points = points.withColumn("_bin", (p_us / bin_width_us).cast("long"))
-    binned_ivals = intervals.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                (lo_us / bin_width_us).cast("long"),
-                (hi_us / bin_width_us).cast("long"),
-            )
-        ),
-    )
-    joined = binned_points.join(binned_ivals, key + ["_bin"], how)
     contained = F.col(point_time).between(
         F.col(interval_start), F.col(interval_end)
     )
+
+    def binned_ivals(ivals: DataFrame) -> DataFrame:
+        return ivals.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    (lo_us / bin_width_us).cast("long"),
+                    (hi_us / bin_width_us).cast("long"),
+                )
+            ),
+        )
+
     if how == "inner":
+        binned_points = points.withColumn("_bin", (p_us / bin_width_us).cast("long"))
+        joined = binned_points.join(binned_ivals(intervals), key + ["_bin"])
         return joined.filter(contained).drop("_bin")
-    # left: keep unmatched points once; matched rows must satisfy
-    # containment. Null-out non-containing matches then re-dedupe the
-    # point against its own null row.
+    # left: tag every point row with a deterministic (key, seq)
+    # identity (ties among fully-identical rows are interchangeable),
+    # inner-join for matches, anti-join the identities for the rest.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key).orderBy(
+        point_time, *[F.col(c).asc_nulls_last() for c in points.columns]
+    )
+    pts = points.withColumn("_pt_seq", F.row_number().over(w))
+    binned_points = pts.withColumn("_bin", (p_us / bin_width_us).cast("long"))
+    matched = (
+        binned_points.join(binned_ivals(intervals), key + ["_bin"])
+        .filter(contained)
+        .drop("_bin")
+    )
     ival_cols = [c for c in intervals.columns if c not in key]
-    nulled = joined.select(
-        *points.columns,
+    unmatched = pts.join(
+        matched.select(*key, "_pt_seq").dropDuplicates(key + ["_pt_seq"]),
+        key + ["_pt_seq"],
+        "left_anti",
+    ).select(
+        *pts.columns,
         *[
-            F.when(contained, F.col(c)).alias(c) for c in ival_cols
+            F.lit(None).cast(intervals.schema[c].dataType).alias(c)
+            for c in ival_cols
         ],
     )
-    matched = nulled.filter(F.col(ival_cols[0]).isNotNull())
-    unmatched = (
-        nulled.join(
-            matched.select(*points.columns).dropDuplicates(points.columns),
-            points.columns,
-            "left_anti",
-        )
-        .dropDuplicates(points.columns)
-    )
-    return matched.unionByName(unmatched)
+    out_cols = points.columns + ival_cols
+    return matched.select(*out_cols, "_pt_seq").unionByName(unmatched.select(*out_cols, "_pt_seq")).drop("_pt_seq")

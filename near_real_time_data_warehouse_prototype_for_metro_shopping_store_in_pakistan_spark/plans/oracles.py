@@ -71,6 +71,18 @@ customers_dim AS (
 """
 
 
+def _sql_pct_change(cur: str, prev: str) -> str:
+    """DuckDB twin of plans.queries._pct_change_2dp: half-up integer
+    percent change, NULL when prev = 0 (guarded — DuckDB ``//`` raises
+    on zero divisors where Spark ``div`` returns NULL)."""
+    return (
+        f"(CASE WHEN {prev} = 0 THEN NULL\n"
+        f"       ELSE (CASE WHEN {cur} >= {prev} THEN 1 ELSE -1 END\n"
+        f"        * ((2 * abs({cur} - {prev}) * 10000 + {prev})\n"
+        f"           // (2 * {prev}))) END) / 100.0"
+    )
+
+
 def _q01(weekend: str) -> str:
     return f"""{STAR_PRELUDE}
 SELECT f.month, p.product_name,
@@ -102,9 +114,7 @@ lagged AS (
 SELECT store_id, store_name, quarter,
        total_cents / 100.0 AS total_revenue,
        prev_cents / 100.0 AS previous_quarter_revenue,
-       (CASE WHEN total_cents >= prev_cents THEN 1 ELSE -1 END
-        * ((2 * abs(total_cents - prev_cents) * 10000 + prev_cents)
-           // (2 * prev_cents))) / 100.0 AS revenue_growth_rate
+       {_sql_pct_change("total_cents", "prev_cents")} AS revenue_growth_rate
 FROM lagged
 WHERE prev_cents IS NOT NULL
 """
@@ -145,9 +155,7 @@ lagged AS (
 SELECT store_name, supplier_name, year, month,
        total_cents / 100.0 AS total_revenue,
        COALESCE(
-           (CASE WHEN total_cents >= prev_cents THEN 1 ELSE -1 END
-            * ((2 * abs(total_cents - prev_cents) * 10000 + prev_cents)
-               // (2 * prev_cents))) / 100.0,
+           {_sql_pct_change("total_cents", "prev_cents")},
            0.0) AS revenue_volatility
 FROM lagged
 """

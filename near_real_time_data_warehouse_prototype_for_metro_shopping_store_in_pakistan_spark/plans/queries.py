@@ -51,12 +51,19 @@ def _pct_change_2dp(cur_cents: str, prev_cents: str):
     sign * ((2*|diff|*10000 + prev) div (2*prev)) / 100.0, prev > 0.
     Spark ``div`` truncates and DuckDB ``//`` floors — identical on the
     non-negative operands used here.
+
+    prev == 0 is defined as NULL (percent change from a zero base is
+    undefined) — guarded explicitly because the engines would otherwise
+    diverge: Spark ``div`` yields NULL on zero divisors while DuckDB
+    ``//`` raises. Mirrored in the oracle (plans.oracles._sql_pct_change)
+    and the SQL surface (plans.sql_queries._pct).
     """
     return (
         F.expr(
+            f"if({prev_cents} = 0, cast(null as bigint), "
             f"if({cur_cents} >= {prev_cents}, 1, -1) * "
             f"((2 * abs({cur_cents} - {prev_cents}) * 10000 + {prev_cents}) "
-            f"div (2 * {prev_cents}))"
+            f"div (2 * {prev_cents})))"
         )
         / 100.0
     )

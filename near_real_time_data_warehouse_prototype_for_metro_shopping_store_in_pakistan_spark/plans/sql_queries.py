@@ -22,11 +22,13 @@ from __future__ import annotations
 from .star import ANALYSIS_YEAR
 
 # Shared fragment: exact half-up percent change at 2 dp in integer
-# math (see plans.queries._pct_change_2dp).
+# math (see plans.queries._pct_change_2dp). prev = 0 is defined as
+# NULL on every surface (Spark div would return NULL, DuckDB // would
+# raise — the guard pins one semantic).
 def _pct(cur: str, prev: str) -> str:
     return (
-        f"(if({cur} >= {prev}, 1, -1) * "
-        f"((2 * abs({cur} - {prev}) * 10000 + {prev}) div (2 * {prev}))) / 100.0D"
+        f"(if({prev} = 0, cast(null as bigint), if({cur} >= {prev}, 1, -1) * "
+        f"((2 * abs({cur} - {prev}) * 10000 + {prev}) div (2 * {prev})))) / 100.0D"
     )
 
 
