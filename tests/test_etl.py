@@ -140,3 +140,31 @@ def test_warehouse_idempotent_upsert(spark, fixture_paths, masters, tmp_path):
     ).count() == 0
     totals = wh.totals().collect()[0]
     assert totals.tot_revenue == 21.0 + 52.5
+
+
+def test_upsert_mixed_replay_and_new_partitions(spark, fixture_paths, masters, tmp_path):
+    """Partition-pruned anti-join: a later batch mixing replayed rows
+    (existing partition) and brand-new rows (new partition) dedupes the
+    replays and appends the new rows exactly once."""
+    tx = read_transactions(spark, str(fixture_paths / "transactions.csv"))
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.load_batch(tx, *masters)
+    base = wh.read("sales_fact").count()
+
+    extra = spark.createDataFrame(
+        [
+            ("O1", "2019-01-05 10:30:00", "P1", 2, "C1", "T1"),  # replay (2019-01)
+            ("O7", "2020-07-07 07:00:00", "P2", 1, "C1", "T7"),  # new month
+        ],
+        "order_id string, order_date_raw string, product_id string,"
+        "quantity_ordered int, customer_id string, time_id string",
+    ).select(
+        "order_id",
+        F.to_timestamp("order_date_raw").alias("order_date"),
+        "product_id", "quantity_ordered", "customer_id", "time_id",
+    )
+    wh.load_batch(extra, *masters)
+    fact = wh.read("sales_fact")
+    assert fact.count() == base + 1
+    assert fact.groupBy("order_id").count().filter(F.col("count") > 1).count() == 0
+    assert {r.order_id for r in fact.filter("year = 2020").collect()} == {"O7"}
