@@ -28,6 +28,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -163,7 +164,11 @@ def _sessionize_group(
         pdf = pdf.sort_values(["ts", "event_id"])
         # normalize to epoch micros regardless of pandas datetime unit
         ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
-        ev_cents = (pdf["value"] * 100).round().astype("int64")
+        # HALF_UP cents, matching the batch twin's F.round(value*100, 0)
+        # — pandas .round() is half-EVEN and would diverge at exact
+        # half-cent values (2.125 → 212 vs 213).
+        v = (pdf["value"] * 100).to_numpy()
+        ev_cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
         for t_us, c in zip(ts_us, ev_cents):
             t_us = int(t_us)
             if last_us is None or t_us - last_us > SESSION_GAP_US:

@@ -116,3 +116,37 @@ def test_streaming_sessionize_equals_batch(spark, event_env, tmp_path):
         for r in batch_events.sessionize(event_env["src"]).collect()
     )
     assert got == expected
+
+
+def test_sessionize_half_cent_rounding_matches_batch(spark, tmp_path):
+    """Exact half-cent values (2.125 → 212.5 cents) must round HALF_UP
+    in the streaming sessionizer like the batch twin's F.round —
+    pandas .round() is half-even and would emit 212 (regression)."""
+    # 2.125 and 2.625 are exact binary doubles whose cent values sit on
+    # a true .5 with an EVEN floor neighbor — half-even keeps 212/262,
+    # half-up goes 213/263, so they discriminate the rounding rule.
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "buy", 2.125),   # 212.5 -> 213
+        (2, "2024-01-01 10:01:00", 7, "buy", 2.625),   # 262.5 -> 263
+        (3, "2024-01-01 10:02:00", 7, "buy", -2.125),  # -212.5 -> -213
+        (4, "2025-01-01 00:00:00", 7, FLUSH_TYPE, 0.0),  # closes the session
+    ]
+    src = spark.createDataFrame(
+        [(i, ts, u, t, v, "{}") for i, ts, u, t, v in rows],
+        "event_id long, ts_raw string, user_id long, event_type string,"
+        "value double, props string",
+    ).select(
+        "event_id", F.to_timestamp("ts_raw").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    d = str(tmp_path / "halfcent_events")
+    src.coalesce(1).write.parquet(d)
+    stream = sw.read_event_stream(spark, d)
+    _drain(sw.streaming_sessionize(stream).writeStream, tmp_path, "halfcent")
+    (row,) = spark.table("halfcent").collect()
+    # 213 + 263 - 213 = 263 cents
+    assert row.value_sum == 2.63
+    (batch_row,) = (
+        batch_events.sessionize(src).filter("session_seq = 1").collect()
+    )
+    assert batch_row.value_sum == row.value_sum
