@@ -19,8 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_long
-
 SCALE = 1_000_000
 
 
@@ -90,6 +88,23 @@ def cosine_topk(
     )
 
 
+def _sign_matrix(total: int, dim: int):
+    """Deterministic ±1 hyperplane components: r[g][i] = +1 iff
+    md5_long(f"{g}|{i}") is odd — the same pseudo-random direction the
+    DuckDB oracle derives SQL-side. Tiny (total×dim), built driver- or
+    worker-side from nothing but the two indices."""
+    import hashlib
+
+    import numpy as np
+
+    R = np.empty((total, dim), dtype=np.int64)
+    for g in range(total):
+        for i in range(dim):
+            h = int(hashlib.md5(f"{g}|{i}".encode()).hexdigest()[:15], 16)
+            R[g, i] = 1 if h % 2 == 1 else -1
+    return R
+
+
 def hyperplane_buckets(
     emb: DataFrame,
     num_planes: int = 6,
@@ -108,42 +123,67 @@ def hyperplane_buckets(
 
     Multiple independent tables are the standard recall lever
     (band-OR): a close pair collides in ≥1 of L tables with prob
-    1-(1-p^P)^L. Scale: narrow explode (dim × L·P rows per vector)
-    then one groupBy — no corpus×corpus anything.
+    1-(1-p^P)^L.
+
+    Scale shape: ZERO shuffles and L rows out per vector (this
+    replaces a posexplode×sequence formulation whose dim×L·P (≈1,536×)
+    row inflation plus a shuffle on (id, g) made the ANN path slower
+    than the exact scan). Each Arrow worker rebuilds the tiny ±1
+    matrix once (memoized per dim) and applies it as a single exact
+    int64 GEMM ``Q @ R.T`` per batch; one Arrow row out per vector —
+    the per-table fan-out happens JVM-side via posexplode, so the
+    array column q crosses the Python boundary once, not L times. An
+    unrolled JVM-expression variant was measured 6× SLOWER (the
+    L·P×dim flat expression tree defeats whole-stage codegen), so the
+    GEMM is the only strategy. Projections are integer sums either
+    way, so buckets — and the DuckDB oracle — are bit-identical.
     """
+    import numpy as np
+    import pandas as pd
+
     v = scaled_vectors(emb, vec_col, id_col)
     total = num_planes * num_tables
-    elem = v.select(id_col, F.posexplode("q").alias("i", "val"))
-    planes = elem.select(
+    out_schema = (
+        f"{id_col} long, buckets array<bigint>, q array<bigint>, norm_sq long"
+    )
+
+    def project(batches):
+        cache: dict[int, np.ndarray] = {}
+
+        def signs(d: int) -> np.ndarray:
+            if d not in cache:
+                cache[d] = _sign_matrix(total, d)
+            return cache[d]
+
+        weights = 1 << np.arange(num_planes, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array([np.asarray(x, dtype=np.int64) for x in pdf["q"]])
+            proj = Q @ signs(Q.shape[1]).T  # (n, total), exact int64
+            pos = (proj > 0).astype(np.int64)
+            # (n, L) bucket matrix: bit-pack each table's plane block
+            buckets = np.stack(
+                [
+                    pos[:, t * num_planes : (t + 1) * num_planes] @ weights
+                    for t in range(num_tables)
+                ],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "buckets": list(buckets),
+                    "q": list(pdf["q"]),
+                    "norm_sq": pdf["norm_sq"].to_numpy(),
+                }
+            )
+
+    return v.mapInPandas(project, out_schema).select(
         id_col,
-        "i",
-        "val",
-        F.explode(F.sequence(F.lit(0), F.lit(total - 1))).alias("g"),
-    )
-    sign = F.when(
-        md5_long(
-            F.concat(F.col("g").cast("string"), F.lit("|"), F.col("i").cast("string"))
-        )
-        % 2
-        == 1,
-        1,
-    ).otherwise(-1)
-    proj = (
-        planes.withColumn("term", sign * F.col("val"))
-        .groupBy(id_col, "g")
-        .agg(F.sum("term").alias("proj"))
-        .withColumn("table_id", (F.col("g") / num_planes).cast("int"))
-        .withColumn("p", F.col("g") % num_planes)
-    )
-    bucket = F.sum(
-        F.when(F.col("proj") > 0, F.pow(F.lit(2), F.col("p")).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    )
-    return (
-        proj.groupBy(id_col, "table_id")
-        .agg(bucket.alias("bucket"))
-        .join(v, id_col)
+        F.posexplode("buckets").alias("table_id", "bucket"),
+        "q",
+        "norm_sq",
     )
 
 
@@ -157,43 +197,104 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via multi-table
-    hyperplane-LSH — the bucket-join scale path next to the exact
+    hyperplane-LSH — the bucket-bounded scale path next to the exact
     ``cosine_topk`` baseline.
 
-    Candidates are vectors sharing the query's bucket in ANY of the
-    ``num_tables`` hash tables (band-OR), so the join is key-bounded
-    (equi-join on (table_id, bucket)) instead of a full scan per
-    query; candidate pairs are deduped across tables, then exact
-    cosine is computed and ranked. Recall tunes with
-    (num_planes ↓, num_tables ↑); cost with the opposite.
+    Candidates are vectors sharing a query's bucket in ANY of the
+    ``num_tables`` hash tables (band-OR). The whole search is ONE
+    fused Arrow pass over the corpus plus a k·|Q|-row merge:
+
+    - Query buckets/vectors are computed DRIVER-side — the query set
+      is bounded by ``num_queries`` (the caller's knob, like a
+      broadcast threshold), so collecting it is metadata-scale — and
+      ship to workers in the task closure.
+    - Each Arrow batch computes its vectors' buckets (one int64 GEMM
+      against the deterministic ±1 matrix), band-OR matches them
+      against the query buckets, evaluates exact cosine ONLY for the
+      matched pairs (per-query gathered GEMVs — work ∝ candidates,
+      not corpus×|Q|), and emits its local top-k per query.
+    - A final window merges the per-batch top-ks globally: the only
+      shuffle moves ≤ batches·|Q|·k rows.
+
+    Scaling uses sign·floor(|x·1e6|+0.5) — the exact HALF_UP twin of
+    ``scaled_vectors``' F.round on the same float64 products — and the
+    cosine evaluates in the identical IEEE order as the column
+    formula, so results match the unfused bucket-join form and the
+    DuckDB oracle bit-for-bit. Recall tunes with (num_planes ↓,
+    num_tables ↑); cost with the opposite.
     """
-    b = hyperplane_buckets(emb, num_planes, num_tables, vec_col, id_col)
-    queries = b.filter(F.col(id_col) < num_queries).select(
-        F.col(id_col).alias("query_id"), "table_id", "bucket"
-    )
-    cand = (
-        b.select(id_col, "table_id", "bucket")
-        .join(F.broadcast(queries), ["table_id", "bucket"])
-        .filter(F.col("query_id") != F.col(id_col))
-        .select("query_id", F.col(id_col).alias("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    v = scaled_vectors(emb, vec_col, id_col)
-    qv = F.broadcast(
-        v.filter(F.col(id_col) < num_queries).select(
-            F.col(id_col).alias("query_id"),
-            F.col("q").alias("qq"),
-            F.col("norm_sq").alias("qn"),
+    import numpy as np
+    import pandas as pd
+
+    total = num_planes * num_tables
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+
+    def scale_ints(x: "np.ndarray") -> "np.ndarray":
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+    qrows = emb.filter(F.col(id_col) < num_queries).select(id_col, vec_col).collect()
+    nq = len(qrows)
+    if nq:
+        dim = len(qrows[0][vec_col])
+        R = _sign_matrix(total, dim)
+        qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+        Qm = np.array(
+            [
+                scale_ints(np.asarray(r[vec_col], dtype=np.float64) * SCALE)
+                for r in qrows
+            ]
         )
-    )
-    cos = _dot(F.col("qq"), F.col("q")) / (
-        F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("norm_sq").cast("double"))
-    )
-    scored = (
-        cand.join(qv, "query_id")
-        .join(v.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
+        qproj = Qm @ R.T  # (nq, total)
+        qpos = (qproj > 0).astype(np.int64)
+        # (num_tables, nq) query bucket matrix
+        qbuckets = np.stack(
+            [
+                qpos[:, t * num_planes : (t + 1) * num_planes] @ weights
+                for t in range(num_tables)
+            ]
+        )
+        qn_sqrt = np.sqrt((Qm * Qm).sum(axis=1).astype(np.float64))
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty or not nq:
+                continue
+            ids = pdf[id_col].to_numpy()
+            X = (
+                np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+                * SCALE
+            )
+            V = scale_ints(X)
+            proj = V @ R.T
+            pos = (proj > 0).astype(np.int64)
+            mask = np.zeros((len(ids), nq), dtype=bool)
+            for t in range(num_tables):
+                bucket = pos[:, t * num_planes : (t + 1) * num_planes] @ weights
+                mask |= bucket[:, None] == qbuckets[t][None, :]
+            mask &= ids[:, None] != qids[None, :]
+            nb = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+            out_q: list = []
+            out_n: list = []
+            out_c: list = []
+            for j in range(nq):
+                idx = np.nonzero(mask[:, j])[0]
+                if idx.size == 0:
+                    continue
+                dots = V[idx] @ Qm[j]  # exact int64, candidates only
+                # same association order as the column formula:
+                # dot / (√qn · √norm)
+                cosines = dots / (qn_sqrt[j] * nb[idx])
+                order = np.lexsort((ids[idx], -cosines))[:k]
+                out_q.extend([int(qids[j])] * len(order))
+                out_n.extend(ids[idx][order])
+                out_c.extend(cosines[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+                )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
