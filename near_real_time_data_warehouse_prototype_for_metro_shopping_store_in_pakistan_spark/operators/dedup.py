@@ -83,6 +83,64 @@ def char_shingles(
     return out.dropDuplicates([id_col, "shingle"]) if distinct else out
 
 
+def dense_ids(
+    df: DataFrame, key_col: str, out_col: str = "sid", num_partitions: int = 64
+) -> DataFrame:
+    """Assign dense ids 0..N-1 to the distinct values of ``key_col``
+    WITHOUT a single-partition global sort over the values.
+
+    Distributed zipWithIndex: hash-repartition the distinct keys into
+    a FIXED partition count (explicit, so AQE cannot re-coalesce and
+    perturb ids), sort and number each partition locally (a
+    per-partition window — parallel), and add each partition's
+    cumulative offset back with a broadcast join. The offsets come
+    from a running sum over the per-partition COUNTS — a global window
+    over ≤ ``num_partitions`` rows (metadata-scale), kept lazy inside
+    the one plan so the partitioned exchange is REUSED rather than
+    recomputed by a separate job. Deterministic: hash placement and
+    local sort are both stable. Ids are dense and unique but NOT
+    globally ordered — callers that only need a bijection (e.g.
+    matrix-encoding a vocabulary) get full parallelism.
+    """
+    from pyspark.sql import Window
+
+    local = (
+        df.select(key_col)
+        .distinct()
+        .repartition(num_partitions, key_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_pid").orderBy(key_col)) - 1,
+        )
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    prior = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(prior), F.lit(0)).alias("_off"),
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
+        key_col, (F.col("_rn") + F.col("_off")).alias(out_col)
+    )
+
+
+# block_gemm replicates the corpus O(n_docs / block_size) times — an
+# exact all-pairs op. Above this (estimated) corpus size the replication
+# dominates any BLAS win and auto must take the prefix-filtered join.
+GEMM_MAX_DOCS = 50_000
+
+
+def _pick_jaccard_strategy(avg_df: float, est_docs: float) -> str:
+    """Cost-based physical-strategy choice from two column stats:
+    mean shingle document-frequency (overlap density) and estimated
+    corpus size (block-replication bound). Pure so it is unit-testable
+    with any stats."""
+    if est_docs > GEMM_MAX_DOCS:
+        return "shingle_join"
+    return "block_gemm" if avg_df > 8 else "shingle_join"
+
+
 def jaccard_similar_pairs(
     docs: DataFrame,
     n: int = 5,
@@ -108,22 +166,29 @@ def jaccard_similar_pairs(
       where the dictionary-dense matrix would be wasteful.
     - ``auto`` (default): one cheap aggregate over the shingle
       relation measures mean document frequency (rows / distinct
-      shingles) and picks the strategy — the same cost-based
-      physical-plan choice an optimizer would make from column stats.
+      shingles) and estimated corpus size, then picks the strategy —
+      the same cost-based physical-plan choice an optimizer would make
+      from column stats. Corpus size is a hard bound: block_gemm
+      replicates the corpus O(#blocks) times, so above
+      ``GEMM_MAX_DOCS`` the prefix-filtered join always wins
+      regardless of density.
     """
     if strategy == "auto":
         # column-stats probe on a deterministic sample: mean document
         # frequency estimates overlap density at ~1/10 the scan cost
         # (the sampled mean-df underestimates the full corpus's, so it
         # is a conservative switch toward the sparse path)
-        probe = docs.sample(fraction=0.1, seed=42)
+        sample_frac = 0.1
+        probe = docs.sample(fraction=sample_frac, seed=42)
         sh = char_shingles(probe, n, text_col, id_col)
         stats = sh.agg(
             F.count(F.lit(1)).alias("rows"),
             F.approx_count_distinct("shingle").alias("vocab"),
+            F.approx_count_distinct(id_col).alias("docs"),
         ).first()
         avg_df = stats["rows"] / max(stats["vocab"], 1)
-        strategy = "block_gemm" if avg_df > 8 else "shingle_join"
+        est_docs = stats["docs"] / sample_frac
+        strategy = _pick_jaccard_strategy(avg_df, est_docs)
     if strategy == "block_gemm":
         return _jaccard_block_gemm(docs, n, threshold, text_col, id_col)
     assert strategy == "shingle_join", strategy
@@ -144,16 +209,12 @@ def _jaccard_block_gemm(
     import pandas as pd
 
     sh = char_shingles(docs, n, text_col, id_col)
-    # Global dense shingle ids. The dictionary is the *distinct* vocab
-    # — orders of magnitude smaller than the (doc, shingle) relation;
-    # the single-partition window is over vocab rows only (char
-    # n-gram vocab is charset-bounded). At larger vocabs swap for a
-    # sort-based zipWithIndex; ids only need to be dense, not ordered.
-    from pyspark.sql import Window
-
-    vocab = sh.select("shingle").distinct().withColumn(
-        "sid", F.row_number().over(Window.orderBy("shingle")) - 1
-    )
+    # Dense shingle ids via the DISTRIBUTED zipWithIndex (dense_ids) —
+    # ids only need to be a deterministic bijection for the
+    # intersection counts to be invariant, and word-level vocabularies
+    # (≫ the charset-bounded char-n-gram vocab) would serialize
+    # through one task under a global row_number() window.
+    vocab = dense_ids(sh, "shingle", "sid")
     doc_sets = (
         sh.join(F.broadcast(vocab), "shingle")
         .groupBy(id_col)

@@ -42,3 +42,47 @@ def test_jaccard_gemm_tiling_invariant(spark, sf_dir):
     many_tiles = dedup._jaccard_block_gemm(docs, 5, 0.5, "text", "doc_id",
                                            block_size=37)
     assert _rows(one_tile) == _rows(many_tiles)
+
+
+def test_dense_ids_are_dense_unique_and_deterministic(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(200)
+    # word-level vocabulary — much larger than the char-5-gram charset
+    from pyspark.sql import functions as F
+
+    words = docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("w"))
+    ids = dedup.dense_ids(words, "w", "sid")
+    rows = ids.collect()
+    got = sorted(r.sid for r in rows)
+    assert got == list(range(len(rows)))  # dense 0..N-1, no dupes
+    again = {(r.w, r.sid) for r in dedup.dense_ids(words, "w", "sid").collect()}
+    assert {(r.w, r.sid) for r in rows} == again  # deterministic
+
+
+def test_block_gemm_has_no_global_window(spark, sf_dir):
+    """The shingle-dictionary numbering must never funnel the vocab
+    through a single-partition global window (regression: a
+    row_number() over Window.orderBy(shingle))."""
+    import contextlib
+    import io
+
+    docs = table(spark, sf_dir, "documents")
+    df = dedup._jaccard_block_gemm(docs, 5, 0.5, "text", "doc_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    for line in plan.splitlines():
+        if "row_number" in line:
+            assert "_pid" in line, f"global window found: {line}"
+
+
+def test_auto_strategy_is_size_aware():
+    # dense overlap on a small corpus -> GEMM is affordable
+    assert dedup._pick_jaccard_strategy(avg_df=20.0, est_docs=1_000) == "block_gemm"
+    # sparse overlap -> prefix-filtered join
+    assert dedup._pick_jaccard_strategy(avg_df=2.0, est_docs=1_000) == "shingle_join"
+    # huge corpus -> block replication forbids GEMM at ANY density
+    assert (
+        dedup._pick_jaccard_strategy(avg_df=50.0, est_docs=10_000_000)
+        == "shingle_join"
+    )
