@@ -55,23 +55,32 @@ def with_time_attributes(df: DataFrame, ts_col: str = "order_date") -> DataFrame
     )
 
 
-def time_dimension(df: DataFrame, ts_col: str = "order_date") -> DataFrame:
+def time_dimension(
+    df: DataFrame, ts_col: str = "order_date", source_col: str | None = None
+) -> DataFrame:
     """Build a deduplicated TimeDimension table from event timestamps.
 
     The reference keys TimeDimension by a stream-supplied Time_ID with a
     composite unique key (Time_ID, Order_Date)
     (SQL/Star_Schema_Metro.sql:46-55; insert guard src/Meshjoin.java:321-340).
-    We derive time_id deterministically from the timestamp itself
-    (epoch seconds), which preserves the one-row-per-timestamp invariant
-    without a driver-side counter.
+    By default we derive time_id deterministically from the timestamp
+    itself (epoch seconds), which preserves the one-row-per-timestamp
+    invariant without a driver-side counter. Parity mode
+    (``source_col="time_id"``) instead carries the stream's Time_ID
+    field through (src/GenerateStream.java:23-29), deduplicating on
+    the reference's composite (time_id, order_date) key.
     """
-    return (
-        with_time_attributes(
-            df.select(F.col(ts_col).alias("order_date")).dropDuplicates(["order_date"])
+    if source_col is not None:
+        base = df.select(
+            F.col(source_col).alias("time_id"), F.col(ts_col).alias("order_date")
+        ).dropDuplicates(["time_id", "order_date"])
+    else:
+        base = (
+            df.select(F.col(ts_col).alias("order_date"))
+            .dropDuplicates(["order_date"])
+            .withColumn("time_id", F.unix_timestamp(F.col("order_date")))
         )
-        .withColumn("time_id", F.unix_timestamp(F.col("order_date")))
-        .select(
-            "time_id", "order_date", "year", "month", "day", "week",
-            "quarter", "day_name", "is_weekend", "season",
-        )
+    return with_time_attributes(base).select(
+        "time_id", "order_date", "year", "month", "day", "week",
+        "quarter", "day_name", "is_weekend", "season",
     )

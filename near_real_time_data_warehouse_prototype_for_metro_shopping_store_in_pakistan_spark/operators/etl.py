@@ -250,14 +250,24 @@ class ParquetWarehouse:
         products_master: DataFrame,
         customers_master: DataFrame,
         fact_key: tuple[str, ...] = DEFAULT_FACT_KEY,
+        time_id_source: str | None = None,
     ) -> None:
         """One micro-batch (or one full batch) through the whole ETL:
-        dims -> time dimension -> fact, each insert-if-absent."""
+        dims -> time dimension -> fact, each insert-if-absent.
+
+        ``time_id_source="stream"`` is parity mode: the stream's own
+        Time_ID field keys the time dimension (the reference's
+        contract, src/GenerateStream.java:23-29) instead of the
+        timestamp-derived id.
+        """
         dims = normalize_dimensions(products_master, customers_master)
         for name, df in dims.items():
             self.insert_if_absent(name, df)
         fact = build_fact(transactions, products_master, customers_master, fact_key)
-        self.insert_if_absent("time_dimension", time_dimension(fact, "order_date"))
+        src = "time_id" if time_id_source == "stream" else None
+        self.insert_if_absent(
+            "time_dimension", time_dimension(fact, "order_date", source_col=src)
+        )
         fact_cols = [
             "order_id", "order_date", "product_id", "customer_id", "supplier_id",
             "store_id", "quantity_ordered", "total_units_sold", "total_revenue",

@@ -283,7 +283,20 @@ GROUP BY 1
 ORDER BY revenue DESC, nation
 """
 
+# Q13: the scalar subquery runs live on the DuckDB side too — both
+# engines compute the year bound at query time.
+Q13 = f"""{STAR_PRELUDE}
+SELECT store_id, store_name,
+       SUM(revenue_cents) / 100.0 AS total_revenue
+FROM sales_fact f JOIN stores s USING (store_id)
+WHERE year = (SELECT MAX(year) FROM sales_fact)
+GROUP BY store_id, store_name
+ORDER BY total_revenue DESC, store_id
+"""
+
+
 OLAP_ORACLES = {
+    "q13_latest_year_store_sales": Q13,
     "q00_pricing_summary": Q00,
     "q11_shipping_priority": Q11,
     "q12_local_supplier_volume": Q12,

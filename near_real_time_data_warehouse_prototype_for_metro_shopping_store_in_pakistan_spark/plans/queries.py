@@ -29,6 +29,7 @@ from .star import (
     ANALYSIS_YEAR,
     customers_dim,
     products_dim,
+    register_star_views,
     sales_fact,
     store_dim,
     supplier_dim,
@@ -500,6 +501,30 @@ def q12_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Q13 — A5 as a LIVE uncorrelated scalar subquery. The reference's Q5
+# computes its year bound at query time — `(SELECT MAX(Year) FROM
+# TimeDimension)`, SQL/OLAP Queries - Metro.sql:140-141 — where the
+# rest of this workload constant-folds ANALYSIS_YEAR (the other
+# SURVEY-sanctioned A5 form). Here the engine executes the subquery:
+# Catalyst plans it as a separate tiny aggregate, injects the result
+# as a literal, and the year filter still pushes down to the scan.
+# --------------------------------------------------------------------------
+
+def q13_latest_year_store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_star_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(s) */ store_id, store_name,
+               SUM(revenue_cents) / 100.0D AS total_revenue
+        FROM sales_fact f JOIN stores s USING (store_id)
+        WHERE year = (SELECT MAX(year) FROM sales_fact)
+        GROUP BY store_id, store_name
+        ORDER BY total_revenue DESC, store_id
+        """
+    )
+
+
 OLAP_QUERIES = {
     "q00_pricing_summary": q00_pricing_summary,
     "q01_weekend_top_products": q01_weekend_top_products,
@@ -515,4 +540,5 @@ OLAP_QUERIES = {
     "q10_store_quarterly_sales": q10_store_quarterly_sales,
     "q11_shipping_priority": q11_shipping_priority,
     "q12_local_supplier_volume": q12_local_supplier_volume,
+    "q13_latest_year_store_sales": q13_latest_year_store_sales,
 }

@@ -239,4 +239,15 @@ SQL_QUERIES: dict[str, str] = {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
+    # A5 live: the year bound is an uncorrelated scalar subquery the
+    # engine executes at query time (reference Q5,
+    # SQL/OLAP Queries - Metro.sql:140-141) — not a folded constant.
+    "q13_latest_year_store_sales": """
+        SELECT /*+ BROADCAST(s) */ store_id, store_name,
+               SUM(revenue_cents) / 100.0D AS total_revenue
+        FROM sales_fact f JOIN stores s USING (store_id)
+        WHERE year = (SELECT MAX(year) FROM sales_fact)
+        GROUP BY store_id, store_name
+        ORDER BY total_revenue DESC, store_id
+    """,
 }

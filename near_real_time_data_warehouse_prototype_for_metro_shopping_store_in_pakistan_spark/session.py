@@ -32,12 +32,23 @@ def get_spark(
     app_name: str = "metro-warehouse-spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    catalog_dir: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the session.
 
     Session timezone is pinned to UTC so calendar derivations
     (year/month/quarter/weekday — SURVEY §2.8 F1-F8) are stable and
     match the DuckDB oracle's naive-timestamp semantics.
+
+    ``catalog_dir`` switches on the DURABLE catalog: managed tables and
+    views persist in a Hive(Derby)-backed metastore under that
+    directory, so a later, separate session pointed at the same path
+    resolves them by name — the Spark equivalent of the reference's
+    MySQL catalog durability (SQL/Star_Schema_Metro.sql DDL;
+    CREATE VIEW in SQL/OLAP Queries - Metro.sql:276-288). Derby allows
+    one JVM at a time; concurrent warehouses would swap in a shared
+    metastore service, same code path. NOTE: configs only apply to a
+    NEWLY built session — getOrCreate ignores them when one exists.
     """
     cores = default_parallelism()
     builder = (
@@ -64,6 +75,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
     )
+    if catalog_dir:
+        metastore = os.path.join(catalog_dir, "metastore_db")
+        builder = (
+            builder.config(
+                "spark.sql.warehouse.dir", os.path.join(catalog_dir, "warehouse")
+            )
+            .config(
+                "spark.hadoop.javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={metastore};create=true",
+            )
+            .enableHiveSupport()
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

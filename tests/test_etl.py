@@ -142,6 +142,18 @@ def test_warehouse_idempotent_upsert(spark, fixture_paths, masters, tmp_path):
     assert totals.tot_revenue == 21.0 + 52.5
 
 
+def test_time_id_stream_passthrough(spark, fixture_paths, masters, tmp_path):
+    """Parity mode carries the stream-supplied Time_ID into the time
+    dimension (src/GenerateStream.java:23-29) instead of deriving it."""
+    tx = read_transactions(spark, str(fixture_paths / "transactions.csv"))
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh_tid"))
+    wh.load_batch(tx, *masters, time_id_source="stream")
+    td = {r.time_id: r for r in wh.read("time_dimension").collect()}
+    # fact keeps O1 (T1), O2 (T2), O6 (T6) — their source ids land as-is
+    assert set(td) == {"T1", "T2", "T6"}
+    assert td["T1"].year == 2019 and td["T1"].is_weekend is True
+
+
 def test_upsert_mixed_replay_and_new_partitions(spark, fixture_paths, masters, tmp_path):
     """Partition-pruned anti-join: a later batch mixing replayed rows
     (existing partition) and brand-new rows (new partition) dedupes the
