@@ -472,6 +472,88 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components of a pair graph by iterative min-label
+    propagation — the DataFrame form of Pregel CC (what GraphFrames
+    runs), so a dedup pipeline can turn near-dup PAIRS into keeper
+    GROUPS without a graph library.
+
+    Every vertex converges to the minimum vertex id reachable from it.
+    Each round is one shuffle (edge ⋈ labels, grouped min) and the
+    number of rounds is the graph DIAMETER — for near-dup graphs tiny
+    (clusters are near-cliques; 2–4 rounds in practice), bounded by
+    ``max_iterations`` against adversarial chains. Labels are
+    ``localCheckpoint``-ed each round to truncate the iterative
+    lineage (swap for reliable ``checkpoint`` on a cluster where
+    executor loss must be recoverable). Deterministic: pure min() over
+    ids. Returns (vertex, component), component = min reachable id.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("_v"), F.col(dst).alias("_w"))
+        .unionByName(pairs.select(F.col(dst).alias("_v"), F.col(src).alias("_w")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("_v").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges["_v"] == labels["vertex"])
+            .groupBy(F.col("_w").alias("vertex"))
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # convergence probe: one metadata-scale count per round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def neardup_keepers(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keeper assignment for the WHOLE corpus from near-dup pairs:
+    (doc_id, keeper_doc_id) where keeper = the minimum id in the doc's
+    near-dup component; docs in no pair keep themselves. This is the
+    last step of every dedup pipeline — ``filter(doc_id ==
+    keeper_doc_id)`` yields the deduplicated corpus."""
+    cc = connected_components(pairs, max_iterations=20)
+    return (
+        docs.select(id_col)
+        .join(cc.withColumnRenamed("vertex", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("keeper_doc_id"),
+        )
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

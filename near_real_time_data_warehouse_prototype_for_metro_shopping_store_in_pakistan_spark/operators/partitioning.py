@@ -1,0 +1,114 @@
+"""Corpus partitioning utilities for the training-data pipeline:
+deterministic subsampling, distributed global ranks, and size-balanced
+shard assignment.
+
+These are the operations that slice a 100 TB corpus into training
+mixes and output shards. All three are deterministic functions of the
+data (md5-keyed sampling; total-order ranks), so every one has an
+exact DuckDB oracle — no RNG state, no run-to-run drift, and a re-run
+of an interrupted pipeline reproduces the identical split.
+
+Scale notes:
+- ``hash_sample`` is a narrow filter — it pushes into the scan stage,
+  no shuffle, and composes with partition pruning.
+- ``global_row_numbers`` is the distributed form of a global
+  ``row_number()``: a range repartition (one shuffle), per-partition
+  local numbering (parallel windows), and cumulative partition-count
+  offsets (metadata-scale rows). The naive global window funnels the
+  whole table through ONE task; this keeps every stage wide while
+  producing the exact same total-order ranks.
+- ``shard_assignments`` deals the size-ranked corpus serpentine
+  (boustrophedon) across shards, so shard byte-totals differ by at
+  most one size band — the standard greedy-balance surrogate that
+  needs only a rank, not a driver-side bin-packing loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_long
+
+# Sampling resolution: rates snap to 1/SAMPLE_DENOM steps.
+SAMPLE_DENOM = 1_000_000
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample keyed on ``key_col``:
+    keep rows where md5_long(key || '|' || salt) mod 1e6 < rate·1e6.
+
+    Unlike ``df.sample`` (seeded per-partition RNG — resplitting the
+    input changes the sample), membership depends only on the key
+    value, so the sample is stable across partitionings, engines and
+    re-runs, and different ``salt`` values give independent samples
+    (e.g. train/validation splits that provably cannot overlap when
+    drawn from complementary rate windows).
+    """
+    bucket = md5_long(
+        F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))
+    ) % SAMPLE_DENOM
+    return df.filter(bucket < int(rate * SAMPLE_DENOM))
+
+
+def global_row_numbers(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    out_col: str = "rn",
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Exact global row_number() 0..N-1 by ``order_cols`` (which must
+    be a TOTAL order — include a tie-break key) without a
+    single-partition window.
+
+    repartitionByRange puts rows in globally ordered partition ranges;
+    each partition numbers itself locally (parallel windows); the
+    per-partition counts (≤ ``num_partitions`` rows) turn into
+    cumulative offsets with a metadata-scale running sum, kept lazy in
+    the same plan so the range exchange is reused, not recomputed.
+    Because offsets accumulate in partition order = range order, the
+    final rank is the exact global one regardless of where the range
+    sampler drew its boundaries.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    local = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)) - 1,
+        )
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    prior = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(prior), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_rn") + F.col("_off"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def shard_assignments(
+    df: DataFrame,
+    n_shards: int,
+    size_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic size-balanced shard assignment: rank docs by
+    (size DESC, id), deal serpentine — rank r goes to shard ``r mod n``
+    on even rounds and ``n-1 - (r mod n)`` on odd rounds — so each
+    shard receives exactly one doc per size band and byte totals stay
+    balanced without any driver-side packing loop.
+    """
+    ranked = global_row_numbers(
+        df, [F.col(size_col).desc(), F.col(id_col).asc()], out_col="_grank"
+    )
+    pos = F.col("_grank") % n_shards
+    rnd = F.floor(F.col("_grank") / n_shards)
+    shard = F.when(rnd % 2 == 0, pos).otherwise(n_shards - 1 - pos)
+    return ranked.withColumn("shard", shard.cast("int")).drop("_grank")

@@ -21,6 +21,7 @@ from ..operators import (
     dedup,
     events,
     multimodal,
+    partitioning,
     rangejoin,
     similarity,
     text_profile,
@@ -29,6 +30,8 @@ from ..sources.testdata import table
 
 JACCARD_THRESHOLD = 0.5
 NEARDUP_COSINE_THRESHOLD = 0.4
+SAMPLE_RATE = 0.25
+N_SHARDS = 8
 ANN_NUM_QUERIES = 10
 ANN_K = 5
 ANN_LSH_PLANES = 6
@@ -53,6 +56,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(table(spark, sf_dir, "documents"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper assignment for the whole corpus: Jaccard near-dup pairs
+    -> connected components (iterative min-label propagation) -> each
+    doc mapped to the min id of its component (itself when unpaired).
+    """
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_similar_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return dedup.neardup_keepers(docs, pairs)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,6 +150,25 @@ def text_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile.bottomk_sketch(table(spark, sf_dir, "documents"))
 
 
+def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-keyed Bernoulli subsample of the corpus —
+    stable under any repartitioning (unlike seeded df.sample)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return partitioning.hash_sample(docs, "doc_id", SAMPLE_RATE)
+
+
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced output sharding: rank by (chars desc, id), deal
+    serpentine across N_SHARDS — exact global ranks via the
+    distributed row-number (no single-partition window)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    return partitioning.shard_assignments(
+        docs, N_SHARDS, size_col="n_chars", id_col="doc_id"
+    )
+
+
 def events_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lookup: each purchase event joined to the user's
     latest click strictly before it (as-of join, merge formulation)."""
@@ -210,6 +242,9 @@ PIPELINE_QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_clusters": dedup_clusters,
+    "corpus_hash_sample": corpus_hash_sample,
+    "corpus_shard_plan": corpus_shard_plan,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -283,6 +318,63 @@ norms AS (SELECT vec_id, SUM(val * val) AS norm_sq FROM elem GROUP BY vec_id)
 ORACLE_DEDUP_EXACT = """
 SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text)
+"""
+
+ORACLE_HASH_SAMPLE = f"""
+SELECT doc_id FROM documents
+WHERE {_sql_md5_long("CAST(doc_id AS VARCHAR) || '|sample'")}
+      % {partitioning.SAMPLE_DENOM} < {int(SAMPLE_RATE * partitioning.SAMPLE_DENOM)}
+"""
+
+# The oracle states sharding as the NAIVE global row_number over the
+# total order — Spark computes the identical ranks with the
+# distributed range-partitioned formulation.
+ORACLE_SHARD_PLAN = f"""
+WITH sized AS (SELECT doc_id, length(text) AS n_chars FROM documents),
+ranked AS (
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r
+    FROM sized
+)
+SELECT doc_id, n_chars,
+       CAST(CASE WHEN (r // {N_SHARDS}) % 2 = 0 THEN r % {N_SHARDS}
+                 ELSE {N_SHARDS} - 1 - (r % {N_SHARDS}) END AS INTEGER) AS shard
+FROM ranked
+"""
+
+
+# Connected components as a recursive transitive closure: walk(v, m)
+# enumerates every (vertex, reachable-label) pair, MIN(m) per vertex is
+# the component id — tractable at oracle scale (sf0.01's pair graph),
+# where Spark runs the iterative min-label propagation instead.
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS v, doc_b AS w FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+walk(v, m) AS (
+    SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+    UNION
+    SELECT e.w, walk.m FROM walk JOIN edges e ON walk.v = e.v
+),
+comp AS (SELECT v, MIN(m) AS component FROM walk GROUP BY v)
+SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS keeper_doc_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
 """
 
 ORACLE_DEDUP_JACCARD = f"""
@@ -812,6 +904,9 @@ PIPELINE_ORACLES = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "corpus_hash_sample": ORACLE_HASH_SAMPLE,
+    "corpus_shard_plan": ORACLE_SHARD_PLAN,
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
