@@ -341,7 +341,19 @@ def _jaccard_shingle_join(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # exact verification: intersection size per surviving candidate pair
+    return _verify_candidates(sh, sizes, cand, threshold, id_col)
+
+
+def _verify_candidates(
+    sh: DataFrame,
+    sizes: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (doc_a, doc_b):
+    intersection counts via a candidate⋈shingle join — work ∝ the
+    candidates' shingle lists, not the corpus squared."""
     inter = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
         .join(
@@ -367,6 +379,28 @@ def _jaccard_shingle_join(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_verified_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The sub-quadratic near-dup ladder end to end: MinHash+LSH
+    banding proposes candidate pairs (collisions in ≥1 band — never
+    all-pairs), exact Jaccard verifies them. Output rows are a
+    RECALL-BOUNDED subset of ``jaccard_similar_pairs`` (a pair missed
+    by every band is lost, P(miss) = (1-j^b)^(k/b)); precision is
+    exact. This is the 100 TB default: every stage is a key-bounded
+    join or a map-side-combinable aggregate."""
+    cand = minhash_lsh_pairs(docs, n, num_hashes, band_size, text_col, id_col)
+    sh = char_shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return _verify_candidates(sh, sizes, cand, threshold, id_col)
 
 
 # Universal-hash family for MinHash: h_j(x) = (A[j]·(x mod P) + B[j]) mod P

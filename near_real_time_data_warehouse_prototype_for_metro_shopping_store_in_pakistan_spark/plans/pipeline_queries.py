@@ -59,13 +59,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keeper assignment for the whole corpus: Jaccard near-dup pairs
+    """Keeper assignment for the whole corpus via the SUB-QUADRATIC
+    ladder: MinHash+LSH candidate pairs -> exact Jaccard verification
     -> connected components (iterative min-label propagation) -> each
     doc mapped to the min id of its component (itself when unpaired).
-    """
+    No stage is all-pairs — this is the composition a 100 TB dedup
+    actually runs."""
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_similar_pairs(docs, threshold=JACCARD_THRESHOLD)
-    return dedup.neardup_keepers(docs, pairs)
+    pairs = dedup.minhash_verified_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return dedup.neardup_keepers(docs, pairs.select("doc_a", "doc_b"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,16 +345,21 @@ FROM ranked
 """
 
 
-# Connected components as a recursive transitive closure: walk(v, m)
-# enumerates every (vertex, reachable-label) pair, MIN(m) per vertex is
-# the component id — tractable at oracle scale (sf0.01's pair graph),
-# where Spark runs the iterative min-label propagation instead.
-ORACLE_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE {_SHINGLES},
+# The sub-quadratic ladder, stated declaratively: LSH candidates
+# (minhash band collisions) -> exact-Jaccard verification -> connected
+# components as a recursive transitive closure (walk(v, m) enumerates
+# every (vertex, reachable-label) pair; MIN(m) per vertex is the
+# component id — tractable at oracle scale, where Spark runs the
+# iterative min-label propagation instead).
+def _clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_cte()},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    SELECT doc_a, doc_b, count(*) AS c
+    FROM cand
+    JOIN sh a ON cand.doc_a = a.doc_id
+    JOIN sh b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
     GROUP BY 1, 2
 ),
 pairs AS (
@@ -377,6 +384,8 @@ SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS keeper_doc_id
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
 """
 
+
+
 ORACLE_DEDUP_JACCARD = f"""
 WITH {_SHINGLES},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -392,17 +401,18 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 """
 
-def _minhash_oracle() -> str:
-    """Mirror dedup.minhash_signatures: the affine family constants are
-    injected as literals from the same Python lists — no drift."""
+def _minhash_cte() -> str:
+    """Shared CTE block mirroring dedup.minhash_signatures +
+    minhash_lsh_pairs: the affine family constants are injected as
+    literals from the same Python lists — no drift. Ends with ``cand``
+    (the LSH candidate pairs)."""
     p = dedup.MINHASH_P
     mins = ",\n           ".join(
         f"MIN((hx * {dedup.MINHASH_A[j]} + {dedup.MINHASH_B[j]}) % {p}) AS m{j}"
         for j in range(16)
     )
     band_rows = ", ".join(f"(0 + {b}, m{2 * b}, m{2 * b + 1})" for b in range(8))
-    return f"""
-WITH {_SHINGLES},
+    return f"""{_SHINGLES},
 base AS (
     SELECT doc_id, {_sql_md5_long("shingle")} % {p} AS hx FROM sh
 ),
@@ -414,15 +424,21 @@ sig AS (
 bands AS (
     SELECT doc_id, bd.band, bd.h0, bd.h1
     FROM sig, LATERAL (VALUES {band_rows}) bd(band, h0, h1)
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a
-JOIN bands b ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
-            AND a.doc_id < b.doc_id
-"""
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+                AND a.doc_id < b.doc_id
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_cte()}\nSELECT doc_a, doc_b FROM cand"
 
 
 ORACLE_DEDUP_MINHASH = _minhash_oracle()
+ORACLE_DEDUP_CLUSTERS = _clusters_oracle()
 
 ORACLE_DEDUP_SIMHASH = f"""
 WITH toks AS (
