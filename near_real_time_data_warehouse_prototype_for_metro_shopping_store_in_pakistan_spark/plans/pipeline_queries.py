@@ -59,14 +59,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keeper assignment for the whole corpus via the SUB-QUADRATIC
-    ladder: MinHash+LSH candidate pairs -> exact Jaccard verification
-    -> connected components (iterative min-label propagation) -> each
-    doc mapped to the min id of its component (itself when unpaired).
-    No stage is all-pairs — this is the composition a 100 TB dedup
-    actually runs."""
+    """Keeper assignment for the whole corpus: exact Jaccard near-dup
+    pairs (cost-based strategy — block-GEMM on small/dense corpora,
+    PPJoin prefix-filtering at scale) -> connected components
+    (iterative min-label propagation) -> each doc mapped to the min id
+    of its component (itself when unpaired).
+
+    The probabilistic alternative (``dedup.minhash_verified_pairs``,
+    MinHash banding -> exact verification) exists for corpora where
+    even prefix-filtered exact candidates are too many, but is NOT the
+    default: on a corpus with heavy just-below-threshold similarity
+    mass (this synthetic table: ~4% of ALL pairs collide in some band
+    at any banding centred near the threshold), banding generates
+    hundreds of thousands of candidates that verification then
+    rejects — measured 4-5x slower than the exact cost-based path at
+    sf0.1."""
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_verified_pairs(docs, threshold=JACCARD_THRESHOLD)
+    pairs = dedup.jaccard_similar_pairs(docs, threshold=JACCARD_THRESHOLD)
     return dedup.neardup_keepers(docs, pairs.select("doc_a", "doc_b"))
 
 
@@ -345,21 +354,17 @@ FROM ranked
 """
 
 
-# The sub-quadratic ladder, stated declaratively: LSH candidates
-# (minhash band collisions) -> exact-Jaccard verification -> connected
-# components as a recursive transitive closure (walk(v, m) enumerates
-# every (vertex, reachable-label) pair; MIN(m) per vertex is the
-# component id — tractable at oracle scale, where Spark runs the
-# iterative min-label propagation instead).
+# Exact pairs -> connected components as a recursive transitive
+# closure: walk(v, m) enumerates every (vertex, reachable-label) pair;
+# MIN(m) per vertex is the component id — tractable at oracle scale,
+# where Spark runs the iterative min-label propagation instead.
 def _clusters_oracle() -> str:
     return f"""
-WITH RECURSIVE {_minhash_cte()},
+WITH RECURSIVE {_SHINGLES},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
-    SELECT doc_a, doc_b, count(*) AS c
-    FROM cand
-    JOIN sh a ON cand.doc_a = a.doc_id
-    JOIN sh b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 ),
 pairs AS (
@@ -401,17 +406,25 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 """
 
-def _minhash_cte() -> str:
+def _minhash_cte(num_hashes: int = 16, band_size: int = 2) -> str:
     """Shared CTE block mirroring dedup.minhash_signatures +
-    minhash_lsh_pairs: the affine family constants are injected as
-    literals from the same Python lists — no drift. Ends with ``cand``
-    (the LSH candidate pairs)."""
+    minhash_lsh_pairs at a given (num_hashes, band_size): the affine
+    family constants are injected as literals from the same Python
+    lists — no drift. Ends with ``cand`` (the LSH candidate pairs)."""
     p = dedup.MINHASH_P
     mins = ",\n           ".join(
         f"MIN((hx * {dedup.MINHASH_A[j]} + {dedup.MINHASH_B[j]}) % {p}) AS m{j}"
-        for j in range(16)
+        for j in range(num_hashes)
     )
-    band_rows = ", ".join(f"(0 + {b}, m{2 * b}, m{2 * b + 1})" for b in range(8))
+    hcols = ", ".join(f"h{i}" for i in range(band_size))
+    band_rows = ", ".join(
+        "(0 + {}, {})".format(
+            b,
+            ", ".join(f"m{band_size * b + i}" for i in range(band_size)),
+        )
+        for b in range(num_hashes // band_size)
+    )
+    band_eq = " AND ".join(f"a.h{i} = b.h{i}" for i in range(band_size))
     return f"""{_SHINGLES},
 base AS (
     SELECT doc_id, {_sql_md5_long("shingle")} % {p} AS hx FROM sh
@@ -422,13 +435,13 @@ sig AS (
     FROM base GROUP BY doc_id
 ),
 bands AS (
-    SELECT doc_id, bd.band, bd.h0, bd.h1
-    FROM sig, LATERAL (VALUES {band_rows}) bd(band, h0, h1)
+    SELECT doc_id, bd.band, {", ".join(f"bd.h{i}" for i in range(band_size))}
+    FROM sig, LATERAL (VALUES {band_rows}) bd(band, {hcols})
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
-    JOIN bands b ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+    JOIN bands b ON a.band = b.band AND {band_eq}
                 AND a.doc_id < b.doc_id
 )"""
 

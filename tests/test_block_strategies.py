@@ -76,6 +76,55 @@ def test_block_gemm_has_no_global_window(spark, sf_dir):
             assert "_pid" in line, f"global window found: {line}"
 
 
+def test_minhash_verified_pairs_subset_of_exact(spark, sf_dir):
+    """The probabilistic ladder (banding -> exact verification) must
+    have EXACT precision: every emitted pair is a true >=threshold
+    pair with the same jaccard value the all-pairs operator computes.
+    Recall is banding-bounded, so subset — not equality."""
+    docs = table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_similar_pairs(docs).collect()
+    }
+    ladder = dedup.minhash_verified_pairs(docs).collect()
+    assert len(ladder) > 0
+    for r in ladder:
+        assert (r.doc_a, r.doc_b) in exact
+        assert r.jaccard == exact[(r.doc_a, r.doc_b)]
+
+
+def test_minhash_ladder_finds_identical_docs_deterministically(spark):
+    """J=1 pairs agree on every minhash, hence collide in every band:
+    recall for exact duplicates is 1, not probabilistic."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a completely different document about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b) for r in dedup.minhash_verified_pairs(docs).collect()}
+    assert (1, 2) in got
+    assert all(p == (1, 2) for p in got)
+
+
+def test_lsh_banding_generalizes_band_size(spark, sf_dir):
+    """band_size=4 buckets are strictly coarser than band_size=2 on
+    the same 16-hash signature: every 4-wide band agreement implies
+    both its 2-wide halves agree."""
+    docs = table(spark, sf_dir, "documents").limit(120)
+    wide = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, num_hashes=16, band_size=4).collect()
+    }
+    narrow = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, num_hashes=16, band_size=2).collect()
+    }
+    assert wide <= narrow
+
+
 def test_auto_strategy_is_size_aware():
     # dense overlap on a small corpus -> GEMM is affordable
     assert dedup._pick_jaccard_strategy(avg_df=20.0, est_docs=1_000) == "block_gemm"
