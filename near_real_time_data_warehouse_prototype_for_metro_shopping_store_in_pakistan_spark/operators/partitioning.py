@@ -53,6 +53,60 @@ def hash_sample(
     return df.filter(bucket < int(rate * SAMPLE_DENOM))
 
 
+def source_caps(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl-style per-source capping: keep at most ``cap`` docs per
+    source, preferring larger docs (size DESC, id ASC tie-break), and
+    report each keeper's 1-based rank within its source as
+    ``source_rank``.
+
+    One shuffle on ``source_col``; each source's rows meet in one
+    window task. That is the right shape while no single source
+    outweighs an executor — web-crawl hot domains (a source with
+    billions of rows) should instead pre-cap per (source, salt) bucket
+    and re-cap the survivors, trading exactness of the preference
+    order inside the cap for bounded task size. The exact window form
+    is what a curation pipeline wants wherever it fits, so that is the
+    default.
+    """
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(size_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("source_rank", F.row_number().over(w))
+        .filter(F.col("source_rank") <= cap)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "strata",
+) -> DataFrame:
+    """Exact-N-per-stratum sample, deterministic: rank each stratum's
+    rows by (md5_long(id || '|' || salt), id) and keep the first N.
+    The hash order is a fixed uniform permutation of the stratum, so
+    membership is a reproducible draw — independent of partitioning,
+    stable across re-runs, and a different ``salt`` gives an
+    independent draw (disjointness is NOT guaranteed between salts,
+    unlike ``hash_sample``'s rate windows).
+    """
+    h = md5_long(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
 def global_row_numbers(
     df: DataFrame,
     order_cols: list[Column | str],

