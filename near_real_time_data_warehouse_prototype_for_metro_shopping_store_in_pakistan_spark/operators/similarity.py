@@ -302,6 +302,42 @@ def ann_lsh_topk(
     )
 
 
+def _centroid_array(v: DataFrame, n_centroids: int, id_col: str) -> DataFrame:
+    """The centroid set folded into ONE broadcastable row: an array of
+    (centroid_id, cq, cn) structs, sorted by centroid id. Attaching
+    this single row to the corpus scan lets every row score ALL
+    centroids in one projection — no row inflation, no shuffle."""
+    return F.broadcast(
+        v.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.struct(
+                F.col(id_col).alias("centroid_id"),
+                F.col("q").alias("cq"),
+                F.col("norm_sq").alias("cn"),
+            ).alias("c")
+        )
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+
+
+def _centroid_scores(q_col, norm_col):
+    """Per-row array of (ccos, neg_cid) structs against the attached
+    ``cents`` array — struct-comparable so array_max IS the argmax
+    with the (cosine DESC, centroid_id ASC) tie-break."""
+    def score(c):
+        dot = F.aggregate(
+            F.zip_with(q_col, c["cq"], lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        ccos = dot / (
+            F.sqrt(norm_col.cast("double")) * F.sqrt(c["cn"].cast("double"))
+        )
+        return F.struct(ccos.alias("ccos"), (-c["centroid_id"]).alias("neg_cid"))
+
+    return F.transform(F.col("cents"), score)
+
+
 def ivf_assignments(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -315,26 +351,25 @@ def ivf_assignments(
     ``n_centroids`` ids) — the seeding step of k-means|| without the
     iterations, which keeps the operator reproducible and
     oracle-checkable; production would plug trained centroids into the
-    same plan. Assignment is a broadcast of the centroid set against
-    one corpus scan — no shuffle until the tiny groupBy."""
+    same plan.
+
+    Plan shape: the centroid set rides along as one broadcast
+    array-of-structs row; each corpus row scores every centroid inside
+    a single projection and ``array_max`` picks the cell — ZERO
+    shuffle and ZERO row inflation, vs the textbook
+    crossJoin(×n_centroids) + per-id window which shuffles an
+    n_centroids-times-inflated corpus just to discard all but the
+    argmax."""
     v = scaled_vectors(emb, vec_col, id_col)
-    cents = F.broadcast(
-        v.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("centroid_id"),
-            F.col("q").alias("cq"),
-            F.col("norm_sq").alias("cn"),
-        )
-    )
-    cos = _dot(F.col("q"), F.col("cq")) / (
-        F.sqrt(F.col("norm_sq").cast("double")) * F.sqrt(F.col("cn").cast("double"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    best = F.array_max(_centroid_scores(F.col("q"), F.col("norm_sq")))
     return (
-        v.crossJoin(cents)
-        .withColumn("ccos", cos)
-        .withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
-        .select(id_col, "q", "norm_sq", F.col("centroid_id").alias("cell"))
+        v.crossJoin(_centroid_array(v, n_centroids, id_col))
+        .select(
+            id_col,
+            "q",
+            "norm_sq",
+            (-best["neg_cid"]).alias("cell"),
+        )
     )
 
 
@@ -363,25 +398,29 @@ def ann_ivf_topk(
         F.col("q").alias("qq"),
         F.col("norm_sq").alias("qn"),
     )
-    cents = F.broadcast(
-        v.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("centroid_id"),
-            F.col("q").alias("cq"),
-            F.col("norm_sq").alias("cn"),
-        )
-    )
-    qcos = _dot(F.col("qq"), F.col("cq")) / (
-        F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double"))
-    )
-    wprobe = Window.partitionBy("query_id").orderBy(
-        F.desc("qcos"), F.asc("centroid_id")
-    )
+    # top-n_probe cells per query with the same fused scoring: sort
+    # the per-row score array DESC ((cosine, -centroid) struct order =
+    # cosine DESC then centroid ASC), slice the prefix, explode — only
+    # the few query rows ever widen.
     probes = (
-        qv.crossJoin(cents)
-        .withColumn("qcos", qcos)
-        .withColumn("prank", F.row_number().over(wprobe))
-        .filter(F.col("prank") <= n_probe)
-        .select("query_id", "qq", "qn", F.col("centroid_id").alias("cell"))
+        qv.crossJoin(_centroid_array(v, n_centroids, id_col))
+        .select(
+            "query_id",
+            "qq",
+            "qn",
+            F.explode(
+                F.slice(
+                    F.sort_array(
+                        _centroid_scores(F.col("qq"), F.col("qn")), asc=False
+                    ),
+                    1,
+                    n_probe,
+                )
+            ).alias("probe"),
+        )
+        .select(
+            "query_id", "qq", "qn", (-F.col("probe")["neg_cid"]).alias("cell")
+        )
     )
     cos = _dot(F.col("qq"), F.col("q")) / (
         F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("norm_sq").cast("double"))

@@ -126,3 +126,27 @@ def test_upsert_anti_join_is_partition_pruned(spark, tmp_path):
     assert "2019" in pf_line and "= 1)" in pf_line
     # only the touched partition's keys are read
     assert {r.order_id for r in keys.collect()} == {"O1", "O2"}
+
+
+def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
+    """Cell assignment must stay a single projection over one corpus
+    scan (centroids attached as a broadcast array row) — no window,
+    no n_centroids-times row inflation, no exchange besides the
+    broadcast itself (regression: crossJoin + per-id row_number)."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        similarity,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.testdata import (
+        table,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    plan = plan_of(similarity.ivf_assignments(emb))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    # allowed exchanges: broadcast builds and the SinglePartition fold
+    # of the n_centroids-row set into one array row (metadata-scale).
+    # A hash-partitioned exchange would mean corpus rows moved.
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            raise AssertionError(f"unexpected corpus shuffle: {line}")
