@@ -63,3 +63,74 @@ def publish_star_schema(
         f"CREATE OR REPLACE VIEW {database}.store_quarterly_sales AS "
         + STORE_QUARTERLY_SALES_VIEW.format(db=database)
     )
+
+
+def publish_bucketed_baskets(
+    spark: SparkSession,
+    sf_dir: str,
+    database: str = "metro",
+    n_buckets: int = 16,
+) -> None:
+    """Co-located join layout for the basket workload: the fact's
+    (order_id, product_id) projection written ``bucketBy(order_id)``
+    + ``sortBy`` as a managed table.
+
+    Bucketing is the cluster answer to a hot repeated join key — every
+    order's rows land in the same bucket file, so any equi-join on
+    order_id between co-bucketed tables (including the market-basket
+    THETA SELF-JOIN, J7) is satisfied by zipping bucket pairs: no
+    exchange before the join at ANY scale, where the path-based plan
+    re-shuffles both sides of the self-join every run. The shuffle is
+    paid ONCE, at write time.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    fact = star.sales_fact(spark, sf_dir, time_attrs=False).select(
+        "order_id", "product_id"
+    )
+    (
+        fact.write.mode("overwrite")
+        .bucketBy(n_buckets, "order_id")
+        .sortBy("order_id")
+        .saveAsTable(f"{database}.basket_lines")
+    )
+
+
+def market_basket_from_bucketed(
+    spark: SparkSession, database: str = "metro", k: int = 5
+):
+    """Q6 (market-basket affinity) over the bucketed catalog table —
+    same rows as plans.queries.q06_market_basket, but the self-join
+    reads co-located buckets (zero pre-join exchange; the only
+    shuffle left is the post-join pair aggregation). Requires
+    ``publish_bucketed_baskets`` and ``publish_star_schema`` (for
+    product names) to have run against ``database``."""
+    from pyspark.sql import functions as F
+
+    fact = spark.table(f"{database}.basket_lines")
+    names = spark.table(f"{database}.products").select(
+        "product_id", "product_name"
+    )
+    f1 = fact.alias("f1")
+    f2 = fact.alias("f2")
+    pairs = f1.join(
+        f2,
+        (F.col("f1.order_id") == F.col("f2.order_id"))
+        & (F.col("f1.product_id") < F.col("f2.product_id")),
+    )
+    return (
+        pairs.join(
+            F.broadcast(names.alias("p1")),
+            F.col("f1.product_id") == F.col("p1.product_id"),
+        )
+        .join(
+            F.broadcast(names.alias("p2")),
+            F.col("f2.product_id") == F.col("p2.product_id"),
+        )
+        .groupBy(
+            F.col("p1.product_name").alias("product_1"),
+            F.col("p2.product_name").alias("product_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("frequency"))
+        .orderBy(F.desc("frequency"), "product_1", "product_2")
+        .limit(k)
+    )

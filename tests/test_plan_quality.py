@@ -150,3 +150,33 @@ def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             raise AssertionError(f"unexpected corpus shuffle: {line}")
+
+
+def test_bucketed_basket_self_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """bucketBy(order_id) pays the basket self-join's shuffle once at
+    write time: the catalog-table plan must zip co-located buckets —
+    bucketed scans, no exchange under the join; the only remaining
+    hash exchange is the post-join pair aggregation."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.plans import (
+        catalog,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.plans.queries import (
+        q06_market_basket,
+    )
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bkt_test LOCATION '{tmp_path}/bkt'"
+    )
+    try:
+        catalog.publish_star_schema(spark, sf_dir, database="bkt_test")
+        catalog.publish_bucketed_baskets(spark, sf_dir, database="bkt_test")
+        got = catalog.market_basket_from_bucketed(spark, "bkt_test")
+        plan = plan_of(got)
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange hashpartitioning") <= 1  # agg only
+        # identical answers to the path-based q06
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in q06_market_basket(spark, sf_dir).collect()
+        ]
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bkt_test CASCADE")
