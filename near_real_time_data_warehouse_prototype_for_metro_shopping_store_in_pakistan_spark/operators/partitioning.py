@@ -67,18 +67,52 @@ def source_caps(
 
     One shuffle on ``source_col``; each source's rows meet in one
     window task. That is the right shape while no single source
-    outweighs an executor — web-crawl hot domains (a source with
-    billions of rows) should instead pre-cap per (source, salt) bucket
-    and re-cap the survivors, trading exactness of the preference
-    order inside the cap for bounded task size. The exact window form
-    is what a curation pipeline wants wherever it fits, so that is the
-    default.
+    outweighs an executor; for web-crawl hot domains (a source with
+    billions of rows) use ``source_caps_salted`` — the two-stage form
+    with bounded task size and the IDENTICAL result.
     """
     w = Window.partitionBy(source_col).orderBy(
         F.col(size_col).desc(), F.col(id_col).asc()
     )
     return (
         df.withColumn("source_rank", F.row_number().over(w))
+        .filter(F.col("source_rank") <= cap)
+    )
+
+
+def source_caps_salted(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_salts: int = 32,
+) -> DataFrame:
+    """``source_caps`` with bounded task size for hot sources, same
+    rows and ranks EXACTLY.
+
+    Stage 1 pre-caps per (source, salt-bucket of the id hash): any
+    row outside its bucket's top-``cap`` is outside the source's
+    top-``cap`` a fortiori, so discarding it is lossless. Stage 2 runs
+    the exact window over the ≤ cap·n_salts survivors per source.
+    The biggest task shrinks from |hottest source| to
+    max(|source|/n_salts (stage 1, hash-balanced), cap·n_salts
+    (stage 2)) — tune ``n_salts`` ≈ sqrt(|hottest|/cap).
+    """
+    salt = md5_long(
+        F.concat(F.col(id_col).cast("string"), F.lit("|capsalt"))
+    ) % n_salts
+    order = (F.col(size_col).desc(), F.col(id_col).asc())
+    pre = Window.partitionBy(source_col, "_salt").orderBy(*order)
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_pre_rank", F.row_number().over(pre))
+        .filter(F.col("_pre_rank") <= cap)
+        .drop("_salt", "_pre_rank")
+    )
+    final = Window.partitionBy(source_col).orderBy(*order)
+    return (
+        survivors.withColumn("source_rank", F.row_number().over(final))
         .filter(F.col("source_rank") <= cap)
     )
 

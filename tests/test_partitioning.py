@@ -137,3 +137,70 @@ def test_pack_sequences_capacity_and_coverage(spark, sf_dir):
     # greedy is maximal: consecutive packs can't be merged
     for r in plan:
         assert r.n_tokens >= 0
+
+
+def test_salted_source_caps_identical_to_exact(spark, sf_dir):
+    """The two-stage bounded-task form must produce byte-identical
+    rows AND ranks to the single-window form (the stage-1 pre-cap is
+    lossless: outside a bucket's top-cap implies outside the source's
+    top-cap)."""
+    docs = table(spark, sf_dir, "documents")
+    key = lambda r: (r.source, r.source_rank)
+    exact = {key(r): r.doc_id for r in partitioning.source_caps(docs, cap=7).collect()}
+    salted = {
+        key(r): r.doc_id
+        for r in partitioning.source_caps_salted(docs, cap=7, n_salts=5).collect()
+    }
+    assert exact == salted and exact
+
+
+def test_pack_sequences_matches_reference_greedy(spark):
+    """Randomized equivalence: the distributed packing equals an
+    independent Python replay (same md5 sharding, same doc-id order,
+    same greedy rule) on ragged token counts including zeros and
+    oversized docs."""
+    import hashlib
+    import random
+
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        packing,
+    )
+
+    rng = random.Random(99)
+    capacity, n_shards = 64, 4
+    rows = []
+    for doc_id in rng.sample(range(10_000), 300):
+        n_tok = rng.choice([0, 1, rng.randint(2, 50), rng.randint(51, 150)])
+        rows.append((doc_id, "w " * n_tok))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = {}
+    by_shard = {}
+    for doc_id, text in rows:
+        by_shard.setdefault(md5_long(f"{doc_id}|pack") % n_shards, []).append(
+            (doc_id, len(text.split()))
+        )
+    for shard, members in by_shard.items():
+        fill, pack_idx, pos = capacity + 1, -1, 0
+        for doc_id, t in sorted(members):
+            if fill + t > capacity:
+                pack_idx, fill, pos = pack_idx + 1, t, 0
+            else:
+                fill, pos = fill + t, pos + 1
+            want[doc_id] = (
+                shard,
+                shard * packing.PACKS_PER_SHARD_STRIDE + pack_idx,
+                t,
+                pos,
+            )
+
+    got = {
+        r.doc_id: (r.shard, r.pack_id, r.n_tokens, r.pack_pos)
+        for r in packing.pack_sequences(
+            docs, capacity=capacity, n_shards=n_shards
+        ).collect()
+    }
+    assert got == want
