@@ -39,6 +39,22 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _lang_argmax_case() -> Column:
+    """First lang (in LANG_ORDER priority) whose ``hits_{lang}``
+    column is >= all others — the shared argmax chain for
+    ``language_id`` and ``curation_flags``."""
+    chain = None
+    for lang in LANG_ORDER:
+        cond = None
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            ge = F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
+            cond = ge if cond is None else (cond & ge)
+        chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
+    return chain.otherwise(LANG_ORDER[0])
+
+
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language ID with a fixed-priority argmax
     (LANG_ORDER breaks ties) — deterministic and oracle-exact."""
@@ -51,17 +67,7 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
             for lang in LANG_ORDER
         ],
     )
-    # First lang (in LANG_ORDER priority) whose hits >= all others.
-    chain = None
-    for lang in LANG_ORDER:
-        cond = None
-        for other in LANG_ORDER:
-            if other == lang:
-                continue
-            ge = F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
-            cond = ge if cond is None else (cond & ge)
-        chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
-    return out.withColumn("lang_pred", chain.otherwise(LANG_ORDER[0]))
+    return out.withColumn("lang_pred", _lang_argmax_case())
 
 
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -217,4 +223,40 @@ def tfidf_top_terms(
         scored.withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= k)
         .select(id_col, "term_rank", "term", "tf", "score")
+    )
+
+
+def curation_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """All curation signals for the funnel in ONE projection over one
+    scan: language agreement (predicted == recorded), the quality
+    score, and the exact-text fingerprint (same md5 the exact-dedup
+    operator groups on). No joins — each signal is a column
+    expression, so a funnel over 100 TB is one pass."""
+    toks = tokens(F.lower(F.col(text_col)))
+    counted = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        *[
+            _hits(toks, LANG_STOPWORDS[lang]).alias(f"hits_{lang}")
+            for lang in LANG_ORDER
+        ],
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).cast("int").alias("n_chars"),
+        punct_count(F.col(text_col)).cast("int").alias("n_punct"),
+        _hits(toks, ENGLISH_STOPWORDS).alias("stop_hits"),
+        F.md5(F.col(text_col)).alias("text_fp"),
+    )
+    punct_ratio = F.col("n_punct") / F.greatest(F.col("n_chars"), F.lit(1))
+    stop_ratio = F.col("stop_hits") / F.greatest(F.col("n_tokens"), F.lit(1))
+    score = (
+        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000), 40)
+        .otherwise(0)
+        + F.when(punct_ratio <= 0.1, 30).otherwise(0)
+        + F.when(stop_ratio >= 0.02, 30).otherwise(0)
+    )
+    return counted.select(
+        "doc_id",
+        (_lang_argmax_case() == F.col("lang_true")).alias("lang_ok"),
+        score.cast("int").alias("quality_score"),
+        "text_fp",
     )

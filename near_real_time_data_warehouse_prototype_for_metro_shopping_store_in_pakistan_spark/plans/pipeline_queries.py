@@ -186,6 +186,35 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_MIN = 100
+
+
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pass as ONE aggregation: per-stage survivor counts
+    for total -> language-verified (predicted == recorded) ->
+    quality >= QUALITY_MIN -> distinct text (exact-dedup survivors).
+    Every signal is a column expression over one corpus scan (no
+    joins); the stages are monotone refinements, so four conditional
+    counters in a single agg produce the whole funnel — the 100 TB
+    shape for pipeline health dashboards."""
+    flags = text_profile.curation_flags(table(spark, sf_dir, "documents"))
+    c_lang = F.col("lang_ok")
+    c_q = c_lang & (F.col("quality_score") >= QUALITY_MIN)
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(c_lang, 1)).alias("n_lang"),
+        F.count(F.when(c_q, 1)).alias("n_quality"),
+        F.countDistinct(F.when(c_q, F.col("text_fp"))).alias("n_unique"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, '0_total', n_total, '1_lang_match', n_lang, "
+            "'2_quality', n_quality, '3_unique_text', n_unique) "
+            "AS (stage, n_docs)"
+        )
+    )
+
+
 def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-style curation: keep the SOURCE_CAP largest docs per
     source (size DESC, id tie-break), with each keeper's within-source
@@ -303,6 +332,7 @@ PIPELINE_QUERIES = {
     "corpus_shard_plan": corpus_shard_plan,
     "corpus_source_cap": corpus_source_cap,
     "corpus_stratified_sample": corpus_stratified_sample,
+    "corpus_curation_funnel": corpus_curation_funnel,
     "corpus_pack_plan": corpus_pack_plan,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "ann_cosine_topk": ann_cosine_topk,
@@ -876,6 +906,61 @@ FROM c
 """
 
 
+def _funnel_oracle() -> str:
+    """The curation funnel as stacked CTEs over the SAME langid /
+    quality fragments the single-stage oracles use, then four
+    conditional counters — mirrors the Spark one-pass aggregation."""
+    hits = ",\n           ".join(
+        f"CAST(len(list_filter(toks, t -> t IN ({_sql_in_list(LANG_STOPWORDS[lang])}))) AS INT) AS hits_{lang}"
+        for lang in LANG_ORDER
+    )
+    cases = []
+    for lang in LANG_ORDER:
+        conds = " AND ".join(
+            f"hits_{lang} >= hits_{other}" for other in LANG_ORDER if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{LANG_ORDER[0]}' END"
+    stops = _sql_in_list(ENGLISH_STOPWORDS)
+    return f"""
+WITH t AS (
+    SELECT doc_id, lang, text, {_sql_tokens("lower(text)")} AS toks
+    FROM documents
+),
+h AS (
+    SELECT doc_id, lang, text,
+           {hits},
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           {_PUNCT} AS n_punct,
+           CAST(len(list_filter(toks, x -> x IN ({stops}))) AS INT) AS stop_hits,
+           md5(text) AS text_fp
+    FROM t
+),
+f AS (
+    SELECT ({case_sql}) = lang AS lang_ok,
+           (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 40 ELSE 0 END)
+         + (CASE WHEN n_punct / greatest(n_chars, 1) <= 0.1 THEN 30 ELSE 0 END)
+         + (CASE WHEN stop_hits / greatest(n_tokens, 1) >= 0.02 THEN 30 ELSE 0 END)
+             AS q,
+           text_fp
+    FROM h
+),
+a AS (
+    SELECT count(*) AS n_total,
+           count(CASE WHEN lang_ok THEN 1 END) AS n_lang,
+           count(CASE WHEN lang_ok AND q >= {QUALITY_MIN} THEN 1 END) AS n_quality,
+           count(DISTINCT CASE WHEN lang_ok AND q >= {QUALITY_MIN} THEN text_fp END)
+               AS n_unique
+    FROM f
+)
+SELECT '0_total' AS stage, n_total AS n_docs FROM a
+UNION ALL SELECT '1_lang_match', n_lang FROM a
+UNION ALL SELECT '2_quality', n_quality FROM a
+UNION ALL SELECT '3_unique_text', n_unique FROM a
+"""
+
+
 _NORMALIZED = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
@@ -1072,6 +1157,7 @@ PIPELINE_ORACLES = {
     "corpus_shard_plan": ORACLE_SHARD_PLAN,
     "corpus_source_cap": ORACLE_SOURCE_CAP,
     "corpus_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "corpus_curation_funnel": _funnel_oracle(),
     "corpus_pack_plan": ORACLE_PACK_PLAN,
     "text_tfidf_top_terms": ORACLE_TFIDF,
     "ann_cosine_topk": ORACLE_ANN_TOPK,

@@ -28,3 +28,41 @@ def test_keys_match():
 def test_pipeline_query_matches_oracle(spark, sf_dir, con, name):
     df = PIPELINE_QUERIES[name](spark, sf_dir)
     compare(df, con, PIPELINE_ORACLES[name], name)
+
+
+def test_curation_flags_agree_with_component_operators(spark, sf_dir):
+    """curation_flags fuses langid + quality + exact-fp into one
+    projection; it must never drift from the standalone operators."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        text_profile,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.testdata import (
+        table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    flags = {r.doc_id: r for r in text_profile.curation_flags(docs).collect()}
+    lid = {r.doc_id: r for r in text_profile.language_id(docs).collect()}
+    qual = {r.doc_id: r for r in text_profile.quality_scores(docs).collect()}
+    assert flags and set(flags) == set(lid) == set(qual)
+    for doc_id, r in flags.items():
+        assert r.lang_ok == (lid[doc_id].lang_pred == lid[doc_id].lang_true)
+        assert r.quality_score == qual[doc_id].quality_score
+
+
+def test_curation_flags_fingerprint_identifies_exact_dups(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        text_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the and of to in a is it for on", "en"),
+            (2, "the and of to in a is it for on", "en"),  # exact dup
+            (3, "completely different words here entirely", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    f = {r.doc_id: r for r in text_profile.curation_flags(docs).collect()}
+    assert f[1].text_fp == f[2].text_fp != f[3].text_fp
+    assert f[1].quality_score == f[2].quality_score
