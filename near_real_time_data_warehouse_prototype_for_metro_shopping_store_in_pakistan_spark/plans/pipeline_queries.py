@@ -54,10 +54,38 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicate_groups(table(spark, sf_dir, "documents"))
 
 
+# Memoized materialized near-dup pairs per (application, sf_dir) — the
+# same shared-intermediate discipline as plans.star._FACT_CACHE: the
+# exact-Jaccard pair relation feeds BOTH the pair listing
+# (dedup_ngram_jaccard) and the keeper assignment (dedup_clusters), and
+# a pipeline materializes it once rather than re-running the all-pairs
+# verification per consumer. localCheckpoint also truncates the GEMM/
+# prefix-join lineage, so downstream connected-components rounds replan
+# against a tiny materialized relation (the pair set is several orders
+# of magnitude smaller than its inputs: ~256 rows from 5k docs at
+# sf0.1). Swap for reliable checkpoint() on a cluster where executor
+# loss must be recoverable.
+_JACCARD_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_pairs_cache() -> None:
+    """Drop memoized pair relations (e.g. between sessions)."""
+    _JACCARD_PAIRS_CACHE.clear()
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _JACCARD_PAIRS_CACHE.get(key)
+    if cached is None:
+        cached = dedup.jaccard_similar_pairs(
+            table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+        ).localCheckpoint(eager=True)
+        _JACCARD_PAIRS_CACHE[key] = cached
+    return cached
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.jaccard_similar_pairs(
-        table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
-    )
+    return _jaccard_pairs(spark, sf_dir)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,9 +107,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any banding centred near the threshold), banding generates
     hundreds of thousands of candidates that verification then
     rejects — measured 4-5x slower than the exact cost-based path at
-    sf0.1."""
+    sf0.1.
+
+    The pair relation comes from the shared ``_jaccard_pairs``
+    materialization — computed once per (application, sf_dir) and
+    reused by ``dedup_ngram_jaccard``."""
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_similar_pairs(docs, threshold=JACCARD_THRESHOLD)
+    pairs = _jaccard_pairs(spark, sf_dir)
     return dedup.neardup_keepers(docs, pairs.select("doc_a", "doc_b"))
 
 
