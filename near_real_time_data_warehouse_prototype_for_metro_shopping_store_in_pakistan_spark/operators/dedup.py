@@ -152,15 +152,17 @@ def jaccard_similar_pairs(
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >=
     threshold). Two physical strategies, identical output:
 
-    - ``block_gemm`` (default): encode each doc's shingle set against
-      a global shingle dictionary and compute ALL pairwise
+    - ``block_gemm`` (default): hash each doc's shingle set (60-bit
+      md5 ids, no global dictionary) and compute ALL pairwise
       intersection sizes as a tiled binary matrix product
       (cogrouped ``applyInPandas`` + numpy, like
-      similarity.cosine_neardup_pairs). Wins when shingle overlap is
+      similarity.cosine_neardup_pairs); the hashes become tile-local
+      dense ids inside each Arrow task. Wins when shingle overlap is
       DENSE (small vocab / near-dup-heavy corpora): the shingle-join
       materializes Σ_s C(df_s, 2) rows — ~15e9 on the sf0.1 documents
       table (2k distinct shingles × ~4k-doc buckets) — while the GEMM
-      moves each doc O(#blocks) times and multiplies in BLAS.
+      moves each doc O(#blocks) times and multiplies in BLAS. Its only
+      pre-tile shuffle is one map-side-combinable ``collect_set``.
     - ``shingle_join``: PPJoin-style prefix-filtered bucket join —
       the classic sparse-overlap path (big vocab, rare collisions),
       where the dictionary-dense matrix would be wasteful.
@@ -201,28 +203,49 @@ def _jaccard_block_gemm(
     threshold: float,
     text_col: str,
     id_col: str,
-    block_size: int = 2048,
+    block_size: int = 1024,
 ) -> DataFrame:
     """Tiled exact set-intersection counting: docs × docs through a
-    shingle-dictionary binary matrix, one numpy product per tile."""
+    binary membership matrix, one numpy product per tile.
+
+    Shingles are identified by their 60-bit md5 prefix (md5_long), so
+    the plan needs NO global shingle dictionary at all: the only wide
+    operation before the tile cogroup is ONE map-side-combinable
+    ``collect_set`` (the raw explode is narrow, and min/set semantics
+    make the per-doc distinct shuffle redundant). Hash→dense-id
+    translation happens per tile in the Arrow stage with
+    ``np.unique``/``searchsorted`` over just that tile's values, which
+    parallelizes with the tiles and scales to word-level vocabularies
+    with zero coordination. Intersection counts over hashed sets equal
+    counts over the string sets absent a 60-bit collision within a
+    compared pair (p ≈ vocab²/2⁶¹ — negligible below ~10⁷ distinct
+    shingles; swap md5_long for the full 128-bit digest if a corpus
+    ever approaches that)."""
     import numpy as np
     import pandas as pd
 
-    sh = char_shingles(docs, n, text_col, id_col)
-    # Dense shingle ids via the DISTRIBUTED zipWithIndex (dense_ids) —
-    # ids only need to be a deterministic bijection for the
-    # intersection counts to be invariant, and word-level vocabularies
-    # (≫ the charset-bounded char-n-gram vocab) would serialize
-    # through one task under a global row_number() window.
-    vocab = dense_ids(sh, "shingle", "sid")
+    sh = char_shingles(docs, n, text_col, id_col, distinct=False)
     doc_sets = (
-        sh.join(F.broadcast(vocab), "shingle")
+        sh.withColumn("h", md5_long(F.col("shingle")))
         .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
+        .agg(F.collect_set("h").alias("sids"))
         .select(F.col(id_col).alias("vid"), "sids")
+        # left and right below both read this relation; the lazy local
+        # checkpoint materializes it once inside the cogroup job
+        # instead of re-running the explode+aggregate per side.
+        .localCheckpoint(eager=False)
     )
     v = doc_sets.withColumn("blk", F.floor(F.col("vid") / block_size).cast("long"))
-    blks = v.select("blk").distinct()
+    # Block domain from a column-pruned min/max scan of the id column
+    # alone — metadata-cheap — rather than a distinct over the
+    # aggregated doc sets (which would recompute them).
+    lo_id, hi_id = docs.agg(F.min(id_col), F.max(id_col)).first()
+    spark = docs.sparkSession
+    if hi_id is None:  # empty corpus: no blocks, empty pair output
+        lo_id = hi_id = 0
+    blks = spark.range(lo_id // block_size, hi_id // block_size + 1).select(
+        F.col("id").alias("blk")
+    )
     pairs = (
         blks.alias("x")
         .join(blks.alias("y"), F.col("x.blk") <= F.col("y.blk"))
@@ -250,10 +273,11 @@ def _jaccard_block_gemm(
             return empty
         la = [np.asarray(x, dtype=np.int64) for x in lpdf["sids"]]
         lb = [np.asarray(x, dtype=np.int64) for x in rpdf["rsids"]]
-        vmax = int(
-            max(max((a[-1] for a in la if len(a)), default=0),
-                max((b[-1] for b in lb if len(b)), default=0))
-        ) + 1
+        # Tile-local dense ids: the union of this tile's hash values,
+        # remapped by binary search — O(nnz log v) with v = the TILE's
+        # vocabulary, independent of any global dictionary.
+        uniq = np.unique(np.concatenate(la + lb))
+        vmax = len(uniq)
         inter = np.zeros((len(la), len(lb)), dtype=np.int64)
         chunk = 1 << 15
         for lo in range(0, vmax, chunk):
@@ -261,10 +285,12 @@ def _jaccard_block_gemm(
             A = np.zeros((len(la), hi - lo), dtype=np.float32)
             B = np.zeros((len(lb), hi - lo), dtype=np.float32)
             for i, s in enumerate(la):
-                seg = s[(s >= lo) & (s < hi)] - lo
+                d = np.searchsorted(uniq, s)
+                seg = d[(d >= lo) & (d < hi)] - lo
                 A[i, seg] = 1.0
             for j, s in enumerate(lb):
-                seg = s[(s >= lo) & (s < hi)] - lo
+                d = np.searchsorted(uniq, s)
+                seg = d[(d >= lo) & (d < hi)] - lo
                 B[j, seg] = 1.0
             # float32 products are exact for counts < 2^24 per chunk
             inter += (A @ B.T).astype(np.int64)
@@ -587,7 +613,10 @@ def connected_components(
             .groupBy(F.col("_w").alias("vertex"))
             .agg(F.min("component").alias("_nbr_min"))
         )
-        new_labels = (
+        # The per-vertex change flag rides inside the checkpointed
+        # frame, so the convergence probe below is a scan of
+        # already-materialized data — one Spark job per round, not two.
+        flagged = (
             labels.join(nbr_min, "vertex", "left")
             .select(
                 "vertex",
@@ -595,18 +624,15 @@ def connected_components(
                     F.col("component"),
                     F.coalesce(F.col("_nbr_min"), F.col("component")),
                 ).alias("component"),
+                (
+                    F.coalesce(F.col("_nbr_min"), F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        # convergence probe: one metadata-scale count per round
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = flagged.select("vertex", "component")
+        if not flagged.filter("_changed").head(1):
             break
     return labels
 

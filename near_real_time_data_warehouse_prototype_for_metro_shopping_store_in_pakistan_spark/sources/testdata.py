@@ -32,16 +32,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects. Read nanos as long and floor-convert to a
-    microsecond timestamp (the data has no sub-microsecond components;
-    DuckDB's TIMESTAMP_NS->TIMESTAMP cast also truncates, so both
-    engines agree)."""
+    """Some testdata generations store ``ts`` as TIMESTAMP(NANOS),
+    which Spark's parquet reader rejects; others store native
+    TIMESTAMP(MICROS). Handle both: read nanos as long and
+    floor-convert to a microsecond timestamp (the data has no
+    sub-microsecond components; DuckDB's TIMESTAMP_NS->TIMESTAMP cast
+    also truncates, so both engines agree), and pass a native
+    timestamp column through untouched."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif not isinstance(ts_type, TimestampType):
+        # TIMESTAMP_NTZ generation: the session timezone is pinned to
+        # UTC (session.get_spark), so the cast relabels the same wall
+        # clock without shifting the stored microseconds.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
