@@ -150,24 +150,57 @@ def bottomk_sketch(
     locality-sensitive fingerprint set (bottom-k of a permutation ≈
     MinHash over one hash function; two docs' sketches overlap in
     proportion to their n-gram Jaccard). Rows: (doc_id, rank, kgram_hash).
-    """
-    from pyspark.sql import Window
 
-    from .dedup import char_shingles
+    Physical plan: ONE Arrow ``mapInPandas`` pass, no shuffle at all.
+    The sketch is a pure per-document function, so instead of
+    exploding ~len(text) shingle rows and aggregating them back
+    (a corpus-sized exchange), each batch computes every n-gram's
+    Rabin-Karp hash as a vectorized sliding-window dot product mod M
+    (codepoints via utf-32 decode — identical fold values to
+    ``functions.text.rolling_hash``) and emits the k smallest distinct
+    hashes directly. At 100 TB this is embarrassingly parallel and
+    shuffle-free; the JVM expression formulation remains available as
+    ``rolling_hash_fixed`` for shingle-level callers."""
+    from collections.abc import Iterator
 
-    # raw (non-distinct) shingles: the hash-level dropDuplicates below
-    # subsumes the per-shingle dedup — one shuffle instead of two.
-    # fixed-length n-grams -> unrolled codegen hash (no interpreted
-    # higher-order functions in this 1M+-row hot path)
-    sh = char_shingles(docs, n, text_col, id_col, distinct=False)
-    hashed = sh.select(
-        id_col, rolling_hash_fixed(F.col("shingle"), n).alias("kgram_hash")
-    ).dropDuplicates([id_col, "kgram_hash"])
-    w = Window.partitionBy(id_col).orderBy("kgram_hash")
-    return (
-        hashed.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "rank", "kgram_hash")
+    import pandas as pd
+
+    from ..functions.text import ROLL_BASE, ROLL_MOD
+
+    # B^{n-1-j} mod M for the window dot product; each term is
+    # < 2^21 (max codepoint) * 2^30 (M) and the n-term sum stays far
+    # below 2^63 — exact int64, same residues as the sequential fold.
+    pows = [pow(ROLL_BASE, n - 1 - j, ROLL_MOD) for j in range(n)]
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pvec = np.asarray(pows, dtype=np.int64)
+        for pdf in batches:
+            ids: list = []
+            ranks: list = []
+            hashes: list = []
+            for did, s in zip(pdf[id_col], pdf[text_col]):
+                if s is None or len(s) < n:
+                    continue
+                c = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                win = np.lib.stride_tricks.sliding_window_view(c, n)
+                bk = np.unique((win @ pvec) % ROLL_MOD)[:k]
+                ids.extend([did] * len(bk))
+                ranks.extend(range(1, len(bk) + 1))
+                hashes.extend(bk)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "rank": pd.Series(ranks, dtype="int32"),
+                    "kgram_hash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        sketch, f"{id_col} long, rank int, kgram_hash long"
     )
 
 
