@@ -150,3 +150,66 @@ def json_property_rollup(events: DataFrame, key: str = "k") -> DataFrame:
         F.min(k).alias("k_min"),
         F.max(k).alias("k_max"),
     )
+
+
+QUANTILE_PCTS = (50, 90, 99)
+
+
+def value_quantiles(
+    events: DataFrame,
+    pcts: tuple[int, ...] = QUANTILE_PCTS,
+    value_col: str = "value",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """EXACT distributed quantiles of the money column per key, by
+    counting rather than sorting rows.
+
+    The classic single-node formulation sorts all rows and indexes into
+    the order — a global sort. Here the rows collapse first to
+    (key, cents) -> count (ONE map-side-combinable aggregate; the
+    shuffled relation is bounded by the number of DISTINCT values, not
+    rows), then a cumulative sum over each key's distinct values turns
+    counts into ranks, and quantile p is the smallest value whose
+    cumulative count reaches rank ceil(p·n/100) (1-based, clamped to
+    >= 1 — verified equal to DuckDB's ``quantile_disc`` for all n).
+    Thresholds use integer arithmetic ((n·p + 99) div 100), never
+    float ceil, so both engines agree at every boundary. At 100 TB the
+    per-key value domain (price points in cents) is orders of
+    magnitude smaller than the row count — the window input is tiny
+    and partitioned by key.
+
+    Rows: (key, pct, n_rows, value_cents, value).
+    """
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    counts = (
+        events.select(F.col(key_col), cents.alias("_c"))
+        .groupBy(key_col, "_c")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    run = Window.partitionBy(key_col).orderBy("_c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("_cum", F.sum("_n").over(run))
+    totals = counts.groupBy(key_col).agg(F.sum("_n").alias("n_rows"))
+    j = cum.join(totals, key_col)
+    q_aggs = []
+    for p in pcts:
+        thr = F.expr(f"greatest((n_rows * {p} + 99) div 100, 1)")
+        q_aggs.append(
+            F.min(F.when(F.col("_cum") >= thr, F.col("_c"))).alias(f"_q{p}")
+        )
+    wide = j.groupBy(key_col, "n_rows").agg(*q_aggs)
+    stack_args = ", ".join(f"{p}, _q{p}" for p in pcts)
+    return wide.select(
+        key_col,
+        "n_rows",
+        F.expr(
+            f"stack({len(pcts)}, {stack_args}) AS (pct, value_cents)"
+        ),
+    ).select(
+        key_col,
+        F.col("pct").cast("int").alias("pct"),
+        "n_rows",
+        "value_cents",
+        (F.col("value_cents") / 100.0).alias("value"),
+    )

@@ -293,3 +293,55 @@ def curation_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
         score.cast("int").alias("quality_score"),
         "text_fp",
     )
+
+
+VOCAB_SIZE = 100
+
+
+def unigram_coverage(
+    docs: DataFrame,
+    vocab_size: int = VOCAB_SIZE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document in-vocabulary coverage against the corpus's own
+    top-``vocab_size`` unigram vocabulary — the OOV-rate signal an LM
+    data pipeline uses to spot noise/code/other-language contamination.
+
+    Plan: ONE token explode feeds both sides — the global term counts
+    (map-side-combinable aggregate; top-V via TakeOrderedAndProject,
+    V rows survive) and the per-doc counter, which left-joins the
+    BROADCAST vocabulary and counts hits and tokens in one aggregate.
+    Token-less documents re-enter via a left join from the corpus
+    (coverage 0). Vocabulary ties break on (count DESC, term ASC) so
+    the boundary is total-ordered. Rows: (doc_id, n_tokens, n_invocab,
+    coverage)."""
+    toks = docs.select(
+        id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .orderBy(F.desc("_tf"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("_inv"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("_inv").alias("n_invocab"),
+        )
+    )
+    n_tok = F.coalesce("n_tokens", F.lit(0)).alias("n_tokens")
+    n_inv = F.coalesce("n_invocab", F.lit(0)).alias("n_invocab")
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        n_tok,
+        n_inv,
+        (
+            F.coalesce("n_invocab", F.lit(0))
+            / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1))
+        ).alias("coverage"),
+    )

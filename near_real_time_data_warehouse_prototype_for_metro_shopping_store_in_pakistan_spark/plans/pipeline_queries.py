@@ -354,6 +354,20 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.kmv_distinct_users(table(spark, sf_dir, "events"))
 
 
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of the money column per event type, via the
+    counting method (distinct-value cumulative ranks) — no global
+    sort; verified equal to DuckDB quantile_disc for every n."""
+    return events.value_quantiles(table(spark, sf_dir, "events"))
+
+
+def text_unigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc in-vocabulary token coverage vs the corpus top-100
+    unigrams (OOV-rate curation signal): one explode, broadcast vocab
+    join, one aggregate."""
+    return text_profile.unigram_coverage(table(spark, sf_dir, "documents"))
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -387,6 +401,8 @@ PIPELINE_QUERIES = {
     "events_json_rollup": events_json_rollup,
     "events_multi_grain_rollup": events_multi_grain_rollup,
     "events_kmv_distinct": events_kmv_distinct,
+    "events_value_quantiles": events_value_quantiles,
+    "text_unigram_coverage": text_unigram_coverage,
 }
 
 
@@ -1179,6 +1195,60 @@ FROM agg
 """
 
 
+# Independent formulation: DuckDB's own quantile_disc over the same
+# integer-cents domain (its discrete-quantile rank semantics equal the
+# Spark side's ceil(p*n/100) counting formulation — property-verified
+# across n with duplicates).
+def _quantiles_oracle() -> str:
+    pcts = events.QUANTILE_PCTS
+    qcols = ",\n           ".join(
+        f"quantile_disc(cents, {p / 100}) AS q{p}" for p in pcts
+    )
+    arms = "\nUNION ALL ".join(
+        f"SELECT event_type, CAST({p} AS INT) AS pct, n_rows, "
+        f"q{p} AS value_cents, q{p} / 100.0 AS value FROM a"
+        for p in pcts
+    )
+    return f"""
+WITH c AS (
+    SELECT event_type, {_VALUE_CENTS} AS cents FROM events
+),
+a AS (
+    SELECT event_type, count(*) AS n_rows,
+           {qcols}
+    FROM c GROUP BY event_type
+)
+{arms}
+"""
+
+
+def _unigram_coverage_oracle() -> str:
+    v = text_profile.VOCAB_SIZE
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_sql_tokens("lower(text)")}) AS term FROM documents
+),
+vocab AS (
+    SELECT term FROM (
+        SELECT term, count(*) AS tf FROM toks GROUP BY term
+        ORDER BY tf DESC, term ASC LIMIT {v}
+    )
+),
+per AS (
+    SELECT doc_id, count(*) AS n_tokens,
+           count(CASE WHEN term IN (SELECT term FROM vocab) THEN 1 END)
+               AS n_invocab
+    FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_invocab, 0) AS n_invocab,
+       COALESCE(p.n_invocab, 0) / greatest(COALESCE(p.n_tokens, 0), 1)
+           AS coverage
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 PIPELINE_ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
@@ -1212,4 +1282,6 @@ PIPELINE_ORACLES = {
     "events_json_rollup": ORACLE_EVENTS_JSON,
     "events_multi_grain_rollup": ORACLE_EVENTS_MULTI_GRAIN,
     "events_kmv_distinct": _kmv_oracle(),
+    "events_value_quantiles": _quantiles_oracle(),
+    "text_unigram_coverage": _unigram_coverage_oracle(),
 }

@@ -1,0 +1,102 @@
+"""Round-4 operators: exact counting quantiles and unigram coverage —
+edge semantics plus plan-shape guards."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+    events,
+    text_profile,
+)
+
+
+def _brute_quantile(vals_cents: list[int], p: int) -> int:
+    s = sorted(vals_cents)
+    r = max((p * len(s) + 99) // 100, 1)
+    return s[r - 1]
+
+
+def test_value_quantiles_match_brute_force(spark):
+    rows = []
+    vals = {"a": [1.00, 2.00, 2.00, 3.50, 9.99], "b": [5.25]}
+    eid = 0
+    for et, vs in vals.items():
+        for v in vs:
+            rows.append((eid, et, float(v)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {
+        (r.event_type, r.pct): (r.n_rows, r.value_cents, r.value)
+        for r in events.value_quantiles(df).collect()
+    }
+    for et, vs in vals.items():
+        cents = [round(v * 100) for v in vs]
+        for p in events.QUANTILE_PCTS:
+            want = _brute_quantile(cents, p)
+            n, vc, val = got[(et, p)]
+            assert n == len(vs)
+            assert vc == want, (et, p)
+            assert val == want / 100.0
+
+
+def test_value_quantiles_single_row_and_duplicates(spark):
+    # n=1: every percentile is the single value; all-equal: likewise
+    df = spark.createDataFrame(
+        [(0, "x", 7.77)] + [(i, "y", 4.00) for i in range(1, 6)],
+        "event_id long, event_type string, value double",
+    )
+    out = events.value_quantiles(df).collect()
+    for r in out:
+        assert r.value_cents == (777 if r.event_type == "x" else 400)
+
+
+def test_value_quantiles_window_is_key_partitioned(spark):
+    """The cumulative-rank window must partition by the key — a global
+    (unpartitioned) window would serialize the distinct-value pass."""
+    df = spark.createDataFrame(
+        [(0, "x", 1.0)], "event_id long, event_type string, value double"
+    )
+    plan = events.value_quantiles(df)._jdf.queryExecution().toString()
+    assert "windowspecdefinition(event_type" in plan
+
+
+def test_unigram_coverage_blank_and_oov_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the the the"),  # fully in-vocab (tiny corpus: all top-100)
+            (1, ""),  # token-less -> coverage 0
+            (2, "   "),  # whitespace-only -> coverage 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text_profile.unigram_coverage(df).collect()}
+    assert got[0].n_tokens == 3 and got[0].n_invocab == 3
+    assert got[0].coverage == 1.0
+    for d in (1, 2):
+        assert got[d].n_tokens == 0
+        assert got[d].n_invocab == 0
+        assert got[d].coverage == 0.0
+
+
+def test_unigram_coverage_vocab_cap_breaks_ties_on_term(spark):
+    # 3 terms, equal counts, vocab_size=2 -> lexicographically first two
+    df = spark.createDataFrame(
+        [(0, "aa bb"), (1, "cc aa bb cc")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in text_profile.unigram_coverage(df, vocab_size=2).collect()
+    }
+    # counts: aa=2 bb=2 cc=2 -> vocab = {aa, bb}
+    assert got[0].n_invocab == 2
+    assert got[1].n_invocab == 2 and got[1].n_tokens == 4
+    assert got[1].coverage == 0.5
+
+
+def test_unigram_coverage_vocab_join_is_broadcast(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = (
+        text_profile.unigram_coverage(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
