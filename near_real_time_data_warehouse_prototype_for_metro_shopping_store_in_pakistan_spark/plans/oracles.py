@@ -295,8 +295,54 @@ ORDER BY total_revenue DESC, store_id
 """
 
 
+# Q14-Q16 extension patterns: the oracle states the declarative
+# EXISTS / NOT EXISTS / window form; Spark executes semi/anti joins
+# and a pre-aggregated ranking window.
+Q14 = """
+SELECT o.o_orderpriority AS order_priority, count(*) AS n_orders
+FROM orders o
+WHERE year(o.o_orderdate) = 1996
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1
+ORDER BY order_priority
+"""
+
+Q15 = """
+SELECT n.n_name AS nation, count(*) AS n_customers,
+       SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) / 100.0 AS acctbal_sum
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+ORDER BY nation
+"""
+
+Q16 = """
+WITH per_part AS (
+    SELECT p.p_brand AS brand, p.p_partkey AS part_id, p.p_name AS part_name,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                    AS BIGINT)) AS rev_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2, 3
+)
+SELECT brand, CAST(rk AS INT) AS part_rank, part_id, part_name,
+       rev_cents / 100.0 AS revenue
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY brand ORDER BY rev_cents DESC, part_id
+    ) AS rk
+    FROM per_part
+)
+WHERE rk <= 3
+ORDER BY brand, part_rank
+"""
+
+
 OLAP_ORACLES = {
     "q13_latest_year_store_sales": Q13,
+    "q14_returned_orders_exists": Q14,
+    "q15_customers_without_orders": Q15,
+    "q16_top_parts_per_brand": Q16,
     "q00_pricing_summary": Q00,
     "q11_shipping_priority": Q11,
     "q12_local_supplier_volume": Q12,

@@ -525,6 +525,108 @@ def q13_latest_year_store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Q14-Q16 — extension patterns the reference lacks outright (SURVEY
+# §2.12 lists semi/anti joins and ranking functions as absent): a
+# correlated-EXISTS semi-join, a NOT-EXISTS anti-join, and a ranking
+# window. They complete the join-type and window-function coverage of
+# the Spark surface on the same TPC-H-ish tables.
+# --------------------------------------------------------------------------
+
+TPCH_EXISTS_YEAR = 1996
+
+
+def q14_returned_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 pattern (EXISTS -> LEFT SEMI join): orders placed in
+    one year with at least one returned line item, counted per order
+    priority. The semi-join keeps the orders scan at one row per match
+    regardless of how many lines matched."""
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.year("o_orderdate") == TPCH_EXISTS_YEAR)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    returned = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("order_priority")
+    )
+
+
+def q15_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> LEFT ANTI join: per nation, customers who never
+    placed an order, with their combined account balance (integer
+    cents). The anti-join is the same set-at-a-time primitive the
+    insert-if-absent sink uses (SURVEY §2.3 note)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    bal_cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(bal_cents) / 100.0).alias("acctbal_sum"),
+        )
+        .orderBy("nation")
+    )
+
+
+TOP_PARTS_PER_BRAND = 3
+
+
+def q16_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (row_number per group): top-3 revenue parts
+    within each brand. Pre-aggregation bounds the window input to one
+    row per (brand, part); ties break on part id so the rank is
+    total-ordered."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_name"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_partkey").alias("part_id"),
+            F.col("p_name").alias("part_name"),
+        )
+        .agg(F.sum(cents).alias("_rev_cents"))
+    )
+    w = Window.partitionBy("brand").orderBy(
+        F.desc("_rev_cents"), F.asc("part_id")
+    )
+    return (
+        per_part.withColumn("part_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("part_rank") <= TOP_PARTS_PER_BRAND)
+        .select(
+            "brand",
+            "part_rank",
+            "part_id",
+            "part_name",
+            (F.col("_rev_cents") / 100.0).alias("revenue"),
+        )
+        .orderBy("brand", "part_rank")
+    )
+
+
 OLAP_QUERIES = {
     "q00_pricing_summary": q00_pricing_summary,
     "q01_weekend_top_products": q01_weekend_top_products,
@@ -541,4 +643,7 @@ OLAP_QUERIES = {
     "q11_shipping_priority": q11_shipping_priority,
     "q12_local_supplier_volume": q12_local_supplier_volume,
     "q13_latest_year_store_sales": q13_latest_year_store_sales,
+    "q14_returned_orders_exists": q14_returned_orders_exists,
+    "q15_customers_without_orders": q15_customers_without_orders,
+    "q16_top_parts_per_brand": q16_top_parts_per_brand,
 }

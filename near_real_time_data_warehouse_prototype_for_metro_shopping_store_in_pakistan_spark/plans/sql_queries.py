@@ -250,4 +250,48 @@ SQL_QUERIES: dict[str, str] = {
         GROUP BY store_id, store_name
         ORDER BY total_revenue DESC, store_id
     """,
+    # Q14-Q16: Spark SQL's own correlated EXISTS / NOT EXISTS (planned
+    # as semi/anti joins) and ranking window — the declarative twins of
+    # the q14-q16 DataFrame builders.
+    "q14_returned_orders_exists": """
+        SELECT o.o_orderpriority AS order_priority, count(*) AS n_orders
+        FROM orders o
+        WHERE year(o.o_orderdate) = 1996
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY 1
+        ORDER BY order_priority
+    """,
+    "q15_customers_without_orders": """
+        SELECT /*+ BROADCAST(n) */ n.n_name AS nation,
+               count(*) AS n_customers,
+               SUM(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) / 100.0D
+                   AS acctbal_sum
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1
+        ORDER BY nation
+    """,
+    "q16_top_parts_per_brand": """
+        WITH per_part AS (
+            SELECT /*+ BROADCAST(p) */ p.p_brand AS brand,
+                   p.p_partkey AS part_id, p.p_name AS part_name,
+                   SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100,
+                                  0) AS BIGINT)) AS rev_cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2, 3
+        )
+        SELECT brand, CAST(rk AS INT) AS part_rank, part_id, part_name,
+               rev_cents / 100.0D AS revenue
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY brand ORDER BY rev_cents DESC, part_id
+            ) AS rk
+            FROM per_part
+        )
+        WHERE rk <= 3
+        ORDER BY brand, part_rank
+    """,
 }
