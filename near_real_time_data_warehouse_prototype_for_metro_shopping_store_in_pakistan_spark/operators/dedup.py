@@ -686,3 +686,65 @@ def simhash_fingerprints(
         F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0) for b in range(bits)
     )
     return sums.select(id_col, fingerprint.cast("long").alias("simhash"))
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    min_overlap: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share at
+    least ``min_overlap`` distinct character ``n``-grams with an
+    evaluation set — the standard leakage guard an LLM training
+    pipeline runs before a corpus ships.
+
+    Plan shape (the 100 TB asymmetry is the point): the EVAL side is
+    small by construction, so its distinct gram-hash set broadcasts;
+    the corpus side is one distinct-(doc, gram) pass joined against
+    that broadcast and one map-side-combinable count aggregate — the
+    corpus is never shuffled against itself. Gram identity is the
+    60-bit md5 prefix (same collision bound as the Jaccard GEMM path).
+    Rows: (doc_id, n_grams, n_overlap, contaminated) for EVERY corpus
+    doc (gram-less short docs included with zero counts); eval members
+    themselves are never flagged.
+    """
+    grams = (
+        char_shingles(docs, n, text_col, id_col, distinct=False)
+        .select(id_col, md5_long(F.col("shingle")).alias("_g"))
+        .dropDuplicates([id_col, "_g"])
+    )
+    eval_grams = (
+        char_shingles(eval_docs, n, text_col, id_col, distinct=False)
+        .select(md5_long(F.col("shingle")).alias("_g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        grams.join(F.broadcast(eval_grams), "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_overlap"),
+        )
+    )
+    eval_ids = eval_docs.select(F.col(id_col), F.lit(True).alias("_is_eval"))
+    n_grams = F.coalesce("n_grams", F.lit(0)).alias("n_grams")
+    n_over = F.coalesce("n_overlap", F.lit(0)).alias("n_overlap")
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .join(F.broadcast(eval_ids), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_is_eval", F.lit(False)).alias("is_eval"),
+            n_grams,
+            n_over,
+            (
+                ~F.coalesce("_is_eval", F.lit(False))
+                & (F.coalesce("n_overlap", F.lit(0)) >= min_overlap)
+            ).alias("contaminated"),
+        )
+    )

@@ -361,6 +361,24 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.value_quantiles(table(spark, sf_dir, "events"))
 
 
+EVAL_RATE = 0.05
+DECONTAM_NGRAM = 8
+DECONTAM_MIN_OVERLAP = 10
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage guard: a deterministic 5% hash split of the
+    corpus stands in as the evaluation set; every doc is scored by how
+    many distinct 8-grams it shares with that set, and non-eval docs
+    crossing DECONTAM_MIN_OVERLAP are flagged. Eval grams broadcast —
+    the corpus is never self-joined."""
+    docs = table(spark, sf_dir, "documents")
+    eval_docs = partitioning.hash_sample(docs, "doc_id", EVAL_RATE, salt="eval")
+    return dedup.ngram_decontaminate(
+        docs, eval_docs, n=DECONTAM_NGRAM, min_overlap=DECONTAM_MIN_OVERLAP
+    )
+
+
 def text_unigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc in-vocabulary token coverage vs the corpus top-100
     unigrams (OOV-rate curation signal): one explode, broadcast vocab
@@ -403,6 +421,7 @@ PIPELINE_QUERIES = {
     "events_kmv_distinct": events_kmv_distinct,
     "events_value_quantiles": events_value_quantiles,
     "text_unigram_coverage": text_unigram_coverage,
+    "corpus_decontaminate": corpus_decontaminate,
 }
 
 
@@ -1249,6 +1268,37 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def _decontaminate_oracle() -> str:
+    n = DECONTAM_NGRAM
+    denom = partitioning.SAMPLE_DENOM
+    eval_hash = _sql_md5_long("CAST(doc_id AS VARCHAR) || '|eval'")
+    is_eval = f"{eval_hash} % {denom} < {int(EVAL_RATE * denom)}"
+    return f"""
+WITH g AS (
+    SELECT DISTINCT doc_id, {_sql_md5_long("shingle")} AS gh FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, length(text) - {n - 1}),
+                                     i -> substr(text, i, {n}))) AS shingle
+        FROM documents WHERE length(text) >= {n}
+    )
+),
+ev AS (SELECT DISTINCT gh FROM g WHERE {is_eval.replace("doc_id", "g.doc_id")}),
+per AS (
+    SELECT doc_id, count(*) AS n_grams,
+           count(CASE WHEN gh IN (SELECT gh FROM ev) THEN 1 END) AS n_overlap
+    FROM g GROUP BY doc_id
+)
+SELECT d.doc_id,
+       ({is_eval.replace("doc_id", "d.doc_id")}) AS is_eval,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_overlap, 0) AS n_overlap,
+       (NOT ({is_eval.replace("doc_id", "d.doc_id")}))
+           AND COALESCE(p.n_overlap, 0) >= {DECONTAM_MIN_OVERLAP}
+           AS contaminated
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 PIPELINE_ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
@@ -1284,4 +1334,5 @@ PIPELINE_ORACLES = {
     "events_kmv_distinct": _kmv_oracle(),
     "events_value_quantiles": _quantiles_oracle(),
     "text_unigram_coverage": _unigram_coverage_oracle(),
+    "corpus_decontaminate": _decontaminate_oracle(),
 }

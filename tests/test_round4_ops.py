@@ -100,3 +100,48 @@ def test_unigram_coverage_vocab_join_is_broadcast(spark):
         text_profile.unigram_coverage(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_decontaminate_flags_only_noneval_overlap(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),  # eval member
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact leak
+            (2, "completely different text with no shared grams here"),
+            (3, "tiny"),  # shorter than n -> zero grams
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = corpus.filter("doc_id = 0")
+    got = {
+        r.doc_id: r
+        for r in dedup.ngram_decontaminate(
+            corpus, eval_docs, n=8, min_overlap=5
+        ).collect()
+    }
+    assert got[0].is_eval and not got[0].contaminated  # eval never flagged
+    assert got[1].contaminated and got[1].n_overlap == got[1].n_grams
+    assert not got[2].contaminated and got[2].n_overlap == 0
+    assert got[3].n_grams == 0 and not got[3].contaminated
+
+
+def test_ngram_decontaminate_eval_grams_broadcast(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "abcdefghij klmnop"), (1, "zyxwvutsrq ponml")],
+        "doc_id long, text string",
+    )
+    plan = (
+        dedup.ngram_decontaminate(corpus, corpus.filter("doc_id = 0"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
