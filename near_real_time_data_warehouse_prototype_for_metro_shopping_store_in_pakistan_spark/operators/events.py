@@ -182,7 +182,12 @@ def value_quantiles(
     """
     cents = F.round(F.col(value_col) * 100, 0).cast("long")
     counts = (
-        events.select(F.col(key_col), cents.alias("_c"))
+        # NULL money values are excluded from both ranks and n_rows —
+        # the same semantic as SQL discrete-quantile aggregates
+        # (DuckDB quantile_disc ignores NULLs); a NULL would otherwise
+        # sort first and could be emitted as a "quantile".
+        events.filter(F.col(value_col).isNotNull())
+        .select(F.col(key_col), cents.alias("_c"))
         .groupBy(key_col, "_c")
         .agg(F.count(F.lit(1)).alias("_n"))
     )

@@ -1231,6 +1231,7 @@ def _quantiles_oracle() -> str:
     return f"""
 WITH c AS (
     SELECT event_type, {_VALUE_CENTS} AS cents FROM events
+    WHERE value IS NOT NULL
 ),
 a AS (
     SELECT event_type, count(*) AS n_rows,

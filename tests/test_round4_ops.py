@@ -145,3 +145,14 @@ def test_ngram_decontaminate_eval_grams_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_value_quantiles_ignore_null_values(spark):
+    df = spark.createDataFrame(
+        [(0, "x", 1.0), (1, "x", None), (2, "x", 3.0)],
+        "event_id long, event_type string, value double",
+    )
+    out = {r.pct: r for r in events.value_quantiles(df).collect()}
+    assert out[50].n_rows == 2  # the NULL row is not ranked or counted
+    assert out[50].value_cents == 100
+    assert out[99].value_cents == 300
