@@ -180,17 +180,36 @@ def value_quantiles(
 
     Rows: (key, pct, n_rows, value_cents, value).
     """
+    return quantiles_from_counts(value_counts(events, value_col, key_col), pcts, key_col)
+
+
+def value_counts(
+    events: DataFrame, value_col: str = "value", key_col: str = "event_type"
+) -> DataFrame:
+    """(key, _c cents, _n count) — the sufficient statistic for exact
+    discrete quantiles. NULL money values are excluded from both ranks
+    and n_rows — the same semantic as SQL discrete-quantile aggregates
+    (DuckDB quantile_disc ignores NULLs); a NULL would otherwise sort
+    first and could be emitted as a "quantile". The relation is
+    MERGEABLE (counts add), which is what makes the streaming twin in
+    ``streaming.quantiles`` incremental."""
     cents = F.round(F.col(value_col) * 100, 0).cast("long")
-    counts = (
-        # NULL money values are excluded from both ranks and n_rows —
-        # the same semantic as SQL discrete-quantile aggregates
-        # (DuckDB quantile_disc ignores NULLs); a NULL would otherwise
-        # sort first and could be emitted as a "quantile".
+    return (
         events.filter(F.col(value_col).isNotNull())
         .select(F.col(key_col), cents.alias("_c"))
         .groupBy(key_col, "_c")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
+
+
+def quantiles_from_counts(
+    counts: DataFrame,
+    pcts: tuple[int, ...] = QUANTILE_PCTS,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Rank-and-pick stage shared by the batch and streaming quantile
+    paths: cumulative counts over each key's distinct values, smallest
+    value whose rank reaches the integer ceil threshold per pct."""
     run = Window.partitionBy(key_col).orderBy("_c").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
