@@ -176,20 +176,29 @@ def jaccard_similar_pairs(
       regardless of density.
     """
     if strategy == "auto":
-        # column-stats probe on a deterministic sample: mean document
-        # frequency estimates overlap density at ~1/10 the scan cost
-        # (the sampled mean-df underestimates the full corpus's, so it
-        # is a conservative switch toward the sparse path)
-        sample_frac = 0.1
-        probe = docs.sample(fraction=sample_frac, seed=42)
-        sh = char_shingles(probe, n, text_col, id_col)
+        # O(1) column-stats probe, corpus-size independent: corpus
+        # row count from a count() (metadata-only on parquet) and
+        # overlap density from a LIMIT-bounded shingle scan (reads a
+        # couple of row groups, never the corpus). Full-corpus mean
+        # document frequency extrapolates as
+        # n_docs · shingles-per-doc / vocab — exact when the
+        # vocabulary saturates in the probe (char-n-grams; the dense
+        # regime this stat exists to detect) and an overestimate for
+        # still-growing vocabularies, where the GEMM_MAX_DOCS bound
+        # caps the blast radius of picking the dense path.
+        probe_docs = 2_000
+        est_docs = docs.count()
+        sh = char_shingles(docs.limit(probe_docs), n, text_col, id_col)
         stats = sh.agg(
             F.count(F.lit(1)).alias("rows"),
             F.approx_count_distinct("shingle").alias("vocab"),
             F.approx_count_distinct(id_col).alias("docs"),
         ).first()
-        avg_df = stats["rows"] / max(stats["vocab"], 1)
-        est_docs = stats["docs"] / sample_frac
+        if stats["docs"]:
+            per_doc = stats["rows"] / stats["docs"]
+            avg_df = est_docs * per_doc / max(stats["vocab"], 1)
+        else:
+            avg_df = 0.0
         strategy = _pick_jaccard_strategy(avg_df, est_docs)
     if strategy == "block_gemm":
         return _jaccard_block_gemm(docs, n, threshold, text_col, id_col)

@@ -156,3 +156,36 @@ def test_value_quantiles_ignore_null_values(spark):
     assert out[50].n_rows == 2  # the NULL row is not ranked or counted
     assert out[50].value_cents == 100
     assert out[99].value_cents == 300
+
+
+def test_value_quantiles_property_vs_brute_force(spark):
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.integers(min_value=-10_000, max_value=10_000),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(rows):
+        df = spark.createDataFrame(
+            [(i, k, c / 100.0) for i, (k, c) in enumerate(rows)],
+            "event_id long, event_type string, value double",
+        )
+        got = {
+            (r.event_type, r.pct): r.value_cents
+            for r in events.value_quantiles(df).collect()
+        }
+        by_key: dict = {}
+        for k, c in rows:
+            by_key.setdefault(k, []).append(c)
+        for k, vals in by_key.items():
+            for p in events.QUANTILE_PCTS:
+                assert got[(k, p)] == _brute_quantile(vals, p), (k, p, vals)
+
+    check()
