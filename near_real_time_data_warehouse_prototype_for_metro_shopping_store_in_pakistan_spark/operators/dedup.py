@@ -711,49 +711,87 @@ def ngram_decontaminate(
     pipeline runs before a corpus ships.
 
     Plan shape (the 100 TB asymmetry is the point): the EVAL side is
-    small by construction, so its distinct gram-hash set broadcasts;
-    the corpus side is one distinct-(doc, gram) pass joined against
-    that broadcast and one map-side-combinable count aggregate — the
-    corpus is never shuffled against itself. Gram identity is the
-    60-bit md5 prefix (same collision bound as the Jaccard GEMM path).
-    Rows: (doc_id, n_grams, n_overlap, contaminated) for EVERY corpus
-    doc (gram-less short docs included with zero counts); eval members
-    themselves are never flagged.
+    benchmark-sized by definition, so its distinct gram-hash set is
+    collected once and broadcast to the workers; the corpus side is a
+    single shuffle-free Arrow ``mapInPandas`` pass that builds each
+    document's distinct gram set and intersects it with the broadcast
+    set (vectorized ``np.isin``) — the corpus is never exchanged at
+    all, not even a dropDuplicates. Gram identity is the 60-bit md5
+    prefix (same collision bound as the Jaccard GEMM path; hashing in
+    Python matches Spark's ``md5`` and DuckDB's byte-for-byte on
+    utf-8). Rows: (doc_id, is_eval, n_grams, n_overlap, contaminated)
+    for EVERY corpus doc (gram-less short docs included with zero
+    counts); eval members themselves are never flagged.
     """
-    grams = (
-        char_shingles(docs, n, text_col, id_col, distinct=False)
-        .select(id_col, md5_long(F.col("shingle")).alias("_g"))
-        .dropDuplicates([id_col, "_g"])
-    )
-    eval_grams = (
+    import hashlib
+
+    eval_grams_rows = (
         char_shingles(eval_docs, n, text_col, id_col, distinct=False)
         .select(md5_long(F.col("shingle")).alias("_g"))
         .distinct()
-        .withColumn("_hit", F.lit(1))
+        .collect()
     )
-    per_doc = (
-        grams.join(F.broadcast(eval_grams), "_g", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count("_hit").alias("n_overlap"),
-        )
+    eval_ids_rows = eval_docs.select(id_col).collect()
+    spark = docs.sparkSession
+    bc_grams = spark.sparkContext.broadcast(
+        sorted(r["_g"] for r in eval_grams_rows)
     )
-    eval_ids = eval_docs.select(F.col(id_col), F.lit(True).alias("_is_eval"))
-    n_grams = F.coalesce("n_grams", F.lit(0)).alias("n_grams")
-    n_over = F.coalesce("n_overlap", F.lit(0)).alias("n_overlap")
-    return (
-        docs.select(id_col)
-        .join(per_doc, id_col, "left")
-        .join(F.broadcast(eval_ids), id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("_is_eval", F.lit(False)).alias("is_eval"),
-            n_grams,
-            n_over,
-            (
-                ~F.coalesce("_is_eval", F.lit(False))
-                & (F.coalesce("n_overlap", F.lit(0)) >= min_overlap)
-            ).alias("contaminated"),
-        )
+    bc_eval_ids = spark.sparkContext.broadcast(
+        frozenset(r[id_col] for r in eval_ids_rows)
+    )
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ev = np.asarray(bc_grams.value, dtype=np.int64)
+        ev_ids = bc_eval_ids.value
+        for pdf in batches:
+            ids, evflag, ng, no, flag = [], [], [], [], []
+            for did, s in zip(pdf[id_col], pdf[text_col]):
+                if s is None or len(s) < n:
+                    hashes = np.empty(0, dtype=np.int64)
+                else:
+                    grams = {s[i : i + n] for i in range(len(s) - n + 1)}
+                    # unique at the HASH level (not just gram strings)
+                    # to mirror the oracle's DISTINCT over hash values
+                    hashes = np.unique(
+                        np.fromiter(
+                            (
+                                int(
+                                    hashlib.md5(
+                                        g.encode("utf-8")
+                                    ).hexdigest()[:15],
+                                    16,
+                                )
+                                for g in grams
+                            ),
+                            dtype=np.int64,
+                            count=len(grams),
+                        )
+                    )
+                overlap = int(np.isin(hashes, ev, assume_unique=True).sum())
+                is_ev = did in ev_ids
+                ids.append(did)
+                evflag.append(is_ev)
+                ng.append(len(hashes))
+                no.append(overlap)
+                flag.append((not is_ev) and overlap >= min_overlap)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "is_eval": pd.Series(evflag, dtype="bool"),
+                    "n_grams": pd.Series(ng, dtype="int64"),
+                    "n_overlap": pd.Series(no, dtype="int64"),
+                    "contaminated": pd.Series(flag, dtype="bool"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        score,
+        f"{id_col} long, is_eval boolean, n_grams long, n_overlap long,"
+        " contaminated boolean",
     )

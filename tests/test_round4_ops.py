@@ -129,7 +129,10 @@ def test_ngram_decontaminate_flags_only_noneval_overlap(spark):
     assert got[3].n_grams == 0 and not got[3].contaminated
 
 
-def test_ngram_decontaminate_eval_grams_broadcast(spark):
+def test_ngram_decontaminate_corpus_side_is_shuffle_free(spark):
+    """The corpus must never be exchanged: eval grams ride a broadcast
+    variable into one Arrow map pass, so the executed plan contains no
+    Exchange and no join at all."""
     from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
         dedup,
     )
@@ -144,7 +147,8 @@ def test_ngram_decontaminate_eval_grams_broadcast(spark):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
 
 
 def test_value_quantiles_ignore_null_values(spark):
