@@ -193,3 +193,47 @@ def test_value_quantiles_property_vs_brute_force(spark):
                 assert got[(k, p)] == _brute_quantile(vals, p), (k, p, vals)
 
     check()
+
+
+def test_streaming_decontaminate_equals_batch(spark, sf_dir, tmp_path):
+    """ngram_decontaminate is a stateless Arrow map over the corpus
+    (the eval set rides a broadcast variable), so the same operator
+    serves streaming corpus ingestion unchanged."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        dedup,
+        partitioning,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.testdata import (
+        table,
+    )
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    eval_docs = partitioning.hash_sample(docs, "doc_id", 0.05, salt="eval")
+    stream_dir = str(tmp_path / "docs")
+    docs.coalesce(2).write.parquet(stream_dir)
+
+    batch_rows = sorted(
+        tuple(r) for r in dedup.ngram_decontaminate(docs, eval_docs).collect()
+    )
+    stream_docs = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    scored = dedup.ngram_decontaminate(stream_docs, eval_docs)
+    q = (
+        scored.writeStream.option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("decontam_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = sorted(
+        tuple(r) for r in spark.table("decontam_stream").collect()
+    )
+    assert stream_rows == batch_rows
+    assert len(stream_rows) == 200
