@@ -11,7 +11,9 @@ on master data (src/Meshjoin.java:108-117, a HashSet) — both are
   bounded by shingle-bucket joins),
 - MinHash + LSH banding (the scale path: candidates only collide in
   O(#bands) buckets, no all-pairs),
-- SimHash fingerprints (constant-size signature per doc).
+- SimHash fingerprints (constant-size signature per doc),
+- n-gram benchmark decontamination (broadcast eval grams, the corpus
+  side shuffle-free).
 
 All hashing uses the portable md5-prefix hash (functions.text.md5_long)
 so every operator has an exact DuckDB oracle. Determinism: all
@@ -166,14 +168,14 @@ def jaccard_similar_pairs(
     - ``shingle_join``: PPJoin-style prefix-filtered bucket join —
       the classic sparse-overlap path (big vocab, rare collisions),
       where the dictionary-dense matrix would be wasteful.
-    - ``auto`` (default): one cheap aggregate over the shingle
-      relation measures mean document frequency (rows / distinct
-      shingles) and estimated corpus size, then picks the strategy —
-      the same cost-based physical-plan choice an optimizer would make
-      from column stats. Corpus size is a hard bound: block_gemm
-      replicates the corpus O(#blocks) times, so above
-      ``GEMM_MAX_DOCS`` the prefix-filtered join always wins
-      regardless of density.
+    - ``auto`` (default): an O(1) probe — corpus row count (metadata
+      on parquet) plus a LIMIT-bounded shingle aggregate — estimates
+      mean document frequency and picks the strategy, the same
+      cost-based physical-plan choice an optimizer would make from
+      column stats, at a cost independent of corpus size. Corpus size
+      is a hard bound: block_gemm replicates the corpus O(#blocks)
+      times, so above ``GEMM_MAX_DOCS`` the prefix-filtered join
+      always wins regardless of density.
     """
     if strategy == "auto":
         # O(1) column-stats probe, corpus-size independent: corpus
