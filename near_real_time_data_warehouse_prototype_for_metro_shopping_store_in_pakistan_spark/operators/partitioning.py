@@ -200,3 +200,83 @@ def shard_assignments(
     rnd = F.floor(F.col("_grank") / n_shards)
     shard = F.when(rnd % 2 == 0, pos).otherwise(n_shards - 1 - pos)
     return ranked.withColumn("shard", shard.cast("int")).drop("_grank")
+
+
+def prefix_sums(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Exact global running SUM of ``value_col`` in ``order_cols``
+    order (must be a TOTAL order — include a tie-break key) without a
+    single-partition window: the distributed prefix-sum (scan).
+
+    Same shape as ``global_row_numbers``: repartitionByRange gives
+    globally ordered partition ranges, each partition cumsums locally
+    (parallel windows), and the per-partition VALUE TOTALS (≤
+    ``num_partitions`` rows) become broadcast offsets via a
+    metadata-scale running sum. The result is invariant to where the
+    range sampler drew its boundaries because offsets accumulate in
+    range order.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    local = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_cum",
+            F.sum(value_col).over(
+                Window.partitionBy("_pid")
+                .orderBy(*cols)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    sums = local.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
+    prior = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        "_pid", F.coalesce(F.sum("_tot").over(prior), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_cum") + F.col("_off")).cast("long"))
+        .drop("_pid", "_cum", "_off")
+    )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data mixing under a token budget: walk documents from highest
+    quality down (ties on id) and keep them while the running token
+    total stays within ``budget_tokens`` — the standard
+    "best N tokens" curation cut.
+
+    The running total is the distributed ``prefix_sums`` scan, so the
+    selection needs no single-partition window and no driver loop at
+    any corpus size. Every doc is returned with its running total and
+    a ``selected`` flag (the budget cut is a filter away).
+    """
+    from .text_profile import quality_scores
+
+    scored = quality_scores(docs, text_col).select(
+        id_col, "n_tokens", "quality_score"
+    )
+    cum = prefix_sums(
+        scored,
+        [F.col("quality_score").desc(), F.col(id_col).asc()],
+        "n_tokens",
+        out_col="cum_tokens",
+    )
+    return cum.select(
+        id_col,
+        "quality_score",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "cum_tokens",
+        (F.col("cum_tokens") <= budget_tokens).alias("selected"),
+    )

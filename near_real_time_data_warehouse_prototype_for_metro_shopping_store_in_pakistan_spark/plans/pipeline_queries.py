@@ -364,6 +364,18 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVAL_RATE = 0.05
 DECONTAM_NGRAM = 8
 DECONTAM_MIN_OVERLAP = 10
+TOKEN_BUDGET = 2_000
+
+
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-tokens-first curation cut: every doc with its running token
+    total in (quality DESC, id) order and a selected flag while the
+    total stays within TOKEN_BUDGET. The running total is the
+    distributed prefix-sum (range partitions + local cumsums +
+    broadcast offsets) — no single-partition window."""
+    return partitioning.token_budget_select(
+        table(spark, sf_dir, "documents"), TOKEN_BUDGET
+    )
 
 
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,6 +434,7 @@ PIPELINE_QUERIES = {
     "events_value_quantiles": events_value_quantiles,
     "text_unigram_coverage": text_unigram_coverage,
     "corpus_decontaminate": corpus_decontaminate,
+    "corpus_token_budget": corpus_token_budget,
 }
 
 
@@ -1269,6 +1282,47 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def _token_budget_oracle() -> str:
+    """Same quality fragments as ``_quality_oracle``; the running
+    token total is stated as the naive global-order window SUM —
+    Spark computes the identical totals with the distributed
+    prefix-sum."""
+    stops = _sql_in_list(ENGLISH_STOPWORDS)
+    return f"""
+WITH t AS (
+    SELECT doc_id, text, {_sql_tokens("lower(text)")} AS toks FROM documents
+),
+c AS (
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           {_PUNCT} AS n_punct,
+           CAST(len(list_filter(toks, x -> x IN ({stops}))) AS INT) AS stop_hits
+    FROM t
+),
+q AS (
+    SELECT doc_id, n_tokens,
+           CAST((CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 40 ELSE 0 END)
+              + (CASE WHEN n_punct / greatest(n_chars, 1) <= 0.1 THEN 30 ELSE 0 END)
+              + (CASE WHEN stop_hits / greatest(n_tokens, 1) >= 0.02 THEN 30 ELSE 0 END)
+             AS INT) AS quality_score
+    FROM c
+),
+runs AS (
+    SELECT doc_id, quality_score,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tokens) OVER (
+               ORDER BY quality_score DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens
+    FROM q
+)
+SELECT doc_id, quality_score, n_tokens, cum_tokens,
+       cum_tokens <= {TOKEN_BUDGET} AS selected
+FROM runs
+"""
+
+
 def _decontaminate_oracle() -> str:
     n = DECONTAM_NGRAM
     denom = partitioning.SAMPLE_DENOM
@@ -1336,4 +1390,5 @@ PIPELINE_ORACLES = {
     "events_value_quantiles": _quantiles_oracle(),
     "text_unigram_coverage": _unigram_coverage_oracle(),
     "corpus_decontaminate": _decontaminate_oracle(),
+    "corpus_token_budget": _token_budget_oracle(),
 }

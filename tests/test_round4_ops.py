@@ -237,3 +237,68 @@ def test_streaming_decontaminate_equals_batch(spark, sf_dir, tmp_path):
     )
     assert stream_rows == batch_rows
     assert len(stream_rows) == 200
+
+
+def test_prefix_sums_match_naive_cumsum(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        partitioning,
+    )
+
+    rows = [(i, (i * 37) % 11, (i * 13) % 7 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k long, v long")
+    out = {
+        r.id: r.cum
+        for r in partitioning.prefix_sums(
+            df, [F.col("k").asc(), F.col("id").asc()], "v", num_partitions=7
+        ).collect()
+    }
+    run = 0
+    for i, k, v in sorted(rows, key=lambda r: (r[1], r[0])):
+        run += v
+        assert out[i] == run, i
+
+
+def test_prefix_sums_plan_has_no_global_window(spark):
+    import contextlib
+    import io
+
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        partitioning,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "id long, v long")
+    out = partitioning.prefix_sums(df, ["id"], "v")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    for line in buf.getvalue().splitlines():
+        # every full-data window must be keyed by the range-partition
+        # id; only the metadata-scale offset window is global
+        if "windowspecdefinition" in line and "_pid" not in line:
+            assert "_tot" in line, f"global window over data rows: {line}"
+
+
+def test_token_budget_select_is_a_quality_prefix(spark, sf_dir):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        partitioning,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.testdata import (
+        table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    budget = 1_500
+    rows = partitioning.token_budget_select(docs, budget).collect()
+    order = sorted(rows, key=lambda r: (-r.quality_score, r.doc_id))
+    run = 0
+    flipped = False
+    for r in order:
+        run += r.n_tokens
+        assert r.cum_tokens == run
+        assert r.selected == (run <= budget)
+        if not r.selected:
+            flipped = True
+        else:
+            assert not flipped, "selection must be a prefix of the order"
+    assert any(r.selected for r in rows)
+    assert any(not r.selected for r in rows)
