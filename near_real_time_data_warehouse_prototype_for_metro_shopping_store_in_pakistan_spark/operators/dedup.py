@@ -180,27 +180,39 @@ def jaccard_similar_pairs(
     if strategy == "auto":
         # O(1) column-stats probe, corpus-size independent: corpus
         # row count from a count() (metadata-only on parquet) and
-        # overlap density from a LIMIT-bounded shingle scan (reads a
-        # couple of row groups, never the corpus). Full-corpus mean
-        # document frequency extrapolates as
-        # n_docs · shingles-per-doc / vocab — exact when the
-        # vocabulary saturates in the probe (char-n-grams; the dense
-        # regime this stat exists to detect) and an overestimate for
-        # still-growing vocabularies, where the GEMM_MAX_DOCS bound
-        # caps the blast radius of picking the dense path.
+        # overlap density from LIMIT-bounded shingle scans (a couple
+        # of row groups, never the corpus). Full-corpus mean document
+        # frequency extrapolates as n_docs · shingles-per-doc / vocab
+        # — exact only when the probe's vocabulary has SATURATED
+        # (char-n-grams; the dense regime this stat exists to detect).
+        # A still-growing vocabulary would make the extrapolation
+        # overshoot and mis-route a sparse corpus onto the
+        # corpus-replicating GEMM, so a half-vs-full vocab comparison
+        # guards it: if the second thousand probe docs still grew the
+        # vocabulary materially, density is NOT trusted and the
+        # prefix-filtered join (safe at any scale) is chosen.
         probe_docs = 2_000
         est_docs = docs.count()
-        sh = char_shingles(docs.limit(probe_docs), n, text_col, id_col)
-        stats = sh.agg(
+        probe = docs.limit(probe_docs)
+        half_vocab = (
+            char_shingles(docs.limit(probe_docs // 2), n, text_col, id_col)
+            .agg(F.approx_count_distinct("shingle").alias("v"))
+            .first()["v"]
+        )
+        stats = char_shingles(probe, n, text_col, id_col).agg(
             F.count(F.lit(1)).alias("rows"),
             F.approx_count_distinct("shingle").alias("vocab"),
             F.approx_count_distinct(id_col).alias("docs"),
         ).first()
-        if stats["docs"]:
+        saturated = (
+            est_docs <= probe_docs  # probe saw everything: stats exact
+            or stats["vocab"] <= half_vocab * 1.15
+        )
+        if stats["docs"] and saturated:
             per_doc = stats["rows"] / stats["docs"]
             avg_df = est_docs * per_doc / max(stats["vocab"], 1)
         else:
-            avg_df = 0.0
+            avg_df = 0.0  # growing vocab: force the sparse path
         strategy = _pick_jaccard_strategy(avg_df, est_docs)
     if strategy == "block_gemm":
         return _jaccard_block_gemm(docs, n, threshold, text_col, id_col)
@@ -247,15 +259,17 @@ def _jaccard_block_gemm(
         .localCheckpoint(eager=False)
     )
     v = doc_sets.withColumn("blk", F.floor(F.col("vid") / block_size).cast("long"))
-    # Block domain from a column-pruned min/max scan of the id column
-    # alone — metadata-cheap — rather than a distinct over the
-    # aggregated doc sets (which would recompute them).
-    lo_id, hi_id = docs.agg(F.min(id_col), F.max(id_col)).first()
-    spark = docs.sparkSession
-    if hi_id is None:  # empty corpus: no blocks, empty pair output
-        lo_id = hi_id = 0
-    blks = spark.range(lo_id // block_size, hi_id // block_size + 1).select(
-        F.col("id").alias("blk")
+    # Block domain from the OCCUPIED blocks of the raw id column — a
+    # column-pruned scan of ids only (never the aggregated doc sets),
+    # bounded by document count. Deriving it from the id min/max RANGE
+    # instead would explode for sparse id domains (epoch-millis or
+    # snowflake-style ids span ~1e12 — that range div block_size is
+    # ~1e9 phantom blocks and a ~1e18-pair block join).
+    blks = (
+        docs.select(
+            F.floor(F.col(id_col) / block_size).cast("long").alias("blk")
+        )
+        .distinct()
     )
     pairs = (
         blks.alias("x")
@@ -699,13 +713,38 @@ def simhash_fingerprints(
     return sums.select(id_col, fingerprint.cast("long").alias("simhash"))
 
 
+def broadcast_eval_grams(
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Collect the eval set's distinct gram hashes + member ids and
+    broadcast them once. Returns an opaque state usable across MANY
+    ``ngram_decontaminate`` calls — the hoist a streaming pipeline
+    needs so each micro-batch reuses one broadcast instead of
+    re-collecting the (static) eval set per trigger."""
+    eval_grams_rows = (
+        char_shingles(eval_docs, n, text_col, id_col, distinct=False)
+        .select(md5_long(F.col("shingle")).alias("_g"))
+        .distinct()
+        .collect()
+    )
+    eval_ids_rows = eval_docs.select(id_col).collect()
+    sc = eval_docs.sparkSession.sparkContext
+    bc_grams = sc.broadcast(sorted(r["_g"] for r in eval_grams_rows))
+    bc_eval_ids = sc.broadcast(frozenset(r[id_col] for r in eval_ids_rows))
+    return n, bc_grams, bc_eval_ids
+
+
 def ngram_decontaminate(
     docs: DataFrame,
-    eval_docs: DataFrame,
+    eval_docs: DataFrame | None = None,
     n: int = 8,
     min_overlap: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    eval_state=None,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents that share at
     least ``min_overlap`` distinct character ``n``-grams with an
@@ -714,33 +753,31 @@ def ngram_decontaminate(
 
     Plan shape (the 100 TB asymmetry is the point): the EVAL side is
     benchmark-sized by definition, so its distinct gram-hash set is
-    collected once and broadcast to the workers; the corpus side is a
-    single shuffle-free Arrow ``mapInPandas`` pass that builds each
-    document's distinct gram set and intersects it with the broadcast
-    set (vectorized ``np.isin``) — the corpus is never exchanged at
-    all, not even a dropDuplicates. Gram identity is the 60-bit md5
-    prefix (same collision bound as the Jaccard GEMM path; hashing in
-    Python matches Spark's ``md5`` and DuckDB's byte-for-byte on
-    utf-8). Rows: (doc_id, is_eval, n_grams, n_overlap, contaminated)
-    for EVERY corpus doc (gram-less short docs included with zero
-    counts); eval members themselves are never flagged.
+    collected once and broadcast to the workers (pass a prepared
+    ``eval_state`` from :func:`broadcast_eval_grams` to amortize that
+    across calls — e.g. per micro-batch in a stream); the corpus side
+    is a single shuffle-free Arrow ``mapInPandas`` pass that builds
+    each document's distinct gram set and intersects it with the
+    broadcast set (vectorized ``np.isin``) — the corpus is never
+    exchanged at all, not even a dropDuplicates. Gram identity is the
+    60-bit md5 prefix (same collision bound as the Jaccard GEMM path;
+    hashing in Python matches Spark's ``md5`` and DuckDB's
+    byte-for-byte on utf-8). Rows: (doc_id, is_eval, n_grams,
+    n_overlap, contaminated) for EVERY corpus doc (gram-less short
+    docs included with zero counts); eval members themselves are never
+    flagged.
     """
     import hashlib
 
-    eval_grams_rows = (
-        char_shingles(eval_docs, n, text_col, id_col, distinct=False)
-        .select(md5_long(F.col("shingle")).alias("_g"))
-        .distinct()
-        .collect()
-    )
-    eval_ids_rows = eval_docs.select(id_col).collect()
-    spark = docs.sparkSession
-    bc_grams = spark.sparkContext.broadcast(
-        sorted(r["_g"] for r in eval_grams_rows)
-    )
-    bc_eval_ids = spark.sparkContext.broadcast(
-        frozenset(r[id_col] for r in eval_ids_rows)
-    )
+    if eval_state is None:
+        if eval_docs is None:
+            raise ValueError("pass eval_docs or a prepared eval_state")
+        eval_state = broadcast_eval_grams(eval_docs, n, text_col, id_col)
+    state_n, bc_grams, bc_eval_ids = eval_state
+    if state_n != n:
+        raise ValueError(
+            f"eval_state was built for n={state_n}, called with n={n}"
+        )
 
     from collections.abc import Iterator
 

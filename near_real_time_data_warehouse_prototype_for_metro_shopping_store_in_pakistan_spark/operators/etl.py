@@ -279,6 +279,11 @@ class ParquetWarehouse:
         """Running totals the reference prints after each batch
         (src/Meshjoin.java:745-746)."""
         fact = self.read("sales_fact")
+        if fact is None:
+            raise RuntimeError(
+                "no sales_fact table yet — load a batch or run the "
+                "stream before asking for totals"
+            )
         return fact.agg(
             F.sum("total_revenue").alias("tot_revenue"),
             F.sum("total_units_sold").alias("total_quantity_sold"),

@@ -162,7 +162,15 @@ def global_row_numbers(
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     local = (
+        # the lazy checkpoint pins ONE physical execution of the range
+        # exchange: the rank rows and the offset aggregate below must
+        # see identical partition boundaries, and RangePartitioner
+        # draws them from a sample — exchange reuse usually
+        # deduplicates the subtree, but the checkpoint makes the
+        # consistency unconditional (e.g. spark.sql.exchange.reuse
+        # off, or planner changes that defeat canonicalization)
         df.repartitionByRange(num_partitions, *cols)
+        .localCheckpoint(eager=False)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn(
             "_rn",
@@ -223,7 +231,10 @@ def prefix_sums(
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     local = (
+        # same consistency pin as global_row_numbers: cumsums and
+        # offset totals must see the one materialized range exchange
         df.repartitionByRange(num_partitions, *cols)
+        .localCheckpoint(eager=False)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn(
             "_cum",
@@ -264,7 +275,7 @@ def token_budget_select(
     """
     from .text_profile import quality_scores
 
-    scored = quality_scores(docs, text_col).select(
+    scored = quality_scores(docs, text_col, id_col).select(
         id_col, "n_tokens", "quality_score"
     )
     cum = prefix_sums(

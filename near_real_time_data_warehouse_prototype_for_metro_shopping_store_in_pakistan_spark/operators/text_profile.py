@@ -19,7 +19,6 @@ from ..functions.text import (
     md5_long,
     normalized,
     punct_count,
-    rolling_hash_fixed,
     tokens,
 )
 
@@ -70,7 +69,9 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", _lang_argmax_case())
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Heuristic quality: length band + punctuation ratio + stopword
     density, combined into an integer 0-100 score."""
     toks = tokens(F.lower(F.col(text_col)))
@@ -86,7 +87,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when(stop_ratio >= 0.02, 30).otherwise(0)
     )
     return docs.select(
-        "doc_id",
+        id_col,
         n_tokens.alias("n_tokens"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stop_ratio"),

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.dedup import ngram_decontaminate
+from ..operators.dedup import broadcast_eval_grams, ngram_decontaminate
 from ..operators.etl import ParquetWarehouse
 from ..operators.text_profile import curation_flags
 
@@ -44,14 +44,24 @@ CURATED_TABLE = "curated_docs"
 QUALITY_MIN = 100
 
 
-def curate_batch(docs: DataFrame, eval_docs: DataFrame, quality_min: int = QUALITY_MIN) -> DataFrame:
+def curate_batch(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    quality_min: int = QUALITY_MIN,
+    eval_state=None,
+) -> DataFrame:
     """One batch through the gates (language, quality, decontamination)
     — everything except the cross-batch dedup, which the sink owns.
-    Returns the surviving docs with their fingerprints."""
+    Returns the surviving docs with their fingerprints. Pass a
+    prepared ``eval_state`` (``dedup.broadcast_eval_grams``) when
+    calling per micro-batch so the static eval set is collected and
+    broadcast exactly once for the stream's lifetime."""
     flags = curation_flags(docs).filter(
         F.col("lang_ok") & (F.col("quality_score") >= quality_min)
     )
-    decont = ngram_decontaminate(docs, eval_docs).filter(~F.col("contaminated"))
+    decont = ngram_decontaminate(
+        docs, eval_docs, eval_state=eval_state
+    ).filter(~F.col("contaminated"))
     return (
         docs.join(flags.select("doc_id", "quality_score", "text_fp"), "doc_id")
         .join(decont.select("doc_id", "is_eval"), "doc_id")
@@ -75,13 +85,16 @@ def stream_curate(
     warehouse = ParquetWarehouse(
         spark, corpus_root, keys={CURATED_TABLE: ["text_fp"]}, partitioning={}
     )
+    # the eval set is static for the stream's lifetime: collect and
+    # broadcast it ONCE here, not per trigger
+    eval_state = broadcast_eval_grams(eval_docs)
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(docs_dir)
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        kept = curate_batch(batch, eval_docs, quality_min)
+        kept = curate_batch(batch, quality_min=quality_min, eval_state=eval_state)
         # in-batch first-arrival (min doc_id) per fingerprint; the
         # sink's anti-join handles every earlier batch and replays
         from pyspark.sql import Window

@@ -94,6 +94,14 @@ def apply_counts_batch(
     # event volume); one output file keeps version swaps atomic.
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     os.rename(tmp, final)
+    # Retention: each version is a FULL state copy, so an unbounded
+    # stream would otherwise accumulate O(batches) copies. Keep the
+    # newest two (current + the base a replayed successor would need);
+    # older versions can never be read again.
+    import shutil
+
+    for v in _version_dirs(state_dir)[:-2]:
+        shutil.rmtree(f"{state_dir}/v{v:09d}", ignore_errors=True)
 
 
 def stream_value_quantiles(

@@ -302,3 +302,71 @@ def test_token_budget_select_is_a_quality_prefix(spark, sf_dir):
             assert not flipped, "selection must be a prefix of the order"
     assert any(r.selected for r in rows)
     assert any(not r.selected for r in rows)
+
+
+def test_jaccard_gemm_handles_sparse_snowflake_ids(spark):
+    """Block domain must come from OCCUPIED blocks, not the id span:
+    epoch-scale ids (~1.7e12) would otherwise generate ~1e9 phantom
+    blocks and an intractable block-pair join."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        dedup,
+    )
+
+    base = 1_700_000_000_000_000
+    docs = spark.createDataFrame(
+        [
+            (base + 1, "abcdefghijklmnopqrstuvwxyz0123456789"),
+            (base + 999_999_999, "abcdefghijklmnopqrstuvwxyz0123456789"),
+            (7, "completely different text without overlap at all!"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.jaccard_similar_pairs(
+        docs, threshold=0.5, strategy="block_gemm"
+    ).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [
+        (base + 1, base + 999_999_999)
+    ]
+
+
+def test_token_budget_select_custom_id_col(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        partitioning,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again today"),
+         (2, "short")],
+        "my_id long, text string",
+    )
+    rows = partitioning.token_budget_select(df, 5, id_col="my_id").collect()
+    assert {r.my_id for r in rows} == {1, 2}
+
+
+def test_warehouse_totals_guard(spark, tmp_path):
+    import pytest
+
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.etl import (
+        ParquetWarehouse,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "empty_wh"))
+    with pytest.raises(RuntimeError, match="sales_fact"):
+        wh.totals()
+
+
+def test_quantile_state_retention(spark, tmp_path):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming import (
+        quantiles as sq,
+    )
+
+    state = str(tmp_path / "ret_state")
+    for b in range(5):
+        df = spark.createDataFrame(
+            [(b, "x", float(b))], "event_id long, event_type string, value double"
+        )
+        sq.apply_counts_batch(spark, state, df, b)
+    # only the newest two versions survive; quantiles still correct
+    assert sq._version_dirs(state) == [3, 4]
+    rows = {r.pct: r for r in sq.quantiles_so_far(spark, state).collect()}
+    assert rows[99].n_rows == 5 and rows[99].value_cents == 400
