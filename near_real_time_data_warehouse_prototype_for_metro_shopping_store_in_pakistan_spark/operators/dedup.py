@@ -194,19 +194,32 @@ def jaccard_similar_pairs(
         probe_docs = 2_000
         est_docs = docs.count()
         probe = docs.limit(probe_docs)
-        half_vocab = (
-            char_shingles(docs.limit(probe_docs // 2), n, text_col, id_col)
-            .agg(F.approx_count_distinct("shingle").alias("v"))
-            .first()["v"]
+        # one aggregate measures both the probe vocabulary and the
+        # vocabulary of a deterministic random HALF of the probe docs
+        # (md5 split — robust to source-clustered file order): if the
+        # half already saw (almost) every shingle the full probe saw,
+        # the vocabulary has saturated and extrapolation is sound
+        half = (
+            md5_long(F.concat(F.col(id_col).cast("string"), F.lit("|probe")))
+            % 2
+            == 0
         )
-        stats = char_shingles(probe, n, text_col, id_col).agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.approx_count_distinct("shingle").alias("vocab"),
-            F.approx_count_distinct(id_col).alias("docs"),
-        ).first()
+        stats = (
+            char_shingles(probe, n, text_col, id_col)
+            .withColumn("_half", half)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.approx_count_distinct("shingle").alias("vocab"),
+                F.approx_count_distinct(
+                    F.when(F.col("_half"), F.col("shingle"))
+                ).alias("half_vocab"),
+                F.approx_count_distinct(id_col).alias("docs"),
+            )
+            .first()
+        )
         saturated = (
             est_docs <= probe_docs  # probe saw everything: stats exact
-            or stats["vocab"] <= half_vocab * 1.15
+            or stats["vocab"] <= max(stats["half_vocab"], 1) * 1.15
         )
         if stats["docs"] and saturated:
             per_doc = stats["rows"] / stats["docs"]
