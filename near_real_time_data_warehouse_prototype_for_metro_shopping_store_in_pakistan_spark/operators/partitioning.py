@@ -291,3 +291,73 @@ def token_budget_select(
         "cum_tokens",
         (F.col("cum_tokens") <= budget_tokens).alias("selected"),
     )
+
+
+def mix_plan(
+    docs: DataFrame,
+    budget_docs: int,
+    weights: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mix allocation: apportion a document budget across
+    sources by integer weights (largest-remainder / Hamilton method)
+    and draw each source's quota deterministically.
+
+    Allocation runs over the per-source count relation — #sources
+    rows, metadata-scale — so the global remainder-ranking window is
+    deliberate (same class as the offset windows in
+    ``global_row_numbers``). base_s = floor(budget·w_s / W) with W the
+    weight sum over PRESENT sources; the budget − Σ base leftover goes
+    one-each to the largest remainders (ties on source name). Quotas
+    cap at availability (no redistribution — the plan reports what the
+    mix could not satisfy via ``source_alloc`` vs actual rows).
+    Member draw per source = the ``stratified_sample`` hash order, so
+    the selection is reproducible and partitioning-independent.
+    Sources absent from ``weights`` are excluded. Rows: (doc_id,
+    source, mix_rank, source_alloc) for every selected doc.
+    """
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), f"{source_col} string, _w long"
+    )
+    avail = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("_avail"))
+    present = avail.join(F.broadcast(wdf), source_col)
+    # global windows over the #sources-row frame (metadata scale, like
+    # the offset windows in global_row_numbers) — one frame, no
+    # self-referential joins
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rank_rem = Window.orderBy(F.desc("_rem"), F.asc(source_col))
+    alloc = (
+        present.withColumn("_wsum", F.sum("_w").over(whole))
+        .withColumn("_base", F.expr(f"({budget_docs} * _w) div _wsum"))
+        .withColumn("_rem", F.expr(f"({budget_docs} * _w) % _wsum"))
+        .withColumn(
+            "_extras", F.lit(budget_docs) - F.sum("_base").over(whole)
+        )
+        .withColumn("_rk", F.row_number().over(rank_rem))
+        .withColumn(
+            "_alloc",
+            F.least(
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_extras"), 1).otherwise(0),
+                F.col("_avail"),
+            ),
+        )
+        .select(source_col, "_alloc")
+    )
+    h = md5_long(F.concat(F.col(id_col).cast("string"), F.lit("|mix")))
+    draw = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.join(F.broadcast(alloc), source_col)
+        .withColumn("mix_rank", F.row_number().over(draw))
+        .filter(F.col("mix_rank") <= F.col("_alloc"))
+        .select(
+            id_col,
+            source_col,
+            F.col("mix_rank").cast("int").alias("mix_rank"),
+            F.col("_alloc").cast("int").alias("source_alloc"),
+        )
+    )

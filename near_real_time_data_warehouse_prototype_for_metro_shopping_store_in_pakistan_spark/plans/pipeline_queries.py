@@ -365,6 +365,19 @@ EVAL_RATE = 0.05
 DECONTAM_NGRAM = 8
 DECONTAM_MIN_OVERLAP = 10
 TOKEN_BUDGET = 2_000
+MIX_BUDGET_DOCS = 120
+# Non-uniform target mix over the synthetic sources: weight src{i}
+# proportional to i+1 — shared (as literals) with the oracle.
+MIX_WEIGHTS = {f"src{i}": i + 1 for i in range(20)}
+
+
+def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training-mix draw: MIX_BUDGET_DOCS apportioned across
+    sources by largest-remainder over MIX_WEIGHTS, each source's quota
+    drawn by deterministic hash order."""
+    return partitioning.mix_plan(
+        table(spark, sf_dir, "documents"), MIX_BUDGET_DOCS, MIX_WEIGHTS
+    )
 
 
 def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,6 +448,7 @@ PIPELINE_QUERIES = {
     "text_unigram_coverage": text_unigram_coverage,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_token_budget": corpus_token_budget,
+    "corpus_mix_plan": corpus_mix_plan,
 }
 
 
@@ -1323,6 +1337,45 @@ FROM runs
 """
 
 
+def _mix_plan_oracle() -> str:
+    vals = ", ".join(f"('{s}', {w})" for s, w in sorted(MIX_WEIGHTS.items()))
+    b = MIX_BUDGET_DOCS
+    draw_h = _sql_md5_long("CAST(doc_id AS VARCHAR) || '|mix'")
+    return f"""
+WITH w(source, wt) AS (VALUES {vals}),
+avail AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+present AS (
+    SELECT a.source, a.n, w.wt FROM avail a JOIN w USING (source)
+),
+tot AS (SELECT SUM(wt) AS W FROM present),
+quotas AS (
+    SELECT p.source, p.n,
+           ({b} * p.wt) // t.W AS base,
+           ({b} * p.wt) % t.W AS rem
+    FROM present p CROSS JOIN tot t
+),
+extras AS (SELECT {b} - SUM(base) AS e FROM quotas),
+alloc AS (
+    SELECT source, n,
+           CAST(least(base + CASE WHEN rk <= (SELECT e FROM extras)
+                                  THEN 1 ELSE 0 END, n) AS BIGINT) AS a
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+        FROM quotas
+    )
+),
+drawn AS (
+    SELECT d.doc_id, d.source, al.a,
+           row_number() OVER (
+               PARTITION BY d.source ORDER BY {draw_h} ASC, d.doc_id ASC
+           ) AS rk
+    FROM documents d JOIN alloc al USING (source)
+)
+SELECT doc_id, source, CAST(rk AS INT) AS mix_rank, CAST(a AS INT) AS source_alloc
+FROM drawn WHERE rk <= a
+"""
+
+
 def _decontaminate_oracle() -> str:
     n = DECONTAM_NGRAM
     denom = partitioning.SAMPLE_DENOM
@@ -1391,4 +1444,5 @@ PIPELINE_ORACLES = {
     "text_unigram_coverage": _unigram_coverage_oracle(),
     "corpus_decontaminate": _decontaminate_oracle(),
     "corpus_token_budget": _token_budget_oracle(),
+    "corpus_mix_plan": _mix_plan_oracle(),
 }

@@ -370,3 +370,51 @@ def test_quantile_state_retention(spark, tmp_path):
     assert sq._version_dirs(state) == [3, 4]
     rows = {r.pct: r for r in sq.quantiles_so_far(spark, state).collect()}
     assert rows[99].n_rows == 5 and rows[99].value_cents == 400
+
+
+def test_mix_plan_apportionment_and_caps(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        partitioning,
+    )
+
+    # src "a": 2 docs only (will cap), "b" and "c": plenty
+    rows = (
+        [(i, "a") for i in range(2)]
+        + [(10 + i, "b") for i in range(20)]
+        + [(50 + i, "c") for i in range(20)]
+        + [(90 + i, "unweighted") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = partitioning.mix_plan(
+        docs, 10, {"a": 5, "b": 3, "c": 2}
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, []).append(r)
+    # W=10: exact quotas a=5 b=3 c=2, no remainders; a caps at 2 avail
+    assert len(per["a"]) == 2 and per["a"][0].source_alloc == 2
+    assert len(per["b"]) == 3
+    assert len(per["c"]) == 2
+    assert "unweighted" not in per  # absent from weights -> excluded
+    # draw is deterministic
+    again = partitioning.mix_plan(docs, 10, {"a": 5, "b": 3, "c": 2}).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)
+
+
+def test_mix_plan_largest_remainder_extras(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        partitioning,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "doc_id long, source string"
+    )
+    # budget 7, weights 1/2/3 (W=6): bases 1/2/3 (sum 6), one extra to
+    # the largest remainder: rems are 1, 2, 3 -> s2 gets it
+    out = partitioning.mix_plan(docs, 7, {"s0": 1, "s1": 2, "s2": 3})
+    per = {
+        r.source: r.source_alloc
+        for r in out.select("source", "source_alloc").distinct().collect()
+    }
+    assert per == {"s0": 1, "s1": 2, "s2": 4}
+    assert out.count() == 7
