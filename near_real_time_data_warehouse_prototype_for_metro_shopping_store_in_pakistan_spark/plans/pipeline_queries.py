@@ -89,7 +89,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demo banding (16 hashes, 8 bands of 2): S-curve centred at
+    j≈0.35, deliberately candidate-rich so the banding mechanics are
+    visible. The scale default is ``dedup_minhash_verified`` below."""
     return dedup.minhash_lsh_pairs(table(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION near-dup ladder, end to end: 128-hash MinHash in
+    32 bands of 4 proposes candidates at a j⁴ false-candidate rate
+    (~20k at sf0.1 vs the demo banding's ~728k), exact Jaccard
+    verifies them. This is the configuration you would run at 100 TB —
+    pinned here so the scale-default path is correctness-gated, not
+    just the demo."""
+    return dedup.minhash_verified_pairs(
+        table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,6 +430,7 @@ PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
     "corpus_hash_sample": corpus_hash_sample,
@@ -708,7 +724,30 @@ def _minhash_oracle() -> str:
     return f"WITH {_minhash_cte()}\nSELECT doc_a, doc_b FROM cand"
 
 
+def _minhash_verified_oracle(num_hashes: int = 128, band_size: int = 4) -> str:
+    """Mirror of dedup.minhash_verified_pairs end to end: the
+    production banding's candidates (``_minhash_cte`` at 128/4)
+    verified by exact Jaccard over the same distinct shingle sets as
+    ORACLE_DEDUP_JACCARD."""
+    return f"""WITH {_minhash_cte(num_hashes, band_size)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT cand.doc_a, cand.doc_b, count(*) AS nc
+    FROM cand
+    JOIN sh a ON cand.doc_a = a.doc_id
+    JOIN sh b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, nc / (sa.n + sb.n - nc) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE nc / (sa.n + sb.n - nc) >= {JACCARD_THRESHOLD}
+"""
+
+
 ORACLE_DEDUP_MINHASH = _minhash_oracle()
+ORACLE_DEDUP_MINHASH_VERIFIED = _minhash_verified_oracle()
 ORACLE_DEDUP_CLUSTERS = _clusters_oracle()
 
 ORACLE_DEDUP_SIMHASH = f"""
@@ -1411,6 +1450,7 @@ PIPELINE_ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_minhash_verified": ORACLE_DEDUP_MINHASH_VERIFIED,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_hash_sample": ORACLE_HASH_SAMPLE,
