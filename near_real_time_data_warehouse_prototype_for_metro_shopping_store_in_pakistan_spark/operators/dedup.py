@@ -316,18 +316,20 @@ def _jaccard_block_gemm(
         # vocabulary, independent of any global dictionary.
         uniq = np.unique(np.concatenate(la + lb))
         vmax = len(uniq)
+        # Hash->dense remap once per doc (NOT per chunk: the remap is
+        # the O(nnz log v) part, the chunk loop below only slices it).
+        da = [np.searchsorted(uniq, s) for s in la]
+        db = [np.searchsorted(uniq, s) for s in lb]
         inter = np.zeros((len(la), len(lb)), dtype=np.int64)
         chunk = 1 << 15
         for lo in range(0, vmax, chunk):
             hi = min(lo + chunk, vmax)
             A = np.zeros((len(la), hi - lo), dtype=np.float32)
             B = np.zeros((len(lb), hi - lo), dtype=np.float32)
-            for i, s in enumerate(la):
-                d = np.searchsorted(uniq, s)
+            for i, d in enumerate(da):
                 seg = d[(d >= lo) & (d < hi)] - lo
                 A[i, seg] = 1.0
-            for j, s in enumerate(lb):
-                d = np.searchsorted(uniq, s)
+            for j, d in enumerate(db):
                 seg = d[(d >= lo) & (d < hi)] - lo
                 B[j, seg] = 1.0
             # float32 products are exact for counts < 2^24 per chunk
@@ -726,23 +728,48 @@ def simhash_fingerprints(
     return sums.select(id_col, fingerprint.cast("long").alias("simhash"))
 
 
+# Decontamination broadcasts the eval set's distinct gram hashes to
+# every executor: 10M int64 hashes ≈ 80 MB serialized — about the
+# ceiling of a comfortable Spark broadcast. The collect() is safe only
+# because the eval side is benchmark-sized BY CONTRACT; the guard
+# turns a violated contract into an error instead of a driver OOM.
+MAX_EVAL_GRAMS = 10_000_000
+
+
 def broadcast_eval_grams(
     eval_docs: DataFrame,
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_grams: int = MAX_EVAL_GRAMS,
 ):
     """Collect the eval set's distinct gram hashes + member ids and
     broadcast them once. Returns an opaque state usable across MANY
     ``ngram_decontaminate`` calls — the hoist a streaming pipeline
     needs so each micro-batch reuses one broadcast instead of
-    re-collecting the (static) eval set per trigger."""
-    eval_grams_rows = (
+    re-collecting the (static) eval set per trigger.
+
+    Raises ``ValueError`` when the eval set exceeds ``max_grams``
+    distinct gram hashes (default 10M ≈ 80 MB broadcast): a caller
+    passing a corpus-sized "eval" relation gets an actionable error,
+    not a driver OOM. Flip the two sides (decontaminate the SMALL set
+    against the big one) or raise the bound explicitly if the workers
+    can take the broadcast."""
+    grams = (
         char_shingles(eval_docs, n, text_col, id_col, distinct=False)
         .select(md5_long(F.col("shingle")).alias("_g"))
         .distinct()
-        .collect()
     )
+    n_grams = grams.count()
+    if n_grams > max_grams:
+        raise ValueError(
+            f"eval set has {n_grams:,} distinct {n}-gram hashes, above the "
+            f"{max_grams:,} broadcast bound (~{8 * max_grams // 2**20} MB). "
+            "ngram_decontaminate broadcasts the EVAL side; pass the "
+            "benchmark-sized relation as eval_docs, or raise max_grams "
+            "deliberately."
+        )
+    eval_grams_rows = grams.collect()
     eval_ids_rows = eval_docs.select(id_col).collect()
     sc = eval_docs.sparkSession.sparkContext
     bc_grams = sc.broadcast(sorted(r["_g"] for r in eval_grams_rows))
@@ -795,6 +822,24 @@ def ngram_decontaminate(
     from collections.abc import Iterator
 
     import pandas as pd
+    from pyspark.sql import types as T
+
+    # The id column passes through untouched, so the output schema
+    # carries ITS type (string/int/long/... ids all work); the pandas
+    # series dtype follows suit — int64 only for integral ids.
+    id_type = docs.schema[id_col].dataType
+    id_is_integral = isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("is_eval", T.BooleanType()),
+            T.StructField("n_grams", T.LongType()),
+            T.StructField("n_overlap", T.LongType()),
+            T.StructField("contaminated", T.BooleanType()),
+        ]
+    )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -834,7 +879,9 @@ def ngram_decontaminate(
                 flag.append((not is_ev) and overlap >= min_overlap)
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(
+                        ids, dtype="int64" if id_is_integral else "object"
+                    ),
                     "is_eval": pd.Series(evflag, dtype="bool"),
                     "n_grams": pd.Series(ng, dtype="int64"),
                     "n_overlap": pd.Series(no, dtype="int64"),
@@ -842,8 +889,4 @@ def ngram_decontaminate(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
-        score,
-        f"{id_col} long, is_eval boolean, n_grams long, n_overlap long,"
-        " contaminated boolean",
-    )
+    return docs.select(id_col, text_col).mapInPandas(score, out_schema)

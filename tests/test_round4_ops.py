@@ -151,6 +151,50 @@ def test_ngram_decontaminate_corpus_side_is_shuffle_free(spark):
     assert "Join" not in plan
 
 
+def test_ngram_decontaminate_string_ids(spark):
+    """id_col passes through with ITS schema type — string doc ids
+    must work, not crash in the Arrow pass (round-4 advice)."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            ("ev-1", "the quick brown fox jumps over the lazy dog"),
+            ("dup-1", "the quick brown fox jumps over the lazy dog"),
+            ("ok-1", "completely different text with no shared grams here"),
+        ],
+        "doc_id string, text string",
+    )
+    out = dedup.ngram_decontaminate(
+        corpus, corpus.filter("doc_id = 'ev-1'"), n=8, min_overlap=5
+    )
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = {r.doc_id: r for r in out.collect()}
+    assert got["ev-1"].is_eval and not got["ev-1"].contaminated
+    assert got["dup-1"].contaminated
+    assert not got["ok-1"].contaminated
+
+
+def test_broadcast_eval_grams_size_guard(spark):
+    """An eval relation above the broadcast bound raises an actionable
+    error instead of collecting itself onto the driver."""
+    import pytest
+
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        dedup,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(0, "abcdefghijklmnopqrstuvwxyz")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="broadcast bound"):
+        dedup.broadcast_eval_grams(eval_docs, n=8, max_grams=5)
+    # at the default bound the same relation is fine
+    n, bc_grams, bc_ids = dedup.broadcast_eval_grams(eval_docs, n=8)
+    assert n == 8 and len(bc_grams.value) == 19 and bc_ids.value == {0}
+
+
 def test_value_quantiles_ignore_null_values(spark):
     df = spark.createDataFrame(
         [(0, "x", 1.0), (1, "x", None), (2, "x", 3.0)],
