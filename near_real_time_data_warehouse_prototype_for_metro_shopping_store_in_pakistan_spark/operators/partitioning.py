@@ -250,9 +250,19 @@ def prefix_sums(
     offsets = sums.select(
         "_pid", F.coalesce(F.sum("_tot").over(prior), F.lit(0)).alias("_off")
     )
+    # Integral inputs get a long running sum (sum() widens to the same);
+    # fractional/decimal inputs keep sum()'s own result type — casting
+    # those to long would silently truncate.
+    from pyspark.sql import types as T
+
+    total = F.col("_cum") + F.col("_off")
+    integral = isinstance(
+        df.schema[value_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
     return (
         local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, (F.col("_cum") + F.col("_off")).cast("long"))
+        .withColumn(out_col, total.cast("long") if integral else total)
         .drop("_pid", "_cum", "_off")
     )
 
@@ -317,9 +327,21 @@ def mix_plan(
     Sources absent from ``weights`` are excluded. Rows: (doc_id,
     source, mix_rank, source_alloc) for every selected doc.
     """
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"mix_plan weights must be non-negative: {weights}")
+    # Zero-weight sources own no budget share by definition — drop them
+    # up front so the present-source weight sum is positive whenever
+    # any weighted source exists (an all-zero mix would otherwise
+    # divide by a NULL-producing 0 and return silently-empty results).
+    positive = {s: w for s, w in weights.items() if w > 0}
+    if not positive:
+        raise ValueError(
+            "mix_plan needs at least one strictly positive weight "
+            f"(got {weights})"
+        )
     spark = docs.sparkSession
     wdf = spark.createDataFrame(
-        sorted(weights.items()), f"{source_col} string, _w long"
+        sorted(positive.items()), f"{source_col} string, _w long"
     )
     avail = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("_avail"))
     present = avail.join(F.broadcast(wdf), source_col)

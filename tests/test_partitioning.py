@@ -204,3 +204,39 @@ def test_pack_sequences_matches_reference_greedy(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_prefix_sums_keeps_fractional_values(spark):
+    """Round-4 advice: a double value column must not be silently
+    truncated to long by the running-sum cast."""
+    df = spark.createDataFrame(
+        [(i, 0.25) for i in range(8)], "id long, v double"
+    )
+    out = partitioning.prefix_sums(df, [F.col("id").asc()], "v", out_col="cum")
+    got = {r.id: r.cum for r in out.collect()}
+    assert got == {i: (i + 1) * 0.25 for i in range(8)}
+    assert dict(out.dtypes)["cum"] == "double"
+    # integral inputs still get an exact long running sum
+    di = spark.createDataFrame([(i, 2) for i in range(8)], "id long, v int")
+    outi = partitioning.prefix_sums(di, [F.col("id").asc()], "v", out_col="cum")
+    assert dict(outi.dtypes)["cum"] == "bigint"
+    assert {r.id: r.cum for r in outi.collect()} == {
+        i: (i + 1) * 2 for i in range(8)
+    }
+
+
+def test_mix_plan_rejects_degenerate_weights(spark):
+    """All-zero (or negative) weights raise instead of returning a
+    silently empty allocation; zero-weight sources never draw docs."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 2}") for i in range(20)], "doc_id long, source string"
+    )
+    with pytest.raises(ValueError, match="positive weight"):
+        partitioning.mix_plan(docs, 10, {"src0": 0, "src1": 0})
+    with pytest.raises(ValueError, match="non-negative"):
+        partitioning.mix_plan(docs, 10, {"src0": -1, "src1": 2})
+    out = partitioning.mix_plan(docs, 10, {"src0": 0, "src1": 1}).collect()
+    assert {r.source for r in out} == {"src1"}  # weight 0 = no share
+    assert len(out) == 10
