@@ -188,6 +188,55 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frame_indices(decoded, every_n=30, max_frames=16)
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall, promoted from a unit-test floor to a pinned measurement
+    query: per-query overlap counts of each approximate ANN index's
+    top-k against the exact cosine top-k. The per-variant oracle gate
+    proves each index computes its own definition exactly; what it
+    cannot see is whether the approximation is any GOOD as an index —
+    this query pins that, with integer-exact overlap counts on both
+    engines."""
+    emb = table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(
+        emb, num_queries=ANN_NUM_QUERIES, k=ANN_K
+    ).select("query_id", "neighbor_id")
+    lsh = similarity.ann_lsh_topk(
+        emb,
+        num_queries=ANN_NUM_QUERIES,
+        k=ANN_K,
+        num_planes=ANN_LSH_PLANES,
+        num_tables=ANN_LSH_TABLES,
+    ).select("query_id", "neighbor_id")
+    ivf = similarity.ann_ivf_topk(
+        emb,
+        num_queries=ANN_NUM_QUERIES,
+        k=ANN_K,
+        n_centroids=ANN_IVF_CENTROIDS,
+        n_probe=ANN_IVF_PROBE,
+    ).select("query_id", "neighbor_id")
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    lhits = (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("lsh_hits"))
+    )
+    ihits = (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("ivf_hits"))
+    )
+    return (
+        base.join(lhits, "query_id", "left")
+        .join(ihits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("lsh_hits", F.lit(0)).alias("lsh_hits"),
+            F.coalesce("ivf_hits", F.lit(0)).alias("ivf_hits"),
+        )
+    )
+
+
 def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_neardup_pairs(
         table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COSINE_THRESHOLD
@@ -443,6 +492,7 @@ PIPELINE_QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_recall_report": ann_recall_report,
     "embed_cosine_neardup": embed_cosine_neardup,
     "multimodal_decode": multimodal_decode,
     "multimodal_features": multimodal_features,
@@ -904,6 +954,20 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}
 """
+
+# Recall report: the three ANN oracles compose as derived tables (each
+# carries its own WITH scope), so this stays definitionally tied to
+# the per-variant gates — no re-derivation to drift.
+ORACLE_ANN_RECALL = f"""
+SELECT e.query_id,
+       count(*) AS n_exact,
+       count(l.neighbor_id) AS lsh_hits,
+       count(i.neighbor_id) AS ivf_hits
+FROM ({{topk}}) e
+LEFT JOIN ({{lsh}}) l USING (query_id, neighbor_id)
+LEFT JOIN ({{ivf}}) i USING (query_id, neighbor_id)
+GROUP BY e.query_id
+""".format(topk=ORACLE_ANN_TOPK, lsh=ORACLE_ANN_LSH, ivf=ORACLE_ANN_IVF)
 
 # Multimodal fake-decode oracle: every field is the same pure function
 # of md5(utf8(text)) the Pandas stage computes (operators.multimodal).
@@ -1463,6 +1527,7 @@ PIPELINE_ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
+    "ann_recall_report": ORACLE_ANN_RECALL,
     "embed_cosine_neardup": ORACLE_EMBED_NEARDUP,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
