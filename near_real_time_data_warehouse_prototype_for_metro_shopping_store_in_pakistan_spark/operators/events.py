@@ -109,6 +109,31 @@ KMV_K = 64
 _KMV_SPACE = float(16**15)  # md5_long hash space (60-bit)
 
 
+def kmv_partial_bottom_k(hashed: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Bounded PARTIAL aggregate for the KMV sketch: within each Arrow
+    batch, keep only the k smallest distinct (event_type, h) hashes per
+    type — a shuffle-free map pass whose output is O(batches · k ·
+    types) rows regardless of how many distinct users a partition
+    holds. Correct as a pre-aggregation because any hash among the
+    global k smallest for its type is necessarily among its own
+    batch's k smallest (bottom-k is mergeable, like the sketch
+    itself)."""
+    schema = hashed.schema
+
+    def shrink(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield (
+                pdf.drop_duplicates()
+                .sort_values(["event_type", "h"])
+                .groupby("event_type", sort=False)
+                .head(k)
+            )
+
+    return hashed.mapInPandas(shrink, schema)
+
+
 def kmv_distinct_users(events: DataFrame, k: int = KMV_K) -> DataFrame:
     """Deterministic distinct-count SKETCH per event type: keep the k
     smallest distinct md5 hashes of user_id; estimate
@@ -117,18 +142,24 @@ def kmv_distinct_users(events: DataFrame, k: int = KMV_K) -> DataFrame:
     The mergeable-sketch shape of approx_count_distinct, but built on
     the portable md5 hash so the estimate is bit-identical in the
     DuckDB oracle (HLL implementations differ per engine and can't be
-    oracle-checked). At scale the k-smallest selection is a per-group
-    top-k (rank filter after one shuffle), state O(k) per group.
+    oracle-checked). Plan shape: the hash is JVM codegen (md5_long),
+    then ``kmv_partial_bottom_k`` shrinks each partition map-side to
+    ≤ k·types rows per Arrow batch BEFORE anything shuffles — so the
+    dedup + per-type rank stage exchanges O(partitions · k · types)
+    rows, not O(distinct users). The pre-shrink is what makes the
+    sketch behave like a sketch at 100 TB: without it the per-type
+    window sorted every distinct user hash in one task per type.
     """
     from ..functions.text import md5_long
     from pyspark.sql import Window
 
     h = md5_long(F.col("user_id").cast("string"))
-    hashed = events.select("event_type", h.alias("h")).dropDuplicates(
+    hashed = events.select("event_type", h.alias("h"))
+    shrunk = kmv_partial_bottom_k(hashed, k).dropDuplicates(
         ["event_type", "h"]
     )
     w = Window.partitionBy("event_type").orderBy("h")
-    kept = hashed.withColumn("rn", F.row_number().over(w)).filter(
+    kept = shrunk.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
     )
     agg = kept.groupBy("event_type").agg(
