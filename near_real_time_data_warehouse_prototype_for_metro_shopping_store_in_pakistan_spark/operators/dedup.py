@@ -150,6 +150,7 @@ def jaccard_similar_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     strategy: str = "auto",
+    num_salts: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >=
     threshold). Two physical strategies, identical output:
@@ -228,9 +229,13 @@ def jaccard_similar_pairs(
             avg_df = 0.0  # growing vocab: force the sparse path
         strategy = _pick_jaccard_strategy(avg_df, est_docs)
     if strategy == "block_gemm":
+        # num_salts is a shingle-join knob; the GEMM path has no
+        # bucket self-join to salt.
         return _jaccard_block_gemm(docs, n, threshold, text_col, id_col)
     assert strategy == "shingle_join", strategy
-    return _jaccard_shingle_join(docs, n, threshold, text_col, id_col)
+    return _jaccard_shingle_join(
+        docs, n, threshold, text_col, id_col, num_salts
+    )
 
 
 def _jaccard_block_gemm(
@@ -359,6 +364,7 @@ def _jaccard_shingle_join(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_salts: int | None = None,
 ) -> DataFrame:
     """Sparse-overlap path: candidate generation by prefix-filtered
     shingle-bucket join, exact verification.
@@ -377,6 +383,17 @@ def _jaccard_shingle_join(
 
     Still exact and worst-case quadratic (all-identical corpora); the
     MinHash path below is the probabilistic sub-quadratic alternative.
+
+    Skew: prefix filtering already demotes viral shingles (high df →
+    last in the canonical order → rarely in a prefix), and AQE's
+    skew-join splitting handles ordinary runtime imbalance. The
+    pathological residue — short docs whose prefixes are FORCED to
+    include a shared shingle because they have almost nothing rarer —
+    concentrates one bucket's O(df²) candidate generation in one task;
+    ``num_salts`` routes the bucket self-join through
+    ``skew.salted_join`` so that bucket fans out over ``num_salts``
+    tasks (identical output; the small side's shuffle volume ×
+    num_salts is the price).
     """
     sh = char_shingles(docs, n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -394,17 +411,24 @@ def _jaccard_shingle_join(
         )
         .select(id_col, "shingle")
     )
-    a = prefix.alias("a")
-    b = prefix.alias("b")
+    if num_salts:
+        from . import skew
+
+        la = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+        rb = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+        joined = skew.salted_join(la, rb, ["shingle"], num_salts)
+    else:
+        a = prefix.alias("a")
+        b = prefix.alias("b")
+        joined = a.join(
+            b, F.col("a.shingle") == F.col("b.shingle")
+        ).select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
     cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        joined.filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return _verify_candidates(sh, sizes, cand, threshold, id_col)

@@ -109,3 +109,87 @@ def test_streaming_dedup_bounded_state(spark, sf_dir, tmp_path):
     rows = spark.table("dedup_stream").collect()
     ids = [r.event_id for r in rows]
     assert len(ids) == len(set(ids)) == src.count()
+
+
+def _hot_shingle_corpus(spark, n_docs=120):
+    """Adversarial corpus for the prefix join: every doc is a unique
+    20-char block + a shared 30-char block. Prefix size
+    floor(|shingles|/2)+1 exceeds the unique-shingle count, so each
+    doc's prefix is FORCED to include shared viral shingles (df =
+    n_docs) — one bucket then carries O(n_docs^2) candidate pairs —
+    while pairwise Jaccard stays ~0.39 < 0.5 (no output explosion).
+    Docs 0 and 1 are exact clones: the one genuine near-dup pair."""
+    import hashlib
+
+    common = hashlib.md5(b"viral-common-block").hexdigest()[:30].upper()
+    rows = []
+    for i in range(n_docs):
+        uid = "u0" if i <= 1 else f"u{i}"
+        unique = hashlib.md5(uid.encode()).hexdigest()[:20]
+        rows.append((i, unique + common))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_salted_prefix_join_identical_output(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        dedup,
+    )
+
+    docs = _hot_shingle_corpus(spark)
+    plain = _sorted_rows(dedup._jaccard_shingle_join(docs))
+    salted = _sorted_rows(dedup._jaccard_shingle_join(docs, num_salts=8))
+    assert salted == plain
+    pairs = {(a, b) for a, b, _ in plain}
+    assert pairs == {(0, 1)}  # the planted clone pair, nothing else
+    # the salted plan really joins on (shingle, _salt)
+    plan = (
+        dedup._jaccard_shingle_join(docs, num_salts=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_salt" in plan
+
+
+def test_salted_join_spreads_hot_bucket_across_tasks(spark):
+    """Bounded task skew: a single viral join key lands in ONE task
+    under a plain shuffle join; salting fans its candidate generation
+    out across ~num_salts tasks."""
+    hot = spark.createDataFrame(
+        [(i, "HOTKEY") for i in range(400)], "id long, shingle string"
+    )
+    la = hot.select(F.col("id").alias("doc_a"), "shingle")
+    rb = hot.select(F.col("id").alias("doc_b"), "shingle")
+
+    def parts(df):
+        return {
+            r._pid: r.n
+            for r in df.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    # force a real shuffled join and keep AQE from re-coalescing the
+    # (deliberately tiny) salt buckets — at cluster scale the buckets
+    # are large and AQE would keep them apart on its own
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        plain = parts(la.join(rb, "shingle"))
+        salted = parts(skew.salted_join(la, rb, ["shingle"], num_salts=8))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    total = 400 * 400
+    assert sum(plain.values()) == sum(salted.values()) == total
+    assert len(plain) == 1  # the hot bucket: one task does everything
+    # 8 salt values hash into the shuffle space; a few may collide on a
+    # partition, but the hot bucket must genuinely fan out
+    assert len(salted) >= 4  # salting spreads it
+    assert max(salted.values()) <= total / 2  # no task near the old hot spot
