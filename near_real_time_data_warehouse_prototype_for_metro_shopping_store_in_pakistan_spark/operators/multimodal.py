@@ -6,11 +6,13 @@ metadata struct — the schema a 100 TB multimodal corpus uses (payload
 stays columnar in parquet, metadata prunes without touching bytes).
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages: the Spark-side plumbing (schemas, batch
-iteration, partitioning) is real and tested; the actual codec calls are
-STUBBED because the image/audio libraries are not in this container —
-``decode_media(..., fake=False)`` raises ``NotImplementedError`` unless
-PIL is importable, and the deterministic fake derives every output from
-md5 of the payload bytes so the operators have exact DuckDB oracles.
+iteration, partitioning) is real and tested. Image decode and resize
+have a REAL PIL implementation, env-gated: where PIL is absent (this
+container) ``decode_media(..., fake=False)`` / ``resize_images`` raise
+``NotImplementedError``; audio/video real decode would need
+soundfile/pyav and stays gated. The deterministic fake codec derives
+every output from md5 of the payload bytes, is the default, and gives
+the operators exact DuckDB oracles.
 
 The reference has no binary/media surface at all (SURVEY §2.12); this
 module is part of the beyond-parity training-data pipeline alongside
@@ -135,12 +137,42 @@ def _fake_decode_row(media_type: str, payload: bytes) -> dict:
     return out
 
 
+def _real_decode_row(media_type: str, payload: bytes) -> dict:
+    """Real codec path for IMAGE payloads via PIL (width/height/frame
+    count from the actual bytes; fingerprint stays the payload md5 so
+    dedup downstream is codec-independent). Audio/video real decode
+    needs soundfile/pyav, which this container does not ship — those
+    rows raise, keeping the contract explicit instead of silently
+    faking inside a "real" decode."""
+    if media_type != "image":
+        raise NotImplementedError(
+            f"real decode for media_type={media_type!r} needs "
+            "soundfile/pyav (not available); only 'image' rows decode "
+            "via PIL — use fake=True for mixed-media tables"
+        )
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return {
+            "width": int(img.width),
+            "height": int(img.height),
+            "n_frames": int(getattr(img, "n_frames", 1)),
+            "sample_rate": None,
+            "fp_long": _md5_long_bytes(payload),
+        }
+
+
 def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched decode: (payload, media_type) -> typed metadata.
 
-    ``fake=False`` is the real-codec path, gated on importable codec
-    libraries (absent in this container -> NotImplementedError). The
-    fake path is deterministic (md5-derived) and oracle-checkable.
+    ``fake=False`` is the real-codec path, gated on an importable PIL
+    (raises ``NotImplementedError`` where it is absent, as in this
+    container): image rows decode from their actual bytes; audio/video
+    rows raise inside the pass (no soundfile/pyav). The fake path is
+    deterministic (md5-derived) and oracle-checkable, and remains the
+    default and the driver-contract surface.
     """
     if not fake:
         try:
@@ -150,11 +182,12 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
                 "real media decode needs PIL/soundfile/pyav; "
                 "not available in this container — use fake=True"
             ) from exc
+    row_fn = _fake_decode_row if fake else _real_decode_row
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = [
-                _fake_decode_row(mt, bytes(pl))
+                row_fn(mt, bytes(pl))
                 for mt, pl in zip(pdf["media_type"], pdf["payload"])
             ]
             out = pd.DataFrame(meta)
@@ -194,16 +227,48 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: real image resize requires PIL (absent here). Signature
-    and schema are the production contract: payload -> resized payload
-    of the same schema, metadata updated."""
+    """Real image resize via PIL (raises ``NotImplementedError`` where
+    PIL is absent, as in this container). Image rows are decoded,
+    resized to (width, height) and re-encoded as PNG; non-image rows
+    pass through untouched — the same mixed-media-map shape as
+    ``decode_media``. Output schema is MEDIA_SCHEMA (payload/n_bytes
+    updated), so resize stages compose/chain like any other media op.
+    No shuffle; embarrassingly parallel per Arrow batch."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
             "resize_images needs PIL; not available in this container"
         ) from exc
-    raise NotImplementedError("real resize path not implemented yet")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            payloads: list[bytes] = []
+            for mt, pl in zip(pdf["media_type"], pdf["payload"]):
+                raw = bytes(pl)
+                if mt != "image":
+                    payloads.append(raw)
+                    continue
+                with Image.open(io.BytesIO(raw)) as img:
+                    buf = io.BytesIO()
+                    img.resize((width, height)).save(buf, format="PNG")
+                    payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "payload": payloads,
+                    "n_bytes": pd.Series(
+                        [len(b) for b in payloads], dtype="int32"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(resize, schema=MEDIA_SCHEMA)
 
 
 def sample_frame_indices(

@@ -48,11 +48,92 @@ def test_fake_decode_matches_python(media):
             assert getattr(r, k) == expected[k], (doc_id, k)
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    _pil_available(), reason="PIL present: real path active, gate moot"
+)
 def test_real_decode_is_gated(media):
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(media, fake=False)
     with pytest.raises(NotImplementedError):
         multimodal.resize_images(media, 64, 64)
+
+
+@pytest.mark.skipif(not _pil_available(), reason="needs PIL")
+def test_real_decode_reads_actual_dimensions(spark):
+    import io
+
+    from PIL import Image
+
+    def png(w, h):
+        img = Image.new("RGB", (w, h), (120, 40, 200))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(0, "image", png(10, 6), None), (1, "image", png(33, 21), None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = {
+        r.doc_id: r
+        for r in multimodal.decode_media(media, fake=False).collect()
+    }
+    assert (got[0].width, got[0].height) == (10, 6)
+    assert (got[1].width, got[1].height) == (33, 21)
+    assert got[0].n_frames == 1 and got[0].sample_rate is None
+
+
+@pytest.mark.skipif(not _pil_available(), reason="needs PIL")
+def test_real_resize_roundtrip_and_passthrough(spark):
+    import io
+
+    from PIL import Image
+
+    def png(w, h):
+        img = Image.new("RGB", (w, h), (5, 5, 5))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    audio = b"\x00\x01opaque-audio"
+    media = spark.createDataFrame(
+        [(0, "image", png(40, 40), None), (1, "audio", audio, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.resize_images(media, 8, 8)
+    assert [f.name for f in out.schema.fields] == [
+        f.name for f in multimodal.MEDIA_SCHEMA.fields
+    ]
+    got = {r.doc_id: r for r in out.collect()}
+    # resized image really is 8x8 when decoded again
+    re_dec = {
+        r.doc_id: r
+        for r in multimodal.decode_media(
+            out.filter("media_type = 'image'"), fake=False
+        ).collect()
+    }
+    assert (re_dec[0].width, re_dec[0].height) == (8, 8)
+    assert got[0].n_bytes == len(bytes(got[0].payload))
+    # non-image payloads pass through byte-identical
+    assert bytes(got[1].payload) == audio
+
+
+@pytest.mark.skipif(not _pil_available(), reason="needs PIL")
+def test_real_decode_rejects_nonimage_rows(spark):
+    media = spark.createDataFrame(
+        [(0, "audio", b"\x00\x01", None)], multimodal.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|soundfile"):
+        multimodal.decode_media(media, fake=False).collect()
 
 
 def test_feature_extraction_shape_and_values(media):
