@@ -38,6 +38,22 @@ from pyspark.sql import functions as F
 from ..functions.text import md5_long, tokens
 
 
+def _shuffle_parts(df: DataFrame) -> int:
+    """The session's configured shuffle width, used for EXPLICIT
+    repartition counts on compute-heavy narrow relations.
+
+    AQE coalesces post-shuffle partitions by *byte size*, which is the
+    wrong signal for stages whose rows are tiny but expensive (a
+    461k-row candidate list is ~7 MB — one AQE partition — yet each row
+    runs an array_intersect over ~300-element sets). An explicit
+    numPartitions repartition is exempt from AQE coalescing, restoring
+    full-core parallelism for the verify/band-join stages."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return 200
+
+
 def exact_duplicate_groups(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -454,7 +470,40 @@ def _verify_candidates(
     scale both set-attach joins are plain equi-joins on the doc id
     (broadcastable when the per-doc set table fits; AQE decides).
     """
-    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("_shset"))
+    # Sets are 64-bit md5 shingle fingerprints, not strings — the same
+    # representation (and the same collision caveat, p ≈ vocab²/2⁶¹)
+    # as the GEMM tile kernel, so sparse and dense paths agree
+    # exactly. Primitive long arrays make the per-row
+    # ``array_intersect`` a specialized primitive-typed pass and
+    # shrink the attached payload ~5× vs UTF8 shingle strings.
+    # The set relation feeds BOTH broadcast sides (doc_a and doc_b
+    # attach). The per-side aliasing makes the two broadcast subplans
+    # textually different, so ReuseExchange does NOT kick in — without
+    # the lazy localCheckpoint the full shingle-explode + md5 +
+    # collect_set pipeline runs twice.
+    sets = (
+        sh.withColumn("_hx", md5_long(F.col("shingle")))
+        .groupBy(id_col)
+        .agg(F.collect_set("_hx").alias("_shset"))
+        .localCheckpoint(eager=False)
+    )
+    return _verify_candidate_sets(sets, cand, threshold, id_col)
+
+
+def _verify_candidate_sets(
+    sets: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Attach-and-intersect core of candidate verification: ``sets``
+    is (id_col, _shset array<long>) — per-doc 64-bit shingle
+    fingerprint sets, cheap to re-read per broadcast side (callers
+    pass a checkpointed or trivially-derivable relation)."""
+    # Explicit-width repartition: the per-row intersect is the hot
+    # compute; see _shuffle_parts for why AQE would otherwise run it
+    # on 1-2 byte-sized partitions.
+    cand = cand.repartition(_shuffle_parts(cand), "doc_a")
     inter = (
         cand.join(
             sets.select(
@@ -516,11 +565,21 @@ def minhash_verified_pairs(
     (727k → ~20k candidates on the dense sf0.1 corpus) so the exact
     verification stage stays O(near-dups), while 32 bands hold
     recall at the threshold: P(detect | J=0.5) = 1-(1-0.5⁴)³² ≈ 0.87
-    and →1 fast above it (J=0.7: 0.9998)."""
-    cand = minhash_lsh_pairs(docs, n, num_hashes, band_size, text_col, id_col)
-    sh = char_shingles(docs, n, text_col, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    return _verify_candidates(sh, sizes, cand, threshold, id_col)
+    and →1 fast above it (J=0.7: 0.9998).
+
+    Plan shape: ONE fused zero-shuffle Arrow pass computes both the
+    minhash signature and the 64-bit shingle-fingerprint set per doc
+    (the md5 work is shared); the pass is lazily localCheckpoint-ed so
+    banding and both verify-side set attaches re-read it instead of
+    re-hashing the corpus."""
+    combined = _sig_pass(
+        docs, n, num_hashes, text_col, id_col, with_sets=True
+    ).localCheckpoint(eager=False)
+    cand = _pairs_from_sig(
+        combined.drop("_shset"), num_hashes, band_size, id_col
+    )
+    sets = combined.select(id_col, "_shset")
+    return _verify_candidate_sets(sets, cand, threshold, id_col)
 
 
 # Universal-hash family for MinHash: h_j(x) = (A[j]·(x mod P) + B[j]) mod P
@@ -556,22 +615,94 @@ def minhash_signatures(
     m_j = min over shingles of (A[j]·(md5_long(shingle) mod P) + B[j])
     mod P.
 
-    Plan shape: md5 once per (doc, shingle) row, then ONE hash
-    aggregate with ``num_hashes`` min() expressions — no seed explode
-    (a num_hashes× row blow-up) and no repeated md5. Map-side
-    combinable; the only shuffle is the groupBy(doc_id). Raw
-    (non-distinct) shingles: min() over the multiset equals min() over
-    the set, so the per-shingle dedup shuffle is skipped."""
-    sh = char_shingles(docs, n, text_col, id_col, distinct=False)
-    base = sh.withColumn("hx", md5_long(F.col("shingle")) % MINHASH_P)
-    return base.groupBy(id_col).agg(
-        *[
-            F.min(
-                (F.col("hx") * MINHASH_A[j] + MINHASH_B[j]) % MINHASH_P
-            ).alias(f"m{j}")
-            for j in range(num_hashes)
-        ]
+    ONE shuffle-free Arrow pass: a document's signature depends only on
+    its own text, so shingling, hashing, and the k-way affine min all
+    happen inside ``mapInPandas`` — no explode, no groupBy exchange,
+    embarrassingly parallel across input splits (the narrow repartition
+    below only widens LOCAL inputs whose file count is under the
+    session's core count; a real corpus already has more splits).
+    The earlier JVM formulation (explode + one aggregate with
+    ``num_hashes`` min() expressions) was algebraically identical but
+    fell out of whole-stage codegen above ``spark.sql.codegen.maxFields``
+    (default 100) — 128 interpreted aggregates over the exploded
+    relation cost ~4× this pass. Hashes match ``md5_long`` exactly
+    (first 15 hex chars of md5), so the DuckDB oracle mirror is
+    unchanged: min over the raw shingle multiset equals min over the
+    distinct set."""
+    return _sig_pass(docs, n, num_hashes, text_col, id_col, with_sets=False)
+
+
+def _sig_pass(
+    docs: DataFrame,
+    n: int,
+    num_hashes: int,
+    text_col: str,
+    id_col: str,
+    with_sets: bool,
+) -> DataFrame:
+    """Shared Arrow kernel behind ``minhash_signatures`` and
+    ``minhash_verified_pairs``: per doc, the distinct character
+    n-grams are md5-hashed ONCE; the signature is the k-way affine min
+    over those hashes mod P, and (``with_sets``) the full 60-bit hash
+    set is emitted alongside as ``_shset array<long>`` so exact
+    verification reuses the hashing instead of re-exploding and
+    re-hashing the corpus through two extra shuffles."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    p = MINHASH_P
+    a_vec = np.array(MINHASH_A[:num_hashes], dtype=np.int64)
+    b_vec = np.array(MINHASH_B[:num_hashes], dtype=np.int64)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, " + ", ".join(
+        f"m{j} long" for j in range(num_hashes)
     )
+    if with_sets:
+        schema += ", _shset array<long>"
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sigs, sets = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or len(text) < n:
+                    continue
+                shingles = {text[i : i + n] for i in range(len(text) - n + 1)}
+                h60 = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        for s in shingles
+                    ),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+                hx = h60 % p
+                # hx < 2^31 and A < 2^31 keep the product under 2^62 —
+                # exact in int64, mirroring the JVM/SQL arithmetic.
+                sigs.append(((hx[:, None] * a_vec + b_vec) % p).min(axis=0))
+                ids.append(did)
+                if with_sets:
+                    # np.unique: 60-bit fingerprints of the DISTINCT
+                    # shingles (a collision would merge two — same
+                    # convention, and same negligible odds, as the
+                    # GEMM tile kernel).
+                    sets.append(np.unique(h60))
+            if not ids:
+                continue
+            out = pd.DataFrame(
+                np.vstack(sigs), columns=[f"m{j}" for j in range(num_hashes)]
+            )
+            out.insert(0, id_col, ids)
+            if with_sets:
+                out["_shset"] = sets
+            yield out
+
+    src = docs.select(id_col, text_col)
+    parts = _shuffle_parts(docs)
+    if src.rdd.getNumPartitions() < parts:
+        src = src.repartition(parts)
+    return src.mapInPandas(gen, schema)
 
 
 def minhash_lsh_pairs(
@@ -602,6 +733,15 @@ def minhash_lsh_pairs(
     assert num_hashes % band_size == 0, "num_hashes must divide into bands"
     assert num_hashes <= MAX_NUM_HASHES
     sig = minhash_signatures(docs, n, num_hashes, text_col, id_col)
+    return _pairs_from_sig(sig, num_hashes, band_size, id_col)
+
+
+def _pairs_from_sig(
+    sig: DataFrame, num_hashes: int, band_size: int, id_col: str
+) -> DataFrame:
+    """Band-bucket self-join over a precomputed signature relation —
+    split out so ``minhash_verified_pairs`` can feed it the fused
+    sig+sets pass without recomputing signatures."""
     bands = sig.select(
         id_col,
         F.explode(
@@ -621,6 +761,19 @@ def minhash_lsh_pairs(
             )
         ).alias("bd"),
     ).select(id_col, "bd.band", "bd.hk")
+    # Explicit-width repartition on the bucket key: the self-join's
+    # OUTPUT (bucket-size² pair rows) dwarfs its input, so AQE's
+    # input-byte coalescing would run the pair generation nearly
+    # single-task. Partitioning both sides identically also turns the
+    # join into a co-partitioned local join (no further exchange).
+    # The lazy localCheckpoint materializes the band relation ONCE —
+    # without it each side of the self-join re-runs the whole
+    # shingle-explode + num_hashes-way min aggregate upstream (swap
+    # for reliable checkpoint() where executor loss must be
+    # recoverable, as with connected_components below).
+    bands = bands.repartition(
+        _shuffle_parts(bands), "band", "hk"
+    ).localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
