@@ -101,6 +101,59 @@ def char_shingles(
     return out.dropDuplicates([id_col, "shingle"]) if distinct else out
 
 
+def shingle_hash_sets(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "_shset",
+) -> DataFrame:
+    """Per-doc DISTINCT 60-bit shingle fingerprints (md5_long) as one
+    sorted array column — ONE shuffle-free Arrow pass.
+
+    A document's shingle set depends only on its own text, so the
+    explode + md5 + collect_set formulation (narrow explode, then a
+    full-corpus groupBy exchange) is replaced by per-doc hashing
+    inside ``mapInPandas``: zero shuffles, embarrassingly parallel
+    across input splits. Same fingerprint convention — and the same
+    negligible-collision caveat (p ≈ vocab²/2⁶¹) — as the GEMM tile
+    kernel and the verified-ladder sets."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {out_col} array<long>"
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sets = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or len(text) < n:
+                    continue
+                shingles = {text[i : i + n] for i in range(len(text) - n + 1)}
+                h60 = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        for s in shingles
+                    ),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+                ids.append(did)
+                sets.append(np.unique(h60))
+            if not ids:
+                continue
+            yield pd.DataFrame({id_col: ids, out_col: sets})
+
+    src = docs.select(id_col, text_col)
+    parts = _shuffle_parts(docs)
+    if src.rdd.getNumPartitions() < parts:
+        src = src.repartition(parts)
+    return src.mapInPandas(gen, schema)
+
+
 def dense_ids(
     df: DataFrame, key_col: str, out_col: str = "sid", num_partitions: int = 64
 ) -> DataFrame:
@@ -281,15 +334,12 @@ def _jaccard_block_gemm(
     import numpy as np
     import pandas as pd
 
-    sh = char_shingles(docs, n, text_col, id_col, distinct=False)
     doc_sets = (
-        sh.withColumn("h", md5_long(F.col("shingle")))
-        .groupBy(id_col)
-        .agg(F.collect_set("h").alias("sids"))
+        shingle_hash_sets(docs, n, text_col, id_col, out_col="sids")
         .select(F.col(id_col).alias("vid"), "sids")
         # left and right below both read this relation; the lazy local
         # checkpoint materializes it once inside the cogroup job
-        # instead of re-running the explode+aggregate per side.
+        # instead of re-running the Arrow hashing pass per side.
         .localCheckpoint(eager=False)
     )
     v = doc_sets.withColumn("blk", F.floor(F.col("vid") / block_size).cast("long"))
@@ -447,45 +497,13 @@ def _jaccard_shingle_join(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return _verify_candidates(sh, sizes, cand, threshold, id_col)
-
-
-def _verify_candidates(
-    sh: DataFrame,
-    sizes: DataFrame,  # noqa: ARG001 — sizes derivable from sh; kept for call parity
-    cand: DataFrame,
-    threshold: float,
-    id_col: str,
-) -> DataFrame:
-    """Exact-Jaccard verification of candidate pairs (doc_a, doc_b).
-
-    Each side's shingle SET is attached as one array column (two joins
-    whose output stays at |candidates| rows) and the intersection is a
-    per-row ``array_intersect`` — the work is O(candidates × avg set
-    size) with NO row inflation. The earlier formulation joined the
-    candidate list against the exploded shingle table, multiplying the
-    candidate count by the shingle-list length before aggregating; on a
-    dense corpus (727k candidates × ~500 shingles at sf0.1) that was a
-    ~360M-row intermediate for the same 256 output rows. At cluster
-    scale both set-attach joins are plain equi-joins on the doc id
-    (broadcastable when the per-doc set table fits; AQE decides).
-    """
-    # Sets are 64-bit md5 shingle fingerprints, not strings — the same
-    # representation (and the same collision caveat, p ≈ vocab²/2⁶¹)
-    # as the GEMM tile kernel, so sparse and dense paths agree
-    # exactly. Primitive long arrays make the per-row
-    # ``array_intersect`` a specialized primitive-typed pass and
-    # shrink the attached payload ~5× vs UTF8 shingle strings.
-    # The set relation feeds BOTH broadcast sides (doc_a and doc_b
-    # attach). The per-side aliasing makes the two broadcast subplans
-    # textually different, so ReuseExchange does NOT kick in — without
-    # the lazy localCheckpoint the full shingle-explode + md5 +
-    # collect_set pipeline runs twice.
-    sets = (
-        sh.withColumn("_hx", md5_long(F.col("shingle")))
-        .groupBy(id_col)
-        .agg(F.collect_set("_hx").alias("_shset"))
-        .localCheckpoint(eager=False)
+    # Verification sets come from the shuffle-free Arrow pass, not
+    # another groupBy over sh — the exploded relation is only needed
+    # for the frequency-ordered prefixes above. The lazy checkpoint
+    # materializes the sets once for BOTH broadcast attach sides
+    # (their per-side aliasing defeats ReuseExchange otherwise).
+    sets = shingle_hash_sets(docs, n, text_col, id_col).localCheckpoint(
+        eager=False
     )
     return _verify_candidate_sets(sets, cand, threshold, id_col)
 
@@ -496,10 +514,24 @@ def _verify_candidate_sets(
     threshold: float,
     id_col: str,
 ) -> DataFrame:
-    """Attach-and-intersect core of candidate verification: ``sets``
-    is (id_col, _shset array<long>) — per-doc 64-bit shingle
-    fingerprint sets, cheap to re-read per broadcast side (callers
-    pass a checkpointed or trivially-derivable relation)."""
+    """Exact-Jaccard verification of candidate pairs (doc_a, doc_b):
+    ``sets`` is (id_col, _shset array<long>) — per-doc 60-bit md5
+    shingle fingerprint sets (same representation, and same negligible
+    collision caveat, as the GEMM tile kernel, so sparse and dense
+    paths agree exactly).
+
+    Each side's set is attached as one array column (two equi-joins
+    whose output stays at |candidates| rows) and the intersection is a
+    per-row primitive-typed ``array_intersect`` — O(candidates × avg
+    set size) with NO row inflation. The earlier formulation joined
+    the candidate list against the exploded shingle table, multiplying
+    the candidate count by the shingle-list length before aggregating;
+    on a dense corpus (727k candidates × ~500 shingles at sf0.1) that
+    was a ~360M-row intermediate for the same 256 output rows. At
+    cluster scale both set-attach joins are plain equi-joins on the
+    doc id (broadcastable when the per-doc set table fits; AQE
+    decides). Callers pass a checkpointed or trivially-derivable
+    relation — the two broadcast sides re-read it."""
     # Explicit-width repartition: the per-row intersect is the hot
     # compute; see _shuffle_parts for why AQE would otherwise run it
     # on 1-2 byte-sized partitions.
