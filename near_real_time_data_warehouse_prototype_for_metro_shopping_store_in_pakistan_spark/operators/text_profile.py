@@ -346,3 +346,99 @@ def unigram_coverage(
             / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1))
         ).alias("coverage"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-document repetition signals, the Gopher/MassiveText-style
+    quality gates a pretraining curation pipeline cuts on: duplicate
+    token fraction, most-common-token share, most-common-bigram share,
+    and the fraction of trigram occurrences that are repeats. (The
+    reference has no notion of document quality — this extends the
+    brief's curation family; rule shapes follow the published
+    MassiveText filters.)
+
+    Physical plan: ONE shuffle-free Arrow ``mapInPandas`` pass — every
+    signal is a pure per-document function of the whitespace token
+    sequence, so there is no explode and no corpus-wide exchange (the
+    narrow repartition only widens local inputs with fewer splits than
+    cores). Determinism: all four ratios are divisions of exact
+    integer counts — identical doubles on every engine.
+
+    Columns: (doc_id, n_tokens, n_distinct, dup_token_frac,
+    top_token_frac, top_bigram_frac, dup_trigram_frac); zero-token
+    documents report 0.0 everywhere, n-gram ratios with fewer than n
+    tokens likewise.
+    """
+    import re
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+")
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, n_tokens long, n_distinct long, "
+        "dup_token_frac double, top_token_frac double, "
+        "top_bigram_frac double, dup_trigram_frac double"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, s in zip(pdf[id_col], pdf[text_col]):
+                stripped = (s or "").strip()
+                toks = ws.split(stripped.lower()) if stripped else []
+                n = len(toks)
+                if n == 0:
+                    rows.append((did, 0, 0, 0.0, 0.0, 0.0, 0.0))
+                    continue
+                tc = Counter(toks)
+                d = len(tc)
+                bi = Counter(
+                    " ".join(toks[i : i + 2]) for i in range(n - 1)
+                )
+                tri = Counter(
+                    " ".join(toks[i : i + 3]) for i in range(n - 2)
+                )
+                n_bi, n_tri = n - 1, n - 2
+                rows.append(
+                    (
+                        did,
+                        n,
+                        d,
+                        (n - d) / n,
+                        max(tc.values()) / n,
+                        max(bi.values()) / n_bi if n_bi > 0 else 0.0,
+                        (
+                            sum(c for c in tri.values() if c > 1) / n_tri
+                            if n_tri > 0
+                            else 0.0
+                        ),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        id_col,
+                        "n_tokens",
+                        "n_distinct",
+                        "dup_token_frac",
+                        "top_token_frac",
+                        "top_bigram_frac",
+                        "dup_trigram_frac",
+                    ],
+                )
+
+    from .dedup import _shuffle_parts
+
+    src = docs.select(id_col, text_col)
+    parts = _shuffle_parts(docs)
+    if src.rdd.getNumPartitions() < parts:
+        src = src.repartition(parts)
+    return src.mapInPandas(stats, schema)

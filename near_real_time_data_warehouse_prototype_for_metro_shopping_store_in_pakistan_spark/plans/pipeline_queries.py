@@ -259,6 +259,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile.fingerprints(table(spark, sf_dir, "documents"))
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style intra-document repetition gates in one
+    shuffle-free Arrow pass (see operators.text_profile.repetition_stats)."""
+    return text_profile.repetition_stats(table(spark, sf_dir, "documents"))
+
+
 def text_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile.bottomk_sketch(table(spark, sf_dir, "documents"))
 
@@ -501,6 +507,7 @@ PIPELINE_QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
+    "text_repetition": text_repetition,
     "text_bottomk_sketch": text_bottomk_sketch,
     "events_asof_prior_click": events_asof_prior_click,
     "events_range_join_sessions": events_range_join_sessions,
@@ -1103,6 +1110,68 @@ FROM c
 """
 
 
+def _repetition_oracle() -> str:
+    """Mirror of text_profile.repetition_stats: whitespace tokens of
+    lower(text); all four ratios are divisions of exact integer counts
+    (identical doubles on both engines). n-gram strings are built with
+    the same single-space join as the Arrow pass."""
+    t = _sql_tokens("lower(text)")
+    return f"""
+WITH base AS (SELECT doc_id, {t} AS t FROM documents),
+tokc AS (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS tok FROM base)
+    GROUP BY 1, 2
+),
+tokagg AS (
+    SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+           MAX(c) AS top_c
+    FROM tokc GROUP BY 1
+),
+bic AS (
+    SELECT doc_id, bg, count(*) AS c FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM base WHERE len(t) >= 2
+    ) GROUP BY 1, 2
+),
+biagg AS (SELECT doc_id, SUM(c) AS n_bi, MAX(c) AS top_bc FROM bic GROUP BY 1),
+tric AS (
+    SELECT doc_id, tg, count(*) AS c FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS tg
+        FROM base WHERE len(t) >= 3
+    ) GROUP BY 1, 2
+),
+triagg AS (
+    SELECT doc_id, SUM(c) AS n_tri,
+           SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri
+    FROM tric GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CASE WHEN a.n_tokens > 0
+            THEN CAST(a.n_tokens - a.n_distinct AS DOUBLE) / a.n_tokens
+            ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN a.n_tokens > 0
+            THEN CAST(a.top_c AS DOUBLE) / a.n_tokens
+            ELSE 0.0 END AS top_token_frac,
+       CASE WHEN bi.n_bi > 0
+            THEN CAST(bi.top_bc AS DOUBLE) / bi.n_bi
+            ELSE 0.0 END AS top_bigram_frac,
+       CASE WHEN tri.n_tri > 0
+            THEN CAST(tri.dup_tri AS DOUBLE) / tri.n_tri
+            ELSE 0.0 END AS dup_trigram_frac
+FROM base b
+LEFT JOIN tokagg a USING (doc_id)
+LEFT JOIN biagg bi USING (doc_id)
+LEFT JOIN triagg tri USING (doc_id)
+"""
+
+
 def _funnel_oracle() -> str:
     """The curation funnel as stacked CTEs over the SAME langid /
     quality fragments the single-stage oracles use, then four
@@ -1536,6 +1605,7 @@ PIPELINE_ORACLES = {
     "text_langid": _langid_oracle(),
     "text_quality": _quality_oracle(),
     "text_fingerprint": ORACLE_FINGERPRINT,
+    "text_repetition": _repetition_oracle(),
     "text_bottomk_sketch": ORACLE_BOTTOMK,
     "events_asof_prior_click": ORACLE_EVENTS_ASOF,
     "events_range_join_sessions": ORACLE_EVENTS_RANGEJOIN,

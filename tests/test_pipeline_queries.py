@@ -66,3 +66,40 @@ def test_curation_flags_fingerprint_identifies_exact_dups(spark):
     f = {r.doc_id: r for r in text_profile.curation_flags(docs).collect()}
     assert f[1].text_fp == f[2].text_fp != f[3].text_fp
     assert f[1].quality_score == f[2].quality_score
+
+
+def test_repetition_stats_edges(spark):
+    """Hand-computed repetition signals incl. empty/null/short docs."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        text_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),
+            (2, "x"),
+            (3, ""),
+            (4, None),
+            (5, "A b a B"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text_profile.repetition_stats(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    r = rows[1]
+    assert (r.n_tokens, r.n_distinct) == (4, 1)
+    assert r.dup_token_frac == 0.75 and r.top_token_frac == 1.0
+    assert r.top_bigram_frac == 1.0 and r.dup_trigram_frac == 1.0
+    r = rows[2]
+    assert (r.n_tokens, r.n_distinct) == (1, 1)
+    assert r.top_token_frac == 1.0
+    assert r.top_bigram_frac == 0.0 and r.dup_trigram_frac == 0.0
+    for d in (3, 4):
+        r = rows[d]
+        assert (r.n_tokens, r.n_distinct) == (0, 0)
+        assert r.dup_token_frac == r.top_token_frac == 0.0
+    r = rows[5]  # lowercased: a b a b
+    assert (r.n_tokens, r.n_distinct) == (4, 2)
+    assert r.dup_token_frac == 0.5 and r.top_token_frac == 0.5
+    assert r.top_bigram_frac == 2 / 3  # "a b" twice of 3 bigrams
+    assert r.dup_trigram_frac == 0.0  # "a b a", "b a b" unique
