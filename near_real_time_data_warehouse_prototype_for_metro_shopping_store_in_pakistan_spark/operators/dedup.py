@@ -582,6 +582,7 @@ def minhash_verified_pairs(
     band_size: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_salts: int | None = None,
 ) -> DataFrame:
     """The sub-quadratic near-dup ladder end to end: MinHash+LSH
     banding proposes candidate pairs (collisions in ≥1 band — never
@@ -608,7 +609,7 @@ def minhash_verified_pairs(
         docs, n, num_hashes, text_col, id_col, with_sets=True
     ).localCheckpoint(eager=False)
     cand = _pairs_from_sig(
-        combined.drop("_shset"), num_hashes, band_size, id_col
+        combined.drop("_shset"), num_hashes, band_size, id_col, num_salts
     )
     sets = combined.select(id_col, "_shset")
     return _verify_candidate_sets(sets, cand, threshold, id_col)
@@ -744,6 +745,7 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_salts: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b): docs whose signatures agree
     on every hash of at least one band.
@@ -765,15 +767,26 @@ def minhash_lsh_pairs(
     assert num_hashes % band_size == 0, "num_hashes must divide into bands"
     assert num_hashes <= MAX_NUM_HASHES
     sig = minhash_signatures(docs, n, num_hashes, text_col, id_col)
-    return _pairs_from_sig(sig, num_hashes, band_size, id_col)
+    return _pairs_from_sig(sig, num_hashes, band_size, id_col, num_salts)
 
 
 def _pairs_from_sig(
-    sig: DataFrame, num_hashes: int, band_size: int, id_col: str
+    sig: DataFrame,
+    num_hashes: int,
+    band_size: int,
+    id_col: str,
+    num_salts: int | None = None,
 ) -> DataFrame:
     """Band-bucket self-join over a precomputed signature relation —
     split out so ``minhash_verified_pairs`` can feed it the fused
-    sig+sets pass without recomputing signatures."""
+    sig+sets pass without recomputing signatures.
+
+    ``num_salts`` routes the bucket self-join through
+    ``skew.salted_join``, the same hot-bucket fallback the Jaccard
+    prefix join has: a mass-duplicated corpus puts its m copies in the
+    SAME (band, hk) bucket in every band, concentrating O(m²) pair
+    generation in one task — salting fans each hot bucket's pair
+    generation across ``num_salts`` tasks with identical output."""
     bands = sig.select(
         id_col,
         F.explode(
@@ -806,19 +819,26 @@ def _pairs_from_sig(
     bands = bands.repartition(
         _shuffle_parts(bands), "band", "hk"
     ).localCheckpoint(eager=False)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
+    if num_salts:
+        from . import skew
+
+        la = bands.select(F.col(id_col).alias("doc_a"), "band", "hk")
+        rb = bands.select(F.col(id_col).alias("doc_b"), "band", "hk")
+        joined = skew.salted_join(la, rb, ["band", "hk"], num_salts)
+    else:
+        a = bands.alias("a")
+        b = bands.alias("b")
+        joined = a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.hk") == F.col("b.hk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
+            & (F.col("a.hk") == F.col("b.hk")),
+        ).select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
         )
+    return (
+        joined.filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
 

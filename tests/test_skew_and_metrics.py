@@ -193,3 +193,37 @@ def test_salted_join_spreads_hot_bucket_across_tasks(spark):
     # partition, but the hot bucket must genuinely fan out
     assert len(salted) >= 4  # salting spreads it
     assert max(salted.values()) <= total / 2  # no task near the old hot spot
+
+
+def test_minhash_salted_band_join_identical_output(spark):
+    """Mass-duplicated corpus: every copy lands in the SAME (band, hk)
+    bucket in every band — the hot-bucket case the salted fallback
+    exists for. Salted output must equal the plain band join."""
+    import hashlib
+
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        dedup,
+    )
+
+    rows = [(i, "clone text body shared by every copy here") for i in range(40)]
+    rows += [
+        (100 + i, hashlib.md5(f"u{i}".encode()).hexdigest() * 3)
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = _sorted_rows(dedup.minhash_lsh_pairs(docs, 5, 16, 2))
+    salted = _sorted_rows(
+        dedup.minhash_lsh_pairs(docs, 5, 16, 2, num_salts=8)
+    )
+    assert salted == plain
+    clone_pairs = {(a, b) for a, b in plain if a < 100 and b < 100}
+    assert len(clone_pairs) == 40 * 39 // 2  # the full clone clique
+    # verified ladder accepts the same knob end to end
+    v_plain = _sorted_rows(dedup.minhash_verified_pairs(docs))
+    v_salted = _sorted_rows(dedup.minhash_verified_pairs(docs, num_salts=8))
+    assert v_plain == v_salted
+    # the salted plan really joins on (band, hk, _salt)
+    plan = dedup.minhash_lsh_pairs(
+        docs, 5, 16, 2, num_salts=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
