@@ -213,3 +213,60 @@ def test_q14_returnflag_filter_is_pushed(spark, sf_dir):
 
     plan = plan_of(q14_returned_orders_exists(spark, sf_dir))
     assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_minhash_signature_pass_is_shuffle_free(spark, sf_dir):
+    """The Arrow signature kernel must stay a per-split map: no
+    hashpartitioning exchange of corpus rows (the only allowed
+    exchange is the optional round-robin widening of narrow local
+    inputs), no Window, no join."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        dedup,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.testdata import (
+        table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    for df in (
+        dedup.minhash_signatures(docs, 5, 16),
+        dedup.shingle_hash_sets(docs),
+    ):
+        plan = plan_of(df)
+        assert "Window" not in plan
+        assert "Join" not in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "Generate" not in plan  # no shingle explode survives
+        assert "mapInPandas" in plan or "MapInPandas" in plan
+
+
+def test_repetition_stats_is_shuffle_free(spark, sf_dir):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        text_profile,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.testdata import (
+        table,
+    )
+
+    plan = plan_of(text_profile.repetition_stats(table(spark, sf_dir, "documents")))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate" not in plan
+
+
+def test_verified_ladder_band_join_runs_wide(spark, sf_dir):
+    """The band self-join and the pair-verify stage must keep the
+    explicit shuffle-width repartition (AQE's byte-based coalescing
+    would otherwise run the compute-heavy stages on 1-2 partitions —
+    the round-5 regression this pins)."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        dedup,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.testdata import (
+        table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    plan = plan_of(dedup.minhash_verified_pairs(docs))
+    assert "REPARTITION_BY_NUM" in plan
