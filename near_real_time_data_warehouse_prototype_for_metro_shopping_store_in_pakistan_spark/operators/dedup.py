@@ -843,6 +843,37 @@ def _pairs_from_sig(
     )
 
 
+def band_keys(
+    sig: DataFrame,
+    num_hashes: int,
+    band_size: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, band_khash): ONE 60-bit md5 key per LSH band, folding
+    the (band index, hash tuple) pair into a single long column — the
+    representation a persisted band INDEX wants (streaming near-dup
+    admission claims these keys with an insert-if-absent sink). The
+    band index rides inside the hash so keys from different bands
+    never alias."""
+    assert num_hashes % band_size == 0
+    keys = [
+        md5_long(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[
+                    F.col(f"m{band_size * b + i}").cast("string")
+                    for i in range(band_size)
+                ],
+            )
+        )
+        for b in range(num_hashes // band_size)
+    ]
+    return sig.select(
+        id_col, F.explode(F.array(*keys)).alias("band_khash")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",

@@ -26,7 +26,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.dedup import broadcast_eval_grams, ngram_decontaminate
+from ..operators.dedup import (
+    band_keys,
+    broadcast_eval_grams,
+    connected_components,
+    minhash_signatures,
+    ngram_decontaminate,
+)
 from ..operators.etl import ParquetWarehouse
 from ..operators.text_profile import curation_flags
 
@@ -106,6 +112,151 @@ def stream_curate(
             .drop("_rn")
         )
         warehouse.insert_if_absent(CURATED_TABLE, first)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+BAND_INDEX_TABLE = "band_index"
+NEARDUP_HASHES = 16
+NEARDUP_BAND_SIZE = 2
+NEARDUP_SHINGLE_N = 5
+
+
+def admit_neardup_batch(
+    warehouse: ParquetWarehouse,
+    kept: DataFrame,
+    n: int = NEARDUP_SHINGLE_N,
+    num_hashes: int = NEARDUP_HASHES,
+    band_size: int = NEARDUP_BAND_SIZE,
+) -> DataFrame:
+    """Cross-batch NEAR-dup admission for one micro-batch: returns the
+    admitted docs and claims their LSH band keys in the persisted band
+    index.
+
+    Semantics (set-at-a-time, deterministic, replay-idempotent):
+
+    - Within the batch, band-colliding docs form components
+      (``connected_components`` over the collision graph); each
+      component collapses to its min-id representative — near-dup
+      GROUPS admit one member, which also subsumes collision chains
+      without order-dependence.
+    - A component any of whose band keys is already claimed by a
+      PREVIOUS admission (index owner outside the component) is
+      dropped whole — its content is near-dup of corpus history.
+    - Representatives of surviving components are admitted and claim
+      all their band keys via the same insert-if-absent sink the
+      exact-dedup path uses.
+
+    Crash/replay safety, both orders: if the curated write landed but
+    the index claim didn't, the replayed component's foreign hits are
+    absent, the rep is re-admitted (curated insert-if-absent no-ops)
+    and the claim completes; if the claim landed first, the replayed
+    component sees its OWN rep as the owner (owner == component id is
+    not foreign), so the rep re-admits and the curated write completes.
+
+    Invariant (holds for ANY batch partitioning of the input): no two
+    admitted docs collide in any band — later batches are vetoed by
+    the index, same-batch collisions share a component.
+
+    Scale notes: signatures come from the shuffle-free Arrow pass; the
+    collision self-join is key-bounded (band buckets, never all-pairs)
+    and the index join is an equi-join on the 60-bit key. The index
+    grows one row per admitted doc per band; at cluster scale it would
+    be bucketed by ``band_khash`` so the claim anti-join and the probe
+    join co-locate — same code path.
+    """
+    sig = minhash_signatures(kept, n, num_hashes, "text", "doc_id")
+    keys = band_keys(sig, num_hashes, band_size).localCheckpoint(eager=False)
+    a = keys.alias("a")
+    b = keys.alias("b")
+    pairs = (
+        a.join(b, F.col("a.band_khash") == F.col("b.band_khash"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    comps = connected_components(pairs)
+    comp_map = (
+        kept.select("doc_id")
+        .join(comps.withColumnRenamed("vertex", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    idx = warehouse.read(BAND_INDEX_TABLE)
+    if idx is not None:
+        poisoned = (
+            keys.join(idx, "band_khash")
+            .join(comp_map, "doc_id")
+            .filter(F.col("owner_doc_id") != F.col("component"))
+            .select("component")
+            .distinct()
+        )
+    else:
+        poisoned = None
+    reps = comp_map.filter(F.col("doc_id") == F.col("component"))
+    if poisoned is not None:
+        reps = reps.join(poisoned, "component", "left_anti")
+    admitted = kept.join(reps.select("doc_id"), "doc_id")
+    warehouse.insert_if_absent(CURATED_TABLE, admitted)
+    claims = keys.join(reps.select("doc_id"), "doc_id").select(
+        "band_khash", F.col("doc_id").alias("owner_doc_id")
+    )
+    warehouse.insert_if_absent(BAND_INDEX_TABLE, claims)
+    return admitted
+
+
+def stream_curate_neardup(
+    spark: SparkSession,
+    docs_dir: str,
+    corpus_root: str,
+    checkpoint_dir: str,
+    eval_docs: DataFrame,
+    quality_min: int = QUALITY_MIN,
+    n: int = NEARDUP_SHINGLE_N,
+    num_hashes: int = NEARDUP_HASHES,
+    band_size: int = NEARDUP_BAND_SIZE,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """``stream_curate`` upgraded from exact to NEAR-dup cross-batch
+    dedup: the same stateless gates per batch, then MinHash band
+    admission against a persisted band index (see
+    ``admit_neardup_batch``). State remains plain warehouse tables —
+    no streaming state store, replays are no-ops."""
+    warehouse = ParquetWarehouse(
+        spark,
+        corpus_root,
+        keys={CURATED_TABLE: ["text_fp"], BAND_INDEX_TABLE: ["band_khash"]},
+        partitioning={},
+    )
+    eval_state = broadcast_eval_grams(eval_docs)
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(docs_dir)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        kept = curate_batch(batch, quality_min=quality_min, eval_state=eval_state)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("text_fp").orderBy("doc_id")
+        first = (
+            kept.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=False)
+        )
+        admit_neardup_batch(warehouse, first, n, num_hashes, band_size)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -77,3 +77,136 @@ def test_curate_batch_gates(spark):
     eval_docs = docs.filter("doc_id = -1")  # empty eval set
     kept = sc.curate_batch(docs, eval_docs).collect()
     assert {r.doc_id for r in kept} == {1, 2}
+
+
+BASE = "the quick brown fox jumps over the lazy dog and then it sat"
+BASE_B = "a stitch in time saves nine and the early bird gets the worm"
+
+
+def _neardup_text(tail: str, base: str = BASE) -> str:
+    # long shared body + tiny difference -> high shingle Jaccard
+    return f"{base} {base} {tail}"
+
+
+def _distinct_text(seed: str) -> str:
+    body = " ".join(f"{seed}{i}" for i in range(10))
+    return f"the and of {body} with for that this"
+
+
+def test_stream_neardup_admission(spark, tmp_path):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        dedup,
+    )
+
+    rows = []
+    # clone group A: members in chunks 0, 1, 2 (cross-batch veto)
+    for i, tail in enumerate(["alpha", "alpine", "almond"]):
+        rows.append((10 + i, _neardup_text(tail), i % 3))
+    # clone group B (independent body): both in the SAME chunk
+    rows.append((20, _neardup_text("bravo", BASE_B), 1))
+    rows.append((21, _neardup_text("brave", BASE_B), 1))
+    # distinct docs, one per chunk
+    for i, seed in enumerate(["cedar", "delta", "ember"]):
+        rows.append((30 + i, _distinct_text(seed), i % 3))
+    docs = spark.createDataFrame(
+        [(d, t, "en", "s", c) for d, t, c in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # Wait: group A vs group B share BASE-heavy bodies — they may
+    # near-dup each other too; derive ground truth from the operator.
+    truth_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, sc.NEARDUP_SHINGLE_N, sc.NEARDUP_HASHES, sc.NEARDUP_BAND_SIZE
+        ).collect()
+    }
+    assert truth_pairs, "test corpus must contain planted collisions"
+
+    src = str(tmp_path / "docs_chunks")
+    docs.join(
+        spark.createDataFrame(
+            [(d, c) for d, _, c in rows], "doc_id long, _b int"
+        ),
+        "doc_id",
+    ).repartition(3, "_b").drop("_b").write.parquet(src)
+
+    eval_docs = docs.filter("doc_id = -1")
+    root = str(tmp_path / "corpus_wh")
+    q = sc.stream_curate_neardup(
+        spark, src, root, str(tmp_path / "ckpt"), eval_docs,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    curated = spark.read.parquet(f"{root}/{sc.CURATED_TABLE}")
+    admitted = {r.doc_id for r in curated.select("doc_id").collect()}
+    all_ids = {d for d, _, _ in rows}
+    rejected = all_ids - admitted
+    # every distinct doc admitted; the gates pass everything here
+    assert {30, 31, 32} <= admitted
+    # invariant: the admitted set is band-collision-free
+    for a, b in truth_pairs:
+        assert not (a in admitted and b in admitted), (a, b)
+    # every rejected doc collides with at least one other doc
+    colliding = {d for p in truth_pairs for d in p}
+    assert rejected <= colliding
+    # at least one member of each planted clone family survived
+    assert admitted & {10, 11, 12}
+    assert admitted & {20, 21}
+
+    # replay on the same checkpoint: no growth in either table
+    n_cur = curated.count()
+    n_idx = spark.read.parquet(f"{root}/{sc.BAND_INDEX_TABLE}").count()
+    q2 = sc.stream_curate_neardup(
+        spark, src, root, str(tmp_path / "ckpt"), eval_docs,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(f"{root}/{sc.CURATED_TABLE}").count() == n_cur
+    assert (
+        spark.read.parquet(f"{root}/{sc.BAND_INDEX_TABLE}").count() == n_idx
+    )
+
+
+def test_admit_neardup_batch_is_replay_idempotent(spark, tmp_path):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.etl import (
+        ParquetWarehouse,
+    )
+
+    wh = ParquetWarehouse(
+        spark,
+        str(tmp_path / "wh"),
+        keys={
+            sc.CURATED_TABLE: ["text_fp"],
+            sc.BAND_INDEX_TABLE: ["band_khash"],
+        },
+        partitioning={},
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "fp1", 100, _neardup_text("alpha"), "en", "s"),
+            (2, "fp2", 100, _neardup_text("alpine"), "en", "s"),
+            (3, "fp3", 100, _distinct_text("cedar"), "en", "s"),
+        ],
+        "doc_id long, text_fp string, quality_score int, text string,"
+        " lang string, source string",
+    )
+    first = {r.doc_id for r in sc.admit_neardup_batch(wh, batch).collect()}
+    assert first == {1, 3}  # clone pair collapses to min id
+    n_cur = spark.read.parquet(wh.path(sc.CURATED_TABLE)).count()
+    n_idx = spark.read.parquet(wh.path(sc.BAND_INDEX_TABLE)).count()
+    # exact replay of the same batch: same admissions, no table growth
+    again = {r.doc_id for r in sc.admit_neardup_batch(wh, batch).collect()}
+    assert again == first
+    assert spark.read.parquet(wh.path(sc.CURATED_TABLE)).count() == n_cur
+    assert spark.read.parquet(wh.path(sc.BAND_INDEX_TABLE)).count() == n_idx
+    # a later batch: near-dup of doc 1 vetoed by the index, novel doc admitted
+    nxt = spark.createDataFrame(
+        [
+            (9, "fp9", 100, _neardup_text("almond"), "en", "s"),
+            (8, "fp8", 100, _distinct_text("delta"), "en", "s"),
+        ],
+        "doc_id long, text_fp string, quality_score int, text string,"
+        " lang string, source string",
+    )
+    assert {r.doc_id for r in sc.admit_neardup_batch(wh, nxt).collect()} == {8}
