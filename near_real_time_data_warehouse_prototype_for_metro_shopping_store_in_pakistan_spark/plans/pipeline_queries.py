@@ -237,6 +237,14 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 update rounds), integer-exact
+    end to end so the unrolled DuckDB oracle matches bit-for-bit — the
+    trained-centroid step ``ivf_assignments`` documents as the
+    production path (see operators.similarity.kmeans_cells)."""
+    return similarity.kmeans_cells(table(spark, sf_dir, "embeddings"))
+
+
 def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_neardup_pairs(
         table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COSINE_THRESHOLD
@@ -499,6 +507,7 @@ PIPELINE_QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_recall_report": ann_recall_report,
+    "embed_kmeans_cells": embed_kmeans_cells,
     "embed_cosine_neardup": embed_cosine_neardup,
     "multimodal_decode": multimodal_decode,
     "multimodal_features": multimodal_features,
@@ -1110,6 +1119,69 @@ FROM c
 """
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    """Mirror of similarity.kmeans_cells: the same fixed iteration
+    count unrolled as CTE pairs (assign aᵢ → update cᵢ). Distances are
+    integer squared L2 over the micro-unit quantized vectors; centroid
+    means use the pmod floor-division identity (Spark ``div``
+    truncates, DuckDB ``//`` floors — identical on the exactly
+    divisible numerator); ties and empty cells match the operator."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(v.q)),"
+        " i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i])))"
+    )
+    ctes = [
+        f"""v AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+    FROM embeddings
+),
+c0 AS (SELECT vec_id AS centroid_id, q AS cq FROM v WHERE vec_id < {k})"""
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"""a{t} AS (
+    SELECT vec_id, q, centroid_id FROM (
+        SELECT v.vec_id, v.q, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {dist}, c.centroid_id
+               ) AS rn
+        FROM v CROSS JOIN c{t} c
+    ) WHERE rn = 1
+),
+u{t} AS (
+    SELECT centroid_id, pos, SUM(val) AS s, COUNT(*) AS n FROM (
+        SELECT centroid_id,
+               unnest(generate_series(1, len(q))) AS pos,
+               unnest(q) AS val
+        FROM a{t}
+    ) GROUP BY 1, 2
+),
+m{t} AS (
+    SELECT centroid_id,
+           list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT)
+                ORDER BY pos) AS cq
+    FROM u{t} GROUP BY 1
+),
+c{t + 1} AS (
+    SELECT c{t}.centroid_id, COALESCE(m{t}.cq, c{t}.cq) AS cq
+    FROM c{t} LEFT JOIN m{t} USING (centroid_id)
+)"""
+        )
+    return f"""WITH {",".join(ctes)}
+SELECT vec_id, centroid_id AS cell, CAST(d AS BIGINT) AS dist_sq FROM (
+    SELECT v.vec_id, c.centroid_id, {dist} AS d,
+           row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {dist}, c.centroid_id
+           ) AS rn
+    FROM v CROSS JOIN c{iters} c
+) WHERE rn = 1
+"""
+
+
 def _repetition_oracle() -> str:
     """Mirror of text_profile.repetition_stats: whitespace tokens of
     lower(text); all four ratios are divisions of exact integer counts
@@ -1616,6 +1688,7 @@ PIPELINE_ORACLES = {
     "events_multi_grain_rollup": ORACLE_EVENTS_MULTI_GRAIN,
     "events_kmv_distinct": _kmv_oracle(),
     "events_value_quantiles": _quantiles_oracle(),
+    "embed_kmeans_cells": _kmeans_oracle(),
     "text_unigram_coverage": _unigram_coverage_oracle(),
     "corpus_decontaminate": _decontaminate_oracle(),
     "corpus_token_budget": _token_budget_oracle(),

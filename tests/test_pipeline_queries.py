@@ -103,3 +103,32 @@ def test_repetition_stats_edges(spark):
     assert r.dup_token_frac == 0.5 and r.top_token_frac == 0.5
     assert r.top_bigram_frac == 2 / 3  # "a b" twice of 3 bigrams
     assert r.dup_trigram_frac == 0.0  # "a b a", "b a b" unique
+
+
+def test_kmeans_groups_obvious_blobs_and_keeps_empty_cells(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        similarity,
+    )
+
+    # two tight blobs around (1, 0) and (0, 1); ids 0/1 seed them.
+    # id 2 duplicates id 0 exactly, so cell 2 starts EMPTY (ties break
+    # to the lower centroid id) and must keep its previous centroid
+    # without crashing the update round.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.0, 0.0]),
+        (3, [0.9, 0.1]),
+        (4, [1.1, -0.1]),
+        (5, [0.1, 0.9]),
+        (6, [-0.1, 1.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: r.cell
+        for r in similarity.kmeans_cells(emb, k=3, iters=2).collect()
+    }
+    assert len(got) == 7
+    assert got[0] == got[2] == got[3] == got[4] == 0
+    assert got[1] == got[5] == got[6] == 1
+    assert 2 not in set(got.values())  # the emptied cell wins nothing

@@ -270,3 +270,24 @@ def test_verified_ladder_band_join_runs_wide(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     plan = plan_of(dedup.minhash_verified_pairs(docs))
     assert "REPARTITION_BY_NUM" in plan
+
+
+def test_kmeans_assignment_is_shuffle_free_and_update_bounded(spark, sf_dir):
+    """Per iteration: assignment must stay a broadcast-attach
+    projection (no window, no corpus-width exchange beyond the
+    k×dim-bounded update aggregates)."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        similarity,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.testdata import (
+        table,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    plan = plan_of(similarity.kmeans_cells(emb, k=8, iters=2))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    # final assignment reads the checkpointed k-row centroid relation;
+    # the only hash exchanges left in the live plan are that round's
+    # (cell, pos) update aggregates, never a corpus repartition
+    assert plan.count("Exchange hashpartitioning") <= 2
