@@ -442,3 +442,49 @@ def repetition_stats(
     if src.rdd.getNumPartitions() < parts:
         src = src.repartition(parts)
     return src.mapInPandas(stats, schema)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    of a pretraining/RAG pipeline: overlapping windows of
+    ``chunk_tokens`` whitespace tokens with stride
+    ``chunk_tokens - overlap``.
+
+    Chunk count is the standard sliding-window formula
+    (1 if n ≤ C else ⌈(n-C)/S⌉ + 1, integer ceil — no float math), so
+    the final window always reaches the document's end and only the
+    final window may be short. ``chunk_text`` is the single-space join
+    of the window's tokens (tokenization-normalized, NOT a raw
+    substring). Zero-token documents emit one empty chunk, keeping the
+    operator total: every doc appears.
+
+    Plan: pure per-row expressions + a narrow ~n/S-per-doc explode —
+    no shuffle, no UDF; embarrassingly parallel at any corpus size.
+    """
+    stride = chunk_tokens - overlap
+    assert stride > 0, "overlap must be smaller than chunk_tokens"
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        (n - chunk_tokens + stride - 1).cast("long") / stride + 1
+    ).cast("int")
+    out = docs.select(
+        id_col,
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    window = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.array_join(window, " ").alias("chunk_text"),
+        F.size(window).alias("n_chunk_tokens"),
+    )

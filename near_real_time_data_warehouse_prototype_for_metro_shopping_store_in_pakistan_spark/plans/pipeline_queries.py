@@ -267,6 +267,18 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile.fingerprints(table(spark, sf_dir, "documents"))
 
 
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def corpus_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of every document (64-token windows,
+    16-token overlap) — see operators.text_profile.chunk_documents."""
+    return text_profile.chunk_documents(
+        table(spark, sf_dir, "documents"), CHUNK_TOKENS, CHUNK_OVERLAP
+    )
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText-style intra-document repetition gates in one
     shuffle-free Arrow pass (see operators.text_profile.repetition_stats)."""
@@ -502,6 +514,7 @@ PIPELINE_QUERIES = {
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_curation_funnel": corpus_curation_funnel,
     "corpus_pack_plan": corpus_pack_plan,
+    "corpus_chunk_plan": corpus_chunk_plan,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -1182,6 +1195,33 @@ SELECT vec_id, centroid_id AS cell, CAST(d AS BIGINT) AS dist_sq FROM (
 """
 
 
+def _chunk_oracle(c: int = CHUNK_TOKENS, o: int = CHUNK_OVERLAP) -> str:
+    """Mirror of text_profile.chunk_documents: the sliding-window
+    count formula in pure integer math (`//` on positive operands ==
+    the operator's exact ceil), DuckDB's 1-based inclusive list slice
+    for the window, single-space token join."""
+    s = c - o
+    return f"""
+WITH base AS (SELECT doc_id, {_sql_tokens("text")} AS t FROM documents),
+meta AS (
+    SELECT doc_id, t,
+           CASE WHEN len(t) <= {c} THEN 1
+                ELSE CAST((len(t) - {c} + {s} - 1) // {s} AS INT) + 1
+           END AS n_chunks
+    FROM base
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       array_to_string(t[chunk_id * {s} + 1 : chunk_id * {s} + {c}], ' ')
+           AS chunk_text,
+       CAST(len(t[chunk_id * {s} + 1 : chunk_id * {s} + {c}]) AS INT)
+           AS n_chunk_tokens
+FROM (
+    SELECT doc_id, t, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+    FROM meta
+)
+"""
+
+
 def _repetition_oracle() -> str:
     """Mirror of text_profile.repetition_stats: whitespace tokens of
     lower(text); all four ratios are divisions of exact integer counts
@@ -1688,6 +1728,7 @@ PIPELINE_ORACLES = {
     "events_multi_grain_rollup": ORACLE_EVENTS_MULTI_GRAIN,
     "events_kmv_distinct": _kmv_oracle(),
     "events_value_quantiles": _quantiles_oracle(),
+    "corpus_chunk_plan": _chunk_oracle(),
     "embed_kmeans_cells": _kmeans_oracle(),
     "text_unigram_coverage": _unigram_coverage_oracle(),
     "corpus_decontaminate": _decontaminate_oracle(),

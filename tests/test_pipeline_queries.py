@@ -132,3 +132,37 @@ def test_kmeans_groups_obvious_blobs_and_keeps_empty_cells(spark):
     assert got[0] == got[2] == got[3] == got[4] == 0
     assert got[1] == got[5] == got[6] == 1
     assert 2 not in set(got.values())  # the emptied cell wins nothing
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Property: stripping each chunk's leading overlap (except chunk
+    0) and concatenating reconstructs the original token sequence —
+    i.e. windows tile the doc exactly, and the final window reaches
+    the end."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        text_profile,
+    )
+
+    c, o = 8, 3
+    stride = c - o
+    for n in (0, 1, 7, 8, 9, 12, 13, 40):
+        text = " ".join(f"w{i}" for i in range(n))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            text_profile.chunk_documents(docs, c, o).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        assert rows[0].chunk_id == 0
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        # overlap-aware reconstruction: chunk k starts at k*stride
+        got = {}
+        for r in rows:
+            toks = r.chunk_text.split() if r.chunk_text else []
+            assert len(toks) == r.n_chunk_tokens <= c
+            for j, t in enumerate(toks):
+                pos = r.chunk_id * stride + j
+                assert got.get(pos, t) == t  # overlaps agree
+                got[pos] = t
+        assert len(got) == n  # every token covered exactly
+        if n:
+            assert [got[i] for i in range(n)] == text.split()
