@@ -268,3 +268,63 @@ def quantiles_from_counts(
         "value_cents",
         (F.col("value_cents") / 100.0).alias("value"),
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-sequence funnel: per user, step i is reached at the
+    EARLIEST event of its type strictly after the user's step-(i-1)
+    time; output is one row per step with the user count and the
+    conversion rate from step 0. The sequential-pattern analytics
+    shape (A then B then C) the rollup/session family doesn't cover.
+
+    Plan: one exchange — every step time is a min-over-CASE window
+    partitioned by user (successive steps reference the previous
+    step's column, all over the SAME partitioning, so Spark reuses one
+    sort/exchange), then a single tiny aggregate; no per-user
+    collect_list, no join per step, no global window. Determinism:
+    counts are integers, conversion is an int/int division.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, type_col, ts_col)
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        if i > 0:
+            cond = cond & (F.col(ts_col) > F.col(f"_t{i - 1}"))
+        df = df.withColumn(
+            f"_t{i}", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+    per_user = df.select(
+        user_col, *[f"_t{i}" for i in range(len(steps))]
+    ).distinct()
+    counts = per_user.agg(
+        *[F.count(f"_t{i}").alias(f"c{i}") for i in range(len(steps))]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step"),
+                F.lit(s).alias("step_name"),
+                F.col(f"c{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return (
+        counts.select(F.explode(rows).alias("r"), F.col("c0").alias("_c0"))
+        .select(
+            F.col("r.step").alias("step"),
+            F.col("r.step_name").alias("step_name"),
+            F.col("r.n_users").alias("n_users"),
+            F.when(
+                F.col("_c0") > 0, F.col("r.n_users") / F.col("_c0")
+            ).otherwise(F.lit(0.0)).alias("conversion"),
+        )
+    )

@@ -436,6 +436,15 @@ def events_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.json_property_rollup(table(spark, sf_dir, "events"))
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (strictly-increasing step
+    times per user) — see operators.events.funnel_counts."""
+    return events.funnel_counts(table(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
 def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.multi_grain_rollup(table(spark, sf_dir, "events"))
 
@@ -537,6 +546,7 @@ PIPELINE_QUERIES = {
     "events_sessionize": events_sessionize,
     "events_session_window": events_session_window,
     "events_json_rollup": events_json_rollup,
+    "events_funnel": events_funnel,
     "events_multi_grain_rollup": events_multi_grain_rollup,
     "events_kmv_distinct": events_kmv_distinct,
     "events_value_quantiles": events_value_quantiles,
@@ -1195,6 +1205,38 @@ SELECT vec_id, centroid_id AS cell, CAST(d AS BIGINT) AS dist_sq FROM (
 """
 
 
+def _funnel_steps_oracle(steps: list[str] | None = None) -> str:
+    """Mirror of events.funnel_counts: the same successive
+    min-over-CASE windows (strictly-increasing step times), one CTE
+    per step because each references the previous step's column."""
+    steps = steps or FUNNEL_STEPS
+    ctes = ["s0 AS (SELECT user_id, event_type, ts FROM events)"]
+    for i, s in enumerate(steps):
+        gate = f" AND ts > t{i - 1}" if i > 0 else ""
+        ctes.append(
+            f"""s{i + 1} AS (
+    SELECT *, MIN(CASE WHEN event_type = '{s}'{gate} THEN ts END)
+                  OVER (PARTITION BY user_id) AS t{i}
+    FROM s{i}
+)"""
+        )
+    tcols = ", ".join(f"t{i}" for i in range(len(steps)))
+    ctes.append(f"u AS (SELECT DISTINCT user_id, {tcols} FROM s{len(steps)})")
+    ccols = ", ".join(f"count(t{i}) AS c{i}" for i in range(len(steps)))
+    ctes.append(f"c AS (SELECT {ccols} FROM u)")
+    selects = [
+        f"""SELECT CAST({i} AS INT) AS step, '{s}' AS step_name,
+       CAST(c{i} AS BIGINT) AS n_users,
+       CASE WHEN c0 > 0 THEN CAST(c{i} AS DOUBLE) / c0 ELSE 0.0 END
+           AS conversion
+FROM c"""
+        for i, s in enumerate(steps)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
 def _chunk_oracle(c: int = CHUNK_TOKENS, o: int = CHUNK_OVERLAP) -> str:
     """Mirror of text_profile.chunk_documents: the sliding-window
     count formula in pure integer math (`//` on positive operands ==
@@ -1726,6 +1768,7 @@ PIPELINE_ORACLES = {
     "events_session_window": ORACLE_EVENTS_SESSION_WINDOW,
     "events_json_rollup": ORACLE_EVENTS_JSON,
     "events_multi_grain_rollup": ORACLE_EVENTS_MULTI_GRAIN,
+    "events_funnel": _funnel_steps_oracle(),
     "events_kmv_distinct": _kmv_oracle(),
     "events_value_quantiles": _quantiles_oracle(),
     "corpus_chunk_plan": _chunk_oracle(),

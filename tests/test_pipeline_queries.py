@@ -166,3 +166,40 @@ def test_chunk_documents_covers_every_token(spark):
         assert len(got) == n  # every token covered exactly
         if n:
             assert [got[i] for i in range(n)] == text.split()
+
+
+def test_funnel_requires_strict_order(spark):
+    """The funnel counts ORDER, not presence: a user who clicks before
+    ever viewing has not converted past step 0."""
+    from datetime import datetime as dt
+
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        events,
+    )
+
+    t = lambda m: dt(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: full ordered funnel
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: clicked before viewing -> stops at view
+        (2, t(1), "click"), (2, t(2), "view"),
+        # u3: view+click, purchase BEFORE the click -> stops at click
+        (3, t(1), "view"), (3, t(2), "purchase"), (3, t(3), "click"),
+        # u4: never viewed -> not in the funnel at all
+        (4, t(1), "purchase"),
+        # u5: click at the SAME instant as view -> strictness excludes
+        (5, t(1), "view"), (5, t(1), "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, ts, ty) for u, ts, ty in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r.step_name: (r.n_users, r.conversion)
+        for r in events.funnel_counts(
+            ev, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got["view"] == (4, 1.0)       # u1, u2, u3, u5
+    assert got["click"] == (2, 0.5)      # u1, u3
+    assert got["purchase"] == (1, 0.25)  # u1 only
