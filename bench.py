@@ -100,6 +100,62 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_streaming_curation(spark, sf_dir: str) -> dict:
+    """Near-real-time corpus curation throughput: replay the documents
+    table in chunks through the full streaming funnel (gates +
+    decontamination + cross-batch MinHash near-dup admission against
+    the persisted band index) and report docs/sec."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.partitioning import (
+        hash_sample,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.corpus import (
+        stream_curate_neardup,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_curate_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_docs = docs.count()
+        eval_docs = hash_sample(docs, "doc_id", 0.05, salt="eval")
+        src = f"{root}/chunks"
+        docs.withColumn("_b", F.col("doc_id") % 4).repartition(4, "_b").drop(
+            "_b"
+        ).write.parquet(src)
+        t0 = time.perf_counter()
+        # min_overlap above the synthetic corpus's gram-collision
+        # background: its ~50-word vocabulary makes every doc share
+        # 8-grams with any eval sample, so the default leak threshold
+        # would degenerate to "cut everything". The decontamination
+        # COMPUTE (broadcast eval grams + Arrow intersect pass) still
+        # runs in full — only the cut is disabled, keeping the
+        # throughput number honest.
+        q = stream_curate_neardup(
+            spark,
+            src,
+            f"{root}/corpus",
+            f"{root}/ckpt",
+            eval_docs,
+            min_overlap=10**6,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        kept = spark.read.parquet(f"{root}/corpus/curated_docs").count()
+        return {
+            "docs": n_docs,
+            "kept": kept,
+            "sec": round(dt, 3),
+            "docs_per_sec": round(n_docs / dt, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -138,6 +194,8 @@ def main() -> None:
 
     streaming = bench_streaming(spark, sf_dir)
     print(f"streaming_etl: {streaming}", file=sys.stderr, flush=True)
+    curation = bench_streaming_curation(spark, sf_dir)
+    print(f"streaming_curation: {curation}", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -149,6 +207,7 @@ def main() -> None:
                 "queries": timings,
                 "fact_materialization_sec": fact_warmup_sec,
                 "streaming_etl": streaming,
+                "streaming_curation": curation,
                 "sf": sf,
                 "n_queries": len(timings),
             }

@@ -27,11 +27,13 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.dedup import (
+    _verify_candidate_sets,
     band_keys,
     broadcast_eval_grams,
     connected_components,
     minhash_signatures,
     ngram_decontaminate,
+    shingle_hash_sets,
 )
 from ..operators.etl import ParquetWarehouse
 from ..operators.text_profile import curation_flags
@@ -55,6 +57,7 @@ def curate_batch(
     eval_docs: DataFrame | None = None,
     quality_min: int = QUALITY_MIN,
     eval_state=None,
+    min_overlap: int = 10,
 ) -> DataFrame:
     """One batch through the gates (language, quality, decontamination)
     — everything except the cross-batch dedup, which the sink owns.
@@ -65,8 +68,13 @@ def curate_batch(
     flags = curation_flags(docs).filter(
         F.col("lang_ok") & (F.col("quality_score") >= quality_min)
     )
+    # min_overlap is the leak threshold, a corpus-calibration knob: on
+    # natural text the default flags only real benchmark leaks, while
+    # the synthetic testdata's tiny vocabulary makes EVERY doc share
+    # grams with any eval sample — callers benching/testing on it pass
+    # a threshold above the background so the cut is not degenerate.
     decont = ngram_decontaminate(
-        docs, eval_docs, eval_state=eval_state
+        docs, eval_docs, eval_state=eval_state, min_overlap=min_overlap
     ).filter(~F.col("contaminated"))
     return (
         docs.join(flags.select("doc_id", "quality_score", "text_fp"), "doc_id")
@@ -83,6 +91,7 @@ def stream_curate(
     checkpoint_dir: str,
     eval_docs: DataFrame,
     quality_min: int = QUALITY_MIN,
+    min_overlap: int = 10,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
@@ -100,7 +109,12 @@ def stream_curate(
     stream = reader.parquet(docs_dir)
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        kept = curate_batch(batch, quality_min=quality_min, eval_state=eval_state)
+        kept = curate_batch(
+            batch,
+            quality_min=quality_min,
+            eval_state=eval_state,
+            min_overlap=min_overlap,
+        )
         # in-batch first-arrival (min doc_id) per fingerprint; the
         # sink's anti-join handles every earlier batch and replays
         from pyspark.sql import Window
@@ -133,21 +147,26 @@ def admit_neardup_batch(
     n: int = NEARDUP_SHINGLE_N,
     num_hashes: int = NEARDUP_HASHES,
     band_size: int = NEARDUP_BAND_SIZE,
+    threshold: float = 0.5,
 ) -> DataFrame:
     """Cross-batch NEAR-dup admission for one micro-batch: returns the
     admitted docs and claims their LSH band keys in the persisted band
-    index.
+    index. The full retrieve-verify ladder, streaming: band collisions
+    only PROPOSE candidates; every rejection requires an exact-Jaccard
+    verification at ``threshold`` — collision-only admission would
+    collapse a high-background-similarity corpus to a handful of
+    survivors (measured: 5 of 1844 on the synthetic testdata).
 
     Semantics (set-at-a-time, deterministic, replay-idempotent):
 
-    - Within the batch, band-colliding docs form components
-      (``connected_components`` over the collision graph); each
-      component collapses to its min-id representative — near-dup
-      GROUPS admit one member, which also subsumes collision chains
-      without order-dependence.
-    - A component any of whose band keys is already claimed by a
-      PREVIOUS admission (index owner outside the component) is
-      dropped whole — its content is near-dup of corpus history.
+    - Within the batch, VERIFIED near-dup pairs (band collision AND
+      jaccard ≥ threshold) form components; each component collapses
+      to its min-id representative — groups admit one member, and
+      chains resolve without order-dependence.
+    - A component any of whose members is a verified near-dup of a
+      PREVIOUS admission (band-key hit on the index, then jaccard
+      against the owner's text from the curated table) is dropped
+      whole — its content is already represented in corpus history.
     - Representatives of surviving components are admitted and claim
       all their band keys via the same insert-if-absent sink the
       exact-dedup path uses.
@@ -157,30 +176,40 @@ def admit_neardup_batch(
     absent, the rep is re-admitted (curated insert-if-absent no-ops)
     and the claim completes; if the claim landed first, the replayed
     component sees its OWN rep as the owner (owner == component id is
-    not foreign), so the rep re-admits and the curated write completes.
+    exempt), so the rep re-admits and the curated write completes.
 
     Invariant (holds for ANY batch partitioning of the input): no two
-    admitted docs collide in any band — later batches are vetoed by
-    the index, same-batch collisions share a component.
+    admitted docs are banding-detectable verified near-dups — later
+    batches are vetoed through the index probe, same-batch pairs share
+    a component. (Recall stays bounded by the banding, exactly as in
+    ``dedup.minhash_verified_pairs``.)
 
-    Scale notes: signatures come from the shuffle-free Arrow pass; the
-    collision self-join is key-bounded (band buckets, never all-pairs)
-    and the index join is an equi-join on the 60-bit key. The index
-    grows one row per admitted doc per band; at cluster scale it would
-    be bucketed by ``band_khash`` so the claim anti-join and the probe
-    join co-locate — same code path.
+    Scale notes: signatures and shingle sets come from the shuffle-free
+    fused Arrow passes; the collision self-join is key-bounded (band
+    buckets, never all-pairs); verification joins are bounded by the
+    candidate count, and the historical side re-shingles only the HIT
+    owners (a semi-join against the curated table), never the corpus.
+    The index grows one row per admitted doc per band; at cluster
+    scale it would be bucketed by ``band_khash`` so probe and claim
+    co-locate — same code path.
     """
     sig = minhash_signatures(kept, n, num_hashes, "text", "doc_id")
     keys = band_keys(sig, num_hashes, band_size).localCheckpoint(eager=False)
+    sets = shingle_hash_sets(kept, n, "text", "doc_id").localCheckpoint(
+        eager=False
+    )
     a = keys.alias("a")
     b = keys.alias("b")
-    pairs = (
+    cand = (
         a.join(b, F.col("a.band_khash") == F.col("b.band_khash"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = _verify_candidate_sets(sets, cand, threshold, "doc_id").select(
+        "doc_a", "doc_b"
     )
     comps = connected_components(pairs)
     comp_map = (
@@ -193,16 +222,42 @@ def admit_neardup_batch(
         .localCheckpoint(eager=False)
     )
     idx = warehouse.read(BAND_INDEX_TABLE)
-    if idx is not None:
-        poisoned = (
+    curated = warehouse.read(CURATED_TABLE)
+    poisoned = None
+    if idx is not None and curated is not None:
+        hits = (
             keys.join(idx, "band_khash")
             .join(comp_map, "doc_id")
             .filter(F.col("owner_doc_id") != F.col("component"))
+            .select("doc_id", "owner_doc_id")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        owner_docs = curated.select("doc_id", "text").join(
+            hits.select(F.col("owner_doc_id").alias("doc_id")).distinct(),
+            "doc_id",
+        )
+        owner_sets = shingle_hash_sets(owner_docs, n, "text", "doc_id")
+        # batch docs and hit owners can share ids only on replay, where
+        # their texts (hence sets) are identical — dropDuplicates picks
+        # an arbitrary but equal row
+        both = sets.unionByName(owner_sets).dropDuplicates(["doc_id"])
+        vhits = _verify_candidate_sets(
+            both,
+            hits.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("owner_doc_id").alias("doc_b"),
+            ),
+            threshold,
+            "doc_id",
+        )
+        poisoned = (
+            vhits.select(F.col("doc_a").alias("doc_id"))
+            .distinct()
+            .join(comp_map, "doc_id")
             .select("component")
             .distinct()
         )
-    else:
-        poisoned = None
     reps = comp_map.filter(F.col("doc_id") == F.col("component"))
     if poisoned is not None:
         reps = reps.join(poisoned, "component", "left_anti")
@@ -222,6 +277,7 @@ def stream_curate_neardup(
     checkpoint_dir: str,
     eval_docs: DataFrame,
     quality_min: int = QUALITY_MIN,
+    min_overlap: int = 10,
     n: int = NEARDUP_SHINGLE_N,
     num_hashes: int = NEARDUP_HASHES,
     band_size: int = NEARDUP_BAND_SIZE,
@@ -236,7 +292,13 @@ def stream_curate_neardup(
     warehouse = ParquetWarehouse(
         spark,
         corpus_root,
-        keys={CURATED_TABLE: ["text_fp"], BAND_INDEX_TABLE: ["band_khash"]},
+        # composite index key: verified admission lets two admitted docs
+        # legitimately share a band key, so claims must not first-wins
+        # collapse on the key alone
+        keys={
+            CURATED_TABLE: ["text_fp"],
+            BAND_INDEX_TABLE: ["band_khash", "owner_doc_id"],
+        },
         partitioning={},
     )
     eval_state = broadcast_eval_grams(eval_docs)
@@ -246,7 +308,12 @@ def stream_curate_neardup(
     stream = reader.parquet(docs_dir)
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        kept = curate_batch(batch, quality_min=quality_min, eval_state=eval_state)
+        kept = curate_batch(
+            batch,
+            quality_min=quality_min,
+            eval_state=eval_state,
+            min_overlap=min_overlap,
+        )
         from pyspark.sql import Window
 
         w = Window.partitionBy("text_fp").orderBy("doc_id")
