@@ -203,3 +203,58 @@ def test_funnel_requires_strict_order(spark):
     assert got["view"] == (4, 1.0)       # u1, u2, u3, u5
     assert got["click"] == (2, 0.5)      # u1, u3
     assert got["purchase"] == (1, 0.25)  # u1 only
+
+
+def test_funnel_matches_bruteforce_on_random_histories(spark):
+    """Property: the windowed funnel equals a per-user sequential
+    brute force (greedy earliest-step walk) on randomized event
+    histories — seeds fixed for reproducibility."""
+    import random
+    from datetime import datetime, timedelta
+
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        events,
+    )
+
+    steps = ["a", "b", "c"]
+    rng = random.Random(20260814)
+    base = datetime(2024, 1, 1)
+    rows = []
+    for u in range(40):
+        for _ in range(rng.randint(0, 12)):
+            rows.append(
+                (
+                    u,
+                    base + timedelta(minutes=rng.randint(0, 30)),
+                    rng.choice(steps + ["x"]),
+                )
+            )
+    if not rows:
+        rows = [(0, base, "a")]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+    # brute force: greedy earliest-completion walk per user
+    per_user: dict = {}
+    for u, ts, ty in rows:
+        per_user.setdefault(u, []).append((ts, ty))
+    counts = [0] * len(steps)
+    for hist in per_user.values():
+        prev = None
+        for i, s in enumerate(steps):
+            cands = [
+                ts
+                for ts, ty in hist
+                if ty == s and (prev is None or ts > prev)
+            ]
+            if not cands:
+                break
+            prev = min(cands)
+            counts[i] += 1
+
+    got = {
+        r.step: r.n_users
+        for r in events.funnel_counts(ev, steps).collect()
+    }
+    assert got == {i: c for i, c in enumerate(counts)}
