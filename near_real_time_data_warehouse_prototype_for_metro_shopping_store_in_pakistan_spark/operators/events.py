@@ -328,3 +328,34 @@ def funnel_counts(
             ).otherwise(F.lit(0.0)).alias("conversion"),
         )
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by their FIRST
+    active day; each (cohort_date, day_offset) cell counts the
+    cohort's users active that many days later — the
+    acquisition-retention analytics shape (triangle matrix) next to
+    the funnel.
+
+    Plan: one groupBy(user) min for the cohort assignment, a
+    broadcast-eligible join back (the per-user relation is ≤ one row
+    per user), then one map-side-combinable distinct-count aggregate
+    on (cohort, offset). Counts are exact integers.
+    """
+    day = F.to_date(F.col(ts_col))
+    firsts = events.groupBy(user_col).agg(
+        F.min(day).alias("cohort_date")
+    )
+    return (
+        events.select(user_col, day.alias("_day"))
+        .join(firsts, user_col)
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("_day"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

@@ -320,6 +320,21 @@ def _centroid_array(v: DataFrame, n_centroids: int, id_col: str) -> DataFrame:
     )
 
 
+def _centroid_array_from(cents: DataFrame):
+    """Broadcastable one-row centroid array from an explicit trained
+    centroid relation (centroid_id, cq, cn) — e.g.
+    ``kmeans_centroids`` output — instead of the corpus-prefix seed."""
+    return F.broadcast(
+        cents.select(
+            F.struct(
+                F.col("centroid_id").alias("centroid_id"),
+                F.col("cq").alias("cq"),
+                F.col("cn").alias("cn"),
+            ).alias("c")
+        ).agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+
+
 def _centroid_scores(q_col, norm_col):
     """Per-row array of (ccos, neg_cid) structs against the attached
     ``cents`` array — struct-comparable so array_max IS the argmax
@@ -343,6 +358,7 @@ def ivf_assignments(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its best
     centroid by cosine (ties break on centroid id).
@@ -361,9 +377,14 @@ def ivf_assignments(
     n_centroids-times-inflated corpus just to discard all but the
     argmax."""
     v = scaled_vectors(emb, vec_col, id_col)
+    carr = (
+        _centroid_array_from(centroids)
+        if centroids is not None
+        else _centroid_array(v, n_centroids, id_col)
+    )
     best = F.array_max(_centroid_scores(F.col("q"), F.col("norm_sq")))
     return (
-        v.crossJoin(_centroid_array(v, n_centroids, id_col))
+        v.crossJoin(carr)
         .select(
             id_col,
             "q",
@@ -381,6 +402,7 @@ def ann_ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via an IVF inverted index —
     the cell-partitioned scale path beside the hyperplane-LSH one.
@@ -390,8 +412,13 @@ def ann_ivf_topk(
     full scan of ``cosine_topk``; exact cosine is computed inside the
     probed cells. Recall/cost tunes with (n_centroids, n_probe). The
     candidate join is a key-bounded equi-join on ``cell``.
+
+    ``centroids`` plugs a TRAINED centroid relation
+    (``kmeans_centroids`` output: centroid_id, cq, cn) into the same
+    plan in place of the corpus-prefix seed — assignment and probing
+    both score against it by cosine.
     """
-    assigned = ivf_assignments(emb, n_centroids, vec_col, id_col)
+    assigned = ivf_assignments(emb, n_centroids, vec_col, id_col, centroids)
     v = scaled_vectors(emb, vec_col, id_col)
     qv = v.filter(F.col(id_col) < num_queries).select(
         F.col(id_col).alias("query_id"),
@@ -402,8 +429,13 @@ def ann_ivf_topk(
     # the per-row score array DESC ((cosine, -centroid) struct order =
     # cosine DESC then centroid ASC), slice the prefix, explode — only
     # the few query rows ever widen.
+    probe_arr = (
+        _centroid_array_from(centroids)
+        if centroids is not None
+        else _centroid_array(v, n_centroids, id_col)
+    )
     probes = (
-        qv.crossJoin(_centroid_array(v, n_centroids, id_col))
+        qv.crossJoin(probe_arr)
         .select(
             "query_id",
             "qq",
@@ -577,53 +609,56 @@ def kmeans_cells(
     Returns (vec_id, cell, dist_sq) under the FINAL centroids.
     """
     v = scaled_vectors(emb, vec_col, id_col).select(id_col, "q")
+    cents = _kmeans_iterate(v, k, iters, id_col)
+    return _kmeans_assign(v, cents, id_col).select(id_col, "cell", "dist_sq")
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The FINAL trained centroid relation from the same iteration as
+    ``kmeans_cells``: (centroid_id, cq array<long>, cn norm_sq) — the
+    shape ``ann_ivf_topk(centroids=...)`` plugs in, closing the
+    train → index → search loop."""
+    v = scaled_vectors(emb, vec_col, id_col).select(id_col, "q")
+    cents = _kmeans_iterate(v, k, iters, id_col)
+    cn = F.aggregate(
+        F.transform("cq", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return cents.withColumn("cn", cn)
+
+
+def _kmeans_iterate(
+    v: DataFrame, k: int, iters: int, id_col: str
+) -> DataFrame:
+    """``iters`` Lloyd rounds over the quantized relation ``v``
+    (id, q); returns the final (centroid_id, cq) relation."""
     cents = (
         v.filter(F.col(id_col) < k)
         .select(F.col(id_col).alias("centroid_id"), F.col("q").alias("cq"))
         .localCheckpoint(eager=False)
     )
-
-    def cents_row(c: DataFrame):
-        return F.broadcast(
-            c.select(
-                F.struct(
-                    F.col("centroid_id").alias("centroid_id"),
-                    F.col("cq").alias("cq"),
-                ).alias("c")
-            ).agg(F.array_sort(F.collect_list("c")).alias("cents"))
-        )
-
-    def assign(c: DataFrame) -> DataFrame:
-        scored = F.transform(
-            F.col("cents"),
-            lambda s: F.struct(
-                (-_sq_dist(F.col("q"), s["cq"])).alias("neg_d"),
-                (-s["centroid_id"]).alias("neg_cid"),
-            ),
-        )
-        best = F.array_max(scored)
-        return v.crossJoin(cents_row(c)).select(
-            id_col,
-            "q",
-            (-best["neg_cid"]).alias("cell"),
-            (-best["neg_d"]).alias("dist_sq"),
-        )
-
     for _ in range(iters):
-        assigned = assign(cents)
+        assigned = _kmeans_assign(v, cents, id_col)
         sums = (
             assigned.select("cell", F.posexplode("q").alias("pos", "val"))
             .groupBy("cell", "pos")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
         )
         updated = (
-            sums.withColumn("cval", _floordiv(F.col("s"), F.col("n")).cast("long"))
+            sums.withColumn(
+                "cval", _floordiv(F.col("s"), F.col("n")).cast("long")
+            )
             .groupBy("cell")
             .agg(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "cval"))
-                    ),
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
                     lambda st: st["cval"],
                 ).alias("cq")
             )
@@ -638,4 +673,34 @@ def kmeans_cells(
             )
             .localCheckpoint(eager=False)
         )
-    return assign(cents).select(id_col, "cell", "dist_sq")
+    return cents
+
+
+def _kmeans_assign(v: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Zero-shuffle argmin assignment of ``v`` against the k-row
+    centroid relation (broadcast array-of-structs attach)."""
+
+    def cents_row(c: DataFrame):
+        return F.broadcast(
+            c.select(
+                F.struct(
+                    F.col("centroid_id").alias("centroid_id"),
+                    F.col("cq").alias("cq"),
+                ).alias("c")
+            ).agg(F.array_sort(F.collect_list("c")).alias("cents"))
+        )
+
+    scored = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            (-_sq_dist(F.col("q"), s["cq"])).alias("neg_d"),
+            (-s["centroid_id"]).alias("neg_cid"),
+        ),
+    )
+    best = F.array_max(scored)
+    return v.crossJoin(cents_row(cents)).select(
+        id_col,
+        "q",
+        (-best["neg_cid"]).alias("cell"),
+        (-best["neg_d"]).alias("dist_sq"),
+    )

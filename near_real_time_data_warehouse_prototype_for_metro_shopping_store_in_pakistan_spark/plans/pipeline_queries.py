@@ -188,6 +188,23 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frame_indices(decoded, every_n=30, max_frames=16)
 
 
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over TRAINED centroids: kmeans_centroids (k=16,
+    2 Lloyd rounds, integer-exact) plugs into the same ann_ivf_topk
+    plan in place of the corpus-prefix seed — the full
+    train -> index -> search loop, every stage oracle-gated."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=ANN_IVF_CENTROIDS, iters=2)
+    return similarity.ann_ivf_topk(
+        emb,
+        num_queries=ANN_NUM_QUERIES,
+        k=ANN_K,
+        n_centroids=ANN_IVF_CENTROIDS,
+        n_probe=ANN_IVF_PROBE,
+        centroids=cents,
+    )
+
+
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall, promoted from a unit-test floor to a pinned measurement
     query: per-query overlap counts of each approximate ANN index's
@@ -436,6 +453,12 @@ def events_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.json_property_rollup(table(spark, sf_dir, "events"))
 
 
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-active-day cohorts × day offsets with distinct-user
+    counts — see operators.events.cohort_retention."""
+    return events.cohort_retention(table(spark, sf_dir, "events"))
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -528,6 +551,7 @@ PIPELINE_QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "ann_recall_report": ann_recall_report,
     "embed_kmeans_cells": embed_kmeans_cells,
     "embed_cosine_neardup": embed_cosine_neardup,
@@ -547,6 +571,7 @@ PIPELINE_QUERIES = {
     "events_session_window": events_session_window,
     "events_json_rollup": events_json_rollup,
     "events_funnel": events_funnel,
+    "events_cohort_retention": events_cohort_retention,
     "events_multi_grain_rollup": events_multi_grain_rollup,
     "events_kmv_distinct": events_kmv_distinct,
     "events_value_quantiles": events_value_quantiles,
@@ -1142,25 +1167,32 @@ FROM c
 """
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
-    """Mirror of similarity.kmeans_cells: the same fixed iteration
-    count unrolled as CTE pairs (assign aᵢ → update cᵢ). Distances are
-    integer squared L2 over the micro-unit quantized vectors; centroid
-    means use the pmod floor-division identity (Spark ``div``
-    truncates, DuckDB ``//`` floors — identical on the exactly
-    divisible numerator); ties and empty cells match the operator."""
-    dist = (
-        "list_sum(list_transform(generate_series(1, len(v.q)),"
-        " i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i])))"
-    )
-    ctes = [
-        f"""v AS (
+_KMEANS_DIST = (
+    "list_sum(list_transform(generate_series(1, len(v.q)),"
+    " i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i])))"
+)
+
+
+def _kmeans_ctes(k: int, iters: int, with_v: bool = True) -> str:
+    """The unrolled Lloyd CTE chain (assign aᵢ → update cᵢ), ending at
+    ``c{iters}`` — shared by the k-means oracle and the trained-IVF
+    oracle (which brings its own ``v`` via _SCALED_VECS; the two
+    definitions of ``v`` are textually identical quantizations)."""
+    dist = _KMEANS_DIST
+    head = (
+        """v AS (
     SELECT vec_id,
            list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
     FROM embeddings
 ),
-c0 AS (SELECT vec_id AS centroid_id, q AS cq FROM v WHERE vec_id < {k})"""
+"""
+        if with_v
+        else ""
+    )
+    ctes = [
+        head
+        + f"c0 AS (SELECT vec_id AS centroid_id, q AS cq FROM v WHERE vec_id < {k})"
     ]
     for t in range(iters):
         ctes.append(
@@ -1193,7 +1225,18 @@ c{t + 1} AS (
     FROM c{t} LEFT JOIN m{t} USING (centroid_id)
 )"""
         )
-    return f"""WITH {",".join(ctes)}
+    return ",".join(ctes)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    """Mirror of similarity.kmeans_cells: the same fixed iteration
+    count unrolled as CTE pairs (assign aᵢ → update cᵢ). Distances are
+    integer squared L2 over the micro-unit quantized vectors; centroid
+    means use the pmod floor-division identity (Spark ``div``
+    truncates, DuckDB ``//`` floors — identical on the exactly
+    divisible numerator); ties and empty cells match the operator."""
+    dist = _KMEANS_DIST
+    return f"""WITH {_kmeans_ctes(k, iters)}
 SELECT vec_id, centroid_id AS cell, CAST(d AS BIGINT) AS dist_sq FROM (
     SELECT v.vec_id, c.centroid_id, {dist} AS d,
            row_number() OVER (
@@ -1202,6 +1245,91 @@ SELECT vec_id, centroid_id AS cell, CAST(d AS BIGINT) AS dist_sq FROM (
            ) AS rn
     FROM v CROSS JOIN c{iters} c
 ) WHERE rn = 1
+"""
+
+
+def _ivf_trained_oracle(k: int = ANN_IVF_CENTROIDS, iters: int = 2) -> str:
+    """Trained IVF: the unrolled k-means CTE chain supplies the
+    centroid lists (c{iters}), and the IVF assignment/probe/scan logic
+    of ORACLE_ANN_IVF runs against them (cosine scoring, same
+    association order as the Spark column formula)."""
+    return f"""WITH {_SCALED_VECS},
+{_kmeans_ctes(k, iters, with_v=False)},
+celem AS (
+    SELECT centroid_id, unnest(generate_series(1, len(cq))) AS i,
+           unnest(cq) AS val
+    FROM c{iters}
+),
+cn AS (SELECT centroid_id, SUM(val * val) AS norm_sq FROM celem GROUP BY 1),
+cdots AS (
+    SELECT a.vec_id AS vid, c.centroid_id, SUM(a.val * c.val) AS dot
+    FROM elem a JOIN celem c ON a.i = c.i
+    GROUP BY 1, 2
+),
+cscored AS (
+    SELECT vid, cdots.centroid_id,
+           CAST(dot AS DOUBLE)
+           / (sqrt(CAST(n1.norm_sq AS DOUBLE)) * sqrt(CAST(cn.norm_sq AS DOUBLE)))
+           AS ccos
+    FROM cdots
+    JOIN norms n1 ON vid = n1.vec_id
+    JOIN cn ON cdots.centroid_id = cn.centroid_id
+),
+assign AS (
+    SELECT vid, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+        FROM cscored
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT vid AS query_id, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+        FROM cscored WHERE vid < {ANN_NUM_QUERIES}
+    ) WHERE rn <= {ANN_IVF_PROBE}
+),
+cand AS (
+    SELECT p.query_id, a.vid AS neighbor_id
+    FROM probes p JOIN assign a ON p.cell = a.cell AND a.vid != p.query_id
+),
+dots AS (
+    SELECT c.query_id, c.neighbor_id, SUM(a.val * b.val) AS dot
+    FROM cand c
+    JOIN elem a ON a.vec_id = c.query_id
+    JOIN elem b ON b.vec_id = c.neighbor_id AND b.i = a.i
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE)
+           / (sqrt(CAST(qn.norm_sq AS DOUBLE)) * sqrt(CAST(nn.norm_sq AS DOUBLE)))
+           AS cosine
+    FROM dots
+    JOIN norms qn ON query_id = qn.vec_id
+    JOIN norms nn ON neighbor_id = nn.vec_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+ORACLE_COHORT_RETENTION = """
+WITH firsts AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+    FROM events GROUP BY user_id
+)
+SELECT f.cohort_date,
+       CAST(date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS INT)
+           AS day_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN firsts f USING (user_id)
+GROUP BY 1, 2
 """
 
 
@@ -1750,6 +1878,7 @@ PIPELINE_ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
+    "ann_ivf_trained_topk": _ivf_trained_oracle(),
     "ann_recall_report": ORACLE_ANN_RECALL,
     "embed_cosine_neardup": ORACLE_EMBED_NEARDUP,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
@@ -1769,6 +1898,7 @@ PIPELINE_ORACLES = {
     "events_json_rollup": ORACLE_EVENTS_JSON,
     "events_multi_grain_rollup": ORACLE_EVENTS_MULTI_GRAIN,
     "events_funnel": _funnel_steps_oracle(),
+    "events_cohort_retention": ORACLE_COHORT_RETENTION,
     "events_kmv_distinct": _kmv_oracle(),
     "events_value_quantiles": _quantiles_oracle(),
     "corpus_chunk_plan": _chunk_oracle(),
