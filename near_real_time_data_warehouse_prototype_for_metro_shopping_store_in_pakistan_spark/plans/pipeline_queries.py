@@ -231,6 +231,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=ANN_IVF_CENTROIDS,
         n_probe=ANN_IVF_PROBE,
     ).select("query_id", "neighbor_id")
+    trained = ann_ivf_trained_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
     base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     lhits = (
         exact.join(lsh, ["query_id", "neighbor_id"], "left_semi")
@@ -242,14 +245,23 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("ivf_hits"))
     )
+    thits = (
+        exact.join(trained, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("ivf_trained_hits"))
+    )
     return (
         base.join(lhits, "query_id", "left")
         .join(ihits, "query_id", "left")
+        .join(thits, "query_id", "left")
         .select(
             "query_id",
             "n_exact",
             F.coalesce("lsh_hits", F.lit(0)).alias("lsh_hits"),
             F.coalesce("ivf_hits", F.lit(0)).alias("ivf_hits"),
+            F.coalesce("ivf_trained_hits", F.lit(0)).alias(
+                "ivf_trained_hits"
+            ),
         )
     )
 
@@ -1019,19 +1031,28 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}
 """
 
-# Recall report: the three ANN oracles compose as derived tables (each
+# Recall report: the four ANN oracles compose as derived tables (each
 # carries its own WITH scope), so this stays definitionally tied to
-# the per-variant gates — no re-derivation to drift.
-ORACLE_ANN_RECALL = f"""
+# the per-variant gates — no re-derivation to drift. A function
+# because the trained-IVF oracle is defined further down the module.
+def _ann_recall_oracle() -> str:
+    return """
 SELECT e.query_id,
        count(*) AS n_exact,
        count(l.neighbor_id) AS lsh_hits,
-       count(i.neighbor_id) AS ivf_hits
-FROM ({{topk}}) e
-LEFT JOIN ({{lsh}}) l USING (query_id, neighbor_id)
-LEFT JOIN ({{ivf}}) i USING (query_id, neighbor_id)
+       count(i.neighbor_id) AS ivf_hits,
+       count(t.neighbor_id) AS ivf_trained_hits
+FROM ({topk}) e
+LEFT JOIN ({lsh}) l USING (query_id, neighbor_id)
+LEFT JOIN ({ivf}) i USING (query_id, neighbor_id)
+LEFT JOIN ({trained}) t USING (query_id, neighbor_id)
 GROUP BY e.query_id
-""".format(topk=ORACLE_ANN_TOPK, lsh=ORACLE_ANN_LSH, ivf=ORACLE_ANN_IVF)
+""".format(
+        topk=ORACLE_ANN_TOPK,
+        lsh=ORACLE_ANN_LSH,
+        ivf=ORACLE_ANN_IVF,
+        trained=_ivf_trained_oracle(),
+    )
 
 # Multimodal fake-decode oracle: every field is the same pure function
 # of md5(utf8(text)) the Pandas stage computes (operators.multimodal).
@@ -1879,7 +1900,7 @@ PIPELINE_ORACLES = {
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_ivf_trained_topk": _ivf_trained_oracle(),
-    "ann_recall_report": ORACLE_ANN_RECALL,
+    "ann_recall_report": _ann_recall_oracle(),
     "embed_cosine_neardup": ORACLE_EMBED_NEARDUP,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
