@@ -132,6 +132,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_keepers(docs, pairs.select("doc_a", "doc_b"))
 
 
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ladder recall as a pinned measurement (the dedup twin of
+    ann_recall_report): pair counts of the production MinHash ladder
+    vs the exact Jaccard ground truth, plus the overlap. Precision is
+    exact by construction (both verify the same hash-set Jaccard), so
+    n_hits == n_ladder_pairs and recall = n_hits / n_exact_pairs —
+    the banding's P(miss) made visible, which the per-variant hash
+    gates cannot see."""
+    docs = table(spark, sf_dir, "documents")
+    exact = dedup.jaccard_similar_pairs(docs).select("doc_a", "doc_b")
+    ladder = dedup.minhash_verified_pairs(docs).select("doc_a", "doc_b")
+    hits = exact.join(ladder, ["doc_a", "doc_b"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+        .crossJoin(ladder.agg(F.count(F.lit(1)).alias("n_ladder_pairs")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(table(spark, sf_dir, "documents"))
 
@@ -550,6 +569,7 @@ PIPELINE_QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_verified": dedup_minhash_verified,
+    "dedup_recall_report": dedup_recall_report,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
     "corpus_hash_sample": corpus_hash_sample,
@@ -1887,6 +1907,16 @@ PIPELINE_ORACLES = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_minhash_verified": ORACLE_DEDUP_MINHASH_VERIFIED,
+    "dedup_recall_report": f"""
+SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
+           AS n_exact_pairs,
+       CAST((SELECT count(*) FROM ({ORACLE_DEDUP_MINHASH_VERIFIED})) AS BIGINT)
+           AS n_ladder_pairs,
+       CAST((SELECT count(*)
+             FROM ({ORACLE_DEDUP_JACCARD}) j
+             JOIN ({ORACLE_DEDUP_MINHASH_VERIFIED}) v
+             USING (doc_a, doc_b)) AS BIGINT) AS n_hits
+""",
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_hash_sample": ORACLE_HASH_SAMPLE,

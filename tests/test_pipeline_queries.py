@@ -143,7 +143,15 @@ def test_chunk_documents_covers_every_token(spark):
         text_profile,
     )
 
-    c, o = 8, 3
+    for c, o in ((8, 3), (4, 0)):
+        _chunk_case(spark, c, o)
+
+
+def _chunk_case(spark, c, o):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        text_profile,
+    )
+
     stride = c - o
     for n in (0, 1, 7, 8, 9, 12, 13, 40):
         text = " ".join(f"w{i}" for i in range(n))

@@ -291,3 +291,17 @@ def test_kmeans_assignment_is_shuffle_free_and_update_bounded(spark, sf_dir):
     # the only hash exchanges left in the live plan are that round's
     # (cell, pos) update aggregates, never a corpus repartition
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_funnel_shares_one_user_exchange(spark, sf_dir):
+    """All chained step windows partition by user, so the whole funnel
+    must reuse ONE hashpartitioning exchange (plus the metadata-scale
+    final aggregate) — a second corpus exchange means the windows
+    stopped sharing their sort."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.plans.pipeline_queries import (
+        events_funnel,
+    )
+
+    plan = plan_of(events_funnel(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
