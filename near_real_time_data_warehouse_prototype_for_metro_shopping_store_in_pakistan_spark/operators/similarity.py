@@ -704,3 +704,70 @@ def _kmeans_assign(v: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
         (-best["neg_cid"]).alias("cell"),
         (-best["neg_d"]).alias("dist_sq"),
     )
+
+
+def embedding_decontaminate(
+    emb: DataFrame,
+    rate: float = 0.05,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "eval",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin
+    of ``dedup.ngram_decontaminate``: flag corpus vectors whose cosine
+    against ANY held-out eval vector reaches ``threshold``
+    (paraphrased leaks that share no 8-grams still sit next to their
+    source in embedding space). Eval membership is the deterministic
+    md5 sample (``partitioning.hash_sample`` semantics, same salt
+    convention as the n-gram pass).
+
+    Plan: the eval set rides as ONE broadcast array-of-structs row
+    (same shape as the IVF centroid attach); each corpus row computes
+    its max cosine over the eval array inside a single projection —
+    zero shuffle, zero row inflation, one corpus scan. Exact integer
+    dot products over micro-unit quantized components, the identical
+    IEEE association order as the SQL formula. Eval members are never
+    flagged; rows with no other eval vector report -1.0.
+
+    At a 100 TB corpus the per-row cost is |eval|·dim multiplies —
+    intrinsic to the exact contract; an LSH pre-bucketing (hyperplane
+    buckets shared between corpus and eval) is the approximate scale
+    path, same as the ANN family.
+    """
+    from ..functions.text import md5_long
+    from .partitioning import SAMPLE_DENOM
+
+    v = scaled_vectors(emb, vec_col, id_col)
+    bucket = md5_long(
+        F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))
+    ) % SAMPLE_DENOM
+    is_eval = bucket < int(rate * SAMPLE_DENOM)
+    ev = v.filter(is_eval)
+    evarr = F.broadcast(
+        ev.select(
+            F.struct(
+                F.col(id_col).alias("eid"),
+                F.col("q").alias("eq"),
+                F.col("norm_sq").alias("en"),
+            ).alias("e")
+        ).agg(F.array_sort(F.collect_list("e")).alias("evals"))
+    )
+    others = F.filter(F.col("evals"), lambda e: e["eid"] != F.col(id_col))
+    coss = F.transform(
+        others,
+        lambda e: _dot(F.col("q"), e["eq"])
+        / (
+            F.sqrt(F.col("norm_sq").cast("double"))
+            * F.sqrt(e["en"].cast("double"))
+        ),
+    )
+    mx = F.array_max(coss)
+    return v.crossJoin(evarr).select(
+        id_col,
+        is_eval.alias("is_eval"),
+        F.coalesce(mx, F.lit(-1.0)).alias("max_eval_cosine"),
+        (~is_eval & F.coalesce(mx >= F.lit(threshold), F.lit(False))).alias(
+            "contaminated"
+        ),
+    )

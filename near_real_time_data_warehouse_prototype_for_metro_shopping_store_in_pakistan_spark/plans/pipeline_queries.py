@@ -285,6 +285,24 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBED_DECON_RATE = 0.05
+EMBED_DECON_THRESHOLD = 0.35  # corpus-calibrated: synthetic embeddings
+# top out near cosine 0.43 against the eval sample, so the pinned
+# query exercises both flag branches; the operator's default (0.95)
+# is the natural-corpus near-identity contract.
+
+
+def embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space leakage guard: max cosine of every vector
+    against the broadcast md5-sampled eval set — see
+    operators.similarity.embedding_decontaminate."""
+    return similarity.embedding_decontaminate(
+        table(spark, sf_dir, "embeddings"),
+        rate=EMBED_DECON_RATE,
+        threshold=EMBED_DECON_THRESHOLD,
+    )
+
+
 def embed_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=8, 2 update rounds), integer-exact
     end to end so the unrolled DuckDB oracle matches bit-for-bit — the
@@ -586,6 +604,7 @@ PIPELINE_QUERIES = {
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "ann_recall_report": ann_recall_report,
     "embed_kmeans_cells": embed_kmeans_cells,
+    "embed_decontaminate": embed_decontaminate,
     "embed_cosine_neardup": embed_cosine_neardup,
     "multimodal_decode": multimodal_decode,
     "multimodal_features": multimodal_features,
@@ -1433,6 +1452,49 @@ FROM (
 """
 
 
+def _embed_decon_oracle(
+    rate: float = 0.05, threshold: float = 0.35, salt: str = "eval"
+) -> str:
+    """Mirror of similarity.embedding_decontaminate: md5-sampled eval
+    membership, exact integer dots via the lockstep elem relation, the
+    same (sqrt(corpus)·sqrt(eval)) association order, MAX per vector
+    (order-free over identical doubles)."""
+    from ..operators import partitioning
+
+    key = "CAST(vec_id AS VARCHAR) || '|" + salt + "'"
+    cond = (
+        f"{_sql_md5_long(key)} % {partitioning.SAMPLE_DENOM}"
+        f" < {int(rate * partitioning.SAMPLE_DENOM)}"
+    )
+    return f"""
+WITH {_SCALED_VECS},
+ev AS (SELECT vec_id FROM embeddings WHERE {cond}),
+pairs AS (
+    SELECT a.vec_id AS vid, b.vec_id AS eid, SUM(a.val * b.val) AS dot
+    FROM elem a
+    JOIN elem b ON a.i = b.i AND a.vec_id != b.vec_id
+    WHERE b.vec_id IN (SELECT vec_id FROM ev)
+    GROUP BY 1, 2
+),
+coss AS (
+    SELECT vid,
+           CAST(dot AS DOUBLE)
+           / (sqrt(CAST(n1.norm_sq AS DOUBLE)) * sqrt(CAST(n2.norm_sq AS DOUBLE)))
+           AS c
+    FROM pairs
+    JOIN norms n1 ON vid = n1.vec_id
+    JOIN norms n2 ON eid = n2.vec_id
+),
+mx AS (SELECT vid, MAX(c) AS m FROM coss GROUP BY 1)
+SELECT e.vec_id,
+       e.vec_id IN (SELECT vec_id FROM ev) AS is_eval,
+       COALESCE(m, -1.0) AS max_eval_cosine,
+       (e.vec_id NOT IN (SELECT vec_id FROM ev))
+           AND COALESCE(m >= {threshold}, FALSE) AS contaminated
+FROM embeddings e LEFT JOIN mx ON e.vec_id = mx.vid
+"""
+
+
 def _repetition_oracle() -> str:
     """Mirror of text_profile.repetition_stats: whitespace tokens of
     lower(text); all four ratios are divisions of exact integer counts
@@ -1954,6 +2016,7 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "events_value_quantiles": _quantiles_oracle(),
     "corpus_chunk_plan": _chunk_oracle(),
     "embed_kmeans_cells": _kmeans_oracle(),
+    "embed_decontaminate": _embed_decon_oracle(),
     "text_unigram_coverage": _unigram_coverage_oracle(),
     "corpus_decontaminate": _decontaminate_oracle(),
     "corpus_token_budget": _token_budget_oracle(),
