@@ -1,0 +1,139 @@
+"""``CorpusPipeline`` — the user-facing façade for the training-data
+side of the engine, the corpus twin of ``MetroWarehouse``.
+
+The reference has no corpus tooling at all (its surface is the retail
+ETL, src/Meshjoin.java); this façade composes the brief-extension
+operator families — curation gates, decontamination, the dedup
+ladder, chunking, packing, budgeting, mixing — into the end-to-end
+prep flow an LLM-data pipeline runs, in either batch or streaming
+form. Every method delegates to the tested building blocks
+(``operators.*``, ``streaming.corpus``) — the façade adds no
+semantics of its own.
+
+Typical session::
+
+    cp = CorpusPipeline(spark, "/data/corpus")
+    kept = cp.curate(docs, eval_docs)          # gates + leak guard
+    kept = cp.dedup(kept)                      # near-dup keepers
+    cp.ingest(kept)                            # idempotent table
+    chunks = cp.chunk(cp.table())              # context windows
+    plan = cp.pack(chunks)                     # fixed-capacity bins
+    q = cp.run_stream(docs_dir, ckpt, eval_docs)  # streaming twin
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .operators import dedup as _dedup
+from .operators import packing as _packing
+from .operators import text_profile as _text
+from .operators.etl import ParquetWarehouse
+from .streaming.corpus import (
+    CURATED_TABLE,
+    QUALITY_MIN,
+    curate_batch,
+    stream_curate_neardup,
+)
+
+
+class CorpusPipeline:
+    """Batch + streaming corpus curation over one idempotent parquet
+    corpus table (fingerprint-keyed insert-if-absent, same replay
+    semantics as the warehouse fact sink)."""
+
+    def __init__(self, spark: SparkSession, corpus_root: str) -> None:
+        self.spark = spark
+        self.root = corpus_root
+        self.warehouse = ParquetWarehouse(
+            spark, corpus_root, keys={CURATED_TABLE: ["text_fp"]},
+            partitioning={},
+        )
+
+    # -- batch ----------------------------------------------------------
+    def curate(
+        self,
+        docs: DataFrame,
+        eval_docs: DataFrame,
+        quality_min: int = QUALITY_MIN,
+        min_overlap: int = 10,
+    ) -> DataFrame:
+        """Language + quality gates and n-gram decontamination."""
+        return curate_batch(
+            docs, eval_docs, quality_min=quality_min, min_overlap=min_overlap
+        )
+
+    def dedup(
+        self, docs: DataFrame, threshold: float = 0.5
+    ) -> DataFrame:
+        """Keep one representative per near-dup group (exact-Jaccard
+        verified pairs → connected components → min-id keeper)."""
+        pairs = _dedup.jaccard_similar_pairs(docs, threshold=threshold)
+        keepers = _dedup.neardup_keepers(docs, pairs)
+        return docs.join(
+            keepers.filter(
+                F.col("doc_id") == F.col("keeper_doc_id")
+            ).select("doc_id"),
+            "doc_id",
+        )
+
+    def ingest(self, docs: DataFrame) -> None:
+        """Insert-if-absent into the curated table (idempotent under
+        replay; exact cross-batch dedup by text fingerprint)."""
+        self.warehouse.insert_if_absent(CURATED_TABLE, docs)
+
+    def table(self) -> DataFrame:
+        got = self.warehouse.read(CURATED_TABLE)
+        if got is None:
+            raise ValueError(f"no curated table under {self.root}")
+        return got
+
+    def chunk(
+        self, docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+    ) -> DataFrame:
+        return _text.chunk_documents(docs, chunk_tokens, overlap)
+
+    def pack(
+        self,
+        chunks: DataFrame,
+        capacity: int = 256,
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Greedy sequence packing of chunks into fixed-capacity
+        bins, keyed by the composite (doc, chunk) id."""
+        sized = chunks.select(
+            F.concat_ws(
+                "#",
+                F.col(id_col).cast("string"),
+                F.col("chunk_id").cast("string"),
+            ).alias("chunk_key"),
+            "chunk_text",
+        )
+        return _packing.pack_sequences(
+            sized, capacity, text_col="chunk_text", id_col="chunk_key"
+        )
+
+    # -- streaming ------------------------------------------------------
+    def run_stream(
+        self,
+        docs_dir: str,
+        checkpoint_dir: str,
+        eval_docs: DataFrame,
+        quality_min: int = QUALITY_MIN,
+        min_overlap: int = 10,
+        max_files_per_trigger: int | None = None,
+    ) -> StreamingQuery:
+        """The same funnel as micro-batched ingestion with cross-batch
+        MinHash near-dup admission (see streaming.corpus)."""
+        return stream_curate_neardup(
+            self.spark,
+            docs_dir,
+            self.root,
+            checkpoint_dir,
+            eval_docs,
+            quality_min=quality_min,
+            min_overlap=min_overlap,
+            max_files_per_trigger=max_files_per_trigger,
+        )

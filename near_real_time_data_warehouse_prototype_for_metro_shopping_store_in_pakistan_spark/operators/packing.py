@@ -28,9 +28,15 @@ from ..functions.text import md5_long, token_count
 # wider stride, asserted in the loop rather than silently wrapped.
 PACKS_PER_SHARD_STRIDE = 1_000_000
 
-_PACK_SCHEMA = (
-    "doc_id long, shard int, pack_id long, n_tokens int, pack_pos int"
-)
+def _pack_schema(docs, id_col: str) -> str:
+    """Output schema with the id field TYPED FROM THE INPUT (string
+    chunk keys pack as well as long doc ids — same id-generality fix
+    as ngram_decontaminate)."""
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return (
+        f"doc_id {id_type}, shard int, pack_id long, "
+        "n_tokens int, pack_pos int"
+    )
 
 
 def pack_sequences(
@@ -84,4 +90,6 @@ def pack_sequences(
         out["pack_pos"] = out.groupby("pack_id").cumcount()
         return out[["doc_id", "shard", "pack_id", "n_tokens", "pack_pos"]]
 
-    return sized.groupBy("shard").applyInPandas(pack_shard, _PACK_SCHEMA)
+    return sized.groupBy("shard").applyInPandas(
+        pack_shard, _pack_schema(docs, id_col)
+    )

@@ -1,0 +1,74 @@
+"""CorpusPipeline façade: every stage delegates to the tested
+operators, so these tests check WIRING (outputs agree with direct
+operator calls) and the end-to-end flow, not operator semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.corpus_pipeline import (
+    CorpusPipeline,
+)
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+    partitioning,
+)
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.testdata import (
+    table,
+)
+
+
+def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    docs = table(spark, sf_dir, "documents")
+    eval_docs = partitioning.hash_sample(docs, "doc_id", 0.05, salt="eval")
+    cp = CorpusPipeline(spark, str(tmp_path / "corpus"))
+
+    kept = cp.curate(docs, eval_docs, min_overlap=10**6)
+    n_kept = kept.count()
+    assert 0 < n_kept < docs.count()
+
+    unique = cp.dedup(kept)
+    n_unique = unique.count()
+    assert 0 < n_unique <= n_kept
+
+    cp.ingest(unique)
+    assert cp.table().count() == n_unique
+    cp.ingest(unique)  # replay: no growth
+    assert cp.table().count() == n_unique
+
+    chunks = cp.chunk(cp.table(), chunk_tokens=32, overlap=8)
+    assert chunks.count() >= n_unique  # every doc yields >= 1 chunk
+
+    plan = cp.pack(chunks, capacity=64)
+    # packing never drops or splits chunks
+    assert plan.count() == chunks.count()
+    over = (
+        plan.groupBy("shard", "pack_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n"))
+        .filter((F.col("tot") > 64) & (F.col("n") > 1))
+    )
+    assert over.count() == 0  # only singleton packs may overflow
+
+
+def test_corpus_pipeline_stream_matches_table(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"the quick brown fox jumps over dog {i} and then it sat there",
+                "en",
+                "s",
+                0,
+            )
+            for i in range(6)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = str(tmp_path / "chunks")
+    docs.repartition(2).write.parquet(src)
+    cp = CorpusPipeline(spark, str(tmp_path / "corpus"))
+    q = cp.run_stream(
+        src, str(tmp_path / "ckpt"), docs.filter("doc_id = -1"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    assert cp.table().count() > 0
