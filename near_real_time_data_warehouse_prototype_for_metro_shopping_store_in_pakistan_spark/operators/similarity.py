@@ -733,7 +733,12 @@ def embedding_decontaminate(
     At a 100 TB corpus the per-row cost is |eval|·dim multiplies —
     intrinsic to the exact contract; an LSH pre-bucketing (hyperplane
     buckets shared between corpus and eval) is the approximate scale
-    path, same as the ANN family.
+    path, same as the ANN family. ``rate`` is the boundedness knob
+    (the same caller contract as ``num_queries`` in the ANN paths and
+    the benchmark-sized eval set in ``broadcast_eval_grams``): the
+    eval array is one aggregated row, so rate × corpus must stay
+    broadcast-sized — hold the eval set fixed (a benchmark, not a
+    corpus fraction) when the corpus grows.
     """
     from ..functions.text import md5_long
     from .partitioning import SAMPLE_DENOM
