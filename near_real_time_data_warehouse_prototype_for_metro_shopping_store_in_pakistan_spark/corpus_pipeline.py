@@ -59,10 +59,18 @@ class CorpusPipeline:
         eval_docs: DataFrame,
         quality_min: int = QUALITY_MIN,
         min_overlap: int = 10,
+        max_dup_token_frac: float | None = None,
+        max_top_bigram_frac: float | None = None,
     ) -> DataFrame:
-        """Language + quality gates and n-gram decontamination."""
+        """Language + quality gates, n-gram decontamination, and the
+        optional Gopher-style repetition cuts."""
         return curate_batch(
-            docs, eval_docs, quality_min=quality_min, min_overlap=min_overlap
+            docs,
+            eval_docs,
+            quality_min=quality_min,
+            min_overlap=min_overlap,
+            max_dup_token_frac=max_dup_token_frac,
+            max_top_bigram_frac=max_top_bigram_frac,
         )
 
     def dedup(

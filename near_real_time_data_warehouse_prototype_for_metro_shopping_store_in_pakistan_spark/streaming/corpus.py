@@ -58,16 +58,36 @@ def curate_batch(
     quality_min: int = QUALITY_MIN,
     eval_state=None,
     min_overlap: int = 10,
+    max_dup_token_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
 ) -> DataFrame:
-    """One batch through the gates (language, quality, decontamination)
-    — everything except the cross-batch dedup, which the sink owns.
-    Returns the surviving docs with their fingerprints. Pass a
-    prepared ``eval_state`` (``dedup.broadcast_eval_grams``) when
-    calling per micro-batch so the static eval set is collected and
-    broadcast exactly once for the stream's lifetime."""
+    """One batch through the gates (language, quality, decontamination,
+    optional repetition) — everything except the cross-batch dedup,
+    which the sink owns. Returns the surviving docs with their
+    fingerprints. Pass a prepared ``eval_state``
+    (``dedup.broadcast_eval_grams``) when calling per micro-batch so
+    the static eval set is collected and broadcast exactly once for
+    the stream's lifetime.
+
+    ``max_dup_token_frac`` / ``max_top_bigram_frac`` switch on the
+    Gopher/MassiveText repetition cuts (text_profile.repetition_stats
+    — a shuffle-free Arrow pass, stream-ready like the other gates);
+    None leaves the corresponding signal ungated."""
     flags = curation_flags(docs).filter(
         F.col("lang_ok") & (F.col("quality_score") >= quality_min)
     )
+    if max_dup_token_frac is not None or max_top_bigram_frac is not None:
+        from ..operators.text_profile import repetition_stats
+
+        rep = repetition_stats(docs)
+        cond = F.lit(True)
+        if max_dup_token_frac is not None:
+            cond = cond & (F.col("dup_token_frac") <= max_dup_token_frac)
+        if max_top_bigram_frac is not None:
+            cond = cond & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        flags = flags.join(
+            rep.filter(cond).select("doc_id"), "doc_id", "left_semi"
+        )
     # min_overlap is the leak threshold, a corpus-calibration knob: on
     # natural text the default flags only real benchmark leaks, while
     # the synthetic testdata's tiny vocabulary makes EVERY doc share

@@ -224,3 +224,24 @@ def test_admit_neardup_batch_is_replay_idempotent(spark, tmp_path):
         " lang string, source string",
     )
     assert {r.doc_id for r in sc.admit_neardup_batch(wh, nxt).collect()} == {8}
+
+
+def test_curate_batch_repetition_gates(spark):
+    base = "the quick brown fox jumps over the lazy dog and then it sat"
+    rows = [
+        (1, base, "en", "a", 0),
+        # heavy repetition: one bigram dominates
+        (2, "the cat " * 20 + "and for with this that it is on", "en", "a", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    ev = docs.filter("doc_id = -1")
+    # ungated: both pass the standard gates
+    assert {r.doc_id for r in sc.curate_batch(docs, ev).collect()} == {1, 2}
+    # bigram-share gate cuts the repetitive doc only
+    kept = sc.curate_batch(docs, ev, max_top_bigram_frac=0.3)
+    assert {r.doc_id for r in kept.collect()} == {1}
+    # dup-token gate likewise
+    kept = sc.curate_batch(docs, ev, max_dup_token_frac=0.5)
+    assert {r.doc_id for r in kept.collect()} == {1}
