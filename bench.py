@@ -156,9 +156,29 @@ def bench_streaming_curation(spark, sf_dir: str) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _cpu_probe_sec() -> float:
+    """Fixed single-thread numpy GEMM as a host-throughput probe.
+
+    This container's CPU throughput varies 3-7x between minutes
+    (host-level throttling/oversubscription — measured, see
+    BASELINE.md); recording the probe alongside the timings makes a
+    bench run self-describing: compare two runs' per-query numbers
+    only after normalizing by their probes (~0.07 s is a calm host).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((1500, 1500))
+    t0 = time.perf_counter()
+    for _ in range(2):
+        a @ a
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    probe_before = _cpu_probe_sec()
 
     from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.plans.queries import (
         OLAP_QUERIES,
@@ -208,6 +228,11 @@ def main() -> None:
                 "fact_materialization_sec": fact_warmup_sec,
                 "streaming_etl": streaming,
                 "streaming_curation": curation,
+                "cpu_probe_sec": {
+                    "before": probe_before,
+                    "after": _cpu_probe_sec(),
+                    "calm_reference": 0.07,
+                },
                 "sf": sf,
                 "n_queries": len(timings),
             }
