@@ -141,8 +141,19 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banding's P(miss) made visible, which the per-variant hash
     gates cannot see."""
     docs = table(spark, sf_dir, "documents")
-    exact = dedup.jaccard_similar_pairs(docs).select("doc_a", "doc_b")
-    ladder = dedup.minhash_verified_pairs(docs).select("doc_a", "doc_b")
+    # Each side feeds two consumers (its own count and the overlap
+    # semi-join); the lazy checkpoints materialize the expensive
+    # GEMM / ladder pipelines once instead of per consumer.
+    exact = (
+        dedup.jaccard_similar_pairs(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    ladder = (
+        dedup.minhash_verified_pairs(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     hits = exact.join(ladder, ["doc_a", "doc_b"], "left_semi")
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
