@@ -244,9 +244,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query pins that, with integer-exact overlap counts on both
     engines."""
     emb = table(spark, sf_dir, "embeddings")
-    exact = similarity.cosine_topk(
-        emb, num_queries=ANN_NUM_QUERIES, k=ANN_K
-    ).select("query_id", "neighbor_id")
+    # the ground truth feeds four consumers (its count + three overlap
+    # semi-joins) — materialize the exact scan once
+    exact = (
+        similarity.cosine_topk(emb, num_queries=ANN_NUM_QUERIES, k=ANN_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     lsh = similarity.ann_lsh_topk(
         emb,
         num_queries=ANN_NUM_QUERIES,
