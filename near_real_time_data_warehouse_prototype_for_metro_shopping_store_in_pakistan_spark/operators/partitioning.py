@@ -383,3 +383,35 @@ def mix_plan(
             F.col("_alloc").cast("int").alias("source_alloc"),
         )
     )
+
+
+def split_plan(
+    df: DataFrame,
+    key_col: str,
+    val_rate: float = 0.05,
+    test_rate: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment from disjoint
+    windows of the SAME md5 bucket: bucket < val share → 'val', next
+    window → 'test', remainder → 'train'. Because one hash draw feeds
+    all three CASE arms, the splits are disjoint and exhaustive BY
+    CONSTRUCTION (no row can land in two, none can be dropped) —
+    unlike three independent samples, which must be proven disjoint.
+    Stable under repartitioning and engines, like ``hash_sample``.
+    Adds a ``split`` column; rates are validated."""
+    if not (0 <= val_rate and 0 <= test_rate and val_rate + test_rate < 1):
+        raise ValueError(
+            f"need val_rate + test_rate in [0, 1): {val_rate}, {test_rate}"
+        )
+    bucket = md5_long(
+        F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))
+    ) % SAMPLE_DENOM
+    val_hi = int(val_rate * SAMPLE_DENOM)
+    test_hi = val_hi + int(test_rate * SAMPLE_DENOM)
+    split = (
+        F.when(bucket < val_hi, "val")
+        .when(bucket < test_hi, "test")
+        .otherwise("train")
+    )
+    return df.withColumn("split", split)

@@ -377,6 +377,21 @@ def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partitioning.hash_sample(docs, "doc_id", SAMPLE_RATE)
 
 
+SPLIT_VAL_RATE = 0.05
+SPLIT_TEST_RATE = 0.05
+
+
+def corpus_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment from disjoint windows
+    of one md5 bucket — see operators.partitioning.split_plan."""
+    return partitioning.split_plan(
+        table(spark, sf_dir, "documents").select("doc_id"),
+        "doc_id",
+        SPLIT_VAL_RATE,
+        SPLIT_TEST_RATE,
+    )
+
+
 def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size-balanced output sharding: rank by (chars desc, id), deal
     serpentine across N_SHARDS — exact global ranks via the
@@ -606,6 +621,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
     "corpus_hash_sample": corpus_hash_sample,
+    "corpus_split_plan": corpus_split_plan,
     "corpus_shard_plan": corpus_shard_plan,
     "corpus_source_cap": corpus_source_cap,
     "corpus_stratified_sample": corpus_stratified_sample,
@@ -698,6 +714,18 @@ norms AS (SELECT vec_id, SUM(val * val) AS norm_sq FROM elem GROUP BY vec_id)
 ORACLE_DEDUP_EXACT = """
 SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text)
+"""
+
+ORACLE_SPLIT_PLAN = f"""
+SELECT doc_id,
+       CASE WHEN {_sql_md5_long("CAST(doc_id AS VARCHAR) || '|split'")}
+                 % {partitioning.SAMPLE_DENOM} < {int(0.05 * partitioning.SAMPLE_DENOM)}
+            THEN 'val'
+            WHEN {_sql_md5_long("CAST(doc_id AS VARCHAR) || '|split'")}
+                 % {partitioning.SAMPLE_DENOM} < {2 * int(0.05 * partitioning.SAMPLE_DENOM)}
+            THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
 """
 
 ORACLE_HASH_SAMPLE = f"""
@@ -1997,6 +2025,7 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_hash_sample": ORACLE_HASH_SAMPLE,
+    "corpus_split_plan": ORACLE_SPLIT_PLAN,
     "corpus_shard_plan": ORACLE_SHARD_PLAN,
     "corpus_source_cap": ORACLE_SOURCE_CAP,
     "corpus_stratified_sample": ORACLE_STRATIFIED_SAMPLE,

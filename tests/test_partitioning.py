@@ -240,3 +240,26 @@ def test_mix_plan_rejects_degenerate_weights(spark):
     out = partitioning.mix_plan(docs, 10, {"src0": 0, "src1": 1}).collect()
     assert {r.source for r in out} == {"src1"}  # weight 0 = no share
     assert len(out) == 10
+
+
+def test_split_plan_is_disjoint_exhaustive_and_stable(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.partitioning import (
+        split_plan,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    got = {r.doc_id: r.split for r in split_plan(df, "doc_id", 0.1, 0.2).collect()}
+    assert len(got) == 500  # exhaustive: every row gets exactly one split
+    assert set(got.values()) == {"train", "val", "test"}
+    # stable under repartitioning
+    again = {
+        r.doc_id: r.split
+        for r in split_plan(df.repartition(7), "doc_id", 0.1, 0.2).collect()
+    }
+    assert again == got
+    # a row's val/test membership equals the standalone hash samples
+    # drawn from the same bucket windows (shared-draw disjointness)
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_plan(df, "doc_id", 0.6, 0.5)

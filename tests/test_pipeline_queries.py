@@ -266,3 +266,45 @@ def test_funnel_matches_bruteforce_on_random_histories(spark):
         for r in events.funnel_counts(ev, steps).collect()
     }
     assert got == {i: c for i, c in enumerate(counts)}
+
+
+def test_repetition_stats_matches_bruteforce_on_random_texts(spark):
+    """Property: the Arrow pass equals a direct Counter-based
+    reference on randomized token sequences (fixed seed)."""
+    import random
+    from collections import Counter
+
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        text_profile,
+    )
+
+    rng = random.Random(20260814)
+    vocab = ["a", "b", "c", "dd", "eee"]
+    rows = []
+    for i in range(30):
+        n = rng.randint(0, 15)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r for r in text_profile.repetition_stats(docs).collect()
+    }
+    for i, text in rows:
+        toks = text.lower().split()
+        n = len(toks)
+        r = got[i]
+        assert r.n_tokens == n
+        if n == 0:
+            assert r.top_token_frac == 0.0
+            continue
+        tc = Counter(toks)
+        assert r.n_distinct == len(tc)
+        assert r.dup_token_frac == (n - len(tc)) / n
+        assert r.top_token_frac == max(tc.values()) / n
+        bi = Counter(" ".join(toks[j : j + 2]) for j in range(n - 1))
+        assert r.top_bigram_frac == (
+            max(bi.values()) / (n - 1) if n > 1 else 0.0
+        )
+        tri = Counter(" ".join(toks[j : j + 3]) for j in range(n - 2))
+        assert r.dup_trigram_frac == (
+            sum(c for c in tri.values() if c > 1) / (n - 2) if n > 2 else 0.0
+        )
