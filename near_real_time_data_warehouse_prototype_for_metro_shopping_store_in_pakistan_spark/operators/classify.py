@@ -1,0 +1,72 @@
+"""Hashed-feature linear quality classifier (fastText-style scoring).
+
+The standard LLM-data quality gate (GPT-3/CCNet lineage) is a linear
+classifier over hashed bag-of-words features: tokenize, hash each
+token into one of B buckets, sum the bucket weights, threshold. The
+expensive part at 100 TB is the tokenize+hash+sum — the weights are a
+tiny dense vector. This module implements exactly that shape with
+deterministic stand-in weights (md5-derived per bucket, integer-valued
+so both engines agree bit-for-bit); swapping in learned weights is a
+broadcast join against a B-row weight table (or a literal array
+lookup) with an identical plan.
+
+Plan shape: explode tokens (narrow), compute bucket + weight as JVM
+column expressions, ONE map-side-combinable groupBy(doc) aggregate —
+whole-stage codegen end to end, no Python, no all-pairs, scales
+linearly in corpus tokens. Docs with zero tokens survive via
+``explode_outer`` with zero score.
+
+Beyond reference parity: the reference has no classifier surface at
+all; this is LLM-pipeline extension surface (SURVEY.md §2 extension
+block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_long, tokens
+
+N_BUCKETS = 4096
+# weight(b) = md5_long('w|' || b) % 2001 - 1000  ->  integer in
+# [-1000, 1000]; md5_long is non-negative so % is portable.
+WEIGHT_SPAN = 2001
+WEIGHT_OFFSET = 1000
+KEEP_THRESHOLD = 0
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score = Σ over tokens of weight(md5_long(token) % n_buckets),
+    integer-exact. Returns (id_col, n_tokens, score_sum, keep) with
+    keep = score_sum >= KEEP_THRESHOLD — one row per input doc.
+    """
+    tok = docs.select(
+        id_col, F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    bucket = md5_long(F.col("tok")) % n_buckets
+    weight = (
+        md5_long(F.concat(F.lit("w|"), bucket.cast("string"))) % WEIGHT_SPAN
+        - WEIGHT_OFFSET
+    )
+    scored = tok.withColumn(
+        "_w", F.when(F.col("tok").isNull(), F.lit(0)).otherwise(weight)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("tok").alias("n_tokens"),
+            F.sum("_w").alias("score_sum"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("score_sum").cast("long").alias("score_sum"),
+            (F.col("score_sum") >= KEEP_THRESHOLD).alias("keep"),
+        )
+    )

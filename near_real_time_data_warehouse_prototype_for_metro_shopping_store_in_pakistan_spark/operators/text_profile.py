@@ -444,6 +444,66 @@ def repetition_stats(
     return src.mapInPandas(stats, schema)
 
 
+def interdoc_dup_stats(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inter-document duplicate-content signal (ExactSubstr-lite,
+    the n-gram-granular form of Lee et al.'s exact-substring dedup):
+    for every document, how much of it is text that ALSO occurs in
+    other documents.
+
+    Per doc: ``n_grams`` = distinct character ``n``-gram fingerprints,
+    ``n_dup_grams`` = how many of those occur in ≥ 2 documents
+    corpus-wide, and ``dup_permille`` = ⌊n_dup·1000/n_grams⌋ (integer,
+    engine-exact; 0 for gram-less docs). Complements the INTRA-doc
+    Gopher signals (``repetition_stats``): a doc can be internally
+    clean yet be boilerplate shared across the crawl — this is the
+    signal that catches it.
+
+    Plan shape: per-doc distinct gram sets from the shuffle-free Arrow
+    pass (``dedup.shingle_hash_sets``), one narrow explode, ONE
+    map-side-combinable groupBy(gram) for document frequency, one
+    equi-join back on the gram hash, one groupBy(doc). Never all-pairs
+    — cost is O(corpus grams), the same shape as CCNet's corpus-level
+    n-gram counting, and both shuffles key on the 60-bit gram hash
+    (uniform by construction, no skew)."""
+    from .dedup import shingle_hash_sets
+
+    sets = shingle_hash_sets(docs, n, text_col, id_col)
+    grams = sets.select(id_col, F.explode("_shset").alias("_g"))
+    df_counts = grams.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    per_doc = (
+        grams.join(df_counts, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("_df") >= 2, 1)).alias("n_dup_grams"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            # DIV is exact bigint division on both engines (DuckDB //)
+            # — no float rounding at permille boundaries.
+            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0))
+            .otherwise(
+                F.expr("(n_dup_grams * 1000) DIV n_grams")
+            )
+            .cast("long")
+            .alias("dup_permille"),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 64,

@@ -18,11 +18,13 @@ from pyspark.sql import functions as F
 from ..functions.text import ENGLISH_STOPWORDS, LANG_ORDER, LANG_STOPWORDS
 from ..operators import (
     asof,
+    classify,
     dedup,
     events,
     multimodal,
     packing,
     partitioning,
+    pii,
     rangejoin,
     similarity,
     text_profile,
@@ -612,6 +614,34 @@ def text_unigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile.unigram_coverage(table(spark, sf_dir, "documents"))
 
 
+INTERDOC_NGRAM = 8
+
+
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + redaction in one JVM-side scan (operators.pii).
+    The synthetic corpus carries no natural PII, so every 3rd doc is
+    deterministically seeded with an id-derived email/IP/phone first
+    (mirrored verbatim in the oracle) — the gate then exercises real
+    matches AND real pass-throughs."""
+    docs = table(spark, sf_dir, "documents")
+    return pii.pii_scan(pii.with_synthetic_pii(docs))
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed bag-of-words linear scorer with
+    deterministic md5-derived weights (operators.classify) — the
+    GPT-3/CCNet quality-gate shape, integer-exact on both engines."""
+    return classify.hashed_linear_score(table(spark, sf_dir, "documents"))
+
+
+def corpus_interdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document duplicate-content coverage per doc
+    (ExactSubstr-lite, operators.text_profile.interdoc_dup_stats)."""
+    return text_profile.interdoc_dup_stats(
+        table(spark, sf_dir, "documents"), n=INTERDOC_NGRAM
+    )
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -661,6 +691,9 @@ PIPELINE_QUERIES = {
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_token_budget": corpus_token_budget,
     "corpus_mix_plan": corpus_mix_plan,
+    "text_pii_scan": text_pii_scan,
+    "text_quality_classifier": text_quality_classifier,
+    "corpus_interdoc_dup": corpus_interdoc_dup,
 }
 
 
@@ -2007,6 +2040,97 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def _pii_oracle() -> str:
+    """Mirror pii.with_synthetic_pii + pii_scan: IDENTICAL pattern
+    text on both engines (the patterns restrict themselves to the
+    Java-regex ∩ RE2 intersection — see operators.pii)."""
+    from ..operators.pii import PII_PATTERNS
+
+    seeded = (
+        "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id "
+        "|| '@example.com at 10.0.' || (doc_id % 256) || '.7 or 555-' "
+        "|| lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' "
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE text END"
+    )
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(t, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    red = "t"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH seeded AS (SELECT doc_id, {seeded} AS t FROM documents)
+SELECT doc_id,
+       {counts},
+       CAST({total} AS INT) AS n_pii,
+       {red} AS redacted
+FROM seeded
+"""
+
+
+def _classifier_oracle() -> str:
+    """Mirror classify.hashed_linear_score from the same constants."""
+    from ..operators.classify import (
+        KEEP_THRESHOLD,
+        N_BUCKETS,
+        WEIGHT_OFFSET,
+        WEIGHT_SPAN,
+    )
+
+    bucket = f"CAST({_sql_md5_long('tok')} % {N_BUCKETS} AS VARCHAR)"
+    w = (
+        f"({_sql_md5_long(chr(39) + 'w|' + chr(39) + ' || ' + bucket)}"
+        f" % {WEIGHT_SPAN} - {WEIGHT_OFFSET})"
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_sql_tokens("lower(text)")}) AS tok FROM documents
+),
+scored AS (
+    SELECT doc_id, count(*) AS n_tokens, SUM({w}) AS score_sum
+    FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.score_sum, 0) AS BIGINT) AS score_sum,
+       coalesce(s.score_sum, 0) >= {KEEP_THRESHOLD} AS keep
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def _interdoc_oracle(n: int = INTERDOC_NGRAM) -> str:
+    """Mirror text_profile.interdoc_dup_stats: distinct char n-gram
+    fingerprints per doc, document frequency, permille by integer
+    division (// ≡ Spark DIV on non-negative bigints)."""
+    return f"""
+WITH g AS (
+    SELECT DISTINCT doc_id, {_sql_md5_long("gram")} AS gh FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, length(text) - {n - 1}),
+                                     i -> substr(text, i, {n}))) AS gram
+        FROM documents WHERE length(text) >= {n}
+    )
+),
+dfc AS (SELECT gh, count(*) AS df FROM g GROUP BY 1),
+per AS (
+    SELECT doc_id, count(*) AS n_grams,
+           count(*) FILTER (WHERE df >= 2) AS n_dup_grams
+    FROM g JOIN dfc USING (gh) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(CASE WHEN coalesce(n_grams, 0) = 0 THEN 0
+                 ELSE (n_dup_grams * 1000) // n_grams END AS BIGINT)
+           AS dup_permille
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 PIPELINE_ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
@@ -2065,4 +2189,7 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "corpus_decontaminate": _decontaminate_oracle(),
     "corpus_token_budget": _token_budget_oracle(),
     "corpus_mix_plan": _mix_plan_oracle(),
+    "text_pii_scan": _pii_oracle(),
+    "text_quality_classifier": _classifier_oracle(),
+    "corpus_interdoc_dup": _interdoc_oracle(),
 }
