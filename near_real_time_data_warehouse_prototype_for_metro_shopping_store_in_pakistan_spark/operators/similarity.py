@@ -776,3 +776,94 @@ def embedding_decontaminate(
             "contaminated"
         ),
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering —
+    k-means partitions the embedding space, near-duplicate pairs are
+    searched ONLY within each cell, and every near-dup component keeps
+    the member FARTHEST from its centroid (the paper's
+    low-centroid-similarity keep; min-id tiebreak for determinism).
+
+    This is the scale path ``cosine_neardup_pairs`` documents: that
+    operator's exact all-pairs GEMM inflates the corpus O(#blocks)
+    times, while here pair search is confined to cells — cost
+    Σ|cell|², controlled by ``k`` (set k ≈ N/target_cell_size; the
+    paper runs 50k cells over 5B embeddings). Detection is
+    recall-bounded by the clustering exactly like LSH banding bounds
+    MinHash: a cross-cell near-dup pair is not examined.
+
+    Plan shape: clustering is the integer-exact ``kmeans_cells``
+    (broadcast-argmin assignment, k×dim-bounded update shuffle);
+    pair search is ONE groupBy(cell) Arrow stage — a per-cell int64
+    GEMM with the same micro-unit quantization and IEEE association
+    order as ``cosine_neardup_pairs``, so the threshold decision is
+    bit-identical to the SQL oracle; components + keeper selection
+    are the same machinery as the text-dedup family.
+
+    Returns (vec_id, cell, component, keeper_vec_id, is_keeper) for
+    EVERY input vector — ``filter(is_keeper)`` is the deduplicated
+    corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import connected_components
+
+    v = scaled_vectors(emb, vec_col, id_col).select(id_col, "q", "norm_sq")
+    cells = kmeans_cells(emb, k, iters, vec_col, id_col).localCheckpoint(
+        eager=False
+    )
+    withcell = v.join(cells.select(id_col, "cell"), id_col)
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        A = np.array([np.asarray(x, dtype=np.int64) for x in pdf["q"]])
+        dots = A @ A.T  # exact int64 (micro-unit components, dot < 2^47)
+        n = np.sqrt(pdf["norm_sq"].to_numpy(dtype=np.float64))
+        # identical association order as the column/SQL formula:
+        # dot / (sqrt(na) * sqrt(nb))
+        cos = dots / (n[:, None] * n[None, :])
+        ids = pdf[id_col].to_numpy()
+        keep = (cos >= threshold) & (ids[:, None] < ids[None, :])
+        ii, jj = np.nonzero(keep)
+        return pd.DataFrame({"vec_a": ids[ii], "vec_b": ids[jj]})
+
+    pairs = withcell.groupBy("cell").applyInPandas(
+        cell_pairs, "vec_a long, vec_b long"
+    )
+    comps = connected_components(pairs, "vec_a", "vec_b")
+    members = (
+        cells.join(
+            comps.withColumnRenamed("vertex", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            "cell",
+            "dist_sq",
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # keeper = max dist_sq from the centroid, ties to the lower id
+    # (struct max: (dist_sq, -id) lexicographic)
+    keepers = members.groupBy("component").agg(
+        (-F.max(F.struct(F.col("dist_sq"), (-F.col(id_col)).alias("_n")))[
+            "_n"
+        ]).alias("keeper_vec_id")
+    )
+    return members.join(keepers, "component").select(
+        id_col,
+        "cell",
+        "component",
+        "keeper_vec_id",
+        (F.col(id_col) == F.col("keeper_vec_id")).alias("is_keeper"),
+    )

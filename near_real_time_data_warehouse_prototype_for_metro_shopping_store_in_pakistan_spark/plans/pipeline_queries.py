@@ -634,6 +634,18 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify.hashed_linear_score(table(spark, sf_dir, "documents"))
 
 
+def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means cells confine the near-dup pair search, each
+    component keeps its farthest-from-centroid member (similarity.
+    semdedup) — the cluster-scoped scale path for embedding dedup."""
+    return similarity.semdedup(
+        table(spark, sf_dir, "embeddings"),
+        k=ANN_IVF_CENTROIDS // 2,
+        iters=2,
+        threshold=NEARDUP_COSINE_THRESHOLD,
+    )
+
+
 def corpus_interdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-document duplicate-content coverage per doc
     (ExactSubstr-lite, operators.text_profile.interdoc_dup_stats)."""
@@ -694,6 +706,7 @@ PIPELINE_QUERIES = {
     "text_pii_scan": text_pii_scan,
     "text_quality_classifier": text_quality_classifier,
     "corpus_interdoc_dup": corpus_interdoc_dup,
+    "embed_semdedup": embed_semdedup,
 }
 
 
@@ -2131,6 +2144,75 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def _semdedup_oracle(
+    k: int = ANN_IVF_CENTROIDS // 2,
+    iters: int = 2,
+    threshold: float = NEARDUP_COSINE_THRESHOLD,
+) -> str:
+    """Mirror similarity.semdedup: the unrolled k-means CTEs (shared
+    with the kmeans/IVF oracles), within-cell exact integer dots, the
+    recursive min-label component walk (as in _clusters_oracle), and
+    farthest-from-centroid keeper selection."""
+    dist = _KMEANS_DIST
+    return f"""WITH RECURSIVE {_kmeans_ctes(k, iters)},
+assign AS (
+    SELECT vec_id, q, centroid_id AS cell, CAST(d AS BIGINT) AS dist_sq FROM (
+        SELECT v.vec_id, v.q, c.centroid_id, {dist} AS d,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {dist}, c.centroid_id
+               ) AS rn
+        FROM v CROSS JOIN c{iters} c
+    ) WHERE rn = 1
+),
+elem AS (
+    SELECT vec_id, cell,
+           unnest(generate_series(1, len(q))) AS i, unnest(q) AS val
+    FROM assign
+),
+norms AS (SELECT vec_id, SUM(val * val) AS norm_sq FROM elem GROUP BY 1),
+dots AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.val * b.val) AS dot
+    FROM elem a
+    JOIN elem b ON a.i = b.i AND a.cell = b.cell AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT vec_a, vec_b FROM dots
+    JOIN norms na ON vec_a = na.vec_id
+    JOIN norms nb ON vec_b = nb.vec_id
+    WHERE CAST(dot AS DOUBLE)
+          / (sqrt(CAST(na.norm_sq AS DOUBLE))
+             * sqrt(CAST(nb.norm_sq AS DOUBLE))) >= {threshold}
+),
+edges AS (
+    SELECT vec_a AS s, vec_b AS t FROM pairs
+    UNION SELECT vec_b, vec_a FROM pairs
+),
+walk(s, m) AS (
+    SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+    UNION
+    SELECT e.t, walk.m FROM walk JOIN edges e ON walk.s = e.s
+),
+comp AS (SELECT s, MIN(m) AS component FROM walk GROUP BY s),
+members AS (
+    SELECT a.vec_id, a.cell, a.dist_sq,
+           COALESCE(c.component, a.vec_id) AS component
+    FROM assign a LEFT JOIN comp c ON a.vec_id = c.s
+),
+keeper AS (
+    SELECT component, vec_id AS keeper_vec_id FROM (
+        SELECT component, vec_id, row_number() OVER (
+            PARTITION BY component ORDER BY dist_sq DESC, vec_id) AS rn
+        FROM members
+    ) WHERE rn = 1
+)
+SELECT m.vec_id, m.cell, m.component, kp.keeper_vec_id,
+       m.vec_id = kp.keeper_vec_id AS is_keeper
+FROM members m JOIN keeper kp USING (component)
+"""
+
+
 PIPELINE_ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
@@ -2192,4 +2274,5 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "text_pii_scan": _pii_oracle(),
     "text_quality_classifier": _classifier_oracle(),
     "corpus_interdoc_dup": _interdoc_oracle(),
+    "embed_semdedup": _semdedup_oracle(),
 }
