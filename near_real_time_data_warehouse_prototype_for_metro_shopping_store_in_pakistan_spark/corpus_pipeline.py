@@ -61,9 +61,12 @@ class CorpusPipeline:
         min_overlap: int = 10,
         max_dup_token_frac: float | None = None,
         max_top_bigram_frac: float | None = None,
+        redact_pii: bool = False,
+        min_classifier_score: int | None = None,
     ) -> DataFrame:
         """Language + quality gates, n-gram decontamination, and the
-        optional Gopher-style repetition cuts."""
+        optional Gopher-style repetition cuts, PII redaction (scrubs
+        before any fingerprint/signal), and hashed-classifier cut."""
         return curate_batch(
             docs,
             eval_docs,
@@ -71,6 +74,8 @@ class CorpusPipeline:
             min_overlap=min_overlap,
             max_dup_token_frac=max_dup_token_frac,
             max_top_bigram_frac=max_top_bigram_frac,
+            redact_pii=redact_pii,
+            min_classifier_score=min_classifier_score,
         )
 
     def dedup(
@@ -132,6 +137,8 @@ class CorpusPipeline:
         quality_min: int = QUALITY_MIN,
         min_overlap: int = 10,
         max_files_per_trigger: int | None = None,
+        redact_pii: bool = False,
+        min_classifier_score: int | None = None,
     ) -> StreamingQuery:
         """The same funnel as micro-batched ingestion with cross-batch
         MinHash near-dup admission (see streaming.corpus)."""
@@ -144,4 +151,6 @@ class CorpusPipeline:
             quality_min=quality_min,
             min_overlap=min_overlap,
             max_files_per_trigger=max_files_per_trigger,
+            redact_pii=redact_pii,
+            min_classifier_score=min_classifier_score,
         )

@@ -60,11 +60,13 @@ def curate_batch(
     min_overlap: int = 10,
     max_dup_token_frac: float | None = None,
     max_top_bigram_frac: float | None = None,
+    redact_pii: bool = False,
+    min_classifier_score: int | None = None,
 ) -> DataFrame:
     """One batch through the gates (language, quality, decontamination,
-    optional repetition) — everything except the cross-batch dedup,
-    which the sink owns. Returns the surviving docs with their
-    fingerprints. Pass a prepared ``eval_state``
+    optional repetition / PII / classifier) — everything except the
+    cross-batch dedup, which the sink owns. Returns the surviving docs
+    with their fingerprints. Pass a prepared ``eval_state``
     (``dedup.broadcast_eval_grams``) when calling per micro-batch so
     the static eval set is collected and broadcast exactly once for
     the stream's lifetime.
@@ -72,7 +74,22 @@ def curate_batch(
     ``max_dup_token_frac`` / ``max_top_bigram_frac`` switch on the
     Gopher/MassiveText repetition cuts (text_profile.repetition_stats
     — a shuffle-free Arrow pass, stream-ready like the other gates);
-    None leaves the corresponding signal ungated."""
+    None leaves the corresponding signal ungated.
+
+    ``redact_pii`` scrubs the text FIRST (operators.pii patterns as
+    in-scan ``regexp_replace`` expressions — zero shuffle), so every
+    downstream signal, fingerprint, and the stored corpus see only
+    redacted text — the order a shipping pipeline requires.
+    ``min_classifier_score`` switches on the hashed linear quality
+    gate (operators.classify; deterministic stand-in weights — a
+    learned model is the same plan)."""
+    if redact_pii:
+        from ..operators.pii import PII_PATTERNS
+
+        red = F.col("text")
+        for _, pat, repl in PII_PATTERNS:
+            red = F.regexp_replace(red, pat, repl)
+        docs = docs.withColumn("text", red)
     flags = curation_flags(docs).filter(
         F.col("lang_ok") & (F.col("quality_score") >= quality_min)
     )
@@ -87,6 +104,17 @@ def curate_batch(
             cond = cond & (F.col("top_bigram_frac") <= max_top_bigram_frac)
         flags = flags.join(
             rep.filter(cond).select("doc_id"), "doc_id", "left_semi"
+        )
+    if min_classifier_score is not None:
+        from ..operators.classify import hashed_linear_score
+
+        scores = hashed_linear_score(docs)
+        flags = flags.join(
+            scores.filter(
+                F.col("score_sum") >= min_classifier_score
+            ).select("doc_id"),
+            "doc_id",
+            "left_semi",
         )
     # min_overlap is the leak threshold, a corpus-calibration knob: on
     # natural text the default flags only real benchmark leaks, while
@@ -114,6 +142,8 @@ def stream_curate(
     min_overlap: int = 10,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    redact_pii: bool = False,
+    min_classifier_score: int | None = None,
 ) -> StreamingQuery:
     """Stream document files through the curation funnel into an
     idempotent curated-corpus table keyed on the text fingerprint."""
@@ -134,6 +164,8 @@ def stream_curate(
             quality_min=quality_min,
             eval_state=eval_state,
             min_overlap=min_overlap,
+            redact_pii=redact_pii,
+            min_classifier_score=min_classifier_score,
         )
         # in-batch first-arrival (min doc_id) per fingerprint; the
         # sink's anti-join handles every earlier batch and replays
@@ -303,6 +335,8 @@ def stream_curate_neardup(
     band_size: int = NEARDUP_BAND_SIZE,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    redact_pii: bool = False,
+    min_classifier_score: int | None = None,
 ) -> StreamingQuery:
     """``stream_curate`` upgraded from exact to NEAR-dup cross-batch
     dedup: the same stateless gates per batch, then MinHash band
@@ -333,6 +367,8 @@ def stream_curate_neardup(
             quality_min=quality_min,
             eval_state=eval_state,
             min_overlap=min_overlap,
+            redact_pii=redact_pii,
+            min_classifier_score=min_classifier_score,
         )
         from pyspark.sql import Window
 

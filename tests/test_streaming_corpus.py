@@ -245,3 +245,51 @@ def test_curate_batch_repetition_gates(spark):
     # dup-token gate likewise
     kept = sc.curate_batch(docs, ev, max_dup_token_frac=0.5)
     assert {r.doc_id for r in kept.collect()} == {1}
+
+
+def test_curate_batch_pii_redaction_first(spark):
+    base = "the quick brown fox jumps over the lazy dog and then it sat"
+    rows = [(1, base + " mail me at a.b@example.org now", "en", "a", 0)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    ev = docs.filter("doc_id = -1")
+    kept = sc.curate_batch(docs, ev, redact_pii=True).collect()
+    assert len(kept) == 1
+    assert "<EMAIL>" in kept[0]["text"] and "@example.org" not in kept[0]["text"]
+    # the fingerprint is of the REDACTED text (scrub-then-dedup order)
+    import hashlib
+
+    assert (
+        kept[0]["text_fp"]
+        == hashlib.md5(kept[0]["text"].encode()).hexdigest()
+    )
+
+
+def test_curate_batch_classifier_gate(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        classify,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and then it sat"
+    rows = [
+        (1, base + " alpha beta", "en", "a", 0),
+        (2, base + " gamma delta", "en", "a", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    ev = docs.filter("doc_id = -1")
+    scores = {
+        r["doc_id"]: r["score_sum"]
+        for r in classify.hashed_linear_score(docs).collect()
+    }
+    assert scores[1] != scores[2]
+    lo, hi = sorted(scores.items(), key=lambda kv: kv[1])
+    # a cutoff between the two keeps only the higher-scoring doc
+    cut = (lo[1] + hi[1]) // 2 + 1
+    kept = sc.curate_batch(docs, ev, min_classifier_score=cut)
+    assert {r.doc_id for r in kept.collect()} == {hi[0]}
+    # permissive cutoff keeps both
+    kept = sc.curate_batch(docs, ev, min_classifier_score=min(lo[1], hi[1]))
+    assert {r.doc_id for r in kept.collect()} == {1, 2}
