@@ -5,6 +5,7 @@ library, and unpaired docs keep themselves."""
 from __future__ import annotations
 
 from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.dedup import (
+    connected_components as cc,
     connected_components,
     neardup_keepers,
 )
@@ -35,3 +36,27 @@ def test_empty_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     got = {r.doc_id: r.keeper_doc_id for r in neardup_keepers(docs, pairs).collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_fused_and_iterative_paths_identical(spark):
+    # randomized graph: both CC paths must produce the same labeling
+    import random
+
+    rng = random.Random(7)
+    pairs = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(120)
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    fused = {tuple(r) for r in cc(df).collect()}
+    loop = {tuple(r) for r in cc(df, fused_max_edges=-1).collect()}
+    assert fused == loop and fused
+
+
+def test_fused_path_handles_string_vertices(spark):
+    df = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    got = {tuple(r) for r in cc(df).collect()}
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
+    }
