@@ -594,11 +594,14 @@ def minhash_verified_pairs(
 
     Default signature is 128 hashes in 32 bands of 4 — NOT the
     8×2 banding ``dedup_minhash_lsh`` demonstrates. Wide bands keep
-    the candidate set proportional to j⁴ background similarity
-    (727k → ~20k candidates on the dense sf0.1 corpus) so the exact
-    verification stage stays O(near-dups), while 32 bands hold
-    recall at the threshold: P(detect | J=0.5) = 1-(1-0.5⁴)³² ≈ 0.87
-    and →1 fast above it (J=0.7: 0.9998).
+    the candidate rate per band proportional to j⁴ background
+    similarity (727k → 461k candidates on the synthetic sf0.1 corpus,
+    whose ~50-word vocabulary pins background j near the threshold —
+    the j⁴ gap widens by orders of magnitude on natural corpora, where
+    background j is low) so the exact verification stage stays
+    O(near-dups), while 32 bands hold recall at the threshold:
+    P(detect | J=0.5) = 1-(1-0.5⁴)³² ≈ 0.87 and →1 fast above it
+    (J=0.7: 0.9998).
 
     Plan shape: ONE fused zero-shuffle Arrow pass computes both the
     minhash signature and the 64-bit shingle-fingerprint set per doc

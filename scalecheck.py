@@ -1,0 +1,174 @@
+"""Empirical scaling harness: run the pipeline's key operators on
+deterministically synthesized corpora of increasing size and report
+per-doc scaling factors.
+
+Why a synthetic corpus here and not /root/testdata: the driver's
+testdata uses a ~50-word vocabulary, which pins background Jaccard
+similarity near the dedup threshold — ideal for correctness gates
+(candidates exist everywhere), pathological for SCALING measurements
+(candidate counts grow quadratically with corpus size by
+construction, which no banding can prevent and no natural corpus
+exhibits). This harness generates text over a 50k-word md5-derived
+vocabulary (background j ≈ 0, the natural-corpus shape) with a
+controlled duplicate fraction, entirely as JVM column expressions —
+deterministic, no RNG, no Python in the generation path.
+
+Usage: python scalecheck.py [sizes...]   (default 5000 20000 80000)
+Prints one JSON line per (operator, size) with wall seconds and
+µs/doc, and a final summary line with the large-vs-small per-doc
+ratios (≈1.0 → linear; the CPU probe before/after makes host throttle
+visible, see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.functions.text import (
+    md5_long,
+)
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.session import (
+    get_spark,
+)
+
+VOCAB = 50_000
+WORDS_PER_DOC = 120
+DUP_FRAC = 0.05  # every 20th doc is a near-copy of the previous base doc
+
+
+def make_corpus(spark, n_docs: int, out_dir: str) -> None:
+    """(doc_id, text, lang, source, n_chars): text = WORDS_PER_DOC
+    md5-derived vocabulary words; every ⌊1/DUP_FRAC⌋th doc repeats the
+    previous doc's words plus a one-word suffix (a planted near-dup).
+    Pure column expressions — generation is JVM-side and parallel."""
+    period = int(1 / DUP_FRAC)
+    base = F.when(
+        (F.col("id") % period == 1) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(WORDS_PER_DOC - 1)),
+        lambda i: F.concat(
+            F.lit("w"),
+            (
+                md5_long(
+                    F.concat(base.cast("string"), F.lit("|"), i.cast("string"))
+                )
+                % VOCAB
+            ).cast("string"),
+        ),
+    )
+    text = F.when(
+        F.col("id") == base,
+        F.array_join(words, " "),
+    ).otherwise(F.concat(F.array_join(words, " "), F.lit(" wdup")))
+    (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            F.lit("en").alias("lang"),
+            F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias(
+                "source"
+            ),
+            F.length(text).alias("n_chars"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def _probe() -> float:
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((1500, 1500))
+    t0 = time.perf_counter()
+    for _ in range(2):
+        a @ a
+    return round(time.perf_counter() - t0, 3)
+
+
+def operators(spark, docs):
+    """name -> thunk returning a DataFrame to force (noop write)."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        classify,
+        dedup,
+        partitioning,
+        text_profile,
+    )
+
+    eval_docs = partitioning.hash_sample(docs, "doc_id", 0.02, salt="eval")
+    return {
+        "shingle_sets": lambda: dedup.shingle_hash_sets(docs, 5),
+        "exact_dedup": lambda: dedup.exact_duplicate_groups(docs),
+        "minhash_verified": lambda: dedup.minhash_verified_pairs(docs),
+        "decontaminate": lambda: dedup.ngram_decontaminate(
+            docs, eval_docs, min_overlap=10
+        ),
+        "classifier": lambda: classify.hashed_linear_score(docs),
+        "interdoc_dup": lambda: text_profile.interdoc_dup_stats(docs),
+        "curation_funnel_flags": lambda: text_profile.curation_flags(docs),
+        "repetition": lambda: text_profile.repetition_stats(docs),
+    }
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [5000, 20000, 80000]
+    spark = get_spark(app_name="scalecheck")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="scalecheck_")
+    per_doc: dict[str, dict[int, float]] = {}
+    try:
+        for n in sizes:
+            out = f"{root}/docs_{n}"
+            make_corpus(spark, n, out)
+            docs = spark.read.parquet(out)
+            docs.count()  # warm footer/cache
+            for name, thunk in operators(spark, docs).items():
+                p0 = _probe()
+                t0 = time.perf_counter()
+                thunk().write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                us = dt / n * 1e6
+                per_doc.setdefault(name, {})[n] = us
+                print(
+                    json.dumps(
+                        {
+                            "op": name,
+                            "n_docs": n,
+                            "sec": round(dt, 2),
+                            "us_per_doc": round(us, 1),
+                            "probe": p0,
+                        }
+                    ),
+                    flush=True,
+                )
+        lo, hi = sizes[0], sizes[-1]
+        summary = {
+            name: round(vals[hi] / vals[lo], 2)
+            for name, vals in per_doc.items()
+            if lo in vals and hi in vals
+        }
+        print(
+            json.dumps(
+                {
+                    "summary": f"per-doc cost ratio at {hi}x vs {lo}x docs "
+                    "(1.0 = linear scaling)",
+                    "ratios": summary,
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
