@@ -1206,7 +1206,15 @@ def ngram_decontaminate(
                             count=len(grams),
                         )
                     )
-                overlap = int(np.isin(hashes, ev, assume_unique=True).sum())
+                # membership by binary search against the PRE-SORTED
+                # broadcast (broadcast_eval_grams sorts once): np.isin
+                # re-sorts its second argument on EVERY call — an
+                # O(|ev| log |ev|) per-document constant that
+                # scalecheck.py measured as 1.4x super-linear growth
+                # at 80k docs.
+                idx = np.searchsorted(ev, hashes)
+                valid = idx < len(ev)
+                overlap = int((ev[idx[valid]] == hashes[valid]).sum())
                 is_ev = did in ev_ids
                 ids.append(did)
                 evflag.append(is_ev)

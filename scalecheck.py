@@ -130,7 +130,10 @@ def main() -> None:
             out = f"{root}/docs_{n}"
             make_corpus(spark, n, out)
             docs = spark.read.parquet(out)
-            docs.count()  # warm footer/cache
+            # warm the page cache over the FULL text column, not just
+            # footers — otherwise the first timed operator absorbs the
+            # cold read and reports inflated per-doc cost
+            docs.select(F.sum(F.length("text"))).collect()
             for name, thunk in operators(spark, docs).items():
                 p0 = _probe()
                 t0 = time.perf_counter()
