@@ -909,18 +909,29 @@ def connected_components(
     Both paths are deterministic and identical: every vertex maps to
     the MINIMUM vertex id reachable from it (union-find tracks the
     min per root; min-label converges to the same fixpoint). Returns
-    (vertex, component) for every vertex that appears in a pair.
+    (vertex, component) for every NON-NULL vertex that appears in a
+    pair; pairs containing a NULL id are dropped up front (a NULL id
+    is not a vertex — under SQL null-join semantics it could never
+    propagate a label anyway, and letting it reach the union-find
+    kernel would alias pandas' -1 factorize code to a real vertex).
     """
-    edges = (
-        pairs.select(F.col(src).alias("_v"), F.col(dst).alias("_w"))
-        .unionByName(pairs.select(F.col(dst).alias("_v"), F.col(src).alias("_w")))
+    clean = pairs.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    und = (
+        clean.select(
+            F.least(src, dst).alias("_v"), F.greatest(src, dst).alias("_w")
+        )
         .distinct()
         .localCheckpoint(eager=False)
     )
-    # the count materializes the checkpoint either way; it is the
-    # cost probe (same pattern as the GEMM_MAX_DOCS strategy guard)
-    if edges.count() <= fused_max_edges:
-        return _cc_fused(edges, pairs.schema[src].dataType)
+    # Cost probe over the UNDIRECTED deduplicated pair list — the
+    # unit the documented bound is stated in. The count materializes
+    # the checkpoint either way (same pattern as the GEMM_MAX_DOCS
+    # strategy guard).
+    if und.count() <= fused_max_edges:
+        return _cc_fused(und, pairs.schema[src].dataType)
+    edges = und.unionByName(
+        und.select(F.col("_w").alias("_v"), F.col("_v").alias("_w"))
+    ).localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("_v").alias("vertex"))
         .distinct()
@@ -958,13 +969,15 @@ def connected_components(
 
 
 def _cc_fused(edges: DataFrame, vertex_type) -> DataFrame:
-    """Single-task union-find over a bounded edge list: all edges
-    gather into ONE ``applyInPandas`` group (an executor task, not the
-    driver), roots track their component's minimum id, path-halving
-    keeps finds near-O(1). Output contract matches the iterative path
-    exactly: (vertex, component = min reachable id), one row per
-    distinct vertex. Works for any orderable id type (ids are
-    factorized to dense codes; the min is taken over original values).
+    """Single-task union-find over a bounded UNDIRECTED deduplicated
+    pair list (one orientation per edge, nulls pre-filtered): all
+    pairs gather into ONE ``applyInPandas`` group (an executor task,
+    not the driver), roots track their component's minimum id,
+    path-halving keeps finds near-O(1). Output contract matches the
+    iterative path exactly: (vertex, component = min reachable id),
+    one row per distinct vertex. Works for any orderable id type (ids
+    are factorized to dense codes; the min is taken over original
+    values).
     """
     from pyspark.sql import types as T
 

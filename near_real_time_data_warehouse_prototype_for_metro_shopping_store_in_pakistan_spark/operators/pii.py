@@ -40,6 +40,19 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def redact(text) -> "F.Column":
+    """The PII redaction fold as one column expression: every pattern
+    replaced by its typed placeholder, applied in ``PII_PATTERNS``
+    order (the ordering is load-bearing — emails before IPs). This is
+    the SINGLE definition both ``pii_scan`` and the curation funnel's
+    ``redact_pii`` gate apply, so the stored corpus and the scan's
+    ``redacted`` column cannot drift."""
+    red = F.col(text) if isinstance(text, str) else text
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return red
+
+
 def pii_scan(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -56,9 +69,7 @@ def pii_scan(
         F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
     ]
-    red = F.col(text_col)
-    for _, pat, repl in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, repl)
+    red = redact(text_col)
     return docs.select(
         id_col,
         *counts,

@@ -394,6 +394,36 @@ def ivf_assignments(
     )
 
 
+def probe_cells(qv: DataFrame, probe_arr: DataFrame, n_probe: int) -> DataFrame:
+    """(query_id, qq, qn, cell): the top-``n_probe`` cells per query
+    by cosine against the broadcast centroid array — fused
+    sort/slice/explode ((cosine, -centroid) struct order = cosine
+    DESC then centroid ASC), so only the few query rows ever widen.
+    The SINGLE definition behind both the in-flight ``ann_ivf_topk``
+    and the persisted-index serve path (``streaming.ann_index``), so
+    their probe tie-breaks cannot drift."""
+    return (
+        qv.crossJoin(probe_arr)
+        .select(
+            "query_id",
+            "qq",
+            "qn",
+            F.explode(
+                F.slice(
+                    F.sort_array(
+                        _centroid_scores(F.col("qq"), F.col("qn")), asc=False
+                    ),
+                    1,
+                    n_probe,
+                )
+            ).alias("probe"),
+        )
+        .select(
+            "query_id", "qq", "qn", (-F.col("probe")["neg_cid"]).alias("cell")
+        )
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     num_queries: int = 10,
@@ -425,35 +455,12 @@ def ann_ivf_topk(
         F.col("q").alias("qq"),
         F.col("norm_sq").alias("qn"),
     )
-    # top-n_probe cells per query with the same fused scoring: sort
-    # the per-row score array DESC ((cosine, -centroid) struct order =
-    # cosine DESC then centroid ASC), slice the prefix, explode — only
-    # the few query rows ever widen.
     probe_arr = (
         _centroid_array_from(centroids)
         if centroids is not None
         else _centroid_array(v, n_centroids, id_col)
     )
-    probes = (
-        qv.crossJoin(probe_arr)
-        .select(
-            "query_id",
-            "qq",
-            "qn",
-            F.explode(
-                F.slice(
-                    F.sort_array(
-                        _centroid_scores(F.col("qq"), F.col("qn")), asc=False
-                    ),
-                    1,
-                    n_probe,
-                )
-            ).alias("probe"),
-        )
-        .select(
-            "query_id", "qq", "qn", (-F.col("probe")["neg_cid"]).alias("cell")
-        )
-    )
+    probes = probe_cells(qv, probe_arr, n_probe)
     cos = _dot(F.col("qq"), F.col("q")) / (
         F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("norm_sq").cast("double"))
     )
@@ -814,8 +821,23 @@ def semdedup(
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
 
     from .dedup import connected_components
+
+    # Numeric ids are a hard requirement of the k-means stage (the
+    # deterministic `ids < k` seeding and the keeper struct-max), not
+    # just of this kernel — fail with the contract instead of a
+    # confusing Arrow cast error deep in the job.
+    id_type = emb.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"semdedup requires an integral {id_col} (k-means seeds "
+            f"centroids from ids < k); got {id_type.simpleString()}. "
+            "Assign dense ids first (operators.dedup.dense_ids)."
+        )
 
     v = scaled_vectors(emb, vec_col, id_col).select(id_col, "q", "norm_sq")
     cells = kmeans_cells(emb, k, iters, vec_col, id_col).localCheckpoint(

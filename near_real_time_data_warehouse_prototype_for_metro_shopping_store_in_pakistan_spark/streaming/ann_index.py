@@ -40,9 +40,9 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.etl import ParquetWarehouse
 from ..operators.similarity import (
     _centroid_array_from,
-    _centroid_scores,
     _dot,
     ivf_assignments,
+    probe_cells,
     scaled_vectors,
 )
 
@@ -102,35 +102,19 @@ def stream_index_embeddings(
     return writer.start()
 
 
-def probe_cells_for(queries: DataFrame, centroids: DataFrame, n_probe: int) -> DataFrame:
-    """(query_id, qq, qn, cell) — the ``n_probe`` best cells per query
-    by cosine against the broadcast centroid array (fused sort/slice,
-    only the few query rows ever widen)."""
+def probe_cells_for(
+    queries: DataFrame, centroids: DataFrame, n_probe: int
+) -> DataFrame:
+    """(query_id, qq, qn, cell) — the ``n_probe`` best cells per
+    query. Quantizes the queries, then delegates to the SHARED
+    ``similarity.probe_cells`` (the same expressions ``ann_ivf_topk``
+    probes with, so serve ≡ batch tie-breaks hold by construction)."""
     qv = scaled_vectors(queries, "embedding", "query_id").select(
         "query_id",
         F.col("q").alias("qq"),
         F.col("norm_sq").alias("qn"),
     )
-    return (
-        qv.crossJoin(_centroid_array_from(centroids))
-        .select(
-            "query_id",
-            "qq",
-            "qn",
-            F.explode(
-                F.slice(
-                    F.sort_array(
-                        _centroid_scores(F.col("qq"), F.col("qn")), asc=False
-                    ),
-                    1,
-                    n_probe,
-                )
-            ).alias("probe"),
-        )
-        .select(
-            "query_id", "qq", "qn", (-F.col("probe")["neg_cid"]).alias("cell")
-        )
-    )
+    return probe_cells(qv, _centroid_array_from(centroids), n_probe)
 
 
 def ivf_index_topk(
@@ -150,7 +134,14 @@ def ivf_index_topk(
     ``queries`` is (query_id, embedding). Self-matches (an indexed
     vector queried by its own id) are excluded, as in the ANN family.
     """
-    probes = probe_cells_for(queries, centroids, n_probe)
+    # Lazy checkpoint: the probe relation feeds BOTH the cell collect
+    # below and the scoring join — without it each consumer re-runs
+    # query quantization, centroid scoring, and the caller's entire
+    # centroids lineage (a raw kmeans_centroids() argument would
+    # re-train per consumer).
+    probes = probe_cells_for(queries, centroids, n_probe).localCheckpoint(
+        eager=False
+    )
     # metadata-scale collect: <= |queries| * n_probe distinct ints —
     # same pattern as the fact sink's touched-partition pruning
     cells = sorted(

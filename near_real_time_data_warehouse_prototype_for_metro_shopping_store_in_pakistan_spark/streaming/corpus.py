@@ -84,12 +84,9 @@ def curate_batch(
     gate (operators.classify; deterministic stand-in weights — a
     learned model is the same plan)."""
     if redact_pii:
-        from ..operators.pii import PII_PATTERNS
+        from ..operators.pii import redact
 
-        red = F.col("text")
-        for _, pat, repl in PII_PATTERNS:
-            red = F.regexp_replace(red, pat, repl)
-        docs = docs.withColumn("text", red)
+        docs = docs.withColumn("text", redact("text"))
     flags = curation_flags(docs).filter(
         F.col("lang_ok") & (F.col("quality_score") >= quality_min)
     )

@@ -60,3 +60,14 @@ def test_fused_path_handles_string_vertices(spark):
     assert got == {
         ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
     }
+
+
+def test_null_ids_are_dropped_on_both_paths(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (None, 9), (7, None)], "doc_a long, doc_b long"
+    )
+    fused = {tuple(r) for r in cc(df).collect()}
+    loop = {tuple(r) for r in cc(df, fused_max_edges=-1).collect()}
+    # null-containing pairs are not edges; 9 and 7 simply do not
+    # appear (keeper selection falls back to self via coalesce)
+    assert fused == loop == {(1, 1), (2, 1)}
