@@ -548,3 +548,66 @@ def chunk_documents(
         F.array_join(window, " ").alias("chunk_text"),
         F.size(window).alias("n_chunk_tokens"),
     )
+
+
+def compression_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """DEFLATE compression ratio per document — the classic
+    "compresses too well = machine-generated/boilerplate, doesn't
+    compress at all = random noise" curation signal (used alongside
+    the Gopher repetition cuts in production crawl pipelines).
+
+    Per doc: ``n_bytes`` (utf-8 length), ``n_compressed``
+    (``zlib.compress`` at the fixed ``level``), and
+    ``compression_permille`` = ⌊n_compressed·1000/n_bytes⌋ (integer;
+    0 for empty text). One shuffle-free Arrow ``mapInPandas`` pass —
+    same plan shape as ``repetition_stats``; zlib is stdlib, no
+    optional dependency.
+
+    NOTE: this is the one operator family with NO DuckDB oracle — SQL
+    has no DEFLATE — so its driver row is rows-only checked; value
+    determinism (fixed level → identical bytes within a container) is
+    pinned by unit tests instead.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .dedup import _shuffle_parts
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, n_bytes long, n_compressed long, "
+        "compression_permille long"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            ids, nb, nc, pm = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                raw = (text or "").encode("utf-8")
+                comp = zlib.compress(raw, level) if raw else b""
+                ids.append(did)
+                nb.append(len(raw))
+                nc.append(len(comp))
+                pm.append(len(comp) * 1000 // len(raw) if raw else 0)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "compression_permille": pm,
+                }
+            )
+
+    src = docs.select(id_col, text_col)
+    parts = _shuffle_parts(docs)
+    if src.rdd.getNumPartitions() < parts:
+        src = src.repartition(parts)
+    return src.mapInPandas(stats, schema)

@@ -654,6 +654,14 @@ def corpus_interdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFLATE ratio quality signal (text_profile.compression_stats).
+    Deliberately ABSENT from PIPELINE_ORACLES: SQL has no DEFLATE, so
+    this is the one driver row with the weaker rows-only check; value
+    determinism is pinned by unit tests instead (fixed zlib level)."""
+    return text_profile.compression_stats(table(spark, sf_dir, "documents"))
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -707,6 +715,7 @@ PIPELINE_QUERIES = {
     "text_quality_classifier": text_quality_classifier,
     "corpus_interdoc_dup": corpus_interdoc_dup,
     "embed_semdedup": embed_semdedup,
+    "text_compression": text_compression,
 }
 
 

@@ -142,3 +142,48 @@ class TestInterdocDupStats:
         assert got[1]["n_dup_grams"] == 1
         assert got[1]["dup_permille"] == 1000 // n1
         assert got[2] and got[2]["dup_permille"] == 1000
+
+
+class TestCompressionStats:
+    def test_signal_separates_repetitive_from_noise(self, spark):
+        import hashlib
+
+        noise = "".join(
+            hashlib.md5(str(i).encode()).hexdigest() for i in range(40)
+        )
+        docs = _docs(
+            spark,
+            [(1, "spam " * 400), (2, noise), (3, "")],
+        )
+        got = {
+            r["doc_id"]: r
+            for r in text_profile.compression_stats(docs).collect()
+        }
+        assert len(got) == 3
+        # heavy repetition compresses to a tiny fraction; hex noise
+        # stays close to incompressible
+        assert got[1]["compression_permille"] < 100
+        assert got[2]["compression_permille"] > 500
+        assert (got[3]["n_bytes"], got[3]["compression_permille"]) == (0, 0)
+
+    def test_deterministic_across_runs(self, spark):
+        docs = _docs(spark, [(i, f"doc number {i} " * (i + 1)) for i in range(20)])
+        a = sorted(map(tuple, text_profile.compression_stats(docs).collect()))
+        b = sorted(map(tuple, text_profile.compression_stats(docs).collect()))
+        import zlib
+
+        expect = len(zlib.compress(("doc number 0 ").encode(), 6))
+        assert a == b
+        assert a[0][2] == expect
+
+    def test_permille_is_exact_integer_division(self, spark):
+        import zlib
+
+        text = "example payload " * 7
+        docs = _docs(spark, [(1, text)])
+        row = text_profile.compression_stats(docs).collect()[0]
+        raw = text.encode()
+        comp = zlib.compress(raw, 6)
+        assert row["n_bytes"] == len(raw)
+        assert row["n_compressed"] == len(comp)
+        assert row["compression_permille"] == len(comp) * 1000 // len(raw)
