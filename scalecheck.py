@@ -14,6 +14,8 @@ controlled duplicate fraction, entirely as JVM column expressions —
 deterministic, no RNG, no Python in the generation path.
 
 Usage: python scalecheck.py [sizes...]   (default 5000 20000 80000)
+       python scalecheck.py emb [sizes...]  (embedding ops;
+                                             default 2000 8000 32000)
 Prints one JSON line per (operator, size) with wall seconds and
 µs/doc, and a final summary line with the large-vs-small per-doc
 ratios (≈1.0 → linear; the CPU probe before/after makes host throttle
@@ -119,8 +121,119 @@ def operators(spark, docs):
     }
 
 
+EMB_DIM = 64
+
+
+def make_embeddings(spark, n_vecs: int, out_dir: str) -> None:
+    """(vec_id, embedding float[EMB_DIM], label): components are
+    md5-derived in [-1, 1]; every ⌊1/DUP_FRAC⌋th vector copies the
+    previous one exactly (planted near-dups for the dedup paths)."""
+    period = int(1 / DUP_FRAC)
+    base = F.when(
+        (F.col("id") % period == 1) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    comp = F.transform(
+        F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
+        lambda i: (
+            (
+                md5_long(
+                    F.concat(base.cast("string"), F.lit("|"), i.cast("string"))
+                )
+                % 2001
+                - 1000
+            ).cast("double")
+            / 1000.0
+        ).cast("float"),
+    )
+    (
+        spark.range(n_vecs)
+        .select(
+            F.col("id").alias("vec_id"),
+            comp.alias("embedding"),
+            (F.col("id") % 3).cast("int").alias("label"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def emb_operators(spark, emb):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        similarity,
+    )
+
+    return {
+        "kmeans_cells": lambda: similarity.kmeans_cells(emb, k=16, iters=2),
+        "semdedup": lambda: similarity.semdedup(
+            emb, k=16, iters=2, threshold=0.95
+        ),
+        "cosine_topk_exact": lambda: similarity.cosine_topk(
+            emb, num_queries=10, k=5
+        ),
+        "ann_lsh_topk": lambda: similarity.ann_lsh_topk(
+            emb, num_queries=10, k=5
+        ),
+        "ann_ivf_topk": lambda: similarity.ann_ivf_topk(
+            emb, num_queries=10, k=5, n_centroids=16, n_probe=4
+        ),
+    }
+
+
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [5000, 20000, 80000]
+    args = sys.argv[1:]
+    emb_mode = bool(args) and args[0] == "emb"
+    if emb_mode:
+        args = args[1:]
+    if emb_mode:
+        sizes = [int(a) for a in args] or [2000, 8000, 32000]
+        spark = get_spark(app_name="scalecheck-emb")
+        spark.sparkContext.setLogLevel("ERROR")
+        root = tempfile.mkdtemp(prefix="scalecheck_emb_")
+        per_vec: dict[str, dict[int, float]] = {}
+        try:
+            for n in sizes:
+                out = f"{root}/emb_{n}"
+                make_embeddings(spark, n, out)
+                emb = spark.read.parquet(out)
+                emb.select(F.sum(F.size("embedding"))).collect()
+                for name, thunk in emb_operators(spark, emb).items():
+                    p0 = _probe()
+                    t0 = time.perf_counter()
+                    thunk().write.format("noop").mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    us = dt / n * 1e6
+                    per_vec.setdefault(name, {})[n] = us
+                    print(
+                        json.dumps(
+                            {
+                                "op": name,
+                                "n_vecs": n,
+                                "sec": round(dt, 2),
+                                "us_per_vec": round(us, 1),
+                                "probe": p0,
+                            }
+                        ),
+                        flush=True,
+                    )
+            lo, hi = sizes[0], sizes[-1]
+            print(
+                json.dumps(
+                    {
+                        "summary": f"per-vec cost ratio at {hi} vs {lo} vecs",
+                        "ratios": {
+                            k: round(v[hi] / v[lo], 2)
+                            for k, v in per_vec.items()
+                            if lo in v and hi in v
+                        },
+                    }
+                ),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        return
+    sizes = [int(a) for a in args] or [5000, 20000, 80000]
     spark = get_spark(app_name="scalecheck")
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="scalecheck_")
