@@ -785,6 +785,9 @@ def embedding_decontaminate(
     )
 
 
+SEMDEDUP_MAX_CELL_ROWS = 100_000
+
+
 def semdedup(
     emb: DataFrame,
     k: int = 8,
@@ -792,6 +795,8 @@ def semdedup(
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cell_rows: int = SEMDEDUP_MAX_CELL_ROWS,
+    block_size: int = 2048,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by clustering —
     k-means partitions the embedding space, near-duplicate pairs are
@@ -818,6 +823,12 @@ def semdedup(
     Returns (vec_id, cell, component, keeper_vec_id, is_keeper) for
     EVERY input vector — ``filter(is_keeper)`` is the deduplicated
     corpus.
+
+    Degenerate clusterings are guarded: any cell over
+    ``max_cell_rows`` is tiled into (cell, block)-pair GEMM tasks
+    (the ``cosine_neardup_pairs`` tiles, keyed within the cell) so no
+    single Arrow task ever owns an unbounded |cell|² product; output
+    is identical by construction and by test.
     """
     import numpy as np
     import pandas as pd
@@ -859,9 +870,97 @@ def semdedup(
         ii, jj = np.nonzero(keep)
         return pd.DataFrame({"vec_a": ids[ii], "vec_b": ids[jj]})
 
-    pairs = withcell.groupBy("cell").applyInPandas(
+    # Cost-based big-cell guard: a degenerate clustering (one cell
+    # holding most of the corpus) would hand one Arrow task an
+    # O(|cell|²) GEMM. Cell sizes are a k-row metadata relation —
+    # collect them, and route any cell over ``max_cell_rows`` through
+    # (cell, block)-pair tiling instead: the same tiles as
+    # ``cosine_neardup_pairs``, keyed WITHIN the cell so semantics
+    # (within-cell pairs only) are unchanged. Tested identical to the
+    # single-task path on a forced-degenerate corpus.
+    withcell = withcell.localCheckpoint(eager=False)
+    big_cells = [
+        r["cell"]
+        for r in withcell.groupBy("cell")
+        .count()
+        .filter(F.col("count") > max_cell_rows)
+        .collect()
+    ]
+    small = (
+        withcell.filter(~F.col("cell").isin(big_cells))
+        if big_cells
+        else withcell
+    )
+    pairs = small.groupBy("cell").applyInPandas(
         cell_pairs, "vec_a long, vec_b long"
     )
+    if big_cells:
+        big = withcell.filter(F.col("cell").isin(big_cells)).withColumn(
+            "blk", F.floor(F.col(id_col) / block_size).cast("long")
+        )
+        blks = big.select("cell", "blk").distinct()
+        bp = (
+            blks.alias("x")
+            .join(
+                blks.alias("y"),
+                (F.col("x.cell") == F.col("y.cell"))
+                & (F.col("x.blk") <= F.col("y.blk")),
+            )
+            .select(
+                F.col("x.cell").alias("cell"),
+                F.col("x.blk").alias("ba"),
+                F.col("y.blk").alias("bb"),
+            )
+        )
+        left = (
+            big.alias("l")
+            .join(
+                F.broadcast(bp.alias("pl")),
+                (F.col("l.cell") == F.col("pl.cell"))
+                & (F.col("l.blk") == F.col("pl.ba")),
+            )
+            .select(
+                "pl.cell", "pl.ba", "pl.bb", f"l.{id_col}", "l.q", "l.norm_sq"
+            )
+        )
+        right = (
+            big.alias("r")
+            .join(
+                F.broadcast(bp.alias("pr")),
+                (F.col("r.cell") == F.col("pr.cell"))
+                & (F.col("r.blk") == F.col("pr.bb")),
+            )
+            .select(
+                F.col("pr.cell").alias("rcell"),
+                F.col("pr.ba").alias("rba"),
+                F.col("pr.bb").alias("rbb"),
+                F.col(f"r.{id_col}").alias("rvid"),
+                F.col("r.q").alias("rq"),
+                F.col("r.norm_sq").alias("rnorm_sq"),
+            )
+        )
+
+        def tile_pairs(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+            if lpdf.empty or rpdf.empty:
+                return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+            A = np.array([np.asarray(x, dtype=np.int64) for x in lpdf["q"]])
+            B = np.array([np.asarray(x, dtype=np.int64) for x in rpdf["rq"]])
+            dots = A @ B.T
+            na = np.sqrt(lpdf["norm_sq"].to_numpy(dtype=np.float64))
+            nb = np.sqrt(rpdf["rnorm_sq"].to_numpy(dtype=np.float64))
+            cos = dots / (na[:, None] * nb[None, :])
+            ia = lpdf[id_col].to_numpy()
+            ib = rpdf["rvid"].to_numpy()
+            keep = (cos >= threshold) & (ia[:, None] < ib[None, :])
+            ii, jj = np.nonzero(keep)
+            return pd.DataFrame({"vec_a": ia[ii], "vec_b": ib[jj]})
+
+        big_pairs = (
+            left.groupby("cell", "ba", "bb")
+            .cogroup(right.groupby("rcell", "rba", "rbb"))
+            .applyInPandas(tile_pairs, "vec_a long, vec_b long")
+        )
+        pairs = pairs.unionByName(big_pairs)
     comps = connected_components(pairs, "vec_a", "vec_b")
     members = (
         cells.join(

@@ -72,3 +72,28 @@ def test_two_clone_families_one_keeper_each(spark):
     assert got[0]["component"] != got[1]["component"]
     keepers = out.filter("is_keeper").count()
     assert keepers == 2
+
+
+def test_big_cell_tiling_path_identical(spark):
+    # degenerate corpus: every vector in the same direction -> one
+    # k-means cell holds everything; force the tiling path with a
+    # tiny max_cell_rows/block_size and compare against the
+    # single-task path
+    rows = [
+        (i, [1.0, 0.001 * (i % 5), 0.0, 0.0]) for i in range(40)
+    ]
+    df = _emb(spark, rows)
+    kw = dict(k=2, iters=1, threshold=0.999)
+    base = {tuple(r) for r in similarity.semdedup(df, **kw).collect()}
+    tiled = {
+        tuple(r)
+        for r in similarity.semdedup(
+            df, **kw, max_cell_rows=8, block_size=4
+        ).collect()
+    }
+    assert base == tiled
+    # the degenerate cell really did exceed the bound (guard engaged)
+    cells = similarity.kmeans_cells(df, k=2, iters=1).collect()
+    from collections import Counter
+
+    assert max(Counter(r["cell"] for r in cells).values()) > 8
