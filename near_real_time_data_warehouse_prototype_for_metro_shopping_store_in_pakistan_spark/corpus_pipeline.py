@@ -79,11 +79,26 @@ class CorpusPipeline:
         )
 
     def dedup(
-        self, docs: DataFrame, threshold: float = 0.5
+        self, docs: DataFrame, threshold: float = 0.5, method: str = "exact"
     ) -> DataFrame:
-        """Keep one representative per near-dup group (exact-Jaccard
-        verified pairs → connected components → min-id keeper)."""
-        pairs = _dedup.jaccard_similar_pairs(docs, threshold=threshold)
+        """Keep one representative per near-dup group (pairs →
+        connected components → min-id keeper). ``method``:
+
+        - ``"exact"``: every pair at ``threshold`` via
+          ``jaccard_similar_pairs`` (itself cost-based: block-GEMM vs
+          prefix-filtered join) — exact recall, corpus-quadratic
+          candidate floor.
+        - ``"ladder"``: ``minhash_verified_pairs`` (128 hashes, 32×4
+          bands, exact verification) — the 100 TB default; recall
+          bounded by the banding (P(detect | J=0.5) ≈ 0.87, →1 above),
+          precision exact.
+        """
+        if method == "exact":
+            pairs = _dedup.jaccard_similar_pairs(docs, threshold=threshold)
+        elif method == "ladder":
+            pairs = _dedup.minhash_verified_pairs(docs, threshold=threshold)
+        else:
+            raise ValueError(f"unknown dedup method {method!r}")
         keepers = _dedup.neardup_keepers(docs, pairs)
         return docs.join(
             keepers.filter(

@@ -72,3 +72,32 @@ def test_corpus_pipeline_stream_matches_table(spark, tmp_path):
     )
     q.awaitTermination()
     assert cp.table().count() > 0
+
+
+def test_dedup_ladder_method_cuts_exact_clones(spark):
+    import hashlib
+
+    rows = []
+    for i in range(12):
+        # 12 clone pairs, each pair lexically disjoint from the others
+        # (md5-derived vocabulary) so cross-pair Jaccard ≈ 0; ladder
+        # recall at J=1 is exactly 1
+        words = " ".join(
+            hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:8]
+            for j in range(15)
+        )
+        rows.append((2 * i, words, "en", "s", 0))
+        rows.append((2 * i + 1, words, "en", "s", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    cp = CorpusPipeline(spark, "/tmp/unused_corpus_root")
+    exact = {r["doc_id"] for r in cp.dedup(docs, method="exact").collect()}
+    ladder = {r["doc_id"] for r in cp.dedup(docs, method="ladder").collect()}
+    # identical-text pairs are always detected by both methods
+    assert exact == ladder == {2 * i for i in range(12)}
+    try:
+        cp.dedup(docs, method="nope")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
