@@ -654,6 +654,24 @@ def corpus_interdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_PAIR_BITS = 32  # 16-bit fps are too coarse on the
+# dup-saturated synthetic corpus (2.8M pairs at sf0.1); 32 bits cut
+# the banding buckets to 256 values and the pair set ~20x
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash retrieval + exact hamming verification — full
+    recall at hamming ≤ bands-1 by pigeonhole (dedup.simhash_near_pairs)."""
+    return dedup.simhash_near_pairs(
+        table(spark, sf_dir, "documents"),
+        bits=SIMHASH_PAIR_BITS,
+        bands=SIMHASH_BANDS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )
+
+
 def text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEFLATE ratio quality signal (text_profile.compression_stats).
     Deliberately ABSENT from PIPELINE_ORACLES: SQL has no DEFLATE, so
@@ -716,6 +734,7 @@ PIPELINE_QUERIES = {
     "corpus_interdoc_dup": corpus_interdoc_dup,
     "embed_semdedup": embed_semdedup,
     "text_compression": text_compression,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
 }
 
 
@@ -2153,6 +2172,59 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def _simhash_cte(bits: int) -> str:
+    """The SimHash fingerprint computation at an arbitrary width (the
+    pinned ORACLE_DEDUP_SIMHASH is its 16-bit instance)."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_sql_tokens("lower(text)")}) AS tok FROM documents
+),
+perbit AS (
+    SELECT doc_id, b.bit,
+           SUM(CASE WHEN ({_sql_md5_long("tok")} // CAST(pow(2, b.bit) AS BIGINT)) % 2 = 1
+                    THEN 1 ELSE -1 END) AS s
+    FROM toks, generate_series(0, {bits - 1}) b(bit)
+    GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM perbit GROUP BY doc_id
+"""
+
+
+def _simhash_pairs_oracle(
+    bits: int = SIMHASH_PAIR_BITS,
+    bands: int = SIMHASH_BANDS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> str:
+    """Mirror dedup.simhash_near_pairs over the simhash CTE at the
+    same width: same band decomposition (integer div/mod), xor +
+    bit_count verification."""
+    width = bits // bands
+    band_rows = ", ".join(
+        f"({i}, (simhash // {1 << (i * width)}) % {1 << width})"
+        for i in range(bands)
+    )
+    return f"""
+WITH sim AS ({_simhash_cte(bits)}),
+bands AS (
+    SELECT doc_id, simhash, bd.band, bd.val
+    FROM sim, LATERAL (VALUES {band_rows}) bd(band, val)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS fa, b.simhash AS fb
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.val = b.val
+               AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+"""
+
+
 def _semdedup_oracle(
     k: int = ANN_IVF_CENTROIDS // 2,
     iters: int = 2,
@@ -2284,4 +2356,5 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "text_quality_classifier": _classifier_oracle(),
     "corpus_interdoc_dup": _interdoc_oracle(),
     "embed_semdedup": _semdedup_oracle(),
+    "dedup_simhash_pairs": _simhash_pairs_oracle(),
 }

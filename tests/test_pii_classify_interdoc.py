@@ -187,3 +187,42 @@ class TestCompressionStats:
         assert row["n_bytes"] == len(raw)
         assert row["n_compressed"] == len(comp)
         assert row["compression_permille"] == len(comp) * 1000 // len(raw)
+
+
+class TestSimhashNearPairs:
+    def test_recall_and_precision_vs_brute_force(self, spark):
+        import itertools
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "a completely different document about spark plans",
+            "the quick brown fox jumps over the lazy dog",
+            "numbers one two three four five six seven eight",
+        ]
+        docs = _docs(spark, list(enumerate(texts)))
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+            dedup,
+        )
+
+        bits, bands, maxh = 16, 4, 3
+        fps = {
+            r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_fingerprints(docs, bits).collect()
+        }
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in dedup.simhash_near_pairs(
+                docs, bits, bands, maxh
+            ).collect()
+        }
+        # precision: every returned hamming is exact and <= max
+        for (a, b), h in got.items():
+            assert h == bin(fps[a] ^ fps[b]).count("1") <= maxh
+        # recall: pigeonhole guarantees every pair at hamming <= bands-1
+        for a, b in itertools.combinations(sorted(fps), 2):
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= bands - 1:
+                assert (a, b) in got, (a, b, h)
+        # the exact-clone pair (0, 3) is always found at hamming 0
+        assert got.get((0, 3)) == 0
