@@ -170,3 +170,147 @@ def ivf_index_topk(
         .withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
     )
+
+
+def admit_embedding_batch(
+    warehouse: ParquetWarehouse,
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cross-batch EMBEDDING near-dup admission for one micro-batch —
+    the online SemDeDup: within-cell cosine pairs form components,
+    each component admits its min-id representative, and a component
+    any of whose members is a near-dup of an already-INDEXED vector in
+    the same cell is dropped whole (its content is represented).
+    Mirrors ``streaming.corpus.admit_neardup_batch``'s semantics and
+    crash-safety exactly, with cells in place of band keys.
+
+    Scale shape: in-batch pair search is one groupBy(cell) Arrow GEMM
+    (batch-sized); the HISTORY side reads ONLY the cells this batch
+    touches — a metadata-scale collected cell list becomes static
+    partition filters on the cell-partitioned index, so history cost
+    scales with the batch's cells, never the index. Replay-safe in
+    both write orders: a replayed vector meets ITSELF in the index
+    (same id — exempt), so it re-admits and the insert-if-absent
+    no-ops.
+
+    Recall contract: like batch ``semdedup``, detection is confined to
+    cells — a cross-cell near-dup pair is not examined.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.dedup import connected_components
+
+    assigned = assigned.localCheckpoint(eager=False)
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        A = np.array([np.asarray(x, dtype=np.int64) for x in pdf["q"]])
+        dots = A @ A.T
+        n = np.sqrt(pdf["norm_sq"].to_numpy(dtype=np.float64))
+        cos = dots / (n[:, None] * n[None, :])
+        ids = pdf[id_col].to_numpy()
+        keep = (cos >= threshold) & (ids[:, None] < ids[None, :])
+        ii, jj = np.nonzero(keep)
+        return pd.DataFrame({"vec_a": ids[ii], "vec_b": ids[jj]})
+
+    pairs = assigned.select(id_col, "q", "norm_sq", "cell").groupBy(
+        "cell"
+    ).applyInPandas(cell_pairs, "vec_a long, vec_b long")
+    comps = connected_components(pairs, "vec_a", "vec_b")
+    comp_map = (
+        assigned.select(id_col, "cell")
+        .join(comps.withColumnRenamed("vertex", id_col), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    index = warehouse.read(INDEX_TABLE)
+    poisoned = None
+    if index is not None:
+        cells = sorted(
+            r["cell"]
+            for r in assigned.select("cell").distinct().collect()
+        )
+        hist = index.filter(F.col("cell").isin(cells)).select(
+            F.col(id_col).alias("hid"),
+            F.col("q").alias("hq"),
+            F.col("norm_sq").alias("hnorm_sq"),
+            "cell",
+        )
+
+        def hist_hits(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+            if lpdf.empty or rpdf.empty:
+                return pd.DataFrame({"vec_id": []}).astype("int64")
+            A = np.array([np.asarray(x, dtype=np.int64) for x in lpdf["q"]])
+            B = np.array([np.asarray(x, dtype=np.int64) for x in rpdf["hq"]])
+            dots = A @ B.T
+            na = np.sqrt(lpdf["norm_sq"].to_numpy(dtype=np.float64))
+            nb = np.sqrt(rpdf["hnorm_sq"].to_numpy(dtype=np.float64))
+            cos = dots / (na[:, None] * nb[None, :])
+            ia = lpdf[id_col].to_numpy()
+            ib = rpdf["hid"].to_numpy()
+            # same id = a crash replay meeting itself — exempt
+            hit = (cos >= threshold) & (ia[:, None] != ib[None, :])
+            return pd.DataFrame({"vec_id": ia[hit.any(axis=1)]})
+
+        hits = (
+            assigned.select(id_col, "q", "norm_sq", "cell")
+            .groupby("cell")
+            .cogroup(hist.groupby("cell"))
+            .applyInPandas(hist_hits, f"{id_col} long")
+        )
+        poisoned = (
+            hits.join(comp_map, id_col)
+            .select("component")
+            .distinct()
+        )
+    reps = comp_map.filter(F.col(id_col) == F.col("component"))
+    if poisoned is not None:
+        reps = reps.join(poisoned, "component", "left_anti")
+    admitted = assigned.join(reps.select(id_col), id_col)
+    warehouse.insert_if_absent(INDEX_TABLE, admitted)
+    return admitted
+
+
+def stream_index_embeddings_dedup(
+    spark: SparkSession,
+    emb_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """``stream_index_embeddings`` with cross-batch near-dup
+    admission: only vectors no near-dup of which is already indexed
+    enter the index (see ``admit_embedding_batch``). State is the
+    index itself — no streaming state store, replays are no-ops."""
+    warehouse = index_warehouse(spark, index_root)
+    cent = centroids.localCheckpoint(eager=True)
+    reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(emb_dir)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        assigned = ivf_assignments(
+            batch, vec_col=vec_col, id_col=id_col, centroids=cent
+        ).select(id_col, "q", "norm_sq", "cell")
+        admit_embedding_batch(warehouse, assigned, threshold, id_col)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -113,3 +113,108 @@ def test_serve_scan_reads_only_probed_cells(spark, sf_dir, tmp_path):
         m = re.search(r"PartitionFilters: \[[^\]]*IN \(([0-9,]+)\)", ln)
         assert m, f"index scan without a static cell IN partition filter: {ln}"
         assert set(map(int, m.group(1).split(","))) == probe
+
+
+class TestStreamingEmbeddingDedup:
+    @staticmethod
+    def _clone_corpus(spark):
+        # ids 0..5 seed distinct directions; clones of 0 and 2 arrive
+        # later (higher ids, possibly later batches)
+        import math
+
+        def unit(i):
+            v = [0.0] * 8
+            v[i % 8] = 1.0
+            v[(i + 3) % 8] = 0.5
+            n = math.sqrt(1.25)
+            return [x / n for x in v]
+
+        rows = [(i, unit(i), 0) for i in range(6)]
+        rows.append((10, unit(0), 0))  # clone of 0
+        rows.append((11, unit(2), 0))  # clone of 2
+        rows.append((12, unit(0), 0))  # another clone of 0
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    def _run(self, spark, tmp_path, emb, chunks, name):
+        from pyspark.sql import functions as F
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.similarity import (
+            kmeans_centroids,
+        )
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.ann_index import (
+            stream_index_embeddings_dedup,
+        )
+
+        cents = kmeans_centroids(emb, k=4, iters=2)
+        src = str(tmp_path / f"src_{name}")
+        emb.withColumn("_b", F.col("vec_id") % chunks).repartition(
+            chunks, "_b"
+        ).drop("_b").write.parquet(src)
+        q = stream_index_embeddings_dedup(
+            spark,
+            src,
+            str(tmp_path / f"index_{name}"),
+            str(tmp_path / f"ckpt_{name}"),
+            cents,
+            threshold=0.999,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        return str(tmp_path / f"index_{name}")
+
+    def test_first_arrival_wins_and_replay_noop(self, spark, tmp_path):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.ann_index import (
+            INDEX_TABLE,
+            index_warehouse,
+            stream_index_embeddings_dedup,
+        )
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.similarity import (
+            kmeans_centroids,
+        )
+
+        emb = self._clone_corpus(spark)
+        root = self._run(spark, tmp_path, emb, chunks=3, name="a")
+        wh = index_warehouse(spark, root)
+        got = {r["vec_id"] for r in wh.read(INDEX_TABLE).collect()}
+        # exactly one member of each clone family (whichever batch
+        # arrived first), every non-clone admitted
+        assert len(got & {0, 10, 12}) == 1 and len(got & {2, 11}) == 1
+        assert {1, 3, 4, 5} <= got and len(got) == 6
+        # fresh checkpoint, same source: pure replay admits nothing new
+        cents = kmeans_centroids(emb, k=4, iters=2)
+        q = stream_index_embeddings_dedup(
+            spark,
+            str(tmp_path / "src_a"),
+            root,
+            str(tmp_path / "ckpt_a2"),
+            cents,
+            threshold=0.999,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        assert {r["vec_id"] for r in wh.read(INDEX_TABLE).collect()} == got
+
+    def test_admitted_set_invariant_under_batching(self, spark, tmp_path):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.ann_index import (
+            INDEX_TABLE,
+            index_warehouse,
+        )
+
+        emb = self._clone_corpus(spark)
+        r1 = self._run(spark, tmp_path, emb, chunks=1, name="one")
+        r3 = self._run(spark, tmp_path, emb, chunks=4, name="four")
+        a = {r["vec_id"] for r in index_warehouse(spark, r1).read(INDEX_TABLE).collect()}
+        b = {r["vec_id"] for r in index_warehouse(spark, r3).read(INDEX_TABLE).collect()}
+        # WHICH family member survives depends on batch arrival order
+        # (first arrival wins, exactly as in the MinHash admission);
+        # the batching-invariant property is representation: exactly
+        # one member per clone family, all non-clones admitted.
+        fam_a, fam_b = {0, 10, 12}, {2, 11}
+        for got in (a, b):
+            assert len(got & fam_a) == 1
+            assert len(got & fam_b) == 1
+            assert {1, 3, 4, 5} <= got
+            assert len(got) == 6
+        # single-batch run: min-id component reps are deterministic
+        assert a == {0, 1, 2, 3, 4, 5}
