@@ -1103,7 +1103,12 @@ def simhash_near_pairs(
     the same retrieve-verify ladder as the MinHash family at a
     fraction of the signature cost (one 64-bit fingerprint vs 128
     mins)."""
-    assert bits % bands == 0, "bands must divide bits"
+    if bits % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide bits ({bits}): an uneven "
+            "decomposition leaves high bits unbanded and silently "
+            "voids the pigeonhole recall guarantee"
+        )
     width = bits // bands
     fp = simhash_fingerprints(docs, bits, text_col, id_col).localCheckpoint(
         eager=False

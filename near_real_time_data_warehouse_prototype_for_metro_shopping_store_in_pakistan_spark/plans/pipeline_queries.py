@@ -1032,7 +1032,10 @@ ORACLE_DEDUP_MINHASH = _minhash_oracle()
 ORACLE_DEDUP_MINHASH_VERIFIED = _minhash_verified_oracle()
 ORACLE_DEDUP_CLUSTERS = _clusters_oracle()
 
-ORACLE_DEDUP_SIMHASH = f"""
+def _simhash_cte(bits: int) -> str:
+    """The SimHash fingerprint computation at an arbitrary width (the
+    pinned ORACLE_DEDUP_SIMHASH is its 16-bit instance)."""
+    return f"""
 WITH toks AS (
     SELECT doc_id, unnest({_sql_tokens("lower(text)")}) AS tok FROM documents
 ),
@@ -1040,7 +1043,7 @@ perbit AS (
     SELECT doc_id, b.bit,
            SUM(CASE WHEN ({_sql_md5_long("tok")} // CAST(pow(2, b.bit) AS BIGINT)) % 2 = 1
                     THEN 1 ELSE -1 END) AS s
-    FROM toks, generate_series(0, 15) b(bit)
+    FROM toks, generate_series(0, {bits - 1}) b(bit)
     GROUP BY doc_id, b.bit
 )
 SELECT doc_id,
@@ -1048,6 +1051,9 @@ SELECT doc_id,
             AS BIGINT) AS simhash
 FROM perbit GROUP BY doc_id
 """
+
+
+ORACLE_DEDUP_SIMHASH = _simhash_cte(16)
 
 ORACLE_ANN_TOPK = f"""
 WITH {_SCALED_VECS},
@@ -2169,27 +2175,6 @@ SELECT d.doc_id,
                  ELSE (n_dup_grams * 1000) // n_grams END AS BIGINT)
            AS dup_permille
 FROM documents d LEFT JOIN per USING (doc_id)
-"""
-
-
-def _simhash_cte(bits: int) -> str:
-    """The SimHash fingerprint computation at an arbitrary width (the
-    pinned ORACLE_DEDUP_SIMHASH is its 16-bit instance)."""
-    return f"""
-WITH toks AS (
-    SELECT doc_id, unnest({_sql_tokens("lower(text)")}) AS tok FROM documents
-),
-perbit AS (
-    SELECT doc_id, b.bit,
-           SUM(CASE WHEN ({_sql_md5_long("tok")} // CAST(pow(2, b.bit) AS BIGINT)) % 2 = 1
-                    THEN 1 ELSE -1 END) AS s
-    FROM toks, generate_series(0, {bits - 1}) b(bit)
-    GROUP BY doc_id, b.bit
-)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
-            AS BIGINT) AS simhash
-FROM perbit GROUP BY doc_id
 """
 
 

@@ -21,10 +21,16 @@ micro-batch per query).
 from __future__ import annotations
 
 import json
+import math
 import threading
+from collections import deque
 
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQueryListener
+
+
+def _finite(x):
+    return x if isinstance(x, (int, float)) and math.isfinite(x) else None
 
 
 class JsonlMetricsListener(StreamingQueryListener):
@@ -34,10 +40,15 @@ class JsonlMetricsListener(StreamingQueryListener):
     observed) — ``observed`` carries any ``df.observe(...)`` metrics
     (e.g. the ETL's dropped-record counters)."""
 
+    # in-memory tail is for tests/inspection only — the FILE is the
+    # durable record; the cap keeps week-long streams from growing an
+    # unbounded list on the driver
+    MEMORY_TAIL = 4096
+
     def __init__(self, out_path: str) -> None:
         self.out_path = out_path
         self._lock = threading.Lock()
-        self.rows: list[dict] = []
+        self.rows: deque[dict] = deque(maxlen=self.MEMORY_TAIL)
 
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
         pass
@@ -50,8 +61,13 @@ class JsonlMetricsListener(StreamingQueryListener):
             "batch_id": p.batchId,
             "timestamp": p.timestamp,
             "num_input_rows": p.numInputRows,
-            "input_rows_per_second": p.inputRowsPerSecond,
-            "processed_rows_per_second": p.processedRowsPerSecond,
+            # Spark reports NaN rates on a run's FIRST batch (no prior
+            # trigger) and can report Infinity on a 0 ms batch;
+            # json.dumps would emit literal NaN/Infinity — invalid
+            # JSON that breaks strict consumers (jq, JSON.parse,
+            # Spark's own reader). Non-finite -> null.
+            "input_rows_per_second": _finite(p.inputRowsPerSecond),
+            "processed_rows_per_second": _finite(p.processedRowsPerSecond),
             "batch_duration_ms": p.batchDuration,
             "observed": {
                 k: v.asDict()

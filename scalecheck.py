@@ -180,110 +180,96 @@ def emb_operators(spark, emb):
     }
 
 
-def main() -> None:
-    args = sys.argv[1:]
-    emb_mode = bool(args) and args[0] == "emb"
-    if emb_mode:
-        args = args[1:]
-    if emb_mode:
-        sizes = [int(a) for a in args] or [2000, 8000, 32000]
-        spark = get_spark(app_name="scalecheck-emb")
-        spark.sparkContext.setLogLevel("ERROR")
-        root = tempfile.mkdtemp(prefix="scalecheck_emb_")
-        per_vec: dict[str, dict[int, float]] = {}
-        try:
-            for n in sizes:
-                out = f"{root}/emb_{n}"
-                make_embeddings(spark, n, out)
-                emb = spark.read.parquet(out)
-                emb.select(F.sum(F.size("embedding"))).collect()
-                for name, thunk in emb_operators(spark, emb).items():
-                    p0 = _probe()
-                    t0 = time.perf_counter()
-                    thunk().write.format("noop").mode("overwrite").save()
-                    dt = time.perf_counter() - t0
-                    us = dt / n * 1e6
-                    per_vec.setdefault(name, {})[n] = us
-                    print(
-                        json.dumps(
-                            {
-                                "op": name,
-                                "n_vecs": n,
-                                "sec": round(dt, 2),
-                                "us_per_vec": round(us, 1),
-                                "probe": p0,
-                            }
-                        ),
-                        flush=True,
-                    )
-            lo, hi = sizes[0], sizes[-1]
-            print(
-                json.dumps(
-                    {
-                        "summary": f"per-vec cost ratio at {hi} vs {lo} vecs",
-                        "ratios": {
-                            k: round(v[hi] / v[lo], 2)
-                            for k, v in per_vec.items()
-                            if lo in v and hi in v
-                        },
-                    }
-                ),
-                flush=True,
-            )
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
-        return
-    sizes = [int(a) for a in args] or [5000, 20000, 80000]
-    spark = get_spark(app_name="scalecheck")
-    spark.sparkContext.setLogLevel("ERROR")
-    root = tempfile.mkdtemp(prefix="scalecheck_")
-    per_doc: dict[str, dict[int, float]] = {}
+def run_suite(
+    spark,
+    sizes: list[int],
+    make_data,
+    ops_for,
+    warm,
+    unit: str,
+    root: str,
+) -> None:
+    """Shared measurement loop for both modes: per (operator, size)
+    one timed noop-forced run with a CPU probe, then the
+    large-vs-small per-unit ratio summary (1.0 = linear scaling)."""
+    per_unit: dict[str, dict[int, float]] = {}
     try:
         for n in sizes:
-            out = f"{root}/docs_{n}"
-            make_corpus(spark, n, out)
-            docs = spark.read.parquet(out)
-            # warm the page cache over the FULL text column, not just
-            # footers — otherwise the first timed operator absorbs the
-            # cold read and reports inflated per-doc cost
-            docs.select(F.sum(F.length("text"))).collect()
-            for name, thunk in operators(spark, docs).items():
+            out = f"{root}/data_{n}"
+            make_data(spark, n, out)
+            data = spark.read.parquet(out)
+            warm(data)
+            for name, thunk in ops_for(spark, data).items():
                 p0 = _probe()
                 t0 = time.perf_counter()
                 thunk().write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 us = dt / n * 1e6
-                per_doc.setdefault(name, {})[n] = us
+                per_unit.setdefault(name, {})[n] = us
                 print(
                     json.dumps(
                         {
                             "op": name,
-                            "n_docs": n,
+                            f"n_{unit}s": n,
                             "sec": round(dt, 2),
-                            "us_per_doc": round(us, 1),
+                            f"us_per_{unit}": round(us, 1),
                             "probe": p0,
                         }
                     ),
                     flush=True,
                 )
         lo, hi = sizes[0], sizes[-1]
-        summary = {
-            name: round(vals[hi] / vals[lo], 2)
-            for name, vals in per_doc.items()
-            if lo in vals and hi in vals
-        }
         print(
             json.dumps(
                 {
-                    "summary": f"per-doc cost ratio at {hi}x vs {lo}x docs "
-                    "(1.0 = linear scaling)",
-                    "ratios": summary,
+                    "summary": f"per-{unit} cost ratio at {hi} vs {lo} "
+                    f"{unit}s (1.0 = linear scaling)",
+                    "ratios": {
+                        k: round(v[hi] / v[lo], 2)
+                        for k, v in per_unit.items()
+                        if lo in v and hi in v
+                    },
                 }
             ),
             flush=True,
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    emb_mode = bool(args) and args[0] == "emb"
+    if emb_mode:
+        args = args[1:]
+        sizes = [int(a) for a in args] or [2000, 8000, 32000]
+        spark = get_spark(app_name="scalecheck-emb")
+        spark.sparkContext.setLogLevel("ERROR")
+        run_suite(
+            spark,
+            sizes,
+            make_embeddings,
+            emb_operators,
+            lambda d: d.select(F.sum(F.size("embedding"))).collect(),
+            "vec",
+            tempfile.mkdtemp(prefix="scalecheck_emb_"),
+        )
+        return
+    sizes = [int(a) for a in args] or [5000, 20000, 80000]
+    spark = get_spark(app_name="scalecheck")
+    spark.sparkContext.setLogLevel("ERROR")
+    run_suite(
+        spark,
+        sizes,
+        make_corpus,
+        operators,
+        # warm the page cache over the FULL text column, not just
+        # footers — otherwise the first timed operator absorbs the
+        # cold read and reports inflated per-doc cost
+        lambda d: d.select(F.sum(F.length("text"))).collect(),
+        "doc",
+        tempfile.mkdtemp(prefix="scalecheck_"),
+    )
 
 
 if __name__ == "__main__":

@@ -312,7 +312,7 @@ def test_funnel_shares_one_user_exchange(spark, sf_dir):
     plan = plan_of(events_funnel(spark, sf_dir))
     # formatted mode prints each Exchange's partitioning under
     # "Arguments: hashpartitioning(...)"
-    assert plan.count("hashpartitioning(") == 1
+    assert n_hash_exchanges(plan) == 1
     assert "SortMergeJoin" not in plan
 
 
