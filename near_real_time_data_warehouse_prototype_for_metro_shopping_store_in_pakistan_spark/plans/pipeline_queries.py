@@ -672,6 +672,42 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality audit: the (recorded, predicted) confusion
+    matrix of the stopword classifier over the corpus — the QA query
+    run before trusting lang gates. One groupBy over the langid
+    projection (map-side combinable, k×k output rows)."""
+    pred = text_profile.language_id(table(spark, sf_dir, "documents"))
+    return (
+        pred.groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def corpus_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition dashboard: docs / whitespace tokens / total
+    chars per (source, lang) with ROLLUP subtotals and grand total —
+    the reference's A4 ROLLUP pattern applied to the corpus table.
+    One scan, one grouping-sets aggregate."""
+    from ..functions.text import token_count
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            token_count(F.col("text")).alias("_tok"),
+            F.length("text").alias("_chars"),
+        )
+        .rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").cast("long").alias("n_tokens"),
+            F.sum("_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
 def text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEFLATE ratio quality signal (text_profile.compression_stats).
     Deliberately ABSENT from PIPELINE_ORACLES: SQL has no DEFLATE, so
@@ -735,6 +771,8 @@ PIPELINE_QUERIES = {
     "embed_semdedup": embed_semdedup,
     "text_compression": text_compression,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "text_langid_confusion": text_langid_confusion,
+    "corpus_source_rollup": corpus_source_rollup,
 }
 
 
@@ -1031,6 +1069,26 @@ WHERE nc / (sa.n + sb.n - nc) >= {JACCARD_THRESHOLD}
 ORACLE_DEDUP_MINHASH = _minhash_oracle()
 ORACLE_DEDUP_MINHASH_VERIFIED = _minhash_verified_oracle()
 ORACLE_DEDUP_CLUSTERS = _clusters_oracle()
+
+def _langid_confusion_oracle() -> str:
+    """Confusion counts over the langid oracle's per-doc output."""
+    return f"""
+SELECT lang_true, lang_pred, count(*) AS n_docs
+FROM ({_langid_oracle()})
+GROUP BY 1, 2
+"""
+
+
+def _source_rollup_oracle() -> str:
+    return f"""
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(SUM(len({_sql_tokens("text")})) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY ROLLUP (source, lang)
+"""
+
 
 def _simhash_cte(bits: int) -> str:
     """The SimHash fingerprint computation at an arbitrary width (the
@@ -2342,4 +2400,6 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "corpus_interdoc_dup": _interdoc_oracle(),
     "embed_semdedup": _semdedup_oracle(),
     "dedup_simhash_pairs": _simhash_pairs_oracle(),
+    "text_langid_confusion": _langid_confusion_oracle(),
+    "corpus_source_rollup": _source_rollup_oracle(),
 }
