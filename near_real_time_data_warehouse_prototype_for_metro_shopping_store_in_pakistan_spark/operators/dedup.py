@@ -926,8 +926,10 @@ def connected_components(
     # Cost probe over the UNDIRECTED deduplicated pair list — the
     # unit the documented bound is stated in. The count materializes
     # the checkpoint either way (same pattern as the GEMM_MAX_DOCS
-    # strategy guard).
-    if und.count() <= fused_max_edges:
+    # strategy guard). ``fused_max_edges <= 0`` means "iterative
+    # only" and skips the probe entirely — a caller that KNOWS its
+    # graph is large shouldn't pay a full edge-list pass to learn so.
+    if fused_max_edges > 0 and und.count() <= fused_max_edges:
         return _cc_fused(und, pairs.schema[src].dataType)
     edges = und.unionByName(
         und.select(F.col("_w").alias("_v"), F.col("_v").alias("_w"))
@@ -1046,11 +1048,18 @@ def neardup_keepers(
 
 
 def simhash_fingerprints(
-    docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """SimHash fingerprint per doc over whitespace tokens (every
     occurrence weighted): bit b is set iff sum over tokens of
     (+1 if bit b of md5_long(token) else -1) > 0.
+
+    The default width is 32 — the at-scale configuration: 16 bits is
+    too coarse on dup-saturated corpora (bucket collisions swamp the
+    banded retrieval); it stays reachable for demos via ``bits=16``.
+    Width is capped at 63: the fingerprint lives in a signed long, and
+    at 64 bits the sign bit breaks the div/mod band decomposition in
+    ``simhash_near_pairs`` (negative band values, broken bucketing).
 
     Plan shape: one token explode, ONE hash aggregate with ``bits``
     conditional sums — no per-bit row explosion (a bits× blow-up) and
@@ -1059,6 +1068,12 @@ def simhash_fingerprints(
     100 TB: a narrow map + single map-side-combinable groupBy(doc_id).
     Result is bit-identical to the per-bit-explode formulation, so the
     DuckDB oracle is unchanged."""
+    if not 0 < bits <= 63:
+        raise ValueError(
+            f"bits ({bits}) must be in 1..63: the fingerprint is a "
+            "signed long, and bit 63 (the sign bit) would make the "
+            "band decomposition produce negative band values"
+        )
     toks = docs.select(
         id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     ).withColumn("h", md5_long(F.col("tok")))
@@ -1079,7 +1094,7 @@ def simhash_fingerprints(
 
 def simhash_near_pairs(
     docs: DataFrame,
-    bits: int = 16,
+    bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
     text_col: str = "text",
@@ -1103,6 +1118,12 @@ def simhash_near_pairs(
     the same retrieve-verify ladder as the MinHash family at a
     fraction of the signature cost (one 64-bit fingerprint vs 128
     mins)."""
+    if not 0 < bits <= 63:
+        raise ValueError(
+            f"bits ({bits}) must be in 1..63: at 64 the signed long's "
+            "sign bit makes the div/mod band decomposition produce "
+            "negative band values and broken bucketing"
+        )
     if bits % bands != 0:
         raise ValueError(
             f"bands ({bands}) must divide bits ({bits}): an uneven "

@@ -879,13 +879,13 @@ def semdedup(
     # (within-cell pairs only) are unchanged. Tested identical to the
     # single-task path on a forced-degenerate corpus.
     withcell = withcell.localCheckpoint(eager=False)
-    big_cells = [
-        r["cell"]
-        for r in withcell.groupBy("cell")
+    big_cell_rows = (
+        withcell.groupBy("cell")
         .count()
         .filter(F.col("count") > max_cell_rows)
         .collect()
-    ]
+    )
+    big_cells = [r["cell"] for r in big_cell_rows]
     small = (
         withcell.filter(~F.col("cell").isin(big_cells))
         if big_cells
@@ -895,8 +895,24 @@ def semdedup(
         cell_pairs, "vec_a long, vec_b long"
     )
     if big_cells:
+        # Blocks are HASH-derived and sized from the (already
+        # collected) per-cell counts — nblocks = ceil(|cell| /
+        # block_size), blk = xxhash64(id) % nblocks — so each block
+        # holds ~block_size rows regardless of id density. Keying
+        # blocks on floor(id / block_size) would let a sparse id
+        # space put ~one id per block and grow the broadcast
+        # block-pair relation quadratically in occupied blocks
+        # (the guard blowing itself up). The output pair set is
+        # blocking-invariant: every unordered row pair inside a cell
+        # lands in exactly one (ba <= bb) block pair.
+        nblocks = {
+            r["cell"]: -(-r["count"] // block_size) for r in big_cell_rows
+        }
+        nblk_expr = F.create_map(
+            *[F.lit(x) for c in big_cells for x in (c, nblocks[c])]
+        )[F.col("cell")]
         big = withcell.filter(F.col("cell").isin(big_cells)).withColumn(
-            "blk", F.floor(F.col(id_col) / block_size).cast("long")
+            "blk", F.pmod(F.xxhash64(F.col(id_col)), nblk_expr).cast("long")
         )
         blks = big.select("cell", "blk").distinct()
         bp = (

@@ -1111,7 +1111,9 @@ FROM perbit GROUP BY doc_id
 """
 
 
-ORACLE_DEDUP_SIMHASH = _simhash_cte(16)
+# 32 bits = the library default (the at-scale width; 16 was the demo
+# width and is too coarse on the dup-saturated synthetic corpus).
+ORACLE_DEDUP_SIMHASH = _simhash_cte(32)
 
 ORACLE_ANN_TOPK = f"""
 WITH {_SCALED_VECS},

@@ -1,0 +1,84 @@
+"""Round-6 hardening: SimHash width validation, the iterative-only
+connected-components short-circuit, and sparse-id-safe semdedup
+big-cell tiling (the three ADVICE items plus the 32-bit SimHash
+default)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+    dedup,
+    similarity,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"),
+         (3, "entirely different words here")],
+        "doc_id long, text string",
+    )
+
+
+def test_simhash_default_width_is_32(spark):
+    fp = dedup.simhash_fingerprints(_docs(spark)).collect()
+    # identical docs agree; a 32-bit fingerprint must be able to
+    # exceed the 16-bit ceiling on at least one doc of this corpus
+    by_id = {r["doc_id"]: r["simhash"] for r in fp}
+    assert by_id[1] == by_id[2]
+    assert all(0 <= v < (1 << 32) for v in by_id.values())
+
+
+@pytest.mark.parametrize("bits", [0, 64, 128])
+def test_simhash_rejects_out_of_range_bits(spark, bits):
+    with pytest.raises(ValueError, match="bits"):
+        dedup.simhash_fingerprints(_docs(spark), bits=bits)
+    with pytest.raises(ValueError, match="bits"):
+        dedup.simhash_near_pairs(_docs(spark), bits=bits, bands=4)
+
+
+def test_connected_components_iterative_only_short_circuit(spark):
+    # fused_max_edges=0 must skip the cost probe and still produce
+    # the identical min-label components via the iterative path
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)],
+        "doc_a long, doc_b long",
+    )
+    want = {
+        tuple(r)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    got = {
+        tuple(r)
+        for r in dedup.connected_components(pairs, fused_max_edges=0).collect()
+    }
+    assert got == want
+    assert {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)} == got
+
+
+def test_semdedup_tiling_identical_on_sparse_ids(spark):
+    # ids 0/1 seed the k-means; the rest are SPARSE (stride 997) so
+    # floor(id / block_size) blocking would occupy ~one id per block
+    # and grow the broadcast block-pair relation quadratically —
+    # hash-derived blocks must keep the tiled output identical to the
+    # single-task path regardless of id density
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.001, 0.0, 0.0])] + [
+        (2 + i * 997, [1.0, 0.001 * (i % 5), 0.0, 0.0]) for i in range(38)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(k=2, iters=1, threshold=0.999)
+    base = {tuple(r) for r in similarity.semdedup(df, **kw).collect()}
+    tiled = {
+        tuple(r)
+        for r in similarity.semdedup(
+            df, **kw, max_cell_rows=8, block_size=4
+        ).collect()
+    }
+    assert base == tiled
+    # sanity: the degenerate cell really exceeded the bound
+    from collections import Counter
+
+    cells = similarity.kmeans_cells(df, k=2, iters=1).collect()
+    assert max(Counter(r["cell"] for r in cells).values()) > 8
