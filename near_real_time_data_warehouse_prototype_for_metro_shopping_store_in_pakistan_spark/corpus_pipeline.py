@@ -30,7 +30,7 @@ from pyspark.sql.streaming import StreamingQuery
 from .operators import dedup as _dedup
 from .operators import packing as _packing
 from .operators import text_profile as _text
-from .operators.etl import ParquetWarehouse
+from .operators.sinks import make_sink
 from .streaming.corpus import (
     CURATED_TABLE,
     QUALITY_MIN,
@@ -44,12 +44,16 @@ class CorpusPipeline:
     corpus table (fingerprint-keyed insert-if-absent, same replay
     semantics as the warehouse fact sink)."""
 
-    def __init__(self, spark: SparkSession, corpus_root: str) -> None:
+    def __init__(
+        self, spark: SparkSession, corpus_root: str,
+        backend: str = "parquet",
+    ) -> None:
         self.spark = spark
         self.root = corpus_root
-        self.warehouse = ParquetWarehouse(
+        self.backend = backend
+        self.warehouse = make_sink(
             spark, corpus_root, keys={CURATED_TABLE: ["text_fp"]},
-            partitioning={},
+            backend=backend,
         )
 
     # -- batch ----------------------------------------------------------
@@ -168,4 +172,5 @@ class CorpusPipeline:
             max_files_per_trigger=max_files_per_trigger,
             redact_pii=redact_pii,
             min_classifier_score=min_classifier_score,
+            backend=self.backend,
         )

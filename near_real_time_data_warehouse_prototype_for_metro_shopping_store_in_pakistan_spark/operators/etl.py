@@ -29,13 +29,13 @@ is written partitioned by (year, month) — time-range queries prune.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.time import time_dimension, with_time_attributes
+from .sinks import DeltaMergeSink, ParquetAntiJoinSink, delta_available
 
 # The reference keeps only the first record per Order_ID even though a
 # real order may hold many products (SURVEY §7 hard parts); the key is
@@ -143,106 +143,28 @@ def build_fact(
     return fact
 
 
-@dataclass
-class ParquetWarehouse:
-    """Idempotent insert-if-absent parquet sink (= the reference's
-    ``alreadyExists`` + INSERT pattern, src/Meshjoin.java:612-626, as a
-    per-batch left-anti join).
+# The star-schema table registry: dedup keys per table, plus the
+# fact's (year, month) hive partitioning — the Spark substitute for
+# the reference's order_date secondary index
+# (SQL/Star_Schema_Metro.sql:85).
+WAREHOUSE_KEYS: dict[str, list[str]] = {
+    "products": ["product_id"],
+    "supplier": ["supplier_id"],
+    "store": ["store_id"],
+    "customers": ["customer_id"],
+    "time_dimension": ["time_id"],
+    "sales_fact": ["order_id"],
+}
+WAREHOUSE_PARTITIONING: dict[str, list[str]] = {
+    "sales_fact": ["year", "month"]
+}
 
-    Plain-parquet caveat (SURVEY §7): append-only with key-anti-join is
-    crash-safe for at-least-once upstreams because replayed rows are
-    filtered; concurrent writers would need a transactional table
-    format (Delta/Iceberg) — single-writer here, like the reference's
-    single consumer thread.
-    """
 
-    spark: SparkSession
-    root: str
-    keys: dict[str, list[str]] = field(
-        default_factory=lambda: {
-            "products": ["product_id"],
-            "supplier": ["supplier_id"],
-            "store": ["store_id"],
-            "customers": ["customer_id"],
-            "time_dimension": ["time_id"],
-            "sales_fact": ["order_id"],
-        }
-    )
-    # Hive-style partition columns per table: time-range queries prune
-    # fact partitions at the directory level (the Spark substitute for
-    # the reference's order_date secondary index,
-    # SQL/Star_Schema_Metro.sql:85).
-    partitioning: dict[str, list[str]] = field(
-        default_factory=lambda: {"sales_fact": ["year", "month"]}
-    )
-
-    def path(self, name: str) -> str:
-        return os.path.join(self.root, name)
-
-    def read(self, name: str) -> DataFrame | None:
-        p = self.path(name)
-        try:
-            return self.spark.read.parquet(p)
-        except Exception:
-            return None
-
-    def _existing_keys(self, name: str, incoming: DataFrame, existing: DataFrame) -> DataFrame:
-        """Key column(s) of already-written rows, scoped to only the
-        hive partitions the incoming batch touches.
-
-        Without the scope, every micro-batch anti-joins against the
-        ENTIRE accumulated table's keys — O(batches × fact-keys) total
-        work, a smaller cousin of the reference's quadratic rescan
-        (src/Meshjoin.java:612-626). Instead: collect the batch's
-        distinct partition tuples (metadata-scale — a micro-batch
-        touches a handful of (year, month) partitions) and turn them
-        into static ``PartitionFilters`` on the existing-side parquet
-        scan, so the anti-join reads only those directories.
-
-        Correctness requires the dedup key to determine the partition
-        values — true for this schema (``order_id`` fixes
-        ``order_date`` hence (year, month)), and trivially true for
-        at-least-once replay, where duplicate rows are bit-identical
-        and land in the same partition.
-        """
-        key = self.keys[name]
-        parts = self.partitioning.get(name)
-        if parts and set(parts) <= set(incoming.columns):
-            touched = incoming.select(*parts).distinct().collect()
-            pred = F.lit(False)
-            for row in touched:
-                clause = F.lit(True)
-                for p in parts:
-                    clause = clause & (F.col(p) == F.lit(row[p]))
-                pred = pred | clause
-            existing = existing.filter(pred)
-        return existing.select(*key).dropDuplicates(key)
-
-    def insert_if_absent(self, name: str, batch: DataFrame) -> None:
-        key = self.keys[name]
-        incoming = batch.dropDuplicates(key)
-        existing = self.read(name)
-        parts = self.partitioning.get(name)
-        # The partition-tuple pre-pass computes the batch once before
-        # the write does — persist across the two passes so the ETL
-        # join pipeline isn't re-derived.
-        pinned = incoming if parts is not None and existing is not None else None
-        if pinned is not None:
-            incoming = pinned.persist()
-        try:
-            if existing is not None:
-                incoming = incoming.join(
-                    self._existing_keys(name, incoming, existing), key, "left_anti"
-                )
-                # align column order for parquet append
-                incoming = incoming.select(*existing.columns)
-            writer = incoming.write.mode("append")
-            if parts:
-                writer = writer.partitionBy(*parts)
-            writer.parquet(self.path(name))
-        finally:
-            if pinned is not None:
-                pinned.unpersist()
+class WarehouseOps:
+    """Backend-independent star-schema warehouse operations, layered
+    over any ``operators.sinks.MergeSink`` (the batch-load façade and
+    the running totals the reference prints). Mixin: concrete
+    warehouses combine this with a sink backend."""
 
     def load_batch(
         self,
@@ -288,3 +210,51 @@ class ParquetWarehouse:
             F.sum("total_revenue").alias("tot_revenue"),
             F.sum("total_units_sold").alias("total_quantity_sold"),
         )
+
+
+@dataclass
+class ParquetWarehouse(WarehouseOps, ParquetAntiJoinSink):
+    """The star-schema warehouse over the default insert-if-absent
+    parquet backend (= the reference's ``alreadyExists`` + INSERT
+    pattern, src/Meshjoin.java:612-626, as a per-batch left-anti join
+    — see ``operators.sinks`` for the protocol and the transactional
+    Delta alternative)."""
+
+    keys: dict[str, list[str]] = field(
+        default_factory=lambda: dict(WAREHOUSE_KEYS)
+    )
+    partitioning: dict[str, list[str]] = field(
+        default_factory=lambda: dict(WAREHOUSE_PARTITIONING)
+    )
+
+
+@dataclass
+class DeltaWarehouse(WarehouseOps, DeltaMergeSink):
+    """The same star-schema warehouse over atomic Delta MERGEs —
+    the backend to deploy where concurrent readers/writers exist.
+    Env-gated on delta-spark (construction raises ImportError when
+    absent); semantics are asserted backend-identical by the shared
+    contract tests."""
+
+    keys: dict[str, list[str]] = field(
+        default_factory=lambda: dict(WAREHOUSE_KEYS)
+    )
+    partitioning: dict[str, list[str]] = field(
+        default_factory=lambda: dict(WAREHOUSE_PARTITIONING)
+    )
+
+
+def warehouse_for(spark, root: str, backend: str = "parquet"):
+    """Construct the star-schema warehouse on the requested sink
+    backend: "parquet" (default), "delta", or "auto" (delta when
+    importable)."""
+    if backend == "auto":
+        backend = "delta" if delta_available() else "parquet"
+    try:
+        cls = {"parquet": ParquetWarehouse, "delta": DeltaWarehouse}[backend]
+    except KeyError:
+        raise ValueError(
+            f"unknown warehouse backend {backend!r}: expected "
+            "'parquet', 'delta', or 'auto'"
+        ) from None
+    return cls(spark, root)

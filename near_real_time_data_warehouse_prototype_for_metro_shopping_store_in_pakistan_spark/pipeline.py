@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from .operators.etl import DEFAULT_FACT_KEY, ParquetWarehouse, normalize_dimensions
+from .operators.etl import DEFAULT_FACT_KEY, normalize_dimensions, warehouse_for
 from .sources.csv_inputs import (
     read_customers_master,
     read_products_master,
@@ -36,11 +36,16 @@ from .streaming.pipeline import stream_etl
 
 
 class MetroWarehouse:
-    """Batch + streaming ETL over one idempotent parquet warehouse."""
+    """Batch + streaming ETL over one idempotent warehouse (sink
+    backend pluggable — operators.sinks)."""
 
-    def __init__(self, spark: SparkSession, warehouse_root: str) -> None:
+    def __init__(
+        self, spark: SparkSession, warehouse_root: str,
+        backend: str = "parquet",
+    ) -> None:
         self.spark = spark
-        self.warehouse = ParquetWarehouse(spark, warehouse_root)
+        self.backend = backend
+        self.warehouse = warehouse_for(spark, warehouse_root, backend)
         self._products: DataFrame | None = None
         self._customers: DataFrame | None = None
 
@@ -99,6 +104,7 @@ class MetroWarehouse:
             customers,
             fact_key=fact_key,
             available_now=available_now,
+            backend=self.backend,
         )
 
     # -- reads ----------------------------------------------------------

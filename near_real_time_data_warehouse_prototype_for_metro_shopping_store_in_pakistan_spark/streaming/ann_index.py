@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.etl import ParquetWarehouse
+from ..operators.sinks import MergeSink, make_sink
 from ..operators.similarity import (
     _centroid_array_from,
     _dot,
@@ -57,12 +57,15 @@ EMBEDDINGS_SCHEMA = T.StructType(
 )
 
 
-def index_warehouse(spark: SparkSession, index_root: str) -> ParquetWarehouse:
-    return ParquetWarehouse(
+def index_warehouse(
+    spark: SparkSession, index_root: str, backend: str = "parquet"
+) -> MergeSink:
+    return make_sink(
         spark,
         index_root,
         keys={INDEX_TABLE: ["vec_id"]},
         partitioning={INDEX_TABLE: ["cell"]},
+        backend=backend,
     )
 
 
@@ -76,10 +79,11 @@ def stream_index_embeddings(
     id_col: str = "vec_id",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    backend: str = "parquet",
 ) -> StreamingQuery:
     """Micro-batched IVF index ingestion against TRAINED centroids
     (``kmeans_centroids`` output: centroid_id, cq, cn)."""
-    warehouse = index_warehouse(spark, index_root)
+    warehouse = index_warehouse(spark, index_root, backend)
     # the trained quantizer is static for the stream's lifetime:
     # materialize the k-row relation once, not per trigger
     cent = centroids.localCheckpoint(eager=True)
@@ -124,6 +128,7 @@ def ivf_index_topk(
     centroids: DataFrame,
     k: int = 5,
     n_probe: int = 4,
+    backend: str = "parquet",
 ) -> DataFrame:
     """Top-k cosine search served from the PERSISTED cell-partitioned
     index: the probe-cell set (metadata-scale) is collected into a
@@ -148,7 +153,7 @@ def ivf_index_topk(
         {r["cell"] for r in probes.select("cell").distinct().collect()}
     )
     index = (
-        index_warehouse(spark, index_root).read(INDEX_TABLE)
+        index_warehouse(spark, index_root, backend).read(INDEX_TABLE)
     )
     if index is None:
         raise ValueError(f"no {INDEX_TABLE} under {index_root}")
@@ -173,7 +178,7 @@ def ivf_index_topk(
 
 
 def admit_embedding_batch(
-    warehouse: ParquetWarehouse,
+    warehouse: MergeSink,
     assigned: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
@@ -290,12 +295,13 @@ def stream_index_embeddings_dedup(
     id_col: str = "vec_id",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    backend: str = "parquet",
 ) -> StreamingQuery:
     """``stream_index_embeddings`` with cross-batch near-dup
     admission: only vectors no near-dup of which is already indexed
     enter the index (see ``admit_embedding_batch``). State is the
     index itself — no streaming state store, replays are no-ops."""
-    warehouse = index_warehouse(spark, index_root)
+    warehouse = index_warehouse(spark, index_root, backend)
     cent = centroids.localCheckpoint(eager=True)
     reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
     if max_files_per_trigger:

@@ -35,7 +35,7 @@ from ..operators.dedup import (
     ngram_decontaminate,
     shingle_hash_sets,
 )
-from ..operators.etl import ParquetWarehouse
+from ..operators.sinks import MergeSink, make_sink
 from ..operators.text_profile import curation_flags
 
 DOCUMENTS_SCHEMA = T.StructType(
@@ -141,11 +141,15 @@ def stream_curate(
     available_now: bool = True,
     redact_pii: bool = False,
     min_classifier_score: int | None = None,
+    backend: str = "parquet",
 ) -> StreamingQuery:
     """Stream document files through the curation funnel into an
-    idempotent curated-corpus table keyed on the text fingerprint."""
-    warehouse = ParquetWarehouse(
-        spark, corpus_root, keys={CURATED_TABLE: ["text_fp"]}, partitioning={}
+    idempotent curated-corpus table keyed on the text fingerprint.
+    ``backend`` selects the insert-if-absent sink implementation
+    (operators.sinks)."""
+    warehouse = make_sink(
+        spark, corpus_root, keys={CURATED_TABLE: ["text_fp"]},
+        backend=backend,
     )
     # the eval set is static for the stream's lifetime: collect and
     # broadcast it ONCE here, not per trigger
@@ -191,7 +195,7 @@ NEARDUP_SHINGLE_N = 5
 
 
 def admit_neardup_batch(
-    warehouse: ParquetWarehouse,
+    warehouse: MergeSink,
     kept: DataFrame,
     n: int = NEARDUP_SHINGLE_N,
     num_hashes: int = NEARDUP_HASHES,
@@ -334,13 +338,15 @@ def stream_curate_neardup(
     available_now: bool = True,
     redact_pii: bool = False,
     min_classifier_score: int | None = None,
+    backend: str = "parquet",
 ) -> StreamingQuery:
     """``stream_curate`` upgraded from exact to NEAR-dup cross-batch
     dedup: the same stateless gates per batch, then MinHash band
     admission against a persisted band index (see
     ``admit_neardup_batch``). State remains plain warehouse tables —
-    no streaming state store, replays are no-ops."""
-    warehouse = ParquetWarehouse(
+    no streaming state store, replays are no-ops. ``backend`` selects
+    the insert-if-absent sink implementation (operators.sinks)."""
+    warehouse = make_sink(
         spark,
         corpus_root,
         # composite index key: verified admission lets two admitted docs
@@ -350,7 +356,7 @@ def stream_curate_neardup(
             CURATED_TABLE: ["text_fp"],
             BAND_INDEX_TABLE: ["band_khash", "owner_doc_id"],
         },
-        partitioning={},
+        backend=backend,
     )
     eval_state = broadcast_eval_grams(eval_docs)
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.etl import DEFAULT_FACT_KEY, ParquetWarehouse
+from ..operators.etl import DEFAULT_FACT_KEY, warehouse_for
 from ..sources.csv_inputs import TRANSACTIONS_SCHEMA
 from ..functions.time import ORDER_DATE_FORMAT
 
@@ -77,12 +77,14 @@ def stream_etl(
     customers_master: DataFrame,
     fact_key: tuple[str, ...] = DEFAULT_FACT_KEY,
     available_now: bool = True,
+    backend: str = "parquet",
 ) -> StreamingQuery:
     """Run the streaming ETL; with ``available_now`` it drains pending
     files and stops (test/replay mode), otherwise it runs continuously
     like the reference's ``while(true)`` consumer loop
-    (src/Meshjoin.java:144-168)."""
-    warehouse = ParquetWarehouse(spark, warehouse_root)
+    (src/Meshjoin.java:144-168). ``backend`` selects the
+    insert-if-absent sink implementation (operators.sinks)."""
+    warehouse = warehouse_for(spark, warehouse_root, backend)
     stream = read_transaction_stream(spark, tx_dir)
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:

@@ -1,0 +1,163 @@
+"""Sink-backend contract tests: the insert-if-absent protocol must
+behave identically on every backend (first writer of a key wins,
+replays are no-ops, partitioned tables stay prunable). The parquet
+anti-join backend runs everywhere; the Delta MERGE backend is
+env-gated on the optional delta-spark package (skip-marked here when
+absent, like the PIL image tests)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.sinks import (
+    BACKENDS,
+    DeltaMergeSink,
+    ParquetAntiJoinSink,
+    delta_available,
+    make_sink,
+)
+
+BACKEND_PARAMS = [
+    "parquet",
+    pytest.param(
+        "delta",
+        marks=pytest.mark.skipif(
+            not delta_available(),
+            reason="delta-spark not installed (optional backend)",
+        ),
+    ),
+]
+
+
+def _sink(spark, root, backend, partitioning=None):
+    return make_sink(
+        spark,
+        str(root),
+        keys={"t": ["k"]},
+        partitioning=partitioning or {},
+        backend=backend,
+    )
+
+
+@pytest.mark.parametrize("backend", BACKEND_PARAMS)
+def test_first_writer_wins_and_replay_noop(spark, tmp_path, backend):
+    sink = _sink(spark, tmp_path, backend)
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    sink.insert_if_absent("t", b1)
+    # conflicting value for key 1 must lose; key 3 is new
+    b2 = spark.createDataFrame([(1, "X"), (3, "c")], "k long, v string")
+    sink.insert_if_absent("t", b2)
+    # exact replay of batch 2 (at-least-once) must be a no-op
+    sink.insert_if_absent("t", b2)
+    got = {(r["k"], r["v"]) for r in sink.read("t").collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+@pytest.mark.parametrize("backend", BACKEND_PARAMS)
+def test_within_batch_key_dedup(spark, tmp_path, backend):
+    sink = _sink(spark, tmp_path, backend)
+    b = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k long, v string")
+    sink.insert_if_absent("t", b)
+    assert sink.read("t").count() == 2
+
+
+@pytest.mark.parametrize("backend", BACKEND_PARAMS)
+def test_partitioned_insert_and_prune(spark, tmp_path, backend):
+    sink = make_sink(
+        spark, str(tmp_path), keys={"t": ["k"]},
+        partitioning={"t": ["p"]}, backend=backend,
+    )
+    b1 = spark.createDataFrame([(1, 10, "a"), (2, 20, "b")], "k long, p int, v string")
+    sink.insert_if_absent("t", b1)
+    b2 = spark.createDataFrame([(1, 10, "X"), (3, 20, "c")], "k long, p int, v string")
+    sink.insert_if_absent("t", b2)
+    got = {(r["k"], r["p"], r["v"]) for r in sink.read("t").collect()}
+    assert got == {(1, 10, "a"), (2, 20, "b"), (3, 20, "c")}
+    # partition column must be a real partition: filtering plans prune
+    plan = (
+        sink.read("t").filter(F.col("p") == 10)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    if backend == "parquet":
+        assert "PartitionFilters: [" in plan and "(p" in plan.split(
+            "PartitionFilters"
+        )[1][:80]
+
+
+@pytest.mark.parametrize("backend", BACKEND_PARAMS)
+def test_null_key_components_do_not_duplicate(spark, tmp_path, backend):
+    # anti-join uses null-safe semantics implicitly (dropDuplicates +
+    # left_anti on equal keys); MERGE uses <=> — a NULL key must be
+    # admitted once and then treated as existing
+    sink = _sink(spark, tmp_path, backend)
+    b = spark.createDataFrame([(None, "n")], "k long, v string")
+    sink.insert_if_absent("t", b)
+    sink.insert_if_absent("t", b)
+    rows = sink.read("t").collect()
+    assert len(rows) == 1 and rows[0]["v"] == "n"
+
+
+def test_read_missing_table_returns_none(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "parquet")
+    assert sink.read("t") is None
+
+
+def test_make_sink_backend_registry(spark, tmp_path):
+    assert set(BACKENDS) == {"parquet", "delta"}
+    assert isinstance(
+        make_sink(spark, str(tmp_path), keys={}), ParquetAntiJoinSink
+    )
+    with pytest.raises(ValueError, match="unknown sink backend"):
+        make_sink(spark, str(tmp_path), keys={}, backend="iceberg")
+    if not delta_available():
+        with pytest.raises(ImportError, match="delta-spark"):
+            DeltaMergeSink(spark, str(tmp_path))
+        # auto falls back to parquet when delta is absent
+        assert isinstance(
+            make_sink(spark, str(tmp_path), keys={}, backend="auto"),
+            ParquetAntiJoinSink,
+        )
+
+
+@pytest.mark.parametrize("backend", BACKEND_PARAMS)
+def test_streaming_etl_replay_idempotent_per_backend(spark, tmp_path, backend):
+    """The ST3 replay contract, exercised through the real streaming
+    ETL on each backend: re-running the drained stream with a FRESH
+    checkpoint (worst case: full replay) must not change the fact."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.pipeline import (
+        stream_etl,
+    )
+
+    tx = tmp_path / "tx"
+    tx.mkdir()
+    (tx / "b1.csv").write_text(
+        "order_id,order_date_raw,product_id,quantity_ordered_raw,customer_id,time_id\n"
+        "O1,2019-01-02 10:00:00,P1,2,C1,T1\n"
+        "O2,2019-01-03 11:00:00,P1,1,C2,T2\n"
+    )
+    products = spark.createDataFrame(
+        [("P1", "widget", 5.0, "S1", "sup", "ST1", "store")],
+        "product_id string, product_name string, price double, "
+        "supplier_id string, supplier_name string, store_id string, "
+        "store_name string",
+    )
+    customers = spark.createDataFrame(
+        [("C1", "alice", "F"), ("C2", "bob", "M")],
+        "customer_id string, customer_name string, gender string",
+    )
+    wh_root = str(tmp_path / "wh")
+    for attempt in (1, 2):
+        q = stream_etl(
+            spark, str(tx), wh_root, str(tmp_path / f"ckpt{attempt}"),
+            products, customers, backend=backend,
+        )
+        q.awaitTermination()
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.etl import (
+        warehouse_for,
+    )
+
+    wh = warehouse_for(spark, wh_root, backend)
+    fact = wh.read("sales_fact")
+    assert fact.count() == 2
+    assert wh.read("products").count() == 1
