@@ -46,6 +46,8 @@ ANN_LSH_PLANES = 6
 ANN_LSH_TABLES = 4
 ANN_IVF_CENTROIDS = 16
 ANN_IVF_PROBE = 4
+ANN_PQ_M = 4  # PQ subspaces (dim 64 -> 16-wide slices)
+ANN_PQ_KSUB = 16  # codes per subspace (demo width; production = 256)
 
 
 # --------------------------------------------------------------------------
@@ -237,6 +239,26 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search: trained coarse cells bound the scan, product-
+    quantized codes + per-query ADC lookup tables score the candidates
+    (operators.pq). The compressed-index scale path: the served index
+    stores m codes + one norm per vector instead of the full
+    quantized vector."""
+    from ..operators import pq
+
+    return pq.ann_ivfpq_topk(
+        table(spark, sf_dir, "embeddings"),
+        num_queries=ANN_NUM_QUERIES,
+        k=ANN_K,
+        n_centroids=ANN_IVF_CENTROIDS,
+        n_probe=ANN_IVF_PROBE,
+        m=ANN_PQ_M,
+        ksub=ANN_PQ_KSUB,
+        iters=2,
+    )
+
+
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall, promoted from a unit-test floor to a pinned measurement
     query: per-query overlap counts of each approximate ANN index's
@@ -270,6 +292,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained = ann_ivf_trained_topk(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
+    ivfpq = ann_ivfpq_topk(spark, sf_dir).select("query_id", "neighbor_id")
     base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     lhits = (
         exact.join(lsh, ["query_id", "neighbor_id"], "left_semi")
@@ -286,10 +309,16 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("ivf_trained_hits"))
     )
+    phits = (
+        exact.join(ivfpq, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("ivfpq_hits"))
+    )
     return (
         base.join(lhits, "query_id", "left")
         .join(ihits, "query_id", "left")
         .join(thits, "query_id", "left")
+        .join(phits, "query_id", "left")
         .select(
             "query_id",
             "n_exact",
@@ -298,6 +327,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("ivf_trained_hits", F.lit(0)).alias(
                 "ivf_trained_hits"
             ),
+            F.coalesce("ivfpq_hits", F.lit(0)).alias("ivfpq_hits"),
         )
     )
 
@@ -737,6 +767,7 @@ PIPELINE_QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_recall_report": ann_recall_report,
     "embed_kmeans_cells": embed_kmeans_cells,
     "embed_decontaminate": embed_decontaminate,
@@ -1263,17 +1294,20 @@ SELECT e.query_id,
        count(*) AS n_exact,
        count(l.neighbor_id) AS lsh_hits,
        count(i.neighbor_id) AS ivf_hits,
-       count(t.neighbor_id) AS ivf_trained_hits
+       count(t.neighbor_id) AS ivf_trained_hits,
+       count(p.neighbor_id) AS ivfpq_hits
 FROM ({topk}) e
 LEFT JOIN ({lsh}) l USING (query_id, neighbor_id)
 LEFT JOIN ({ivf}) i USING (query_id, neighbor_id)
 LEFT JOIN ({trained}) t USING (query_id, neighbor_id)
+LEFT JOIN ({ivfpq}) p USING (query_id, neighbor_id)
 GROUP BY e.query_id
 """.format(
         topk=ORACLE_ANN_TOPK,
         lsh=ORACLE_ANN_LSH,
         ivf=ORACLE_ANN_IVF,
         trained=_ivf_trained_oracle(),
+        ivfpq=_ivfpq_oracle(),
     )
 
 # Multimodal fake-decode oracle: every field is the same pure function
@@ -1416,11 +1450,15 @@ _KMEANS_DIST = (
 )
 
 
-def _kmeans_ctes(k: int, iters: int, with_v: bool = True) -> str:
+def _kmeans_ctes(
+    k: int, iters: int, with_v: bool = True, prefix: str = "", src: str = "v"
+) -> str:
     """The unrolled Lloyd CTE chain (assign aᵢ → update cᵢ), ending at
-    ``c{iters}`` — shared by the k-means oracle and the trained-IVF
-    oracle (which brings its own ``v`` via _SCALED_VECS; the two
-    definitions of ``v`` are textually identical quantizations)."""
+    ``{prefix}c{iters}`` — shared by the k-means oracle, the
+    trained-IVF oracle (which brings its own ``v`` via _SCALED_VECS;
+    the two definitions of ``v`` are textually identical
+    quantizations), and the PQ oracle (one prefixed chain per
+    subspace over a sliced ``src`` relation)."""
     dist = _KMEANS_DIST
     head = (
         """v AS (
@@ -1433,39 +1471,41 @@ def _kmeans_ctes(k: int, iters: int, with_v: bool = True) -> str:
         if with_v
         else ""
     )
+    p = prefix
     ctes = [
         head
-        + f"c0 AS (SELECT vec_id AS centroid_id, q AS cq FROM v WHERE vec_id < {k})"
+        + f"{p}c0 AS (SELECT vec_id AS centroid_id, q AS cq "
+        f"FROM {src} WHERE vec_id < {k})"
     ]
     for t in range(iters):
         ctes.append(
-            f"""a{t} AS (
+            f"""{p}a{t} AS (
     SELECT vec_id, q, centroid_id FROM (
         SELECT v.vec_id, v.q, c.centroid_id,
                row_number() OVER (
                    PARTITION BY v.vec_id
                    ORDER BY {dist}, c.centroid_id
                ) AS rn
-        FROM v CROSS JOIN c{t} c
+        FROM {src} v CROSS JOIN {p}c{t} c
     ) WHERE rn = 1
 ),
-u{t} AS (
+{p}u{t} AS (
     SELECT centroid_id, pos, SUM(val) AS s, COUNT(*) AS n FROM (
         SELECT centroid_id,
                unnest(generate_series(1, len(q))) AS pos,
                unnest(q) AS val
-        FROM a{t}
+        FROM {p}a{t}
     ) GROUP BY 1, 2
 ),
-m{t} AS (
+{p}m{t} AS (
     SELECT centroid_id,
            list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT)
                 ORDER BY pos) AS cq
-    FROM u{t} GROUP BY 1
+    FROM {p}u{t} GROUP BY 1
 ),
-c{t + 1} AS (
-    SELECT c{t}.centroid_id, COALESCE(m{t}.cq, c{t}.cq) AS cq
-    FROM c{t} LEFT JOIN m{t} USING (centroid_id)
+{p}c{t + 1} AS (
+    SELECT {p}c{t}.centroid_id, COALESCE({p}m{t}.cq, {p}c{t}.cq) AS cq
+    FROM {p}c{t} LEFT JOIN {p}m{t} USING (centroid_id)
 )"""
         )
     return ",".join(ctes)
@@ -1559,6 +1599,131 @@ ranked AS (
     FROM scored
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def _ivfpq_oracle(
+    n_centroids: int = ANN_IVF_CENTROIDS,
+    iters: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+) -> str:
+    """Mirror of operators.pq.ann_ivfpq_topk: the coarse-quantizer
+    CTE chain and cosine assignment/probing of the trained-IVF oracle,
+    plus one prefixed Lloyd chain per PQ subspace over the sliced
+    vectors, the per-subspace argmin encode, the per-query ADC lookup
+    tables, and LUT-sum scoring. Everything integer until the final
+    cosine division, so both engines produce identical doubles."""
+    w = dim // m
+    dist = _KMEANS_DIST
+    # one sliced relation + one unrolled Lloyd chain per subspace
+    subspace_ctes = []
+    for j in range(m):
+        lo, hi = j * w + 1, (j + 1) * w
+        subspace_ctes.append(f"v{j} AS (SELECT vec_id, q[{lo}:{hi}] AS q FROM v)")
+        subspace_ctes.append(
+            _kmeans_ctes(ksub, iters, with_v=False, prefix=f"s{j}", src=f"v{j}")
+        )
+    encs = ",\n".join(
+        f"""enc{j} AS (
+    SELECT vec_id, code FROM (
+        SELECT v.vec_id, c.centroid_id AS code,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {dist}, c.centroid_id
+               ) AS rn
+        FROM v{j} v CROSS JOIN s{j}c{iters} c
+    ) WHERE rn = 1
+)"""
+        for j in range(m)
+    )
+    encall = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS subspace, code FROM enc{j}" for j in range(m)
+    )
+    luts = ",\n".join(
+        f"""lut{j} AS (
+    SELECT qs.vec_id AS query_id, c.centroid_id AS code,
+           list_sum(list_transform(generate_series(1, len(qs.q)),
+                                   i -> qs.q[i] * c.cq[i])) AS dot
+    FROM (SELECT vec_id, q FROM v{j} WHERE vec_id < {ANN_NUM_QUERIES}) qs
+    CROSS JOIN s{j}c{iters} c
+)"""
+        for j in range(m)
+    )
+    lutall = " UNION ALL ".join(
+        f"SELECT query_id, {j} AS subspace, code, dot FROM lut{j}"
+        for j in range(m)
+    )
+    return f"""WITH {_SCALED_VECS},
+{_kmeans_ctes(n_centroids, iters, with_v=False)},
+{",".join(subspace_ctes)},
+celem AS (
+    SELECT centroid_id, unnest(generate_series(1, len(cq))) AS i,
+           unnest(cq) AS val
+    FROM c{iters}
+),
+cn AS (SELECT centroid_id, SUM(val * val) AS norm_sq FROM celem GROUP BY 1),
+cdots AS (
+    SELECT a.vec_id AS vid, c.centroid_id, SUM(a.val * c.val) AS dot
+    FROM elem a JOIN celem c ON a.i = c.i
+    GROUP BY 1, 2
+),
+cscored AS (
+    SELECT vid, cdots.centroid_id,
+           CAST(dot AS DOUBLE)
+           / (sqrt(CAST(n1.norm_sq AS DOUBLE)) * sqrt(CAST(cn.norm_sq AS DOUBLE)))
+           AS ccos
+    FROM cdots
+    JOIN norms n1 ON vid = n1.vec_id
+    JOIN cn ON cdots.centroid_id = cn.centroid_id
+),
+assign AS (
+    SELECT vid, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+        FROM cscored
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT vid AS query_id, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+        FROM cscored WHERE vid < {ANN_NUM_QUERIES}
+    ) WHERE rn <= {ANN_IVF_PROBE}
+),
+cand AS (
+    SELECT p.query_id, a.vid AS neighbor_id
+    FROM probes p JOIN assign a ON p.cell = a.cell AND a.vid != p.query_id
+),
+{encs},
+encall AS ({encall}),
+{luts},
+lutall AS ({lutall}),
+adc AS (
+    SELECT c.query_id, c.neighbor_id, SUM(l.dot) AS dot
+    FROM cand c
+    JOIN encall e ON e.vec_id = c.neighbor_id
+    JOIN lutall l ON l.query_id = c.query_id
+                 AND l.subspace = e.subspace AND l.code = e.code
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE)
+           / (sqrt(CAST(qn.norm_sq AS DOUBLE)) * sqrt(CAST(nn.norm_sq AS DOUBLE)))
+           AS adc_cosine
+    FROM adc
+    JOIN norms qn ON query_id = qn.vec_id
+    JOIN norms nn ON neighbor_id = nn.vec_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id
+    ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, adc_cosine, rank FROM ranked WHERE rank <= {ANN_K}
 """
 
 
@@ -2368,6 +2533,7 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_ivf_trained_topk": _ivf_trained_oracle(),
+    "ann_ivfpq_topk": _ivfpq_oracle(),
     "ann_recall_report": _ann_recall_oracle(),
     "embed_cosine_neardup": ORACLE_EMBED_NEARDUP,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,

@@ -177,6 +177,128 @@ def ivf_index_topk(
     )
 
 
+PQ_INDEX_TABLE = "ivfpq_index"
+
+
+def pq_index_warehouse(
+    spark: SparkSession, index_root: str, backend: str = "parquet"
+) -> MergeSink:
+    return make_sink(
+        spark,
+        index_root,
+        keys={PQ_INDEX_TABLE: ["vec_id"]},
+        partitioning={PQ_INDEX_TABLE: ["cell"]},
+        backend=backend,
+    )
+
+
+def stream_index_embeddings_pq(
+    spark: SparkSession,
+    emb_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    centroids: DataFrame,
+    books: DataFrame,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    backend: str = "parquet",
+) -> StreamingQuery:
+    """IVF-PQ index ingestion: like ``stream_index_embeddings`` but
+    the persisted rows are (vec_id, codes array<int>, norm_sq, cell) —
+    m small codes + one norm instead of the full quantized vector, so
+    index storage is O(corpus × m) bytes, not O(corpus × dim). The
+    trained coarse centroids AND the trained PQ codebooks
+    (``operators.pq.pq_codebooks``) are static for the stream's
+    lifetime, materialized once. Encoding is the zero-shuffle
+    broadcast-codebook argmin per micro-batch.
+    """
+    from ..operators.pq import pq_encode
+
+    warehouse = pq_index_warehouse(spark, index_root, backend)
+    cent = centroids.localCheckpoint(eager=True)
+    bks = books.localCheckpoint(eager=True)
+    reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(emb_dir)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        assigned = ivf_assignments(
+            batch, vec_col=vec_col, id_col=id_col, centroids=cent
+        ).select(id_col, "cell")
+        enc = pq_encode(batch, bks, m, vec_col, id_col)
+        warehouse.insert_if_absent(PQ_INDEX_TABLE, enc.join(assigned, id_col))
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ivfpq_index_topk(
+    spark: SparkSession,
+    index_root: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    books: DataFrame,
+    m: int = 4,
+    k: int = 5,
+    n_probe: int = 4,
+    backend: str = "parquet",
+) -> DataFrame:
+    """Top-k ADC search served from the PERSISTED cell-partitioned
+    IVF-PQ index: probe-cell partition pruning exactly as
+    ``ivf_index_topk``, then m-lookup ADC scoring against the
+    broadcast per-query lookup tables instead of a dim-length dot
+    product — the serve path never touches a raw vector. Results are
+    identical to in-flight ``operators.pq.ann_ivfpq_topk`` over the
+    same accumulated vectors (same probe, LUT, and tie-break
+    expressions — asserted stream ≡ batch in tests)."""
+    from ..operators.pq import adc_dot, query_luts
+
+    probes = probe_cells_for(queries, centroids, n_probe).localCheckpoint(
+        eager=False
+    )
+    cells = sorted(
+        {r["cell"] for r in probes.select("cell").distinct().collect()}
+    )
+    index = pq_index_warehouse(spark, index_root, backend).read(PQ_INDEX_TABLE)
+    if index is None:
+        raise ValueError(f"no {PQ_INDEX_TABLE} under {index_root}")
+    pruned = index.filter(F.col("cell").isin(cells))
+    qv = probes.select("query_id", F.col("qq"), F.col("qn")).dropDuplicates(
+        ["query_id"]
+    )
+    luts = query_luts(qv, books, m)
+    scored = (
+        pruned.join(F.broadcast(probes.select("query_id", "cell").distinct()),
+                    "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(F.broadcast(luts), "query_id")
+    )
+    adc_cos = adc_dot() / (
+        F.sqrt(F.col("qn").cast("double"))
+        * F.sqrt(F.col("norm_sq").cast("double"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc_cos.alias("adc_cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def admit_embedding_batch(
     warehouse: MergeSink,
     assigned: DataFrame,

@@ -1,0 +1,158 @@
+"""Product-quantization behavior tests: crafted vectors with known
+codebook structure (the driver's oracle gate covers corpus-scale
+parity of ann_ivfpq_topk), plus plan guards for the zero-shuffle
+encode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+    pq,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_codebooks_shape_and_determinism(spark):
+    rows = [(i, [float(i % 4), float((i + 1) % 4), 0.5, -0.5]) for i in range(20)]
+    books = pq.pq_codebooks(_emb(spark, rows), m=2, ksub=4, iters=1)
+    got = books.collect()
+    assert len(got) == 8  # m * ksub
+    assert {r["subspace"] for r in got} == {0, 1}
+    assert {r["code"] for r in got if r["subspace"] == 0} == {0, 1, 2, 3}
+    assert all(len(r["cq"]) == 2 for r in got)
+    again = pq.pq_codebooks(_emb(spark, rows), m=2, ksub=4, iters=1).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_m_must_divide_dim(spark):
+    rows = [(0, [1.0, 2.0, 3.0])]
+    with pytest.raises(ValueError, match="must divide"):
+        pq.pq_codebooks(_emb(spark, rows), m=2, ksub=1)
+
+
+def test_encode_assigns_nearest_codeword(spark):
+    # two obvious groups per subspace; ids 0/1 seed the 2 codewords
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [5.0, 5.0, 0.0, 0.0]),
+        (2, [0.1, -0.1, 9.9, 10.1]),   # sub0 ~ id0, sub1 ~ id0
+        (3, [4.9, 5.2, 0.2, -0.1]),    # sub0 ~ id1, sub1 ~ id1
+        (4, [5.1, 4.8, 10.2, 9.8]),    # sub0 ~ id1, sub1 ~ id0
+    ]
+    emb = _emb(spark, rows)
+    books = pq.pq_codebooks(emb, m=2, ksub=2, iters=2)
+    enc = {r["vec_id"]: r["codes"] for r in pq.pq_encode(emb, books, 2).collect()}
+    assert enc[2] == enc[0]
+    assert enc[3] == enc[1]
+    assert enc[4] == [enc[1][0], enc[0][1]]
+    # stored norm is the exact integer micro-unit norm
+    norms = {
+        r["vec_id"]: r["norm_sq"]
+        for r in pq.pq_encode(emb, books, 2).collect()
+    }
+    assert norms[0] == 2 * (10 * 10**6) ** 2
+
+
+def test_adc_equals_exact_dot_on_codeword_vectors(spark):
+    # vectors that ARE codewords: quantization is lossless, so the
+    # ADC cosine must equal the exact cosine and top-1 must be the
+    # true nearest neighbor
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 1.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),  # clone of 0
+        (3, [0.0, 1.0, 0.0, 1.0]),  # clone of 1
+    ]
+    out = pq.ann_ivfpq_topk(
+        _emb(spark, rows), num_queries=2, k=1, n_centroids=2,
+        n_probe=2, m=2, ksub=2, iters=2,
+    ).collect()
+    top = {r["query_id"]: (r["neighbor_id"], r["adc_cosine"]) for r in out}
+    assert top[0][0] == 2 and top[0][1] == pytest.approx(1.0)
+    assert top[1][0] == 3 and top[1][1] == pytest.approx(1.0)
+
+
+def test_encode_plan_has_no_shuffle(spark):
+    rows = [(i, [float(i), 1.0, 0.0, -1.0]) for i in range(12)]
+    emb = _emb(spark, rows)
+    books = pq.pq_codebooks(emb, m=2, ksub=2, iters=1)
+    plan = (
+        pq.pq_encode(emb, books, 2)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    # one BroadcastExchange (the codebook row) is expected; no
+    # shuffle exchange may touch the corpus side
+    assert "ShuffleExchange" not in plan.replace(
+        "BroadcastExchange", ""
+    ), plan
+
+
+class TestPQServedIndex:
+    """Streaming IVF-PQ index: code-compressed ingest + ADC serve must
+    equal the in-flight ann_ivfpq_topk over the same vectors, trained
+    quantizers, and tie-breaks."""
+
+    def _ingest(self, spark, sf_dir, tmp_path, chunks=3):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.similarity import (
+            kmeans_centroids,
+        )
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.ann_index import (
+            stream_index_embeddings_pq,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = kmeans_centroids(emb, k=4, iters=2)
+        books = pq.pq_codebooks(emb, m=4, ksub=8, iters=2)
+        src = str(tmp_path / "chunks")
+        emb.withColumn("_b", F.col("vec_id") % chunks).repartition(
+            chunks, "_b"
+        ).drop("_b").write.parquet(src)
+        q = stream_index_embeddings_pq(
+            spark, src, str(tmp_path / "index"), str(tmp_path / "ckpt"),
+            cents, books, m=4, max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        return emb, cents, books
+
+    def test_stream_served_equals_batch_ivfpq(self, spark, sf_dir, tmp_path):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.ann_index import (
+            ivfpq_index_topk,
+        )
+
+        emb, cents, books = self._ingest(spark, sf_dir, tmp_path)
+        queries = emb.filter(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        served = ivfpq_index_topk(
+            spark, str(tmp_path / "index"), queries, cents, books,
+            m=4, k=3, n_probe=2,
+        )
+        batch = pq.ann_ivfpq_topk(
+            emb, num_queries=6, k=3, n_centroids=4, n_probe=2,
+            m=4, ksub=8, iters=2, centroids=cents, books=books,
+        )
+        s = {(r.query_id, r.rank): (r.neighbor_id, r.adc_cosine)
+             for r in served.collect()}
+        b = {(r.query_id, r.rank): (r.neighbor_id, r.adc_cosine)
+             for r in batch.collect()}
+        assert s == b and s
+
+    def test_index_stores_codes_not_vectors(self, spark, sf_dir, tmp_path):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.ann_index import (
+            PQ_INDEX_TABLE,
+            pq_index_warehouse,
+        )
+
+        emb, _, _ = self._ingest(spark, sf_dir, tmp_path)
+        idx = pq_index_warehouse(spark, str(tmp_path / "index")).read(
+            PQ_INDEX_TABLE
+        )
+        assert set(idx.columns) == {"vec_id", "codes", "norm_sq", "cell"}
+        assert idx.count() == emb.count()
+        row = idx.first()
+        assert len(row["codes"]) == 4  # m codes, not dim components
