@@ -4,11 +4,13 @@ The standard LLM-data quality gate (GPT-3/CCNet lineage) is a linear
 classifier over hashed bag-of-words features: tokenize, hash each
 token into one of B buckets, sum the bucket weights, threshold. The
 expensive part at 100 TB is the tokenize+hash+sum — the weights are a
-tiny dense vector. This module implements exactly that shape with
-deterministic stand-in weights (md5-derived per bucket, integer-valued
-so both engines agree bit-for-bit); swapping in learned weights is a
-broadcast join against a B-row weight table (or a literal array
-lookup) with an identical plan.
+tiny dense vector. ``hashed_linear_score`` implements exactly that
+shape with deterministic stand-in weights (md5-derived per bucket,
+integer-valued so both engines agree bit-for-bit);
+``weighted_linear_score`` is the LEARNED-weights form: the same plan
+with the weight expression replaced by a broadcast join against an
+explicit (bucket, weight) relation — the ≤B-row table a trained
+fastText/logistic model exports.
 
 Plan shape: explode tokens (narrow), compute bucket + weight as JVM
 column expressions, ONE map-side-combinable groupBy(doc) aggregate —
@@ -68,5 +70,58 @@ def hashed_linear_score(
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.col("score_sum").cast("long").alias("score_sum"),
             (F.col("score_sum") >= KEEP_THRESHOLD).alias("keep"),
+        )
+    )
+
+
+def weighted_linear_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    default_weight: int = 0,
+    threshold: int = KEEP_THRESHOLD,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learned-weights linear classifier: score = Σ over tokens of
+    ``weights[md5_long(token) % n_buckets]``, with ``default_weight``
+    for buckets absent from the table (a trained model's weight
+    export is typically sparse — untouched buckets mean zero).
+
+    ``weights`` is a (bucket long, weight long) relation, ≤ n_buckets
+    rows — model-sized, never corpus-sized — so it broadcasts: the
+    plan is the hashed-score plan with the md5 weight expression
+    swapped for one BroadcastHashJoin, still one map-side-combinable
+    aggregate over the exploded tokens, still zero Python. Returns
+    (id_col, n_tokens, score_sum, keep) exactly like
+    ``hashed_linear_score``; integer weights keep both engines
+    bit-identical."""
+    tok = docs.select(
+        id_col, F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    bucket = md5_long(F.col("tok")) % n_buckets
+    keyed = tok.withColumn(
+        "_bucket", F.when(F.col("tok").isNotNull(), bucket)
+    )
+    joined = keyed.join(
+        F.broadcast(weights.select("bucket", "weight")),
+        keyed["_bucket"] == F.col("bucket"),
+        "left",
+    )
+    w = F.when(F.col("tok").isNull(), F.lit(0)).otherwise(
+        F.coalesce(F.col("weight"), F.lit(default_weight))
+    )
+    return (
+        joined.withColumn("_w", w)
+        .groupBy(id_col)
+        .agg(
+            F.count("tok").alias("n_tokens"),
+            F.sum("_w").alias("score_sum"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("score_sum").cast("long").alias("score_sum"),
+            (F.col("score_sum") >= threshold).alias("keep"),
         )
     )

@@ -664,6 +664,132 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify.hashed_linear_score(table(spark, sf_dir, "documents"))
 
 
+# The pinned "learned" weight table: sparse (every third bucket) with
+# signed small-integer weights — deterministic and non-trivial, so the
+# query exercises both the broadcast-join hit path and the
+# default-weight miss path. A real model export is the same relation
+# with trained values.
+CLS_WEIGHT_STEP = 3
+
+
+def _classifier_weights(spark: SparkSession) -> DataFrame:
+    return spark.range(0, classify.N_BUCKETS, CLS_WEIGHT_STEP).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") % 7) - 3).cast("long").alias("weight"),
+    )
+
+
+def text_quality_classifier_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The learned-weights classifier variant: identical token/bucket
+    plan, weights from an explicit broadcast (bucket, weight) relation
+    with a default for absent buckets (operators.classify.
+    weighted_linear_score)."""
+    return classify.weighted_linear_score(
+        table(spark, sf_dir, "documents"),
+        _classifier_weights(spark),
+        default_weight=-1,
+    )
+
+
+# The streaming admission surfaces replayed as driver-gated queries:
+# a FIXED micro-batch sequence (doc_id % N in order — deterministic
+# under any file layout) through the real cross-batch admission
+# operators and their persisted state, returning the admitted
+# relation. The oracle unrolls the same sequential semantics batch by
+# batch (within-batch components → min-id reps → veto against earlier
+# admissions), so the exact cross-batch veto logic is hash-gated, not
+# just unit-tested.
+STREAM_ADMIT_BATCHES = 3
+
+
+def stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch MinHash near-dup admission
+    (streaming.corpus.admit_neardup_batch) over a fixed 3-batch replay
+    of the documents table; returns the admitted doc ids."""
+    import shutil
+    import tempfile
+
+    from ..operators.sinks import make_sink
+    from ..streaming.corpus import (
+        BAND_INDEX_TABLE,
+        CURATED_TABLE,
+        admit_neardup_batch,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.md5("text").alias("text_fp")
+    )
+    root = tempfile.mkdtemp(prefix="drv_neardup_admit_")
+    try:
+        wh = make_sink(
+            spark,
+            root,
+            keys={
+                CURATED_TABLE: ["text_fp"],
+                BAND_INDEX_TABLE: ["band_khash", "owner_doc_id"],
+            },
+        )
+        for b in range(STREAM_ADMIT_BATCHES):
+            admit_neardup_batch(
+                wh,
+                docs.filter(F.col("doc_id") % STREAM_ADMIT_BATCHES == b),
+            )
+        return (
+            wh.read(CURATED_TABLE)
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def stream_embed_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch embedding near-dup admission — the online SemDeDup
+    (streaming.ann_index.admit_embedding_batch) — over a fixed 3-batch
+    replay of the embeddings table against corpus-prefix centroids;
+    returns the admitted (vec_id, cell) index relation."""
+    import shutil
+    import tempfile
+
+    from ..streaming.ann_index import (
+        INDEX_TABLE,
+        admit_embedding_batch,
+        index_warehouse,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = similarity.scaled_vectors(emb)
+    cents = (
+        v.filter(F.col("vec_id") < ANN_IVF_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("q").alias("cq"),
+            F.col("norm_sq").alias("cn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    root = tempfile.mkdtemp(prefix="drv_embed_admit_")
+    try:
+        wh = index_warehouse(spark, root)
+        for b in range(STREAM_ADMIT_BATCHES):
+            batch = emb.filter(F.col("vec_id") % STREAM_ADMIT_BATCHES == b)
+            assigned = similarity.ivf_assignments(
+                batch, centroids=cents
+            ).select("vec_id", "q", "norm_sq", "cell")
+            admit_embedding_batch(
+                wh, assigned, threshold=NEARDUP_COSINE_THRESHOLD
+            )
+        return (
+            wh.read(INDEX_TABLE)
+            .select("vec_id", "cell")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means cells confine the near-dup pair search, each
     component keeps its farthest-from-centroid member (similarity.
@@ -798,6 +924,9 @@ PIPELINE_QUERIES = {
     "corpus_mix_plan": corpus_mix_plan,
     "text_pii_scan": text_pii_scan,
     "text_quality_classifier": text_quality_classifier,
+    "text_quality_classifier_weighted": text_quality_classifier_weighted,
+    "stream_neardup_admission": stream_neardup_admission,
+    "stream_embed_admission": stream_embed_admission,
     "corpus_interdoc_dup": corpus_interdoc_dup,
     "embed_semdedup": embed_semdedup,
     "text_compression": text_compression,
@@ -1100,6 +1229,196 @@ WHERE nc / (sa.n + sb.n - nc) >= {JACCARD_THRESHOLD}
 ORACLE_DEDUP_MINHASH = _minhash_oracle()
 ORACLE_DEDUP_MINHASH_VERIFIED = _minhash_verified_oracle()
 ORACLE_DEDUP_CLUSTERS = _clusters_oracle()
+
+
+def _stream_neardup_admission_oracle(
+    num_batches: int = STREAM_ADMIT_BATCHES,
+    num_hashes: int = 16,
+    band_size: int = 2,
+) -> str:
+    """Mirror of the 3-batch admit_neardup_batch replay: verified pairs
+    (band collision at the streaming banding + exact Jaccard ≥
+    threshold) feed, batch by batch, a within-batch min-label
+    component walk, min-id representatives, and a veto of any
+    component one of whose members is a verified near-dup of an
+    EARLIER batch's admission — the exact sequential semantics of
+    streaming.corpus.admit_neardup_batch."""
+    parts = [
+        f"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT cand.doc_a, cand.doc_b, count(*) AS nc
+    FROM cand
+    JOIN sh a ON cand.doc_a = a.doc_id
+    JOIN sh b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
+    GROUP BY 1, 2
+),
+vp AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE nc / (sa.n + sb.n - nc) >= {JACCARD_THRESHOLD}
+),
+vpd AS (SELECT doc_a AS a, doc_b AS b FROM vp
+        UNION SELECT doc_b, doc_a FROM vp)"""
+    ]
+    for b in range(num_batches):
+        batch = f"doc_id % {num_batches} = {b}"
+        parts.append(
+            f"""e{b} AS (
+    SELECT doc_a AS v, doc_b AS w FROM vp
+    WHERE doc_a % {num_batches} = {b} AND doc_b % {num_batches} = {b}
+    UNION
+    SELECT doc_b, doc_a FROM vp
+    WHERE doc_a % {num_batches} = {b} AND doc_b % {num_batches} = {b}
+),
+walk{b}(v, m) AS (
+    SELECT v, v FROM (SELECT DISTINCT v FROM e{b})
+    UNION
+    SELECT e.w, walk{b}.m FROM walk{b} JOIN e{b} e ON walk{b}.v = e.v
+),
+comp{b} AS (SELECT v, MIN(m) AS component FROM walk{b} GROUP BY v),
+mem{b} AS (
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp{b} c ON d.doc_id = c.v
+    WHERE d.{batch}
+)"""
+        )
+        if b == 0:
+            parts.append(
+                "adm0 AS (SELECT doc_id FROM mem0 WHERE doc_id = component)"
+            )
+        else:
+            prev = " UNION ALL ".join(
+                f"SELECT doc_id FROM adm{i}" for i in range(b)
+            )
+            parts.append(
+                f"""hit{b} AS (
+    SELECT DISTINCT m.doc_id
+    FROM mem{b} m
+    JOIN vpd p ON p.a = m.doc_id
+    JOIN ({prev}) o ON p.b = o.doc_id
+),
+poi{b} AS (
+    SELECT DISTINCT component FROM mem{b} JOIN hit{b} USING (doc_id)
+),
+adm{b} AS (
+    SELECT doc_id FROM mem{b}
+    WHERE doc_id = component
+      AND component NOT IN (SELECT component FROM poi{b})
+)"""
+            )
+    final = " UNION ALL ".join(
+        f"SELECT doc_id FROM adm{b}" for b in range(num_batches)
+    )
+    return (
+        f"WITH RECURSIVE {_minhash_cte(num_hashes, band_size)},\n"
+        + ",\n".join(parts)
+        + f"\n{final}"
+    )
+
+
+def _stream_embed_admission_oracle(
+    num_batches: int = STREAM_ADMIT_BATCHES,
+) -> str:
+    """Mirror of the 3-batch admit_embedding_batch replay: corpus-
+    prefix-centroid cell assignment, within-cell cosine pairs ≥
+    threshold, per-batch min-label components and min-id reps, veto of
+    components near-dup to an earlier admission in the same cell —
+    the exact sequential semantics of
+    streaming.ann_index.admit_embedding_batch."""
+    parts = [
+        f"""cdots AS (
+    SELECT a.vec_id AS vid, c.vec_id AS centroid_id, SUM(a.val * c.val) AS dot
+    FROM elem a JOIN elem c ON a.i = c.i AND c.vec_id < {ANN_IVF_CENTROIDS}
+    GROUP BY 1, 2
+),
+cscored AS (
+    SELECT vid, centroid_id,
+           CAST(dot AS DOUBLE)
+           / (sqrt(CAST(n1.norm_sq AS DOUBLE)) * sqrt(CAST(n2.norm_sq AS DOUBLE)))
+           AS ccos
+    FROM cdots
+    JOIN norms n1 ON vid = n1.vec_id
+    JOIN norms n2 ON centroid_id = n2.vec_id
+),
+assign AS (
+    SELECT vid, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+        FROM cscored
+    ) WHERE rn = 1
+),
+pdots AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.val * b.val) AS dot
+    FROM elem a JOIN elem b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+vp AS (
+    SELECT va, vb FROM pdots
+    JOIN assign sa ON va = sa.vid
+    JOIN assign sb ON vb = sb.vid AND sa.cell = sb.cell
+    JOIN norms na ON va = na.vec_id
+    JOIN norms nb ON vb = nb.vec_id
+    WHERE CAST(dot AS DOUBLE)
+          / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE)))
+          >= {NEARDUP_COSINE_THRESHOLD}
+),
+vpd AS (SELECT va AS a, vb AS b FROM vp UNION SELECT vb, va FROM vp)"""
+    ]
+    for b in range(num_batches):
+        parts.append(
+            f"""e{b} AS (
+    SELECT va AS v, vb AS w FROM vp
+    WHERE va % {num_batches} = {b} AND vb % {num_batches} = {b}
+    UNION
+    SELECT vb, va FROM vp
+    WHERE va % {num_batches} = {b} AND vb % {num_batches} = {b}
+),
+walk{b}(v, m) AS (
+    SELECT v, v FROM (SELECT DISTINCT v FROM e{b})
+    UNION
+    SELECT e.w, walk{b}.m FROM walk{b} JOIN e{b} e ON walk{b}.v = e.v
+),
+comp{b} AS (SELECT v, MIN(m) AS component FROM walk{b} GROUP BY v),
+mem{b} AS (
+    SELECT s.vid AS vec_id, s.cell,
+           COALESCE(c.component, s.vid) AS component
+    FROM assign s LEFT JOIN comp{b} c ON s.vid = c.v
+    WHERE s.vid % {num_batches} = {b}
+)"""
+        )
+        if b == 0:
+            parts.append(
+                "adm0 AS (SELECT vec_id, cell FROM mem0 WHERE vec_id = component)"
+            )
+        else:
+            prev = " UNION ALL ".join(
+                f"SELECT vec_id FROM adm{i}" for i in range(b)
+            )
+            parts.append(
+                f"""hit{b} AS (
+    SELECT DISTINCT m.vec_id
+    FROM mem{b} m
+    JOIN vpd p ON p.a = m.vec_id
+    JOIN ({prev}) o ON p.b = o.vec_id
+),
+poi{b} AS (
+    SELECT DISTINCT component FROM mem{b} JOIN hit{b} USING (vec_id)
+),
+adm{b} AS (
+    SELECT vec_id, cell FROM mem{b}
+    WHERE vec_id = component
+      AND component NOT IN (SELECT component FROM poi{b})
+)"""
+            )
+    final = " UNION ALL ".join(
+        f"SELECT vec_id, cell FROM adm{b}" for b in range(num_batches)
+    )
+    return (
+        f"WITH RECURSIVE {_SCALED_VECS},\n"
+        + ",\n".join(parts)
+        + f"\n{final}"
+    )
 
 def _langid_confusion_oracle() -> str:
     """Confusion counts over the langid oracle's per-doc output."""
@@ -2374,6 +2693,35 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def _weighted_classifier_oracle() -> str:
+    """Mirror classify.weighted_linear_score over the same sparse
+    generated weight table (every CLS_WEIGHT_STEP-th bucket, weight
+    (b % 7) - 3, default -1 for misses)."""
+    from ..operators.classify import KEEP_THRESHOLD, N_BUCKETS
+
+    bucket = f"({_sql_md5_long('tok')} % {N_BUCKETS})"
+    return f"""
+WITH w AS (
+    SELECT b AS bucket, (b % 7) - 3 AS weight
+    FROM generate_series(0, {N_BUCKETS - 1}, {CLS_WEIGHT_STEP}) t(b)
+),
+tok AS (
+    SELECT doc_id, unnest({_sql_tokens("lower(text)")}) AS tok FROM documents
+),
+scored AS (
+    SELECT doc_id, count(*) AS n_tokens,
+           SUM(coalesce(w.weight, -1)) AS score_sum
+    FROM tok LEFT JOIN w ON {bucket} = w.bucket
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.score_sum, 0) AS BIGINT) AS score_sum,
+       coalesce(s.score_sum, 0) >= {KEEP_THRESHOLD} AS keep
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def _interdoc_oracle(n: int = INTERDOC_NGRAM) -> str:
     """Mirror text_profile.interdoc_dup_stats: distinct char n-gram
     fingerprints per doc, document frequency, permille by integer
@@ -2565,6 +2913,9 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "corpus_mix_plan": _mix_plan_oracle(),
     "text_pii_scan": _pii_oracle(),
     "text_quality_classifier": _classifier_oracle(),
+    "text_quality_classifier_weighted": _weighted_classifier_oracle(),
+    "stream_neardup_admission": _stream_neardup_admission_oracle(),
+    "stream_embed_admission": _stream_embed_admission_oracle(),
     "corpus_interdoc_dup": _interdoc_oracle(),
     "embed_semdedup": _semdedup_oracle(),
     "dedup_simhash_pairs": _simhash_pairs_oracle(),

@@ -82,3 +82,50 @@ def test_semdedup_tiling_identical_on_sparse_ids(spark):
 
     cells = similarity.kmeans_cells(df, k=2, iters=1).collect()
     assert max(Counter(r["cell"] for r in cells).values()) > 8
+
+
+def test_weighted_classifier_known_weights(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.functions.text import (
+        md5_long,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        classify,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, ""), (3, "cc")], "doc_id long, text string"
+    )
+    # weight table covering ONLY token 'aa'; 'bb'/'cc' fall to default
+    b_aa = (
+        spark.createDataFrame([("aa",)], "t string")
+        .select((md5_long(F.col("t")) % classify.N_BUCKETS).alias("b"))
+        .first()["b"]
+    )
+    weights = spark.createDataFrame([(b_aa, 10)], "bucket long, weight long")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_sum"], r["keep"])
+        for r in classify.weighted_linear_score(
+            docs, weights, default_weight=-2
+        ).collect()
+    }
+    assert got[1] == (3, 10 + 10 - 2, True)  # aa, aa hit; bb default
+    assert got[2] == (0, 0, True)            # zero-token doc survives
+    assert got[3] == (1, -2, False)
+
+
+def test_weighted_classifier_plan_broadcast_one_aggregate(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        classify,
+    )
+
+    docs = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    weights = spark.createDataFrame([(0, 1)], "bucket long, weight long")
+    plan = (
+        classify.weighted_linear_score(docs, weights)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # one logical aggregate = one partial + one final HashAggregate
+    assert plan.count("HashAggregate") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
