@@ -100,11 +100,16 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def bench_streaming_curation(spark, sf_dir: str) -> dict:
+def bench_streaming_curation(
+    spark, sf_dir: str, chunks: int = 4, files_per_trigger: int = 1
+) -> dict:
     """Near-real-time corpus curation throughput: replay the documents
-    table in chunks through the full streaming funnel (gates +
-    decontamination + cross-batch MinHash near-dup admission against
-    the persisted band index) and report docs/sec."""
+    table in ``chunks`` files through the full streaming funnel (gates
+    + decontamination + cross-batch MinHash near-dup admission against
+    the persisted band index), ``files_per_trigger`` files per
+    micro-batch, and report docs/sec. Varying ``files_per_trigger``
+    measures how the fixed per-batch plan overhead amortizes with
+    batch size (see --curation-scaling and SCALE.md)."""
     import shutil
     import tempfile
 
@@ -123,9 +128,9 @@ def bench_streaming_curation(spark, sf_dir: str) -> dict:
         n_docs = docs.count()
         eval_docs = hash_sample(docs, "doc_id", 0.05, salt="eval")
         src = f"{root}/chunks"
-        docs.withColumn("_b", F.col("doc_id") % 4).repartition(4, "_b").drop(
-            "_b"
-        ).write.parquet(src)
+        docs.withColumn("_b", F.col("doc_id") % chunks).repartition(
+            chunks, "_b"
+        ).drop("_b").write.parquet(src)
         t0 = time.perf_counter()
         # min_overlap above the synthetic corpus's gram-collision
         # background: its ~50-word vocabulary makes every doc share
@@ -141,7 +146,7 @@ def bench_streaming_curation(spark, sf_dir: str) -> dict:
             f"{root}/ckpt",
             eval_docs,
             min_overlap=10**6,
-            max_files_per_trigger=1,
+            max_files_per_trigger=files_per_trigger,
         )
         q.awaitTermination()
         dt = time.perf_counter() - t0
@@ -149,11 +154,28 @@ def bench_streaming_curation(spark, sf_dir: str) -> dict:
         return {
             "docs": n_docs,
             "kept": kept,
+            "n_batches": -(-chunks // files_per_trigger),
             "sec": round(dt, 3),
             "docs_per_sec": round(n_docs / dt, 1),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def curation_scaling(spark, sf_dir: str) -> dict:
+    """The amortization measurement: the SAME corpus replayed as 8,
+    4, 2, and 1 micro-batches. Throughput rising with batch size
+    proves the low small-batch docs/s is fixed per-batch plan
+    overhead (~6 s: planning + state probes), not per-doc cost —
+    the claim SCALE.md makes about near-real-time vs throughput
+    trade-off."""
+    out = {}
+    for chunks, fpt in ((8, 1), (8, 2), (8, 4), (8, 8)):
+        r = bench_streaming_curation(spark, sf_dir, chunks, fpt)
+        out[f"batches_{r['n_batches']}"] = r
+        print(f"curation {r['n_batches']} batches: {r}", file=sys.stderr,
+              flush=True)
+    return out
 
 
 def _cpu_probe_sec() -> float:
@@ -178,6 +200,17 @@ def _cpu_probe_sec() -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    if "--curation-scaling" in sys.argv:
+        spark = get_spark(app_name="metro-bench-curation")
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps({
+            "metric": "curation_scaling",
+            "sf": sf,
+            "runs": curation_scaling(spark, sf_dir),
+        }), flush=True)
+        return
+
     probe_before = _cpu_probe_sec()
 
     from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.plans.queries import (

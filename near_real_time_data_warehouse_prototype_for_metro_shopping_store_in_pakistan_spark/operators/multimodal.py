@@ -137,19 +137,10 @@ def _fake_decode_row(media_type: str, payload: bytes) -> dict:
     return out
 
 
-def _real_decode_row(media_type: str, payload: bytes) -> dict:
-    """Real codec path for IMAGE payloads via PIL (width/height/frame
-    count from the actual bytes; fingerprint stays the payload md5 so
-    dedup downstream is codec-independent). Audio/video real decode
-    needs soundfile/pyav, which this container does not ship — those
-    rows raise, keeping the contract explicit instead of silently
-    faking inside a "real" decode."""
-    if media_type != "image":
-        raise NotImplementedError(
-            f"real decode for media_type={media_type!r} needs "
-            "soundfile/pyav (not available); only 'image' rows decode "
-            "via PIL — use fake=True for mixed-media tables"
-        )
+def _real_decode_image(payload: bytes) -> dict:
+    """Real image decode via PIL: width/height/frame count from the
+    actual bytes; fingerprint stays the payload md5 so dedup
+    downstream is codec-independent."""
     import io
 
     from PIL import Image
@@ -164,23 +155,107 @@ def _real_decode_row(media_type: str, payload: bytes) -> dict:
         }
 
 
+def _real_decode_audio(payload: bytes) -> dict:
+    """Real audio decode via the optional ``soundfile`` package
+    (libsndfile): frame count and sample rate from the container
+    header — no sample data is materialized. Import-gated exactly
+    like the PIL image path; raises ``NotImplementedError`` naming
+    the missing package where it is absent (as in this container)."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real audio decode needs the optional 'soundfile' package "
+            "(pip install soundfile); not available — use fake=True"
+        ) from exc
+    import io
+
+    import soundfile as sf
+
+    info = sf.info(io.BytesIO(payload))
+    return {
+        "width": None,
+        "height": None,
+        "n_frames": int(info.frames),
+        "sample_rate": int(info.samplerate),
+        "fp_long": _md5_long_bytes(payload),
+    }
+
+
+def _real_decode_video(payload: bytes) -> dict:
+    """Real video decode via the optional ``av`` package (PyAV/FFmpeg):
+    dimensions from the first video stream's codec context, frame
+    count from stream metadata with a decode-walk fallback for
+    containers that omit it. Import-gated like PIL/soundfile."""
+    try:
+        import av  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real video decode needs the optional 'av' (PyAV) package "
+            "(pip install av); not available — use fake=True"
+        ) from exc
+    import io
+
+    import av as _av
+
+    with _av.open(io.BytesIO(payload)) as container:
+        stream = container.streams.video[0]
+        n_frames = stream.frames
+        if not n_frames:
+            n_frames = sum(1 for _ in container.decode(stream))
+        return {
+            "width": int(stream.codec_context.width),
+            "height": int(stream.codec_context.height),
+            "n_frames": int(n_frames),
+            "sample_rate": None,
+            "fp_long": _md5_long_bytes(payload),
+        }
+
+
+_REAL_DECODERS = {
+    "image": _real_decode_image,
+    "audio": _real_decode_audio,
+    "video": _real_decode_video,
+}
+
+
+def _real_decode_row(media_type: str, payload: bytes) -> dict:
+    """Real codec dispatch: PIL for images, soundfile for audio, PyAV
+    for video — each optional and import-gated independently, so a
+    container with only PIL decodes image rows and raises a precise
+    ``NotImplementedError`` (naming the missing package) on the
+    first audio/video row instead of silently faking inside a "real"
+    decode."""
+    try:
+        decoder = _REAL_DECODERS[media_type]
+    except KeyError:
+        raise NotImplementedError(
+            f"no real decoder for media_type={media_type!r}: expected "
+            f"one of {sorted(_REAL_DECODERS)}"
+        ) from None
+    return decoder(payload)
+
+
 def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched decode: (payload, media_type) -> typed metadata.
 
-    ``fake=False`` is the real-codec path, gated on an importable PIL
-    (raises ``NotImplementedError`` where it is absent, as in this
-    container): image rows decode from their actual bytes; audio/video
-    rows raise inside the pass (no soundfile/pyav). The fake path is
-    deterministic (md5-derived) and oracle-checkable, and remains the
-    default and the driver-contract surface.
+    ``fake=False`` is the real-codec path: PIL for image rows,
+    soundfile for audio rows, PyAV for video rows — each optional and
+    import-gated independently (a container with only PIL decodes
+    image rows; the first audio/video row raises a
+    ``NotImplementedError`` naming the missing package). Where even
+    PIL is absent (as in this container) the call raises up front.
+    The fake path is deterministic (md5-derived) and oracle-checkable,
+    and remains the default and the driver-contract surface.
     """
     if not fake:
         try:
             import PIL.Image  # noqa: F401
         except ImportError as exc:  # pragma: no cover - env-dependent
             raise NotImplementedError(
-                "real media decode needs PIL/soundfile/pyav; "
-                "not available in this container — use fake=True"
+                "real media decode needs at least PIL (plus soundfile "
+                "for audio rows, av for video rows); not available in "
+                "this container — use fake=True"
             ) from exc
     row_fn = _fake_decode_row if fake else _real_decode_row
 

@@ -175,3 +175,62 @@ def test_fake_features_feed_similarity(spark, sf_dir, media):
     assert {r.query_id for r in rows} <= {0, 1}
     assert all(1 <= r.rank <= 3 for r in rows)
     assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+
+
+def test_real_audio_video_error_contracts():
+    # runnable without any codec: each missing optional package is
+    # named precisely, per media type
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        multimodal._real_decode_audio(b"RIFF....WAVE")
+    with pytest.raises(NotImplementedError, match="'av'"):
+        multimodal._real_decode_video(b"\x00\x00\x00 ftypisom")
+    with pytest.raises(NotImplementedError, match="no real decoder"):
+        multimodal._real_decode_row("hologram", b"x")
+
+
+def _wav_bytes(n_frames=160, rate=8000):
+    """Minimal valid PCM16 mono WAV, no audio libs needed."""
+    import struct
+
+    data = struct.pack(f"<{n_frames}h", *([0] * n_frames))
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def test_real_audio_decode_reads_header():
+    pytest.importorskip("soundfile")
+    got = multimodal._real_decode_audio(_wav_bytes(160, 8000))
+    assert got["n_frames"] == 160 and got["sample_rate"] == 8000
+    assert got["width"] is None and got["height"] is None
+    assert got["fp_long"] == multimodal._md5_long_bytes(_wav_bytes(160, 8000))
+
+
+def test_real_video_decode_reads_stream():
+    av = pytest.importorskip("av")
+    import io
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as out:
+        stream = out.add_stream("mpeg4", rate=10)
+        stream.width, stream.height = 32, 16
+        stream.pix_fmt = "yuv420p"
+        import numpy as np
+
+        for _ in range(5):
+            frame = av.VideoFrame.from_ndarray(
+                np.zeros((16, 32, 3), dtype=np.uint8), format="rgb24"
+            )
+            for packet in stream.encode(frame):
+                out.mux(packet)
+        for packet in stream.encode():
+            out.mux(packet)
+    got = multimodal._real_decode_video(buf.getvalue())
+    assert (got["width"], got["height"]) == (32, 16)
+    assert got["n_frames"] == 5
