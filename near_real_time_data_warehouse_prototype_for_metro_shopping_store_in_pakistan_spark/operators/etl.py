@@ -35,7 +35,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.time import time_dimension, with_time_attributes
-from .sinks import DeltaMergeSink, ParquetAntiJoinSink, delta_available
+from .sinks import (
+    DeltaMergeSink,
+    ManifestParquetSink,
+    ParquetAntiJoinSink,
+    delta_available,
+)
 
 # The reference keeps only the first record per Order_ID even though a
 # real order may hold many products (SURVEY §7 hard parts); the key is
@@ -229,6 +234,20 @@ class ParquetWarehouse(WarehouseOps, ParquetAntiJoinSink):
 
 
 @dataclass
+class ManifestWarehouse(WarehouseOps, ManifestParquetSink):
+    """The star-schema warehouse over manifest-committed segments:
+    crash-atomic batch visibility on plain parquet, no optional
+    dependency (see operators.sinks.ManifestParquetSink)."""
+
+    keys: dict[str, list[str]] = field(
+        default_factory=lambda: dict(WAREHOUSE_KEYS)
+    )
+    partitioning: dict[str, list[str]] = field(
+        default_factory=lambda: dict(WAREHOUSE_PARTITIONING)
+    )
+
+
+@dataclass
 class DeltaWarehouse(WarehouseOps, DeltaMergeSink):
     """The same star-schema warehouse over atomic Delta MERGEs —
     the backend to deploy where concurrent readers/writers exist.
@@ -251,10 +270,14 @@ def warehouse_for(spark, root: str, backend: str = "parquet"):
     if backend == "auto":
         backend = "delta" if delta_available() else "parquet"
     try:
-        cls = {"parquet": ParquetWarehouse, "delta": DeltaWarehouse}[backend]
+        cls = {
+            "parquet": ParquetWarehouse,
+            "manifest": ManifestWarehouse,
+            "delta": DeltaWarehouse,
+        }[backend]
     except KeyError:
         raise ValueError(
             f"unknown warehouse backend {backend!r}: expected "
-            "'parquet', 'delta', or 'auto'"
+            "'parquet', 'manifest', 'delta', or 'auto'"
         ) from None
     return cls(spark, root)

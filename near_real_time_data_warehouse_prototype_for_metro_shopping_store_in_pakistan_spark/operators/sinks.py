@@ -18,6 +18,13 @@ Two physical backends implement it:
   concurrent writers could race between the anti-join read and the
   append — exactly the caveat the reference shares with its single
   consumer thread.
+- ``ManifestParquetSink``: plain parquet with CRASH-ATOMIC visibility
+  — each batch is an immutable segment directory committed by a
+  single manifest write (the rename-free, object-store-safe protocol
+  of streaming/quantiles.py). Single-writer like the default, but a
+  crashed batch is invisible instead of half-visible. No optional
+  dependency, so the transactional commit semantics are tested in
+  every environment.
 - ``DeltaMergeSink``: the same contract as one atomic
   ``MERGE ... WHEN NOT MATCHED THEN INSERT`` per batch against a
   Delta table — the transactional form that stays correct under
@@ -234,6 +241,105 @@ class DeltaMergeSink(MergeSink):
         )
 
 
+@dataclass
+class ManifestParquetSink(MergeSink):
+    """Insert-if-absent with CRASH-ATOMIC visibility on plain parquet —
+    no table-format dependency, testable everywhere (unlike the
+    env-gated Delta backend).
+
+    Each batch writes a fresh immutable segment directory
+    ``<table>/seg_<n>/`` (hive-partitioned inside when configured) and
+    then commits it with a single ``_COMMITTED.json`` manifest write —
+    the same rename-free commit protocol the streaming quantile state
+    uses (streaming/quantiles.py): one object PUT is the commit point,
+    atomic on POSIX and on every object store. Readers union ONLY
+    committed segments, so a crash mid-write leaves an invisible
+    orphan directory, never a half-visible table — closing the
+    plain-append sink's one crash hole (a batch that died between
+    writing some part-files and finishing could leak partial rows into
+    the next read's anti-join AND into queries).
+
+    Still single-writer, like the anti-join backend: two concurrent
+    writers could both pass the anti-join and commit duplicate keys —
+    cross-WRITER atomicity is what the Delta MERGE backend buys.
+    Segment numbering skips over uncommitted (crashed) directories so
+    a retry never writes into a partial segment.
+    """
+
+    def _table_dir(self, name: str) -> str:
+        return self.path(name)
+
+    def _segments(self, name: str) -> tuple[list[str], int]:
+        """(committed NON-EMPTY segment dirs ascending, next free
+        segment number). A fully-deduplicated replay batch commits a
+        zero-file segment — valid (the commit records the batch
+        happened) but skipped by readers, since an empty parquet
+        directory has no schema to scan."""
+        import json
+
+        tdir = self._table_dir(name)
+        if not os.path.isdir(tdir):
+            return [], 0
+        segs = sorted(
+            (int(d[4:]), os.path.join(tdir, d))
+            for d in os.listdir(tdir)
+            if d.startswith("seg_") and d[4:].isdigit()
+        )
+        committed = []
+        for _, p in segs:
+            try:
+                with open(os.path.join(p, "_COMMITTED.json")) as fh:
+                    if json.load(fh)["files"]:
+                        committed.append(p)
+            except (OSError, ValueError, KeyError):
+                continue  # uncommitted / crashed — invisible
+        nxt = segs[-1][0] + 1 if segs else 0
+        return committed, nxt
+
+    def read(self, name: str) -> DataFrame | None:
+        committed, _ = self._segments(name)
+        if not committed:
+            return None
+        out = None
+        for seg in committed:
+            df = self.spark.read.parquet(seg)
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def insert_if_absent(self, name: str, batch: DataFrame) -> None:
+        import glob
+        import json
+
+        key = self.keys[name]
+        incoming = batch.dropDuplicates(key)
+        existing = self.read(name)
+        if existing is not None:
+            seen = existing.select(*key).dropDuplicates(key).select(
+                *[F.col(k).alias(f"__seen_{k}") for k in key]
+            )
+            cond = F.lit(True)
+            for k in key:
+                cond = cond & F.col(k).eqNullSafe(F.col(f"__seen_{k}"))
+            incoming = incoming.join(seen, cond, "left_anti")
+            incoming = incoming.select(*existing.columns)
+        _, nxt = self._segments(name)
+        seg_dir = os.path.join(self._table_dir(name), f"seg_{nxt}")
+        writer = incoming.write.mode("error")
+        parts = self.partitioning.get(name)
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(seg_dir)
+        files = sorted(
+            os.path.relpath(p, seg_dir)
+            for p in glob.glob(
+                os.path.join(seg_dir, "**", "*.parquet"), recursive=True
+            )
+        )
+        # the single manifest write IS the commit point
+        with open(os.path.join(seg_dir, "_COMMITTED.json"), "w") as fh:
+            json.dump({"files": files}, fh)
+
+
 def delta_session_builder_conf() -> dict[str, str]:
     """The two session configs a Delta-capable SparkSession needs —
     exposed so callers (and tests) build it the documented way instead
@@ -246,7 +352,11 @@ def delta_session_builder_conf() -> dict[str, str]:
     }
 
 
-BACKENDS = {"parquet": ParquetAntiJoinSink, "delta": DeltaMergeSink}
+BACKENDS = {
+    "parquet": ParquetAntiJoinSink,
+    "manifest": ManifestParquetSink,
+    "delta": DeltaMergeSink,
+}
 
 
 def make_sink(
@@ -259,7 +369,8 @@ def make_sink(
     """Construct the requested sink backend.
 
     ``backend``: ``"parquet"`` (default — works everywhere,
-    single-writer), ``"delta"`` (transactional MERGE, requires
+    single-writer), ``"manifest"`` (crash-atomic segment commits,
+    works everywhere), ``"delta"`` (transactional MERGE, requires
     delta-spark), or ``"auto"`` (delta when importable, else parquet).
     """
     if backend == "auto":

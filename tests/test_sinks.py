@@ -20,6 +20,7 @@ from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakista
 
 BACKEND_PARAMS = [
     "parquet",
+    "manifest",
     pytest.param(
         "delta",
         marks=pytest.mark.skipif(
@@ -103,8 +104,32 @@ def test_read_missing_table_returns_none(spark, tmp_path):
     assert sink.read("t") is None
 
 
+def test_crashed_segment_is_invisible(spark, tmp_path):
+    """Manifest backend crash-atomicity: a segment directory without
+    its commit manifest (= a writer that died mid-batch) must be
+    invisible to readers AND to the next batch's anti-join; the next
+    batch must not collide with the orphan's segment number."""
+    sink = _sink(spark, tmp_path, "manifest")
+    b1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    sink.insert_if_absent("t", b1)
+    # simulate a crash: data lands in seg_1, manifest never written
+    orphan = tmp_path / "t" / "seg_1"
+    spark.createDataFrame([(9, "ghost")], "k long, v string").write.parquet(
+        str(orphan)
+    )
+    assert {tuple(r) for r in sink.read("t").collect()} == {(1, "a")}
+    # next batch re-inserts key 9 (the ghost never happened) and
+    # writes seg_2, not seg_1
+    b2 = spark.createDataFrame([(9, "real")], "k long, v string")
+    sink.insert_if_absent("t", b2)
+    assert {tuple(r) for r in sink.read("t").collect()} == {
+        (1, "a"), (9, "real")
+    }
+    assert (tmp_path / "t" / "seg_2" / "_COMMITTED.json").exists()
+
+
 def test_make_sink_backend_registry(spark, tmp_path):
-    assert set(BACKENDS) == {"parquet", "delta"}
+    assert set(BACKENDS) == {"parquet", "manifest", "delta"}
     assert isinstance(
         make_sink(spark, str(tmp_path), keys={}), ParquetAntiJoinSink
     )
