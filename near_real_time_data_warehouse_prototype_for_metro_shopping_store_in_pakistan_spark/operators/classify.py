@@ -25,7 +25,7 @@ block).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_long, tokens
@@ -71,6 +71,55 @@ def hashed_linear_score(
             F.col("score_sum").cast("long").alias("score_sum"),
             (F.col("score_sum") >= KEEP_THRESHOLD).alias("keep"),
         )
+    )
+
+
+def quantile_prune(
+    scores: DataFrame,
+    pct: int = 75,
+    score_col: str = "score_sum",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality pruning by exact score quantile: keep every doc whose
+    score reaches the corpus's ``pct``-th percentile — "train on the
+    top quartile" as one distributed plan, the selection step that
+    follows any quality classifier in an LLM-data pipeline.
+
+    The threshold is the EXACT discrete percentile by the counting
+    formulation (the same nearest-rank, integer-ceil convention as
+    ``events.value_quantiles``): scores collapse to a
+    (score -> count) relation first (ONE map-side-combinable
+    aggregate, bounded by the DISTINCT score domain, not rows), a
+    cumulative sum turns counts into ranks, and the threshold — one
+    row — broadcasts back onto the corpus. No global sort of rows, no
+    driver-side collect; the only window runs over the domain-bounded
+    count relation. Returns (id, score, threshold, keep) for every
+    input row; ``filter(keep)`` is the pruned corpus (ties at the
+    threshold are kept — deterministic, and the percentile guarantee
+    is "at least pct% of rows fall at or below threshold")."""
+    if not 0 < pct < 100:
+        raise ValueError(f"pct ({pct}) must be in 1..99")
+    counts = scores.groupBy(score_col).agg(F.count(F.lit(1)).alias("_n"))
+    run = Window.orderBy(score_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("_cum", F.sum("_n").over(run))
+    thr_row = F.broadcast(
+        cum.crossJoin(
+            F.broadcast(counts.agg(F.sum("_n").alias("_nr")))
+        )
+        .withColumn(
+            "_thr_rank",
+            F.expr(f"greatest((_nr * {pct} + 99) div 100, 1)"),
+        )
+        .filter(F.col("_cum") >= F.col("_thr_rank"))
+        .agg(F.min(score_col).alias("threshold"))
+    )
+    return scores.crossJoin(thr_row).select(
+        id_col,
+        score_col,
+        "threshold",
+        (F.col(score_col) >= F.col("threshold")).alias("keep"),
     )
 
 

@@ -289,10 +289,37 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=ANN_IVF_CENTROIDS,
         n_probe=ANN_IVF_PROBE,
     ).select("query_id", "neighbor_id")
-    trained = ann_ivf_trained_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
-    ivfpq = ann_ivfpq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # one coarse training + one codebook training feed BOTH trained
+    # variants (plus the PQ assignment) — the oracle unrolls the same
+    # chains per variant, so sharing is a pure job-count optimization
+    from ..operators import pq as _pq
+
+    cents = similarity.kmeans_centroids(
+        emb, k=ANN_IVF_CENTROIDS, iters=2
+    ).localCheckpoint(eager=False)
+    books = _pq.pq_codebooks(
+        emb, ANN_PQ_M, ANN_PQ_KSUB, 2
+    ).localCheckpoint(eager=False)
+    trained = similarity.ann_ivf_topk(
+        emb,
+        num_queries=ANN_NUM_QUERIES,
+        k=ANN_K,
+        n_centroids=ANN_IVF_CENTROIDS,
+        n_probe=ANN_IVF_PROBE,
+        centroids=cents,
+    ).select("query_id", "neighbor_id")
+    ivfpq = _pq.ann_ivfpq_topk(
+        emb,
+        num_queries=ANN_NUM_QUERIES,
+        k=ANN_K,
+        n_centroids=ANN_IVF_CENTROIDS,
+        n_probe=ANN_IVF_PROBE,
+        m=ANN_PQ_M,
+        ksub=ANN_PQ_KSUB,
+        iters=2,
+        centroids=cents,
+        books=books,
+    ).select("query_id", "neighbor_id")
     base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     lhits = (
         exact.join(lsh, ["query_id", "neighbor_id"], "left_semi")
@@ -693,15 +720,34 @@ def text_quality_classifier_weighted(
     )
 
 
+CORPUS_PRUNE_PCT = 75
+
+
+def corpus_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality pruning by exact score quantile: hashed-classifier
+    scores → exact P75 threshold by the counting formulation → keep
+    flag per doc (operators.classify.quantile_prune) — the "train on
+    the top quartile" selection step as one distributed plan."""
+    scores = classify.hashed_linear_score(table(spark, sf_dir, "documents"))
+    return classify.quantile_prune(scores, pct=CORPUS_PRUNE_PCT)
+
+
 # The streaming admission surfaces replayed as driver-gated queries:
-# a FIXED micro-batch sequence (doc_id % N in order — deterministic
-# under any file layout) through the real cross-batch admission
-# operators and their persisted state, returning the admitted
-# relation. The oracle unrolls the same sequential semantics batch by
-# batch (within-batch components → min-id reps → veto against earlier
+# a FIXED micro-batch sequence (id % N in order — deterministic under
+# any file layout) through the real cross-batch admission operators
+# and their persisted state, returning the admitted relation. The
+# oracle unrolls the same sequential semantics batch by batch
+# (within-batch components → min-id reps → veto against earlier
 # admissions), so the exact cross-batch veto logic is hash-gated, not
-# just unit-tested.
+# just unit-tested. The replay runs on a deterministic id-stride
+# SUBSET of the corpus: the row gates admission SEMANTICS (the
+# synthetic corpus is dup-saturated, so band collisions grow
+# quadratically with batch size and a full-corpus replay measures
+# nothing the curation bench doesn't already); throughput is pinned
+# separately by bench_streaming_curation and --curation-scaling.
 STREAM_ADMIT_BATCHES = 3
+STREAM_ADMIT_DOC_STRIDE = 8  # docs: doc_id % 8 == 0 (~12.5%)
+STREAM_ADMIT_VEC_STRIDE = 4  # embeddings: vec_id % 4 == 0 (~25%)
 
 
 def stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,8 +764,10 @@ def stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         admit_neardup_batch,
     )
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.md5("text").alias("text_fp")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % STREAM_ADMIT_DOC_STRIDE == 0)
+        .select("doc_id", "text", F.md5("text").alias("text_fp"))
     )
     root = tempfile.mkdtemp(prefix="drv_neardup_admit_")
     try:
@@ -759,7 +807,9 @@ def stream_embed_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_warehouse,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % STREAM_ADMIT_VEC_STRIDE == 0
+    )
     v = similarity.scaled_vectors(emb)
     cents = (
         v.filter(F.col("vec_id") < ANN_IVF_CENTROIDS)
@@ -925,6 +975,7 @@ PIPELINE_QUERIES = {
     "text_pii_scan": text_pii_scan,
     "text_quality_classifier": text_quality_classifier,
     "text_quality_classifier_weighted": text_quality_classifier_weighted,
+    "corpus_quality_prune": corpus_quality_prune,
     "stream_neardup_admission": stream_neardup_admission,
     "stream_embed_admission": stream_embed_admission,
     "corpus_interdoc_dup": corpus_interdoc_dup,
@@ -1235,6 +1286,7 @@ def _stream_neardup_admission_oracle(
     num_batches: int = STREAM_ADMIT_BATCHES,
     num_hashes: int = 16,
     band_size: int = 2,
+    stride: int = STREAM_ADMIT_DOC_STRIDE,
 ) -> str:
     """Mirror of the 3-batch admit_neardup_batch replay: verified pairs
     (band collision at the streaming banding + exact Jaccard ≥
@@ -1262,14 +1314,19 @@ vpd AS (SELECT doc_a AS a, doc_b AS b FROM vp
         UNION SELECT doc_b, doc_a FROM vp)"""
     ]
     for b in range(num_batches):
-        batch = f"doc_id % {num_batches} = {b}"
+        batch = (
+            f"doc_id % {stride} = 0 AND doc_id % {num_batches} = {b}"
+        )
+        in_b = (
+            f"doc_a % {stride} = 0 AND doc_b % {stride} = 0 "
+            f"AND doc_a % {num_batches} = {b} "
+            f"AND doc_b % {num_batches} = {b}"
+        )
         parts.append(
             f"""e{b} AS (
-    SELECT doc_a AS v, doc_b AS w FROM vp
-    WHERE doc_a % {num_batches} = {b} AND doc_b % {num_batches} = {b}
+    SELECT doc_a AS v, doc_b AS w FROM vp WHERE {in_b}
     UNION
-    SELECT doc_b, doc_a FROM vp
-    WHERE doc_a % {num_batches} = {b} AND doc_b % {num_batches} = {b}
+    SELECT doc_b, doc_a FROM vp WHERE {in_b}
 ),
 walk{b}(v, m) AS (
     SELECT v, v FROM (SELECT DISTINCT v FROM e{b})
@@ -1319,6 +1376,7 @@ adm{b} AS (
 
 def _stream_embed_admission_oracle(
     num_batches: int = STREAM_ADMIT_BATCHES,
+    stride: int = STREAM_ADMIT_VEC_STRIDE,
 ) -> str:
     """Mirror of the 3-batch admit_embedding_batch replay: corpus-
     prefix-centroid cell assignment, within-cell cosine pairs ≥
@@ -1329,7 +1387,10 @@ def _stream_embed_admission_oracle(
     parts = [
         f"""cdots AS (
     SELECT a.vec_id AS vid, c.vec_id AS centroid_id, SUM(a.val * c.val) AS dot
-    FROM elem a JOIN elem c ON a.i = c.i AND c.vec_id < {ANN_IVF_CENTROIDS}
+    FROM elem a
+    JOIN elem c ON a.i = c.i AND c.vec_id < {ANN_IVF_CENTROIDS}
+                AND c.vec_id % {stride} = 0
+    WHERE a.vec_id % {stride} = 0
     GROUP BY 1, 2
 ),
 cscored AS (
@@ -1351,6 +1412,8 @@ assign AS (
 pdots AS (
     SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.val * b.val) AS dot
     FROM elem a JOIN elem b ON a.i = b.i AND a.vec_id < b.vec_id
+                           AND b.vec_id % {stride} = 0
+    WHERE a.vec_id % {stride} = 0
     GROUP BY 1, 2
 ),
 vp AS (
@@ -2722,6 +2785,45 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def _quality_prune_oracle(pct: int = CORPUS_PRUNE_PCT) -> str:
+    """Mirror classify.quantile_prune over the hashed-classifier
+    scores: same nearest-rank integer-ceil threshold convention as the
+    quantile oracles."""
+    from ..operators.classify import N_BUCKETS, WEIGHT_OFFSET, WEIGHT_SPAN
+
+    bucket = f"CAST({_sql_md5_long('tok')} % {N_BUCKETS} AS VARCHAR)"
+    w = (
+        f"({_sql_md5_long(chr(39) + 'w|' + chr(39) + ' || ' + bucket)}"
+        f" % {WEIGHT_SPAN} - {WEIGHT_OFFSET})"
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_sql_tokens("lower(text)")}) AS tok FROM documents
+),
+persum AS (
+    SELECT doc_id, SUM({w}) AS score_sum FROM tok GROUP BY doc_id
+),
+scores AS (
+    SELECT d.doc_id,
+           CAST(coalesce(s.score_sum, 0) AS BIGINT) AS score_sum
+    FROM documents d LEFT JOIN persum s USING (doc_id)
+),
+counts AS (SELECT score_sum AS c, count(*) AS n FROM scores GROUP BY 1),
+cum AS (
+    SELECT c, SUM(n) OVER (ORDER BY c
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+    FROM counts
+),
+thr AS (
+    SELECT MIN(c) AS threshold FROM cum
+    WHERE cumn >= greatest(((SELECT count(*) FROM scores) * {pct} + 99) // 100, 1)
+)
+SELECT s.doc_id, s.score_sum, t.threshold,
+       s.score_sum >= t.threshold AS keep
+FROM scores s CROSS JOIN thr t
+"""
+
+
 def _interdoc_oracle(n: int = INTERDOC_NGRAM) -> str:
     """Mirror text_profile.interdoc_dup_stats: distinct char n-gram
     fingerprints per doc, document frequency, permille by integer
@@ -2914,6 +3016,7 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "text_pii_scan": _pii_oracle(),
     "text_quality_classifier": _classifier_oracle(),
     "text_quality_classifier_weighted": _weighted_classifier_oracle(),
+    "corpus_quality_prune": _quality_prune_oracle(),
     "stream_neardup_admission": _stream_neardup_admission_oracle(),
     "stream_embed_admission": _stream_embed_admission_oracle(),
     "corpus_interdoc_dup": _interdoc_oracle(),

@@ -156,3 +156,31 @@ class TestPQServedIndex:
         assert idx.count() == emb.count()
         row = idx.first()
         assert len(row["codes"]) == 4  # m codes, not dim components
+
+
+def test_grouped_training_identical_to_per_subspace(spark):
+    """The fused grouped Lloyd trainer must be numerically identical
+    to m independent similarity._kmeans_iterate runs on the slices."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.similarity import (
+        _kmeans_iterate,
+        scaled_vectors,
+    )
+
+    rows = [
+        (i, [float((i * 7 + d) % 5) - 2.0 for d in range(8)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m, ksub, iters, w = 4, 3, 2, 2
+    got = {
+        (r["subspace"], r["code"]): tuple(r["cq"])
+        for r in pq.pq_codebooks(emb, m, ksub, iters).collect()
+    }
+    v = scaled_vectors(emb).select("vec_id", "q")
+    for j in range(m):
+        sub = v.select("vec_id", F.slice("q", j * w + 1, w).alias("q"))
+        want = {
+            (j, r["centroid_id"]): tuple(r["cq"])
+            for r in _kmeans_iterate(sub, ksub, iters, "vec_id").collect()
+        }
+        assert {k: got[k] for k in want} == want

@@ -129,3 +129,24 @@ def test_weighted_classifier_plan_broadcast_one_aggregate(spark):
     # one logical aggregate = one partial + one final HashAggregate
     assert plan.count("HashAggregate") == 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quantile_prune_nearest_rank_and_ties(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        classify,
+    )
+
+    # scores 1..8 with a tie block at 5: P75 rank = ceil(8*.75)=6 ->
+    # threshold = 6th smallest = 5; ties at 5 are all kept
+    scores = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (6, 5), (7, 7), (8, 8)],
+        "doc_id long, score_sum long",
+    )
+    got = {
+        r["doc_id"]: (r["threshold"], r["keep"])
+        for r in classify.quantile_prune(scores, pct=75).collect()
+    }
+    assert all(t == 5 for t, _ in got.values())
+    assert {d for d, (_, k) in got.items() if k} == {5, 6, 7, 8}
+    with pytest.raises(ValueError, match="pct"):
+        classify.quantile_prune(scores, pct=100)
