@@ -1344,3 +1344,118 @@ def ngram_decontaminate(
             )
 
     return docs.select(id_col, text_col).mapInPandas(score, out_schema)
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    span_tokens: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr deduplication proper (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", 2022): CUT duplicated
+    token spans out of the text instead of flagging whole documents —
+    the operator ``interdoc_dup_stats`` only reports on.
+
+    Semantics, token-granular and deterministic:
+    - every window of ``span_tokens`` consecutive tokens is a gram
+      occurrence (doc, start position);
+    - a gram occurring more than once corpus-wide keeps exactly its
+      CANONICAL occurrence (lexicographically minimal (doc_id, pos) —
+      Lee et al.'s "keep one copy") and every other occurrence is cut;
+    - a token is removed iff some cut occurrence covers it; the
+      surviving tokens re-join with single spaces.
+    Corollaries (tested): a corpus of distinct docs passes through
+    unchanged; of two identical docs, the lower id survives verbatim
+    and the higher id empties; a paragraph shared by two docs survives
+    only in the earlier one.
+
+    Plan shape: grams come from per-row JVM expressions (one
+    ``transform`` over token positions — narrow, no explode until the
+    occurrence relation); the occurrence stats are ONE
+    map-side-combinable groupBy(gram hash) carrying count +
+    min-struct canonical; cut coverage explodes ONLY the cut
+    occurrences (≤ span_tokens× their count); reassembly is one
+    groupBy(doc). At 100 TB the gram hash would come from the
+    rolling-hash kernel (functions.text rolling fingerprints) instead
+    of per-window concat — same relation shape; and the stats join is
+    a shuffle on the uniform 60-bit gram hash, skew-free by
+    construction.
+
+    Returns (id, clean_text, n_tokens, n_removed) for EVERY input doc
+    (docs shorter than ``span_tokens`` pass through whole).
+    """
+    if span_tokens < 2:
+        raise ValueError(f"span_tokens ({span_tokens}) must be >= 2")
+    tk = docs.select(id_col, tokens(F.col(text_col)).alias("_tk"))
+    n = F.size("_tk")
+    occ = (
+        tk.filter(n >= span_tokens)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - span_tokens),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        md5_long(
+                            F.concat_ws(
+                                " ", F.slice("_tk", i + 1, span_tokens)
+                            )
+                        ).alias("gh"),
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select(id_col, F.col("o.pos").alias("pos"), F.col("o.gh").alias("gh"))
+    )
+    stats = occ.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_canon"),
+    )
+    cut = occ.join(stats, "gh").filter(
+        (F.col("_c") > 1)
+        & ~(
+            (F.col(id_col) == F.col(f"_canon.{id_col}"))
+            & (F.col("pos") == F.col("_canon.pos"))
+        )
+    )
+    covered = (
+        cut.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + span_tokens - 1)
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    tokpos = tk.select(
+        id_col, F.posexplode("_tk").alias("pos", "tok")
+    )
+    kept = tokpos.join(
+        covered,
+        (tokpos[id_col] == covered[id_col])
+        & (tokpos["pos"] == covered["cpos"]),
+        "left_anti",
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return (
+        tk.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            n.cast("long").alias("n_tokens"),
+            (n - F.coalesce("_n_kept", F.lit(0))).cast("long").alias(
+                "n_removed"
+            ),
+        )
+    )

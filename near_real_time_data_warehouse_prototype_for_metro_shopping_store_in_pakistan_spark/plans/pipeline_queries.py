@@ -720,6 +720,20 @@ def text_quality_classifier_weighted(
     )
 
 
+EXACT_SUBSTR_SPAN = 15
+
+
+def corpus_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr deduplication proper (Lee et al. 2022): duplicated
+    ≥15-token spans are CUT from the text, keeping each span's
+    canonical (first) occurrence — dedup.remove_duplicate_spans. The
+    span-granular upgrade of corpus_interdoc_dup's document-level
+    coverage stats."""
+    return dedup.remove_duplicate_spans(
+        table(spark, sf_dir, "documents"), span_tokens=EXACT_SUBSTR_SPAN
+    )
+
+
 CORPUS_PRUNE_PCT = 75
 
 
@@ -976,6 +990,7 @@ PIPELINE_QUERIES = {
     "text_quality_classifier": text_quality_classifier,
     "text_quality_classifier_weighted": text_quality_classifier_weighted,
     "corpus_quality_prune": corpus_quality_prune,
+    "corpus_exact_substr_dedup": corpus_exact_substr_dedup,
     "stream_neardup_admission": stream_neardup_admission,
     "stream_embed_admission": stream_embed_admission,
     "corpus_interdoc_dup": corpus_interdoc_dup,
@@ -2785,6 +2800,60 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def _exact_substr_oracle(span: int = EXACT_SUBSTR_SPAN) -> str:
+    """Mirror dedup.remove_duplicate_spans: gram occurrences, count +
+    canonical (first (doc_id, pos)) per gram, cut coverage, token
+    reassembly with single spaces."""
+    gram = _sql_md5_long(f"array_to_string(tk[i:i + {span - 1}], ' ')")
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_sql_tokens("text")} AS tk FROM documents
+),
+occ AS (
+    SELECT doc_id, i - 1 AS pos, {gram} AS gh FROM (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk) - {span - 1})) AS i
+        FROM toks
+    )
+),
+flagged AS (
+    SELECT doc_id, pos,
+           COUNT(*) OVER (PARTITION BY gh) AS c,
+           row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+    FROM occ
+),
+covered AS (
+    SELECT DISTINCT doc_id, pos + o.off AS cpos
+    FROM flagged, generate_series(0, {span - 1}) o(off)
+    WHERE c > 1 AND rn <> 1
+),
+tokpos AS (
+    SELECT doc_id, i - 1 AS pos, tk[i] AS tok FROM (
+        SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+        FROM toks
+    )
+),
+kept AS (
+    SELECT t.doc_id, t.pos, t.tok
+    FROM tokpos t LEFT JOIN covered c
+      ON t.doc_id = c.doc_id AND t.pos = c.cpos
+    WHERE c.cpos IS NULL
+),
+agg AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       CAST(len(t.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d
+JOIN toks t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _quality_prune_oracle(pct: int = CORPUS_PRUNE_PCT) -> str:
     """Mirror classify.quantile_prune over the hashed-classifier
     scores: same nearest-rank integer-ceil threshold convention as the
@@ -3017,6 +3086,7 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "text_quality_classifier": _classifier_oracle(),
     "text_quality_classifier_weighted": _weighted_classifier_oracle(),
     "corpus_quality_prune": _quality_prune_oracle(),
+    "corpus_exact_substr_dedup": _exact_substr_oracle(),
     "stream_neardup_admission": _stream_neardup_admission_oracle(),
     "stream_embed_admission": _stream_embed_admission_oracle(),
     "corpus_interdoc_dup": _interdoc_oracle(),

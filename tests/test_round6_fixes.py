@@ -150,3 +150,47 @@ def test_quantile_prune_nearest_rank_and_ties(spark):
     assert {d for d, (_, k) in got.items() if k} == {5, 6, 7, 8}
     with pytest.raises(ValueError, match="pct"):
         classify.quantile_prune(scores, pct=100)
+
+
+def test_remove_duplicate_spans_lee_semantics(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        dedup,
+    )
+
+    base = "a b c d e f g h i j k l m n o p q r s t"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                      # canonical copy survives
+            (2, base),                      # exact clone -> empties
+            (3, "x y z " + base + " w v"),  # shared span cut, edges kept
+            (4, "unique words only here"),  # short & unique -> untouched
+            (5, ""),                        # empty passes through
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in dedup.remove_duplicate_spans(docs, span_tokens=5).collect()
+    }
+    assert got[1] == (base, 20, 0)
+    assert got[2] == ("", 20, 20)
+    assert got[3] == ("x y z w v", 25, 20)
+    assert got[4] == ("unique words only here", 4, 0)
+    assert got[5] == ("", 0, 0)
+    with pytest.raises(ValueError, match="span_tokens"):
+        dedup.remove_duplicate_spans(docs, span_tokens=1)
+
+
+def test_remove_duplicate_spans_intra_doc_repeat(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        dedup,
+    )
+
+    # the SAME doc repeating a span: first occurrence canonical, the
+    # repeat (and the windows bridging it) cut
+    docs = spark.createDataFrame(
+        [(1, "p q r s t u p q r s t u")], "doc_id long, text string"
+    )
+    got = dedup.remove_duplicate_spans(docs, span_tokens=6).collect()[0]
+    assert got["clean_text"] == "p q r s t u"
+    assert got["n_removed"] == 6
