@@ -89,21 +89,24 @@ def quantile_prune(
     formulation (the same nearest-rank, integer-ceil convention as
     ``events.value_quantiles``): scores collapse to a
     (score -> count) relation first (ONE map-side-combinable
-    aggregate, bounded by the DISTINCT score domain, not rows), a
-    cumulative sum turns counts into ranks, and the threshold — one
-    row — broadcasts back onto the corpus. No global sort of rows, no
-    driver-side collect; the only window runs over the domain-bounded
-    count relation. Returns (id, score, threshold, keep) for every
-    input row; ``filter(keep)`` is the pruned corpus (ties at the
-    threshold are kept — deterministic, and the percentile guarantee
-    is "at least pct% of rows fall at or below threshold")."""
+    aggregate), the cumulative rank over that relation is the
+    DISTRIBUTED prefix-sum scan (``partitioning.prefix_sums``:
+    range-partitioned local cumsums + broadcast partition offsets —
+    no single-task ``Window.orderBy``, because per-document score
+    sums have a distinct domain that grows ~O(#docs) on a natural
+    corpus), and the threshold — one row — broadcasts back onto the
+    corpus. No global sort of rows, no driver-side collect. Returns
+    (id, score, threshold, keep) for every input row;
+    ``filter(keep)`` is the pruned corpus (ties at the threshold are
+    kept — deterministic, and the percentile guarantee is "at least
+    pct% of rows fall at or below threshold")."""
+    from .partitioning import prefix_sums
+
     if not 0 < pct < 100:
         raise ValueError(f"pct ({pct}) must be in 1..99")
     counts = scores.groupBy(score_col).agg(F.count(F.lit(1)).alias("_n"))
-    run = Window.orderBy(score_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = counts.withColumn("_cum", F.sum("_n").over(run))
+    # out_col must not collide with prefix_sums' internal "_cum"
+    cum = prefix_sums(counts, [score_col], "_n", out_col="_crank")
     thr_row = F.broadcast(
         cum.crossJoin(
             F.broadcast(counts.agg(F.sum("_n").alias("_nr")))
@@ -112,7 +115,7 @@ def quantile_prune(
             "_thr_rank",
             F.expr(f"greatest((_nr * {pct} + 99) div 100, 1)"),
         )
-        .filter(F.col("_cum") >= F.col("_thr_rank"))
+        .filter(F.col("_crank") >= F.col("_thr_rank"))
         .agg(F.min(score_col).alias("threshold"))
     )
     return scores.crossJoin(thr_row).select(

@@ -199,6 +199,42 @@ def pq_codebooks(
     )
 
 
+def _validated_subwidth(
+    df: DataFrame, q_col: str, books: DataFrame, m: int
+) -> int:
+    """The subvector width ``dim // m`` — validated, not inferred by
+    silent truncation. ``pq_codebooks`` checks divisibility at train
+    time, but ``pq_encode``/``query_luts`` are also called directly
+    with a caller-supplied ``m`` (e.g. the streaming index builders):
+    a mismatched ``m`` would otherwise mis-slice the vectors against
+    codewords of a different length and produce wrong codes/scores
+    with no error. Two metadata-scale probes (one row of the corpus,
+    one codebook entry) make it a ValueError instead."""
+    brow = books.select(F.size(F.col("cq")).alias("bw")).first()
+    if brow is None:
+        raise ValueError("codebooks are empty")
+    row = df.select(F.size(F.col(q_col)).alias("d")).first()
+    if row is None:
+        # empty input (e.g. an empty streaming micro-batch): zero rows
+        # encode to zero rows under any width — the trained codebook
+        # is the authority
+        return brow["bw"]
+    dim = row["d"]
+    if m <= 0 or dim % m != 0:
+        raise ValueError(
+            f"m ({m}) must divide the vector width ({dim}): PQ slices "
+            "the vector into m equal contiguous subvectors"
+        )
+    w = dim // m
+    if brow["bw"] != w:
+        raise ValueError(
+            f"codebook subvector width ({brow['bw']}) != dim/m "
+            f"({w}): the codebooks were trained with a different m "
+            "or vector width"
+        )
+    return w
+
+
 def _books_row(books: DataFrame):
     """The m codebooks folded into ONE broadcastable row:
     ``books[j]`` = the subspace-j codebook as an array of (code, cq)
@@ -237,7 +273,7 @@ def pq_encode(
     (neg_dist, neg_code) structs = min distance, ties to the lower
     code — identical to the trainer's assignment tie-break)."""
     v = scaled_vectors(emb, vec_col, id_col)
-    w = (F.size(F.col("q")) / m).cast("int")
+    w = F.lit(_validated_subwidth(v, "q", books, m))
 
     def best_code(book, j):
         sub = F.slice(F.col("q"), j * w + 1, w)
@@ -265,7 +301,7 @@ def query_luts(qv: DataFrame, books: DataFrame, m: int) -> DataFrame:
     in-flight ``ann_ivfpq_topk`` and the persisted-index serve path
     (``streaming.ann_index.ivfpq_index_topk``) so their scoring
     cannot drift. ``qv`` is (query_id, qq, qn)."""
-    w = (F.size(F.col("qq")) / m).cast("int")
+    w = F.lit(_validated_subwidth(qv, "qq", books, m))
     return qv.crossJoin(_books_row(books)).select(
         "query_id",
         "qn",

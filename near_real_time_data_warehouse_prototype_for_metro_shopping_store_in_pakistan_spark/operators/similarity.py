@@ -967,9 +967,26 @@ def semdedup(
             cos = dots / (na[:, None] * nb[None, :])
             ia = lpdf[id_col].to_numpy()
             ib = rpdf["rvid"].to_numpy()
-            keep = (cos >= threshold) & (ia[:, None] < ib[None, :])
+            # Blocks are hash-derived, NOT id-monotone: in an
+            # off-diagonal tile (ba < bb) the lower id of a pair may
+            # live on either side, so an ``ia < ib`` mask would drop
+            # the pairs whose lower id hashed to the higher block.
+            # Diagonal tiles (ba == bb) see the same rows on both
+            # sides and keep the strict ``ia < ib`` triangle; off-
+            # diagonal tiles keep every above-threshold cross pair
+            # (blocks are disjoint, so ia != ib by construction) and
+            # normalize to (min, max) ordering.
+            diagonal = bool(lpdf["ba"].iloc[0] == lpdf["bb"].iloc[0])
+            if diagonal:
+                keep = (cos >= threshold) & (ia[:, None] < ib[None, :])
+                ii, jj = np.nonzero(keep)
+                return pd.DataFrame({"vec_a": ia[ii], "vec_b": ib[jj]})
+            keep = (cos >= threshold) & (ia[:, None] != ib[None, :])
             ii, jj = np.nonzero(keep)
-            return pd.DataFrame({"vec_a": ia[ii], "vec_b": ib[jj]})
+            a, b = ia[ii], ib[jj]
+            return pd.DataFrame(
+                {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b)}
+            )
 
         big_pairs = (
             left.groupby("cell", "ba", "bb")

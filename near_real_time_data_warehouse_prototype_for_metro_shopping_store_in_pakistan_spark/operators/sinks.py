@@ -139,7 +139,12 @@ class ParquetAntiJoinSink(MergeSink):
             for row in touched:
                 clause = F.lit(True)
                 for p in parts:
-                    clause = clause & (F.col(p) == F.lit(row[p]))
+                    # null-safe: a plain == is never true against a
+                    # NULL partition value, which would EXCLUDE the
+                    # null partition from the "seen" scan and re-admit
+                    # replayed NULL-partition rows — defeating the
+                    # eqNullSafe key join below
+                    clause = clause & F.col(p).eqNullSafe(F.lit(row[p]))
                 pred = pred | clause
             existing = existing.filter(pred)
         return existing.select(*key).dropDuplicates(key)

@@ -361,3 +361,25 @@ def test_interdoc_dup_shuffles_only_on_gram_hash_and_doc(spark, sf_dir):
     # join: bounded exchange count, and never a cartesian product
     assert "CartesianProduct" not in plan
     assert n_hash_exchanges(plan) <= 5
+
+
+def test_quantile_prune_has_no_global_window(spark, sf_dir):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        classify,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scores = classify.hashed_linear_score(docs)
+    plan = plan_of(classify.quantile_prune(scores))
+    # the cumulative-rank scan must be the distributed prefix_sums
+    # pattern: every window spec is either partitioned by _pid (local
+    # cumsums) or ordered by _pid (the <=num_partitions offsets fold)
+    # — a single-task Window.orderBy(score) would appear as a window
+    # spec without _pid, which is a one-task sort of a relation whose
+    # cardinality tracks corpus size
+    lines = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert lines, "expected window specs in the prefix-sum scan"
+    for ln in lines:
+        assert "_pid" in ln, f"global window found: {ln}"

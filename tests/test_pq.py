@@ -35,6 +35,29 @@ def test_m_must_divide_dim(spark):
         pq.pq_codebooks(_emb(spark, rows), m=2, ksub=1)
 
 
+def test_encode_and_luts_reject_mismatched_m(spark):
+    # pq_encode / query_luts are called directly with a caller-supplied
+    # m (streaming index builders): a mismatch must raise, not silently
+    # truncate the subvector slice against shorter/longer codewords
+    rows = [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(8)]
+    emb = _emb(spark, rows)
+    books = pq.pq_codebooks(emb, m=2, ksub=2, iters=1)
+    with pytest.raises(ValueError, match="must divide"):
+        pq.pq_encode(emb, books, m=3)
+    # m divides dim but disagrees with the trained codebook width
+    with pytest.raises(ValueError, match="codebook subvector width"):
+        pq.pq_encode(emb, books, m=4)
+    qv = (
+        pq.scaled_vectors(emb, "embedding", "vec_id")
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"),
+                F.col("norm_sq").alias("qn"))
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        pq.query_luts(qv, books, m=3)
+    with pytest.raises(ValueError, match="codebook subvector width"):
+        pq.query_luts(qv, books, m=4)
+
+
 def test_encode_assigns_nearest_codeword(spark):
     # two obvious groups per subspace; ids 0/1 seed the 2 codewords
     rows = [

@@ -84,6 +84,43 @@ def test_semdedup_tiling_identical_on_sparse_ids(spark):
     assert max(Counter(r["cell"] for r in cells).values()) > 8
 
 
+def test_semdedup_tiling_chain_clusters_cross_block_edges(spark):
+    # Chain-shaped near-dup clusters (adjacent nodes above threshold,
+    # skip-one below): every edge is a BRIDGE, so any pair the tiled
+    # path drops splits a component and diverges from the single-task
+    # path. Hash-derived blocks scatter ids arbitrarily, so in
+    # off-diagonal tiles the lower id of an edge regularly hashes to
+    # the HIGHER block — an ``ia < ib`` mask there silently loses
+    # those edges (the round-6 ADVICE finding); a clique corpus
+    # cannot see this because its connectivity survives edge loss.
+    import math
+
+    theta = math.radians(1.8)  # cos θ≈0.99951 ≥ th; cos 2θ≈0.99803 < th
+    rows = []
+    for chain, (dx, dy) in enumerate([(0, 1), (2, 3)]):
+        for i in range(10):
+            v = [0.0, 0.0, 0.0, 0.0]
+            v[dx] = math.cos(i * theta)
+            v[dy] = math.sin(i * theta)
+            # ids interleave across chains so block hashes mix freely
+            rows.append((chain + 2 * i * 7, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(k=1, iters=1, threshold=0.999)
+    base = {tuple(r) for r in similarity.semdedup(df, **kw).collect()}
+    tiled = {
+        tuple(r)
+        for r in similarity.semdedup(
+            df, **kw, max_cell_rows=8, block_size=4
+        ).collect()
+    }
+    assert base == tiled
+    # sanity: exactly two components (one per chain), each of size 10
+    from collections import Counter
+
+    comp_sizes = Counter(r[2] for r in base)
+    assert sorted(comp_sizes.values()) == [10, 10]
+
+
 def test_weighted_classifier_known_weights(spark):
     from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.functions.text import (
         md5_long,

@@ -99,6 +99,28 @@ def test_null_key_components_do_not_duplicate(spark, tmp_path, backend):
     assert len(rows) == 1 and rows[0]["v"] == "n"
 
 
+@pytest.mark.parametrize("backend", BACKEND_PARAMS)
+def test_null_partition_replay_noop(spark, tmp_path, backend):
+    # the partition-pruning pre-pass must scope with null-safe
+    # equality: a plain == against a NULL partition value excludes
+    # the __HIVE_DEFAULT_PARTITION__ directory from the "seen" scan,
+    # so replayed NULL-partition rows would be re-inserted even
+    # though the key anti-join itself is null-safe
+    sink = make_sink(
+        spark, str(tmp_path), keys={"t": ["k"]},
+        partitioning={"t": ["p"]}, backend=backend,
+    )
+    b = spark.createDataFrame(
+        [(1, None, "n"), (2, 10, "a")], "k long, p int, v string"
+    )
+    sink.insert_if_absent("t", b)
+    sink.insert_if_absent("t", b)
+    got = sorted(
+        (r["k"], r["p"], r["v"]) for r in sink.read("t").collect()
+    )
+    assert got == [(1, None, "n"), (2, 10, "a")]
+
+
 def test_read_missing_table_returns_none(spark, tmp_path):
     sink = _sink(spark, tmp_path, "parquet")
     assert sink.read("t") is None
