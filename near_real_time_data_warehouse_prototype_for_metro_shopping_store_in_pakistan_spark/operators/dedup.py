@@ -1346,6 +1346,74 @@ def ngram_decontaminate(
     return docs.select(id_col, text_col).mapInPandas(score, out_schema)
 
 
+# Second Rabin-Karp modulus for span gram ids: combined with
+# functions.text.ROLL_MOD as h1*M2+h2 the id space is ~2^60 (M1*M2 <
+# 2^63 keeps the combination in BIGINT on both engines).
+SPAN_HASH_MOD2 = 998_244_353
+
+
+def span_gram_occurrences(
+    tk: DataFrame, span_tokens: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Every ``span_tokens``-wide token window as an occurrence row
+    (id, pos, gh) — the ExactSubstr gram relation, shared by the batch
+    span cutter and the streaming admission surface.
+
+    ``tk`` is (id, _tk array<string>). Per-token 60-bit md5 ids are
+    computed ONCE in the JVM (native md5, O(text bytes) total); the
+    Arrow stage receives only the int64 array and runs the
+    double-modulus polynomial fold as ``span_tokens`` vectorized
+    numpy passes — h = (h·B + t) mod M per step, exact in int64
+    (h·B < 2^38, t < 2^60). No per-window string concat, no
+    per-window md5."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.text import ROLL_BASE, ROLL_MOD
+
+    id_type = tk.schema[id_col].dataType.simpleString()
+    ti = tk.select(
+        id_col,
+        F.transform("_tk", lambda t: md5_long(t)).alias("_ti"),
+    )
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            poss: list = []
+            ghs: list = []
+            for did, tok_ids in zip(pdf[id_col], pdf["_ti"]):
+                nwin = len(tok_ids) - span_tokens + 1
+                if nwin <= 0:
+                    continue
+                t = np.asarray(tok_ids, dtype=np.int64)
+                h1 = np.zeros(nwin, dtype=np.int64)
+                h2 = np.zeros(nwin, dtype=np.int64)
+                for j in range(span_tokens):
+                    seg = t[j : j + nwin]
+                    h1 = (h1 * ROLL_BASE + seg) % ROLL_MOD
+                    h2 = (h2 * ROLL_BASE + seg) % SPAN_HASH_MOD2
+                ids.extend([did] * nwin)
+                poss.extend(range(nwin))
+                ghs.append(h1 * SPAN_HASH_MOD2 + h2)
+            gh = (
+                np.concatenate(ghs)
+                if ghs
+                else np.array([], dtype=np.int64)
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids),
+                    "pos": pd.Series(poss, dtype="int32"),
+                    "gh": pd.Series(gh, dtype="int64"),
+                }
+            )
+
+    return ti.mapInPandas(fold, f"{id_col} {id_type}, pos int, gh long")
+
+
 def remove_duplicate_spans(
     docs: DataFrame,
     span_tokens: int = 15,
@@ -1370,17 +1438,21 @@ def remove_duplicate_spans(
     and the higher id empties; a paragraph shared by two docs survives
     only in the earlier one.
 
-    Plan shape: grams come from per-row JVM expressions (one
-    ``transform`` over token positions — narrow, no explode until the
-    occurrence relation); the occurrence stats are ONE
-    map-side-combinable groupBy(gram hash) carrying count +
-    min-struct canonical; cut coverage explodes ONLY the cut
-    occurrences (≤ span_tokens× their count); reassembly is one
-    groupBy(doc). At 100 TB the gram hash would come from the
-    rolling-hash kernel (functions.text rolling fingerprints) instead
-    of per-window concat — same relation shape; and the stats join is
-    a shuffle on the uniform 60-bit gram hash, skew-free by
-    construction.
+    Plan shape: gram ids come from the Rabin-Karp rolling-hash kernel
+    (the ``bottomk_sketch`` pattern): each token is md5-hashed ONCE in
+    the JVM (O(text bytes) total, vs the old per-window
+    md5-of-concatenation's O(tokens × span) bytes hashed), and the
+    per-window polynomial fold runs as span-step vectorized numpy
+    passes in ONE Arrow ``mapInPandas`` stage — no explode until the
+    occurrence relation. Two moduli fold simultaneously and combine
+    as ``h1·M2 + h2`` (~2^60 id space), so collision odds match the
+    old 60-bit md5 ids — this operator CUTS text, so a gram-id
+    collision is a false-positive cut, not a sketch artifact. The
+    occurrence stats are ONE map-side-combinable groupBy(gram hash)
+    carrying count + min-struct canonical; cut coverage explodes ONLY
+    the cut occurrences (≤ span_tokens× their count); reassembly is
+    one groupBy(doc). The stats join is a shuffle on the uniform
+    combined hash, skew-free by construction.
 
     Returns (id, clean_text, n_tokens, n_removed) for EVERY input doc
     (docs shorter than ``span_tokens`` pass through whole).
@@ -1389,26 +1461,7 @@ def remove_duplicate_spans(
         raise ValueError(f"span_tokens ({span_tokens}) must be >= 2")
     tk = docs.select(id_col, tokens(F.col(text_col)).alias("_tk"))
     n = F.size("_tk")
-    occ = (
-        tk.filter(n >= span_tokens)
-        .select(
-            id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n - span_tokens),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        md5_long(
-                            F.concat_ws(
-                                " ", F.slice("_tk", i + 1, span_tokens)
-                            )
-                        ).alias("gh"),
-                    ),
-                )
-            ).alias("o"),
-        )
-        .select(id_col, F.col("o.pos").alias("pos"), F.col("o.gh").alias("gh"))
-    )
+    occ = span_gram_occurrences(tk, span_tokens, id_col)
     stats = occ.groupBy("gh").agg(
         F.count(F.lit(1)).alias("_c"),
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_canon"),
@@ -1420,6 +1473,19 @@ def remove_duplicate_spans(
             & (F.col("pos") == F.col("_canon.pos"))
         )
     )
+    return cut_spans_and_reassemble(tk, cut, span_tokens, id_col)
+
+
+def cut_spans_and_reassemble(
+    tk: DataFrame, cut: DataFrame, span_tokens: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, clean_text, n_tokens, n_removed) for EVERY doc in ``tk``
+    given the cut occurrence relation (id, pos): explode cut spans to
+    covered token positions (bounded by span_tokens × |cut|), anti-join
+    the token positions, re-join survivors with single spaces. Shared
+    by the batch span cutter and the streaming admission surface so
+    their text reassembly cannot drift."""
+    n = F.size("_tk")
     covered = (
         cut.select(
             id_col,

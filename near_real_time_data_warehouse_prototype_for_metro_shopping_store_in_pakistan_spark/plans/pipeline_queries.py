@@ -854,6 +854,42 @@ def stream_embed_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def stream_substr_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch ExactSubstr span admission
+    (streaming.corpus.admit_span_batch) over a fixed 3-batch replay of
+    the documents table: each batch cuts duplicated spans against
+    itself and all earlier batches' claimed grams, then claims its
+    own; returns the cleaned-doc relation."""
+    import shutil
+    import tempfile
+
+    from ..streaming.corpus import (
+        SUBSTR_CURATED_TABLE,
+        admit_span_batch,
+        substr_warehouse,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % STREAM_ADMIT_DOC_STRIDE == 0)
+        .select("doc_id", "text")
+    )
+    root = tempfile.mkdtemp(prefix="drv_substr_admit_")
+    try:
+        wh = substr_warehouse(spark, root)
+        for b in range(STREAM_ADMIT_BATCHES):
+            admit_span_batch(
+                wh, docs.filter(F.col("doc_id") % STREAM_ADMIT_BATCHES == b)
+            )
+        return (
+            wh.read(SUBSTR_CURATED_TABLE)
+            .select("doc_id", "clean_text", "n_tokens", "n_removed")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means cells confine the near-dup pair search, each
     component keeps its farthest-from-centroid member (similarity.
@@ -993,6 +1029,7 @@ PIPELINE_QUERIES = {
     "corpus_exact_substr_dedup": corpus_exact_substr_dedup,
     "stream_neardup_admission": stream_neardup_admission,
     "stream_embed_admission": stream_embed_admission,
+    "stream_substr_admission": stream_substr_admission,
     "corpus_interdoc_dup": corpus_interdoc_dup,
     "embed_semdedup": embed_semdedup,
     "text_compression": text_compression,
@@ -1386,6 +1423,97 @@ adm{b} AS (
         f"WITH RECURSIVE {_minhash_cte(num_hashes, band_size)},\n"
         + ",\n".join(parts)
         + f"\n{final}"
+    )
+
+
+def _stream_substr_admission_oracle(
+    span: int = EXACT_SUBSTR_SPAN,
+    num_batches: int = STREAM_ADMIT_BATCHES,
+    stride: int = STREAM_ADMIT_DOC_STRIDE,
+) -> str:
+    """Mirror of the 3-batch admit_span_batch replay: per batch, the
+    within-batch canonical-occurrence cut PLUS a cut of every
+    occurrence of a gram claimed by an earlier batch ("first batch
+    wins"), then token reassembly — the exact sequential semantics of
+    streaming.corpus.admit_span_batch. Gram ids are the same
+    double-modulus Rabin-Karp fold as the batch oracle."""
+    from ..functions.text import ROLL_BASE, ROLL_MOD
+    from ..operators.dedup import SPAN_HASH_MOD2
+
+    win = f"ti[i:i + {span - 1}]"
+    fold = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {win}), "
+        f"(acc, c) -> (acc * {ROLL_BASE} + c) % {{M}})"
+    )
+    gram = (
+        f"{fold.format(M=ROLL_MOD)} * {SPAN_HASH_MOD2} "
+        f"+ {fold.format(M=SPAN_HASH_MOD2)}"
+    )
+    parts = [
+        f"""toks AS (
+    SELECT doc_id, {_sql_tokens("text")} AS tk FROM documents
+    WHERE doc_id % {stride} = 0
+),
+occ AS (
+    SELECT doc_id, i - 1 AS pos, {gram} AS gh FROM (
+        SELECT doc_id, tk,
+               list_transform(tk, t -> {_sql_md5_long("t")}) AS ti,
+               unnest(generate_series(1, len(tk) - {span - 1})) AS i
+        FROM toks
+    )
+)"""
+    ]
+    covs = []
+    for b in range(num_batches):
+        foreign = (
+            f"OR gh IN (SELECT gh FROM occ WHERE doc_id % {num_batches} < {b})"
+            if b > 0
+            else ""
+        )
+        parts.append(
+            f"""f{b} AS (
+    SELECT doc_id, pos, gh,
+           COUNT(*) OVER (PARTITION BY gh) AS c,
+           row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+    FROM occ WHERE doc_id % {num_batches} = {b}
+),
+cov{b} AS (
+    SELECT DISTINCT doc_id, pos + o.off AS cpos
+    FROM f{b}, generate_series(0, {span - 1}) o(off)
+    WHERE (c > 1 AND rn <> 1) {foreign}
+)"""
+        )
+        covs.append(f"SELECT * FROM cov{b}")
+    parts.append(
+        f"""covall AS ({' UNION ALL '.join(covs)}),
+tokpos AS (
+    SELECT doc_id, i - 1 AS pos, tk[i] AS tok FROM (
+        SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+        FROM toks
+    )
+),
+kept AS (
+    SELECT t.doc_id, t.pos, t.tok
+    FROM tokpos t LEFT JOIN covall c
+      ON t.doc_id = c.doc_id AND t.pos = c.cpos
+    WHERE c.cpos IS NULL
+),
+agg AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT t.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       CAST(len(t.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
     )
 
 
@@ -2801,10 +2929,22 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 
 
 def _exact_substr_oracle(span: int = EXACT_SUBSTR_SPAN) -> str:
-    """Mirror dedup.remove_duplicate_spans: gram occurrences, count +
-    canonical (first (doc_id, pos)) per gram, cut coverage, token
-    reassembly with single spaces."""
-    gram = _sql_md5_long(f"array_to_string(tk[i:i + {span - 1}], ' ')")
+    """Mirror dedup.remove_duplicate_spans: double-modulus Rabin-Karp
+    gram ids over per-token md5 ids (same fold constants as the Spark
+    kernel), count + canonical (first (doc_id, pos)) per gram, cut
+    coverage, token reassembly with single spaces."""
+    from ..functions.text import ROLL_BASE, ROLL_MOD
+    from ..operators.dedup import SPAN_HASH_MOD2
+
+    win = f"ti[i:i + {span - 1}]"
+    fold = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {win}), "
+        f"(acc, c) -> (acc * {ROLL_BASE} + c) % {{M}})"
+    )
+    gram = (
+        f"{fold.format(M=ROLL_MOD)} * {SPAN_HASH_MOD2} "
+        f"+ {fold.format(M=SPAN_HASH_MOD2)}"
+    )
     return f"""
 WITH toks AS (
     SELECT doc_id, {_sql_tokens("text")} AS tk FROM documents
@@ -2812,6 +2952,7 @@ WITH toks AS (
 occ AS (
     SELECT doc_id, i - 1 AS pos, {gram} AS gh FROM (
         SELECT doc_id, tk,
+               list_transform(tk, t -> {_sql_md5_long("t")}) AS ti,
                unnest(generate_series(1, len(tk) - {span - 1})) AS i
         FROM toks
     )
@@ -3089,6 +3230,7 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "corpus_exact_substr_dedup": _exact_substr_oracle(),
     "stream_neardup_admission": _stream_neardup_admission_oracle(),
     "stream_embed_admission": _stream_embed_admission_oracle(),
+    "stream_substr_admission": _stream_substr_admission_oracle(),
     "corpus_interdoc_dup": _interdoc_oracle(),
     "embed_semdedup": _semdedup_oracle(),
     "dedup_simhash_pairs": _simhash_pairs_oracle(),

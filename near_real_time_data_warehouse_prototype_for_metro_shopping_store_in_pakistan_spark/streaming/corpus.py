@@ -323,6 +323,160 @@ def admit_neardup_batch(
     return admitted
 
 
+SUBSTR_CURATED_TABLE = "substr_curated"
+GRAM_INDEX_TABLE = "gram_index"
+SUBSTR_SPAN_TOKENS = 15
+
+
+def admit_span_batch(
+    warehouse: MergeSink,
+    batch: DataFrame,
+    span_tokens: int = SUBSTR_SPAN_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-batch ExactSubstr admission for one micro-batch: CUT
+    duplicated ≥``span_tokens`` token spans — against both this batch
+    and all corpus history — store the cleaned docs, and claim the
+    batch's gram ids in the persisted gram index. The streaming twin
+    of ``dedup.remove_duplicate_spans`` (Lee et al. 2022), completing
+    the cross-batch treatment every other dedup tier has
+    (``admit_neardup_batch``, ``admit_embedding_batch``).
+
+    Semantics (set-at-a-time, deterministic, replay-idempotent):
+
+    - Within the batch: a gram occurring more than once keeps its
+      canonical occurrence (min (doc_id, pos)), every other occurrence
+      is cut — identical to the batch operator scoped to the batch.
+    - Cross-batch: a gram already claimed in the index by an EARLIER
+      batch is cut at every occurrence, canonical included — its span
+      is already represented in corpus history. "First batch wins"
+      replaces the batch operator's global min — the streaming
+      sequential order is the canonical order.
+    - Cleaned docs land via insert-if-absent on doc_id; then the
+      batch claims ALL its gram ids (insert-if-absent on gh, carrying
+      the batch-canonical owner) — earlier claims win, replays no-op.
+
+    Crash/replay safety, both orders: cleaned docs write FIRST, so a
+    crash before the claim replays with the same foreign set (own
+    grams unclaimed) → identical cuts → doc insert no-ops → claims
+    complete. If both landed, the replay sees its own grams in the
+    index, but hits whose owner doc is IN the batch are exempt (their
+    owner is this very replay), so cuts are again identical and both
+    writes no-op.
+
+    Scale notes: gram ids come from the O(text bytes) rolling-hash
+    Arrow pass (``dedup.span_gram_occurrences``); the index probe and
+    claim are keyed on the uniform ~2^60 combined hash — skew-free,
+    and at cluster scale the index would be bucketed by gh so probe
+    and claim co-locate. Nothing re-reads history except the keyed
+    index join.
+
+    Returns the cleaned batch relation
+    (id, clean_text, n_tokens, n_removed).
+    """
+    from ..functions.text import tokens as _tokens
+    from ..operators.dedup import (
+        cut_spans_and_reassemble,
+        span_gram_occurrences,
+    )
+
+    tk = batch.select(
+        id_col, _tokens(F.col(text_col)).alias("_tk")
+    ).localCheckpoint(eager=False)
+    occ = span_gram_occurrences(tk, span_tokens, id_col).localCheckpoint(
+        eager=False
+    )
+    stats = occ.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_canon"),
+    )
+    idx = warehouse.read(GRAM_INDEX_TABLE)
+    occs = occ.join(stats, "gh")
+    if idx is not None:
+        # claimed by an owner OUTSIDE this batch (own claims = replay)
+        foreign = (
+            idx.join(
+                tk.select(F.col(id_col).alias("owner_doc_id")),
+                "owner_doc_id",
+                "left_anti",
+            )
+            .select("gh")
+            .distinct()
+            .withColumn("_foreign", F.lit(True))
+        )
+        occs = occs.join(foreign, "gh", "left")
+    else:
+        occs = occs.withColumn("_foreign", F.lit(False))
+    cut = occs.filter(
+        F.coalesce(F.col("_foreign"), F.lit(False))
+        | (
+            (F.col("_c") > 1)
+            & ~(
+                (F.col(id_col) == F.col(f"_canon.{id_col}"))
+                & (F.col("pos") == F.col("_canon.pos"))
+            )
+        )
+    )
+    cleaned = cut_spans_and_reassemble(tk, cut, span_tokens, id_col)
+    warehouse.insert_if_absent(SUBSTR_CURATED_TABLE, cleaned)
+    claims = stats.select(
+        "gh",
+        F.col(f"_canon.{id_col}").alias("owner_doc_id"),
+        F.col("_canon.pos").alias("owner_pos"),
+    )
+    warehouse.insert_if_absent(GRAM_INDEX_TABLE, claims)
+    return cleaned
+
+
+def substr_warehouse(
+    spark: SparkSession, corpus_root: str, backend: str = "parquet"
+) -> MergeSink:
+    """The ExactSubstr admission state: cleaned docs keyed on doc_id,
+    gram claims keyed on the combined rolling hash."""
+    return make_sink(
+        spark,
+        corpus_root,
+        keys={
+            SUBSTR_CURATED_TABLE: ["doc_id"],
+            GRAM_INDEX_TABLE: ["gh"],
+        },
+        backend=backend,
+    )
+
+
+def stream_curate_substr(
+    spark: SparkSession,
+    docs_dir: str,
+    corpus_root: str,
+    checkpoint_dir: str,
+    span_tokens: int = SUBSTR_SPAN_TOKENS,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    backend: str = "parquet",
+) -> StreamingQuery:
+    """ExactSubstr span removal as a streaming pipeline: each
+    micro-batch cuts duplicated spans against itself and all corpus
+    history via ``admit_span_batch``. State is plain warehouse tables
+    (cleaned docs + gram index) — no streaming state store, replays
+    are no-ops."""
+    warehouse = substr_warehouse(spark, corpus_root, backend)
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(docs_dir)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        admit_span_batch(warehouse, batch, span_tokens)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_curate_neardup(
     spark: SparkSession,
     docs_dir: str,

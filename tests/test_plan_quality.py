@@ -383,3 +383,21 @@ def test_quantile_prune_has_no_global_window(spark, sf_dir):
     assert lines, "expected window specs in the prefix-sum scan"
     for ln in lines:
         assert "_pid" in ln, f"global window found: {ln}"
+
+
+def test_span_removal_bounded_shuffles_no_per_window_md5(spark, sf_dir):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(dedup.remove_duplicate_spans(docs))
+    # gram-stats groupBy(gh), cut-coverage anti-join, doc reassembly:
+    # bounded exchange count, never a cartesian product
+    assert "CartesianProduct" not in plan
+    assert n_hash_exchanges(plan) <= 4
+    # gram ids come from the Arrow rolling-hash fold over per-token
+    # md5 ids — the plan must NOT contain a per-window
+    # md5(concat_ws(slice(...))) expression (O(tokens×span) bytes
+    # hashed); per-token md5 appears inside one transform only
+    assert "concat_ws" not in plan.lower() or "slice" not in plan.lower()

@@ -293,3 +293,72 @@ def test_curate_batch_classifier_gate(spark):
     # permissive cutoff keeps both
     kept = sc.curate_batch(docs, ev, min_classifier_score=min(lo[1], hi[1]))
     assert {r.doc_id for r in kept.collect()} == {1, 2}
+
+
+def test_admit_span_batch_cuts_cross_batch_and_replays_noop(spark, tmp_path):
+    wh = sc.substr_warehouse(spark, str(tmp_path / "swh"))
+    para = " ".join(f"w{i}" for i in range(20))  # 20-token shared span
+    uniq1 = " ".join(f"a{i}" for i in range(10))
+    uniq2 = " ".join(f"b{i}" for i in range(10))
+    b1 = spark.createDataFrame(
+        [(1, f"{uniq1} {para}"), (2, f"{para} {uniq2}")],
+        "doc_id long, text string",
+    )
+    got1 = {r.doc_id: r for r in sc.admit_span_batch(wh, b1).collect()}
+    # within-batch: canonical (doc 1's) occurrence survives, doc 2's cut
+    assert got1[1].n_removed == 0
+    assert got1[2].n_removed == 20
+    assert got1[2].clean_text == uniq2
+    n_cur = spark.read.parquet(wh.path(sc.SUBSTR_CURATED_TABLE)).count()
+    n_idx = spark.read.parquet(wh.path(sc.GRAM_INDEX_TABLE)).count()
+    # exact replay: identical cuts, no table growth
+    again = {r.doc_id: r for r in sc.admit_span_batch(wh, b1).collect()}
+    assert {k: (v.clean_text, v.n_removed) for k, v in again.items()} == {
+        k: (v.clean_text, v.n_removed) for k, v in got1.items()
+    }
+    assert spark.read.parquet(wh.path(sc.SUBSTR_CURATED_TABLE)).count() == n_cur
+    assert spark.read.parquet(wh.path(sc.GRAM_INDEX_TABLE)).count() == n_idx
+    # later batch: the shared span is claimed by batch 1 -> cut whole,
+    # even its (batch-locally canonical) first occurrence; novel doc
+    # passes through untouched
+    uniq3 = " ".join(f"c{i}" for i in range(16))
+    b2 = spark.createDataFrame(
+        [(9, f"{para} {uniq3}"), (8, " ".join(f"d{i}" for i in range(21)))],
+        "doc_id long, text string",
+    )
+    got2 = {r.doc_id: r for r in sc.admit_span_batch(wh, b2).collect()}
+    assert got2[9].n_removed == 20
+    assert got2[9].clean_text == uniq3
+    assert got2[8].n_removed == 0
+
+
+def test_stream_curate_substr_equals_sequential_batches(spark, tmp_path):
+    # the streaming pipeline over 3 file-chunks must equal running
+    # admit_span_batch over the same batches by hand
+    rows = []
+    para = " ".join(f"s{i}" for i in range(18))
+    for i in range(12):
+        filler = " ".join(f"u{i}_{j}" for j in range(12))
+        text = f"{filler} {para}" if i % 2 == 0 else filler
+        rows.append((i, text, "en", "s", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    src = str(tmp_path / "docs_chunks")
+    docs.withColumn("_b", F.col("doc_id") % 3).repartition(3, "_b").drop(
+        "_b"
+    ).write.parquet(src)
+    root = str(tmp_path / "sub_wh")
+    q = sc.stream_curate_substr(
+        spark, src, root, str(tmp_path / "ckpt_sub"), max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.clean_text, r.n_removed)
+        for r in spark.read.parquet(f"{root}/{sc.SUBSTR_CURATED_TABLE}").collect()
+    }
+    assert len(got) == 12
+    # every doc carrying the shared paragraph except ONE canonical
+    # occurrence lost exactly 18 tokens
+    removed = sorted(r[2] for r in got if r[2] > 0)
+    assert removed == [18] * 5
