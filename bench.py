@@ -201,6 +201,57 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
 
+    if "--replica-gate" in sys.argv:
+        # Full local replica of the driver's correctness gate at
+        # sf0.01: every queries() row vs its oracle_sql() (rows +
+        # schema + value hash), written to CORRECTNESS_local_r*.json.
+        # The driver's own window covers a fixed 50-row subset of the
+        # contract; this artifact machine-checks ALL rows each round
+        # so the replica-only rows cannot regress silently.
+        import importlib.util
+
+        rnd = next(
+            (a.split("=", 1)[1] for a in sys.argv if a.startswith("--round=")),
+            "x",
+        )
+        spec = importlib.util.spec_from_file_location(
+            "__spark_entry__",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "__spark_entry__.py"),
+        )
+        entrymod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entrymod)
+        from tests.oracle_harness import compare, duckdb_connection
+
+        spark = get_spark(app_name="metro-replica-gate")
+        spark.sparkContext.setLogLevel("ERROR")
+        gate_sf = "/root/testdata/sf0.01"
+        con = duckdb_connection(gate_sf)
+        q, o = entrymod.queries(), entrymod.oracle_sql()
+        res = {}
+        for name in sorted(q):
+            try:
+                if name in o:
+                    compare(q[name](spark, gate_sf), con, o[name], name)
+                    res[name] = "OK"
+                else:
+                    assert q[name](spark, gate_sf).count() >= 0
+                    res[name] = "OK (rows-only, no SQL oracle)"
+            except Exception as e:  # noqa: BLE001 — gate records, never dies
+                res[name] = "FAIL: " + str(e)[:200]
+            print(res[name].split(":")[0], name, file=sys.stderr, flush=True)
+        ok = sum(1 for v in res.values() if v.startswith("OK"))
+        out = {"total": len(res), "ok": ok, "detail": res}
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            f"CORRECTNESS_local_r{rnd}.json")
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+        print(json.dumps({"metric": "replica_gate", "total": len(res),
+                          "ok": ok, "file": os.path.basename(path)}),
+              flush=True)
+        return
+
     if "--curation-scaling" in sys.argv:
         spark = get_spark(app_name="metro-bench-curation")
         spark.sparkContext.setLogLevel("ERROR")

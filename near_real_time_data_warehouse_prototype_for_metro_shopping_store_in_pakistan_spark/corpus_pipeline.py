@@ -122,6 +122,17 @@ class CorpusPipeline:
             raise ValueError(f"no curated table under {self.root}")
         return got
 
+    def cut_spans(
+        self, docs: DataFrame, span_tokens: int = 15
+    ) -> DataFrame:
+        """ExactSubstr span removal (Lee et al. 2022): cut duplicated
+        ≥``span_tokens`` token spans, keeping each span's canonical
+        occurrence — the span-granular tier below ``dedup``'s
+        whole-document keepers. Returns (doc_id, clean_text,
+        n_tokens, n_removed); the streaming twin is
+        ``run_stream_substr``."""
+        return _dedup.remove_duplicate_spans(docs, span_tokens=span_tokens)
+
     def chunk(
         self, docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
     ) -> DataFrame:
@@ -172,5 +183,29 @@ class CorpusPipeline:
             max_files_per_trigger=max_files_per_trigger,
             redact_pii=redact_pii,
             min_classifier_score=min_classifier_score,
+            backend=self.backend,
+        )
+
+    def run_stream_substr(
+        self,
+        docs_dir: str,
+        checkpoint_dir: str,
+        span_tokens: int = 15,
+        max_files_per_trigger: int | None = None,
+    ) -> StreamingQuery:
+        """Streaming ExactSubstr span removal: each micro-batch cuts
+        duplicated spans against itself and the persisted gram index
+        (first batch wins, replays no-op) — see
+        streaming.corpus.admit_span_batch. Uses its own tables
+        (substr_curated / gram_index) under the same corpus root."""
+        from .streaming.corpus import stream_curate_substr
+
+        return stream_curate_substr(
+            self.spark,
+            docs_dir,
+            self.root,
+            checkpoint_dir,
+            span_tokens=span_tokens,
+            max_files_per_trigger=max_files_per_trigger,
             backend=self.backend,
         )

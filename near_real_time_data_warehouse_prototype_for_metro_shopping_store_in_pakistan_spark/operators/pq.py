@@ -21,14 +21,19 @@ Design decisions, all in service of the repo's determinism doctrine
   one run per subspace over the sliced micro-unit vectors, seeded
   from the corpus prefix (ids < ksub). Integer centroids mean the
   encode argmin and the ADC lookup table are integer-exact too.
-- PQ here encodes the RAW vector, not the residual against the
-  coarse centroid (FAISS ``by_residual=false``). Residual encoding
-  is more accurate per bit but couples the codebooks to the coarse
-  quantizer; raw encoding keeps the two quantizers independent,
-  which is what lets the codes answer queries under ANY cell layout
-  (and keeps the oracle tractable). The accuracy gap is measured,
-  not guessed: ``ann_recall_report`` pins IVF-PQ recall beside the
-  exact/LSH/IVF variants.
+- BOTH encodings are implemented: ``pq_codebooks``/``pq_encode``
+  encode the RAW vector (FAISS ``by_residual=false`` — quantizers
+  stay independent, codes answer queries under ANY cell layout),
+  and ``pq_codebooks_residual``/``pq_encode_residual``/
+  ``ann_ivfpq_res_topk`` encode the residual against the coarse
+  centroid (FAISS's default ``by_residual=true`` — tighter
+  distribution per codeword, coupled to the coarse quantizer). The
+  accuracy trade is measured, not guessed: ``ann_recall_report``
+  pins both beside the exact/LSH/IVF variants (on the near-uniform
+  synthetic corpus they tie — residual's win materializes on
+  naturally CLUSTERED embeddings, where residual norms are far
+  below vector norms; the report re-measures on whatever corpus it
+  is pointed at).
 - Norms are stored per vector (8 B): cosine needs ``1/|x|``, which
   codes alone cannot reconstruct.
 
@@ -387,6 +392,206 @@ def ann_ivfpq_topk(
     ).filter(F.col("query_id") != F.col(id_col))
     scored = cand.join(F.broadcast(luts), "query_id")
     adc_cos = adc_dot() / (
+        F.sqrt(F.col("qn").cast("double"))
+        * F.sqrt(F.col("norm_sq").cast("double"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            adc_cos.alias("adc_cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _residual_vectors(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell, r array<long>, norm_sq): each quantized vector's
+    residual against its assigned coarse centroid (r = q - c_cell,
+    exact int64 micro-units), plus the RAW vector's stored norm —
+    codes cannot reconstruct |x|, so serving keeps the true norm
+    regardless of what the codebooks encode."""
+    v = scaled_vectors(emb, vec_col, id_col)
+    assigned = ivf_assignments(
+        emb, vec_col=vec_col, id_col=id_col, centroids=centroids
+    ).select(id_col, "cell")
+    cc = F.broadcast(
+        centroids.select(
+            F.col("centroid_id").alias("cell"), F.col("cq").alias("_ccq")
+        )
+    )
+    return (
+        v.join(assigned, id_col)
+        .join(cc, "cell")
+        .select(
+            id_col,
+            "cell",
+            F.zip_with("q", "_ccq", lambda a, b: a - b).alias("r"),
+            "norm_sq",
+        )
+    )
+
+
+def pq_codebooks_residual(
+    emb: DataFrame,
+    centroids: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Codebooks over RESIDUALS against the coarse centroids — FAISS's
+    default ``by_residual=true`` (Jégou et al. 2011 §IV): residuals
+    concentrate near zero, so the same ksub codewords spend their
+    precision on a tighter distribution and recall at equal bytes
+    improves. The cost is coupling: these codebooks are only valid
+    with the coarse quantizer they were trained against (the
+    independence trade-off pq_codebooks documents). Training is the
+    identical fused grouped-Lloyd job over sliced residual vectors —
+    integer-exact, same seeds/tie-breaks, so the unrolled oracle CTEs
+    mirror it term for term."""
+    dim = _vec_dim(emb, vec_col)
+    if dim % m != 0:
+        raise ValueError(
+            f"m ({m}) must divide the vector width ({dim}): PQ slices "
+            "the vector into m equal contiguous subvectors"
+        )
+    w = dim // m
+    res = _residual_vectors(emb, centroids, vec_col, id_col)
+    sub = res.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        F.slice("r", j * w + 1, w).alias("q"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        id_col, F.col("s.subspace").alias("subspace"), F.col("s.q").alias("q")
+    )
+    cents = _grouped_kmeans_iterate(sub, ksub, iters, id_col)
+    return cents.select(
+        "subspace", F.col("centroid_id").cast("int").alias("code"), "cq"
+    )
+
+
+def pq_encode_residual(
+    emb: DataFrame,
+    centroids: DataFrame,
+    books: DataFrame,
+    m: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector's residual as m codes:
+    (id, cell, codes array<int>, norm_sq long). Same ZERO-shuffle
+    broadcast-codebook argmin as ``pq_encode``, over the residual
+    slices; the cell rides along so serving needs no second coarse
+    assignment."""
+    res = _residual_vectors(emb, centroids, vec_col, id_col)
+    w = F.lit(_validated_subwidth(res, "r", books, m))
+
+    def best_code(book, j):
+        sub = F.slice(F.col("r"), j * w + 1, w)
+        scored = F.transform(
+            book,
+            lambda e: F.struct(
+                (-_sq_dist(sub, e["cq"])).alias("neg_d"),
+                (-e["code"]).alias("neg_code"),
+            ),
+        )
+        return (-F.array_max(scored)["neg_code"]).cast("int")
+
+    return res.crossJoin(_books_row(books)).select(
+        id_col,
+        "cell",
+        F.transform("books", best_code).alias("codes"),
+        "norm_sq",
+    )
+
+
+def ann_ivfpq_res_topk(
+    emb: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    books: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k with residual encoding (``by_residual=true``).
+
+    ADC decomposes exactly: x̂ = c_cell + decode(codes), so
+    ``<q, x̂> = <q, c_cell> + Σⱼ LUT[j][cⱼ]`` — the lookup table stays
+    CELL-INDEPENDENT (raw query slices against residual codewords,
+    built once per query like the raw variant) and the coarse term is
+    one integer dot per (query, probed cell): ≤ num_queries × n_probe
+    extra rows, broadcast. Serving cost is therefore identical to
+    ``ann_ivfpq_topk`` plus a metadata-scale addend.
+
+    Returns (query_id, neighbor_id, adc_cosine, rank)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(emb, k=n_centroids, iters=iters,
+                              vec_col=vec_col, id_col=id_col)
+    ).localCheckpoint(eager=False)
+    if books is None:
+        books = pq_codebooks_residual(
+            emb, cents, m, ksub, iters, vec_col, id_col
+        )
+    books = books.localCheckpoint(eager=False)
+    index = pq_encode_residual(emb, cents, books, m, vec_col, id_col)
+
+    v = scaled_vectors(emb, vec_col, id_col)
+    qv = v.filter(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("norm_sq").alias("qn"),
+    )
+    probes = probe_cells(qv, _centroid_array_from(cents), n_probe)
+    luts = query_luts(qv, books, m)
+    qc = (
+        probes.join(
+            F.broadcast(
+                cents.select(
+                    F.col("centroid_id").alias("cell"),
+                    F.col("cq").alias("_ccq"),
+                )
+            ),
+            "cell",
+        )
+        .select(
+            "query_id", "cell", _dot(F.col("qq"), F.col("_ccq")).alias("_qc")
+        )
+    )
+    cand = index.join(
+        F.broadcast(probes.select("query_id", "cell").distinct()), "cell"
+    ).filter(F.col("query_id") != F.col(id_col))
+    scored = cand.join(F.broadcast(qc), ["query_id", "cell"]).join(
+        F.broadcast(luts), "query_id"
+    )
+    adc_cos = (F.col("_qc") + adc_dot()) / (
         F.sqrt(F.col("qn").cast("double"))
         * F.sqrt(F.col("norm_sq").cast("double"))
     )

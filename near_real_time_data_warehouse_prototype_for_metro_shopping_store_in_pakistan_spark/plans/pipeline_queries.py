@@ -259,6 +259,27 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfpq_res_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search with RESIDUAL encoding (FAISS by_residual=true):
+    codebooks trained on residuals against the coarse centroids, ADC
+    scores decomposed as <q,c_cell> + LUT sum (operators.pq.
+    ann_ivfpq_res_topk) — the accuracy-per-byte upgrade a production
+    deployment defaults to; its recall delta vs raw encoding is
+    measured in ann_recall_report."""
+    from ..operators import pq
+
+    return pq.ann_ivfpq_res_topk(
+        table(spark, sf_dir, "embeddings"),
+        num_queries=ANN_NUM_QUERIES,
+        k=ANN_K,
+        n_centroids=ANN_IVF_CENTROIDS,
+        n_probe=ANN_IVF_PROBE,
+        m=ANN_PQ_M,
+        ksub=ANN_PQ_KSUB,
+        iters=2,
+    )
+
+
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall, promoted from a unit-test floor to a pinned measurement
     query: per-query overlap counts of each approximate ANN index's
@@ -341,11 +362,28 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("ivfpq_hits"))
     )
+    ivfpq_res = _pq.ann_ivfpq_res_topk(
+        emb,
+        num_queries=ANN_NUM_QUERIES,
+        k=ANN_K,
+        n_centroids=ANN_IVF_CENTROIDS,
+        n_probe=ANN_IVF_PROBE,
+        m=ANN_PQ_M,
+        ksub=ANN_PQ_KSUB,
+        iters=2,
+        centroids=cents,
+    ).select("query_id", "neighbor_id")
+    rhits = (
+        exact.join(ivfpq_res, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("ivfpq_res_hits"))
+    )
     return (
         base.join(lhits, "query_id", "left")
         .join(ihits, "query_id", "left")
         .join(thits, "query_id", "left")
         .join(phits, "query_id", "left")
+        .join(rhits, "query_id", "left")
         .select(
             "query_id",
             "n_exact",
@@ -355,6 +393,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ivf_trained_hits"
             ),
             F.coalesce("ivfpq_hits", F.lit(0)).alias("ivfpq_hits"),
+            F.coalesce("ivfpq_res_hits", F.lit(0)).alias("ivfpq_res_hits"),
         )
     )
 
@@ -994,6 +1033,7 @@ PIPELINE_QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_res_topk": ann_ivfpq_res_topk,
     "ann_recall_report": ann_recall_report,
     "embed_kmeans_cells": embed_kmeans_cells,
     "embed_decontaminate": embed_decontaminate,
@@ -1809,6 +1849,147 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}
 """
 
+def _ivfpq_res_oracle(
+    n_centroids: int = ANN_IVF_CENTROIDS,
+    iters: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+) -> str:
+    """Mirror of operators.pq.ann_ivfpq_res_topk: the coarse chain and
+    assignment of the raw-PQ oracle, then per-subspace Lloyd chains
+    over sliced RESIDUAL vectors (r = q - c_cell), residual-slice
+    argmin encode, LUTs of raw query slices against residual
+    codewords, and scoring as <q, c_cell> + LUT sum (the cdots CTE
+    already holds every <vec, centroid> dot, so the coarse term is a
+    reuse, not a re-derivation)."""
+    w = dim // m
+    dist = _KMEANS_DIST
+    subspace_ctes = []
+    for j in range(m):
+        lo, hi = j * w + 1, (j + 1) * w
+        # rv{j}: raw slices (LUT side); v{j}: residual slices
+        # (training + encode side)
+        subspace_ctes.append(
+            f"rv{j} AS (SELECT vec_id, q[{lo}:{hi}] AS q FROM v)"
+        )
+        subspace_ctes.append(
+            f"v{j} AS (SELECT vec_id, r[{lo}:{hi}] AS q FROM resv)"
+        )
+        subspace_ctes.append(
+            _kmeans_ctes(ksub, iters, with_v=False, prefix=f"s{j}", src=f"v{j}")
+        )
+    encs = ",\n".join(
+        f"""enc{j} AS (
+    SELECT vec_id, code FROM (
+        SELECT v.vec_id, c.centroid_id AS code,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {dist}, c.centroid_id
+               ) AS rn
+        FROM v{j} v CROSS JOIN s{j}c{iters} c
+    ) WHERE rn = 1
+)"""
+        for j in range(m)
+    )
+    encall = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS subspace, code FROM enc{j}" for j in range(m)
+    )
+    luts = ",\n".join(
+        f"""lut{j} AS (
+    SELECT qs.vec_id AS query_id, c.centroid_id AS code,
+           list_sum(list_transform(generate_series(1, len(qs.q)),
+                                   i -> qs.q[i] * c.cq[i])) AS dot
+    FROM (SELECT vec_id, q FROM rv{j} WHERE vec_id < {ANN_NUM_QUERIES}) qs
+    CROSS JOIN s{j}c{iters} c
+)"""
+        for j in range(m)
+    )
+    lutall = " UNION ALL ".join(
+        f"SELECT query_id, {j} AS subspace, code, dot FROM lut{j}"
+        for j in range(m)
+    )
+    return f"""WITH {_SCALED_VECS},
+{_kmeans_ctes(n_centroids, iters, with_v=False)},
+celem AS (
+    SELECT centroid_id, unnest(generate_series(1, len(cq))) AS i,
+           unnest(cq) AS val
+    FROM c{iters}
+),
+cn AS (SELECT centroid_id, SUM(val * val) AS norm_sq FROM celem GROUP BY 1),
+cdots AS (
+    SELECT a.vec_id AS vid, c.centroid_id, SUM(a.val * c.val) AS dot
+    FROM elem a JOIN celem c ON a.i = c.i
+    GROUP BY 1, 2
+),
+cscored AS (
+    SELECT vid, cdots.centroid_id,
+           CAST(dot AS DOUBLE)
+           / (sqrt(CAST(n1.norm_sq AS DOUBLE)) * sqrt(CAST(cn.norm_sq AS DOUBLE)))
+           AS ccos
+    FROM cdots
+    JOIN norms n1 ON vid = n1.vec_id
+    JOIN cn ON cdots.centroid_id = cn.centroid_id
+),
+assign AS (
+    SELECT vid, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+        FROM cscored
+    ) WHERE rn = 1
+),
+resv AS (
+    SELECT v.vec_id,
+           list_transform(generate_series(1, len(v.q)),
+                          i -> v.q[i] - c.cq[i]) AS r
+    FROM v
+    JOIN assign a ON v.vec_id = a.vid
+    JOIN c{iters} c ON a.cell = c.centroid_id
+),
+{",".join(subspace_ctes)},
+probes AS (
+    SELECT vid AS query_id, centroid_id AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vid ORDER BY ccos DESC, centroid_id) AS rn
+        FROM cscored WHERE vid < {ANN_NUM_QUERIES}
+    ) WHERE rn <= {ANN_IVF_PROBE}
+),
+cand AS (
+    SELECT p.query_id, p.cell, a.vid AS neighbor_id
+    FROM probes p JOIN assign a ON p.cell = a.cell AND a.vid != p.query_id
+),
+{encs},
+encall AS ({encall}),
+{luts},
+lutall AS ({lutall}),
+adc AS (
+    SELECT c.query_id, c.cell, c.neighbor_id, SUM(l.dot) AS dot
+    FROM cand c
+    JOIN encall e ON e.vec_id = c.neighbor_id
+    JOIN lutall l ON l.query_id = c.query_id
+                 AND l.subspace = e.subspace AND l.code = e.code
+    GROUP BY 1, 2, 3
+),
+scored AS (
+    SELECT a.query_id, a.neighbor_id,
+           CAST(qc.dot + a.dot AS DOUBLE)
+           / (sqrt(CAST(qn.norm_sq AS DOUBLE)) * sqrt(CAST(nn.norm_sq AS DOUBLE)))
+           AS adc_cosine
+    FROM adc a
+    JOIN cdots qc ON qc.vid = a.query_id AND qc.centroid_id = a.cell
+    JOIN norms qn ON a.query_id = qn.vec_id
+    JOIN norms nn ON a.neighbor_id = nn.vec_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id
+    ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, adc_cosine, rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 # Recall report: the four ANN oracles compose as derived tables (each
 # carries its own WITH scope), so this stays definitionally tied to
 # the per-variant gates — no re-derivation to drift. A function
@@ -1820,12 +2001,14 @@ SELECT e.query_id,
        count(l.neighbor_id) AS lsh_hits,
        count(i.neighbor_id) AS ivf_hits,
        count(t.neighbor_id) AS ivf_trained_hits,
-       count(p.neighbor_id) AS ivfpq_hits
+       count(p.neighbor_id) AS ivfpq_hits,
+       count(r.neighbor_id) AS ivfpq_res_hits
 FROM ({topk}) e
 LEFT JOIN ({lsh}) l USING (query_id, neighbor_id)
 LEFT JOIN ({ivf}) i USING (query_id, neighbor_id)
 LEFT JOIN ({trained}) t USING (query_id, neighbor_id)
 LEFT JOIN ({ivfpq}) p USING (query_id, neighbor_id)
+LEFT JOIN ({ivfpq_res}) r USING (query_id, neighbor_id)
 GROUP BY e.query_id
 """.format(
         topk=ORACLE_ANN_TOPK,
@@ -1833,6 +2016,7 @@ GROUP BY e.query_id
         ivf=ORACLE_ANN_IVF,
         trained=_ivf_trained_oracle(),
         ivfpq=_ivfpq_oracle(),
+        ivfpq_res=_ivfpq_res_oracle(),
     )
 
 # Multimodal fake-decode oracle: every field is the same pure function
@@ -3194,6 +3378,7 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_ivf_trained_topk": _ivf_trained_oracle(),
     "ann_ivfpq_topk": _ivfpq_oracle(),
+    "ann_ivfpq_res_topk": _ivfpq_res_oracle(),
     "ann_recall_report": _ann_recall_oracle(),
     "embed_cosine_neardup": ORACLE_EMBED_NEARDUP,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,

@@ -118,6 +118,10 @@ def operators(spark, docs):
         "interdoc_dup": lambda: text_profile.interdoc_dup_stats(docs),
         "curation_funnel_flags": lambda: text_profile.curation_flags(docs),
         "repetition": lambda: text_profile.repetition_stats(docs),
+        "span_removal": lambda: dedup.remove_duplicate_spans(docs),
+        "quantile_prune": lambda: classify.quantile_prune(
+            classify.hashed_linear_score(docs)
+        ),
     }
 
 
@@ -160,10 +164,18 @@ def make_embeddings(spark, n_vecs: int, out_dir: str) -> None:
 
 def emb_operators(spark, emb):
     from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        pq,
         similarity,
     )
 
+    # codebooks train once OUTSIDE the timed thunk (eager checkpoint):
+    # production trains on a sample and reuses — the scaling question
+    # is the per-vector ENCODE cost
+    books = pq.pq_codebooks(emb, m=4, ksub=16, iters=1).localCheckpoint(
+        eager=True
+    )
     return {
+        "pq_encode": lambda: pq.pq_encode(emb, books, m=4),
         "kmeans_cells": lambda: similarity.kmeans_cells(emb, k=16, iters=2),
         "semdedup": lambda: similarity.semdedup(
             emb, k=16, iters=2, threshold=0.95

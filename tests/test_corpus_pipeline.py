@@ -101,3 +101,37 @@ def test_dedup_ladder_method_cuts_exact_clones(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_facade_cut_spans_and_stream_substr(spark, tmp_path):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.corpus_pipeline import (
+        CorpusPipeline,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.corpus import (
+        SUBSTR_CURATED_TABLE,
+    )
+    from pyspark.sql import functions as F
+
+    para = " ".join(f"p{i}" for i in range(20))
+    rows = [
+        (0, f"{para} " + " ".join(f"a{j}" for j in range(8)), "en", "s", 1),
+        (1, " ".join(f"b{j}" for j in range(25)), "en", "s", 1),
+        (2, f"{para} " + " ".join(f"c{j}" for j in range(8)), "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    cp = CorpusPipeline(spark, str(tmp_path / "corpus"))
+    got = {r.doc_id: r.n_removed for r in cp.cut_spans(docs).collect()}
+    assert got == {0: 0, 1: 0, 2: 20}
+    # streaming twin over one chunk equals the batch cut here
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    q = cp.run_stream_substr(src, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    streamed = {
+        r.doc_id: r.n_removed
+        for r in cp.warehouse.read(SUBSTR_CURATED_TABLE).collect()
+    }
+    assert streamed == got

@@ -130,9 +130,12 @@ def test_upsert_anti_join_is_partition_pruned(spark, tmp_path):
     keys = wh._existing_keys("sales_fact", incoming, wh.read("sales_fact"))
     plan = plan_of(keys)
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
-    # static per-partition equality predicates, pushed to the scan
+    # static per-partition null-safe equality predicates, pushed to
+    # the scan (eqNullSafe renders as <=> and still partition-prunes;
+    # plain = would silently exclude the null partition from the
+    # seen-set and re-insert replayed NULL-partition rows)
     assert "year" in pf_line and "month" in pf_line
-    assert "2019" in pf_line and "= 1)" in pf_line
+    assert "2019" in pf_line and "<=> 1)" in pf_line
     # only the touched partition's keys are read
     assert {r.order_id for r in keys.collect()} == {"O1", "O2"}
 

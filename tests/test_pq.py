@@ -207,3 +207,65 @@ def test_grouped_training_identical_to_per_subspace(spark):
             for r in _kmeans_iterate(sub, ksub, iters, "vec_id").collect()
         }
         assert {k: got[k] for k in want} == want
+
+
+def test_residual_adc_exact_when_residuals_are_zero(spark):
+    # every vector IS one of the 4 coarse centroids (ids 0-3 seed
+    # k-means with exactly the 4 distinct values, so Lloyd converges
+    # to them): residuals are all-zero, every LUT entry is <q_slice,0>
+    # = 0, and the residual ADC reduces to <q, c_cell> = <q, x> —
+    # bit-identical to the exact cosine top-k, scores included
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        similarity,
+    )
+
+    bases = [
+        [1.0, 0.0, 0.5, -0.5],
+        [0.0, 1.0, -0.5, 0.5],
+        [0.5, 0.5, 1.0, 0.0],
+        [-0.5, 0.5, 0.0, 1.0],
+    ]
+    rows = [(i, bases[i % 4]) for i in range(20)]
+    emb = _emb(spark, rows)
+    got = {
+        tuple(r)
+        for r in pq.ann_ivfpq_res_topk(
+            emb, num_queries=3, k=4, n_centroids=4, n_probe=4,
+            m=2, ksub=4, iters=2,
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in similarity.cosine_topk(emb, num_queries=3, k=4).collect()
+    }
+    # column orders match: (query_id, neighbor_id, score, rank)
+    assert got == want
+
+
+def test_residual_books_differ_from_raw_books(spark):
+    # residual codebooks are trained on q - c_cell; on a corpus with
+    # non-trivial spread they must differ from raw codebooks (guards
+    # against accidentally wiring the raw trainer into the residual
+    # path)
+    rows = [
+        (i, [float((i * 7) % 13) - 6.0, float((i * 5) % 11) - 5.0,
+             float(i % 9) - 4.0, float((i * 3) % 7) - 3.0])
+        for i in range(24)
+    ]
+    emb = _emb(spark, rows)
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(emb, k=4, iters=1)
+    raw = {
+        (r["subspace"], r["code"], tuple(r["cq"]))
+        for r in pq.pq_codebooks(emb, m=2, ksub=4, iters=1).collect()
+    }
+    res = {
+        (r["subspace"], r["code"], tuple(r["cq"]))
+        for r in pq.pq_codebooks_residual(
+            emb, cents, m=2, ksub=4, iters=1
+        ).collect()
+    }
+    assert raw != res
