@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_long, tokens
+from .partitioning import SAMPLE_DENOM
 
 N_BUCKETS = 4096
 # weight(b) = md5_long('w|' || b) % 2001 - 1000  ->  integer in
@@ -176,4 +177,147 @@ def weighted_linear_score(
             F.col("score_sum").cast("long").alias("score_sum"),
             (F.col("score_sum") >= threshold).alias("keep"),
         )
+    )
+
+
+# --- DSIR: Data Selection via Importance Resampling -------------------
+# (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling"): estimate how target-like every raw document is as the
+# likelihood ratio p_target(x)/p_raw(x) under two hashed-n-gram
+# bag-of-words models, then resample the raw corpus by that weight.
+#
+# Integer doctrine adaptation (same reasoning as tf-idf's rational idf
+# and text_profile.LM_SCALE): per-bucket Laplace-smoothed likelihood
+# ratios are exact integer rationals at 6 digits; the document weight
+# is the feature-count-weighted ARITHMETIC mean of its buckets' scaled
+# ratios rather than the paper's geometric (log-sum) mean — log is not
+# hash-exact across engines and double sums are partition-order-
+# dependent. Monotone the same way: buckets relatively overrepresented
+# in the target pull the weight above DSIR_SCALE, underrepresented
+# ones pull it below.
+#
+# Intermediates run in 128-bit integers (Spark DECIMAL(38,0) — its
+# `div` returns a LONG which wraps past 2^63, so per-bucket ratios are
+# capped at DSIR_RATIO_CAP·DSIR_SCALE; DuckDB HUGEINT mirrors both the
+# products and the cap).
+DSIR_SCALE = 1_000_000
+DSIR_RATIO_CAP = 1_000_000  # ratios clip at 10^6× target-enriched
+DSIR_TARGET_RATE = 0.05
+DSIR_BUCKETS = 1024
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_rate: float = DSIR_TARGET_RATE,
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed unigram+bigram importance weights for every document.
+
+    The target split is carved deterministically from the corpus
+    itself (md5 split at ``target_rate``, the embed_decontaminate
+    pattern) so the pinned query is self-contained; a real deployment
+    would feed bucket counts from an external target corpus — the
+    count relations are the only coupling point.
+
+    Plan shape (the 100 TB story): tokenize + hash to buckets as JVM
+    expressions; ONE map-side-combinable groupBy builds the per-doc
+    bucket relation; both n-gram models derive from it (n_buckets-
+    bounded — the "model" is a ≤2·n_buckets-row table, broadcast by
+    construction); scoring is a broadcast join + one per-doc
+    aggregate. No windows, no all-pairs, no Python.
+
+    Returns one row per doc: (id, is_target, n_feats, weight_scaled,
+    keep) — weight_scaled NULL for target docs and feature-less docs;
+    keep = raw doc with weight_scaled > DSIR_SCALE (more target-like
+    than raw-like; compose quantile_prune for a top-p% cut instead).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    uni = F.transform(
+        toks, lambda t: md5_long(F.concat(F.lit("u|"), t)) % n_buckets
+    )
+    # sequence(1, n-1) DESCENDS when n < 2 — guard to empty
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: md5_long(
+                F.concat(
+                    F.lit("b|"),
+                    F.element_at(toks, i),
+                    F.lit(" "),
+                    F.element_at(toks, i + F.lit(1)),
+                )
+            )
+            % n_buckets,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    is_target = (
+        md5_long(F.concat(F.col(id_col).cast("string"), F.lit("|dsir")))
+        % SAMPLE_DENOM
+    ) < int(target_rate * SAMPLE_DENOM)
+
+    feats = (
+        docs.select(
+            F.col(id_col),
+            is_target.alias("is_target"),
+            F.explode_outer(F.concat(uni, bi)).alias("bucket"),
+        )
+        .groupBy(id_col, "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("fcnt"))
+        # feats feeds the model counts AND the score join; checkpoint
+        # so the tokenize+hash corpus pass runs once
+        .localCheckpoint(eager=False)
+    )
+    counts = feats.filter(F.col("bucket").isNotNull()).groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("fcnt")).otherwise(0)).alias(
+            "cnt_t"
+        ),
+        F.sum(F.when(~F.col("is_target"), F.col("fcnt")).otherwise(0)).alias(
+            "cnt_r"
+        ),
+    )
+    totals = counts.agg(
+        F.sum("cnt_t").alias("tot_t"), F.sum("cnt_r").alias("tot_r")
+    )
+    ratios = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "ratio_scaled",
+            F.least(
+                F.expr(
+                    f"(CAST(cnt_t + 1 AS DECIMAL(38,0)) * (tot_r + {n_buckets})"
+                    f" * {DSIR_SCALE}) div "
+                    f"(CAST(cnt_r + 1 AS DECIMAL(38,0)) * (tot_t + {n_buckets}))"
+                ),
+                F.lit(DSIR_RATIO_CAP * DSIR_SCALE).cast("long"),
+            ),
+        )
+        .select("bucket", "ratio_scaled")
+    )
+    scored = feats.join(F.broadcast(ratios), "bucket", "left").groupBy(
+        id_col, "is_target"
+    ).agg(
+        F.sum(F.when(F.col("bucket").isNotNull(), F.col("fcnt")).otherwise(0))
+        .cast("long")
+        .alias("n_feats"),
+        # decimal sum: fcnt·ratio can reach ~1e18 per row under the cap
+        F.expr(
+            "sum(CAST(fcnt AS DECIMAL(38,0)) * ratio_scaled) div sum(fcnt)"
+        ).alias("_w"),
+    )
+    weight = F.when(
+        ~F.col("is_target") & (F.col("n_feats") > 0), F.col("_w")
+    )
+    return scored.select(
+        id_col,
+        "is_target",
+        "n_feats",
+        weight.alias("weight_scaled"),
+        (
+            ~F.col("is_target")
+            & (F.col("n_feats") > 0)
+            & (weight > DSIR_SCALE)
+        ).alias("keep"),
     )

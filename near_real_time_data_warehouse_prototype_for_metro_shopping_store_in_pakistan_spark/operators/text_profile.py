@@ -611,3 +611,100 @@ def compression_stats(
     if src.rdd.getNumPartitions() < parts:
         src = src.repartition(parts)
     return src.mapInPandas(stats, schema)
+
+
+# Scaled inverse-probability: invp = ((c1 + V) * LM_SCALE) div (c2 + 1),
+# the add-one-smoothed bigram 1/p̂ at 6 decimal digits. Chosen over
+# log-space perplexity for the same two reasons tf-idf uses rational
+# idf: (a) ln rounds differently in the last ulp across engines, and
+# (b) a double SUM is partition-order-dependent in Spark while integer
+# sums are associative — so the pinned score stays hash-exact. The
+# arithmetic mean of 1/p̂ is monotone in "branching surprise" exactly
+# like perplexity's geometric mean: common continuations score near
+# LM_SCALE·V/c-ish small values, rare ones score large.
+LM_SCALE = 1_000_000
+
+
+def lm_surprisal_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets"), the
+    perplexity-bucket filter every web-scale corpus pipeline runs:
+    train a smoothed bigram LM, score each document by how surprising
+    its token transitions are, cut or bucket on the score
+    (``classify.quantile_prune`` composes downstream for the
+    head/middle/tail split).
+
+    This variant trains on the scored corpus itself (self-perplexity,
+    the fluency-outlier detector); pass a different ``docs`` to
+    ``bigram_lm_counts`` and join manually for held-out scoring.
+
+    Integer-exact per the module doctrine: see ``LM_SCALE``.
+
+    Plan shape (the 100 TB story): one explode to (doc, w1, w2) with
+    an immediate per-doc gram combine (map-side combinable groupBy);
+    global bigram counts derive FROM that relation (vocab²-bounded,
+    ≪ corpus — no second pass over raw tokens); context counts and
+    vocab derive from the bigram counts (tiny). Scoring joins the
+    per-doc gram relation against the count relation on the gram key
+    — hot grams ("the the") are skew-bounded by AQE's skew-join
+    split, and the count side broadcasts outright under the
+    autoBroadcast threshold. Final per-doc aggregate is map-side
+    combinable. No windows, no all-pairs, nothing driver-side.
+
+    Returns one row per input document: (id, n_bigrams,
+    mean_invp_scaled, max_invp_scaled) — NULL stats for docs with
+    fewer than 2 tokens (no transitions to score).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    # sequence(1, n-1) DESCENDS when n < 2 — guard to an empty gram list
+    grams_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    # dg feeds FOUR consumers (c2 -> c1/vocab and the score join);
+    # checkpoint so the tokenize+explode corpus pass runs once, not 4×
+    dg = (
+        docs.select(F.col(id_col), F.explode(grams_arr).alias("g"))
+        .select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("dcnt"))
+        .localCheckpoint(eager=False)
+    )
+    c2 = dg.groupBy("w1", "w2").agg(F.sum("dcnt").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # V = distinct tokens participating in any bigram (derived from the
+    # count relation, not a second raw-token pass; <2-token docs have
+    # nothing to score so their tokens are out of model by definition)
+    vocab = (
+        c2.select(F.col("w1").alias("w"))
+        .union(c2.select(F.col("w2").alias("w")))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    scored = (
+        dg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "invp",
+            F.expr(f"((c1 + v) * {LM_SCALE}L) div (c2 + 1)"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("dcnt").alias("n_bigrams"),
+        F.expr("sum(dcnt * invp) div sum(dcnt)").alias("mean_invp_scaled"),
+        F.max("invp").alias("max_invp_scaled"),
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "mean_invp_scaled",
+        "max_invp_scaled",
+    )

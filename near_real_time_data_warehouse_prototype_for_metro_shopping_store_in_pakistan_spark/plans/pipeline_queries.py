@@ -468,6 +468,24 @@ def text_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile.bottomk_sketch(table(spark, sf_dir, "documents"))
 
 
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    likelihood ratios of a deterministic md5-carved target split vs
+    the raw rest — the importance-resampling data selector, integer-
+    exact with 128-bit intermediates (see
+    operators.classify.dsir_importance)."""
+    return classify.dsir_importance(table(spark, sf_dir, "documents"))
+
+
+def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM fluency scoring (Wenzek et al. 2020):
+    self-trained add-one-smoothed bigram model, each document scored by
+    its scaled inverse transition probability — the perplexity-bucket
+    filter of web-scale pipelines, integer-exact (see
+    operators.text_profile.lm_surprisal_stats)."""
+    return text_profile.lm_surprisal_stats(table(spark, sf_dir, "documents"))
+
+
 def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-keyed Bernoulli subsample of the corpus —
     stable under any repartitioning (unlike seeded df.sample)."""
@@ -1047,6 +1065,8 @@ PIPELINE_QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_repetition": text_repetition,
     "text_bottomk_sketch": text_bottomk_sketch,
+    "text_lm_surprisal": text_lm_surprisal,
+    "corpus_dsir_weights": corpus_dsir_weights,
     "events_asof_prior_click": events_asof_prior_click,
     "events_range_join_sessions": events_range_join_sessions,
     "events_hourly_rollup": events_hourly_rollup,
@@ -2092,6 +2112,110 @@ WHERE CAST(dot AS DOUBLE)
 """
 
 _PUNCT = "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INT)"
+
+def _dsir_oracle() -> str:
+    from ..operators.classify import (
+        DSIR_BUCKETS,
+        DSIR_RATIO_CAP,
+        DSIR_SCALE,
+        DSIR_TARGET_RATE,
+    )
+    from ..operators.partitioning import SAMPLE_DENOM as _DENOM
+
+    b = DSIR_BUCKETS
+    thr = int(DSIR_TARGET_RATE * _DENOM)
+    cap = DSIR_RATIO_CAP * DSIR_SCALE
+    md5_t = _sql_md5_long("CAST(doc_id AS VARCHAR) || '|dsir'")
+    return f"""
+WITH t AS (
+    SELECT doc_id, ({md5_t}) % {_DENOM} < {thr} AS is_target,
+           {_sql_tokens("lower(text)")} AS tk
+    FROM documents
+),
+fe AS (
+    SELECT doc_id, is_target,
+           unnest(list_concat(
+               list_transform(tk,
+                   u -> {_sql_md5_long("'u|' || u")} % {b}),
+               list_transform(generate_series(1, len(tk) - 1),
+                   i -> {_sql_md5_long("'b|' || tk[i] || ' ' || tk[i + 1]")}
+                        % {b})
+           )) AS bucket
+    FROM t
+),
+feats AS (
+    SELECT doc_id, is_target, bucket, count(*) AS fcnt
+    FROM fe GROUP BY doc_id, is_target, bucket
+),
+counts AS (
+    SELECT bucket,
+           SUM(CASE WHEN is_target THEN fcnt ELSE 0 END) AS cnt_t,
+           SUM(CASE WHEN NOT is_target THEN fcnt ELSE 0 END) AS cnt_r
+    FROM feats GROUP BY bucket
+),
+tot AS (SELECT SUM(cnt_t) AS tot_t, SUM(cnt_r) AS tot_r FROM counts),
+ratios AS (
+    SELECT bucket,
+           LEAST(
+               (CAST(cnt_t + 1 AS HUGEINT) * (tot_r + {b}) * {DSIR_SCALE})
+               // (CAST(cnt_r + 1 AS HUGEINT) * (tot_t + {b})),
+               {cap}
+           ) AS ratio_scaled
+    FROM counts CROSS JOIN tot
+),
+per_doc AS (
+    SELECT doc_id, SUM(fcnt) AS n_feats,
+           CAST(SUM(CAST(fcnt AS HUGEINT) * ratio_scaled) // SUM(fcnt)
+                AS BIGINT) AS w
+    FROM feats JOIN ratios USING (bucket)
+    GROUP BY doc_id
+)
+SELECT t.doc_id, t.is_target,
+       COALESCE(p.n_feats, 0) AS n_feats,
+       CASE WHEN NOT t.is_target THEN p.w END AS weight_scaled,
+       COALESCE(NOT t.is_target AND p.w > {DSIR_SCALE}, FALSE) AS keep
+FROM t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+ORACLE_LM_SURPRISAL = f"""
+WITH t AS (
+    SELECT doc_id, {_sql_tokens("lower(text)")} AS tk FROM documents
+),
+bg AS (
+    SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 1),
+                      i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS g
+        FROM t WHERE len(tk) >= 2
+    )
+),
+dg AS (
+    SELECT doc_id, w1, w2, count(*) AS dcnt FROM bg GROUP BY doc_id, w1, w2
+),
+c2 AS (SELECT w1, w2, SUM(dcnt) AS c2 FROM dg GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+vocab AS (
+    SELECT count(DISTINCT w) AS v FROM (
+        SELECT w1 AS w FROM c2 UNION SELECT w2 FROM c2
+    )
+),
+scored AS (
+    SELECT dg.doc_id, dg.dcnt,
+           ((c1.c1 + vocab.v) * {text_profile.LM_SCALE}) // (c2.c2 + 1) AS invp
+    FROM dg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+),
+per_doc AS (
+    SELECT doc_id, SUM(dcnt) AS n_bigrams,
+           SUM(dcnt * invp) // SUM(dcnt) AS mean_invp_scaled,
+           MAX(invp) AS max_invp_scaled
+    FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       p.mean_invp_scaled, p.max_invp_scaled
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
 
 ORACLE_TOKEN_STATS = f"""
 SELECT doc_id,
@@ -3390,6 +3514,8 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_repetition": _repetition_oracle(),
     "text_bottomk_sketch": ORACLE_BOTTOMK,
+    "text_lm_surprisal": ORACLE_LM_SURPRISAL,
+    "corpus_dsir_weights": _dsir_oracle(),
     "events_asof_prior_click": ORACLE_EVENTS_ASOF,
     "events_range_join_sessions": ORACLE_EVENTS_RANGEJOIN,
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,

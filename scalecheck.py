@@ -122,6 +122,8 @@ def operators(spark, docs):
         "quantile_prune": lambda: classify.quantile_prune(
             classify.hashed_linear_score(docs)
         ),
+        "lm_surprisal": lambda: text_profile.lm_surprisal_stats(docs),
+        "dsir_weights": lambda: classify.dsir_importance(docs),
     }
 
 

@@ -1,0 +1,84 @@
+"""CCNet-style bigram-LM surprisal scoring: exact integer values on a
+hand-computed corpus, edge cases, and the scale plan shape."""
+
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.text_profile import (
+    LM_SCALE,
+    lm_surprisal_stats,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat ran"),
+            (3, "zap"),
+            (4, ""),
+            (5, "the cat sat"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_hand_computed_values(spark):
+    # corpus bigrams: (the,cat)x3 (cat,sat)x2 (cat,ran)x1
+    # c1: the=3 cat=3; V={the,cat,sat,ran}=4
+    # invp(the,cat)=(3+4)*S div 4; invp(cat,sat)=(3+4)*S div 3;
+    # invp(cat,ran)=(3+4)*S div 2
+    s = LM_SCALE
+    i_tc = 7 * s // 4
+    i_cs = 7 * s // 3
+    i_cr = 7 * s // 2
+    rows = {
+        r["doc_id"]: r
+        for r in lm_surprisal_stats(_docs(spark)).collect()
+    }
+    assert rows[1]["n_bigrams"] == 2
+    assert rows[1]["mean_invp_scaled"] == (i_tc + i_cs) // 2
+    assert rows[1]["max_invp_scaled"] == i_cs
+    assert rows[2]["mean_invp_scaled"] == (i_tc + i_cr) // 2
+    assert rows[2]["max_invp_scaled"] == i_cr
+    # identical docs score identically
+    assert rows[5]["mean_invp_scaled"] == rows[1]["mean_invp_scaled"]
+    # fluent (common transitions) scores BELOW surprising
+    assert rows[1]["mean_invp_scaled"] < rows[2]["mean_invp_scaled"]
+
+
+def test_short_and_empty_docs_present_with_null_stats(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in lm_surprisal_stats(_docs(spark)).collect()
+    }
+    for did in (3, 4):  # single-token and empty: nothing to score
+        assert rows[did]["n_bigrams"] == 0
+        assert rows[did]["mean_invp_scaled"] is None
+        assert rows[did]["max_invp_scaled"] is None
+    assert len(rows) == 5  # every input doc present exactly once
+
+
+def test_case_insensitive(spark):
+    docs = spark.createDataFrame(
+        [(1, "The Cat"), (2, "the cat")], "doc_id long, text string"
+    )
+    a, b = (
+        lm_surprisal_stats(docs)
+        .orderBy("doc_id")
+        .select("mean_invp_scaled")
+        .collect()
+    )
+    assert a[0] == b[0] and a[0] is not None
+
+
+def test_plan_no_windows_no_crossjoin_blowup(spark):
+    # scale shape: aggregates + key joins only — no window (global or
+    # otherwise), and the only cartesian input is the broadcast 1-row
+    # vocab relation
+    from tests.test_plan_quality import plan_of
+
+    plan = plan_of(lm_surprisal_stats(_docs(spark)))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # partial (map-side) aggregation present for the count/sum aggs
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
