@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions.time import time_dimension, with_time_attributes
 from .sinks import (
+    BloomedAntiJoinSink,
     DeltaMergeSink,
     ManifestParquetSink,
     ParquetAntiJoinSink,
@@ -248,6 +249,21 @@ class ManifestWarehouse(WarehouseOps, ManifestParquetSink):
 
 
 @dataclass
+class BloomedWarehouse(WarehouseOps, BloomedAntiJoinSink):
+    """The star-schema warehouse over the Bloom-prefiltered anti-join
+    backend: keys the persisted seen-key Bloom proves novel skip the
+    existing-table scan entirely (see
+    operators.sinks.BloomedAntiJoinSink)."""
+
+    keys: dict[str, list[str]] = field(
+        default_factory=lambda: dict(WAREHOUSE_KEYS)
+    )
+    partitioning: dict[str, list[str]] = field(
+        default_factory=lambda: dict(WAREHOUSE_PARTITIONING)
+    )
+
+
+@dataclass
 class DeltaWarehouse(WarehouseOps, DeltaMergeSink):
     """The same star-schema warehouse over atomic Delta MERGEs —
     the backend to deploy where concurrent readers/writers exist.
@@ -274,10 +290,11 @@ def warehouse_for(spark, root: str, backend: str = "parquet"):
             "parquet": ParquetWarehouse,
             "manifest": ManifestWarehouse,
             "delta": DeltaWarehouse,
+            "bloom": BloomedWarehouse,
         }[backend]
     except KeyError:
         raise ValueError(
             f"unknown warehouse backend {backend!r}: expected "
-            "'parquet', 'manifest', 'delta', or 'auto'"
+            "'parquet', 'manifest', 'delta', 'bloom', or 'auto'"
         ) from None
     return cls(spark, root)

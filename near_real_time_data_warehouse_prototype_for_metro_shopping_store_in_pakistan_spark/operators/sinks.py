@@ -357,10 +357,125 @@ def delta_session_builder_conf() -> dict[str, str]:
     }
 
 
+BLOOM_SCHEMA = "words array<bigint>, m_bits bigint, k bigint, n_keys bigint"
+
+
+@dataclass
+class BloomedAntiJoinSink(ParquetAntiJoinSink):
+    """Anti-join sink with a persisted seen-key Bloom filter
+    (operators/bloom.py): keys the filter PROVES novel bypass the
+    seen-scan + anti-join entirely; only the "maybe seen" residue
+    (replays + false positives) pays for the partition-pruned exact
+    check. On an append-mostly stream the per-batch existing-table
+    read disappears.
+
+    Crash-safety ordering invariant: the Bloom is always written
+    BEFORE the data append and is therefore a SUPERSET of the admitted
+    keys under any crash point. A superset only costs extra exact
+    checks; the reverse order could mark admitted keys novel on replay
+    and double-insert. A Bloom left unreadable by a crash mid-
+    overwrite is rebuilt from the table's keys (one-time scan).
+
+    Saturation degrades gracefully: far beyond ``bloom_bits`` keys the
+    filter flags everything "maybe seen" and the sink behaves exactly
+    like ``ParquetAntiJoinSink`` — never incorrectly. Size
+    ``bloom_bits`` ≈ 10× expected keys for ~1% fpp.
+    """
+
+    bloom_bits: int = 1 << 20
+    bloom_k: int = 5
+
+    def _bloom_dir(self, name: str) -> str:
+        return os.path.join(self.root, "_bloom", name)
+
+    def _load_bloom_local(self, name: str):
+        """The persisted bloom as a DRIVER-materialized single-row
+        DataFrame (metadata scale: m_bits/8 bytes), so membership
+        checks and merges never hold a lazy read on the file this
+        batch is about to overwrite. None if absent/unreadable."""
+        try:
+            row = self.spark.read.parquet(self._bloom_dir(name)).first()
+        except Exception:
+            return None
+        if row is None or row["words"] is None:
+            return None
+        return self.spark.createDataFrame([row], BLOOM_SCHEMA)
+
+    def _write_bloom(self, name: str, bloom_df) -> None:
+        local = self.spark.createDataFrame(
+            [bloom_df.first()], BLOOM_SCHEMA
+        )
+        local.coalesce(1).write.mode("overwrite").parquet(
+            self._bloom_dir(name)
+        )
+
+    def insert_if_absent(self, name: str, batch: DataFrame) -> None:
+        from .bloom import bloom_words, merge_blooms, with_maybe_seen
+
+        key = self.keys[name]
+        parts = self.partitioning.get(name)
+        incoming = batch.dropDuplicates(key).persist()
+        flagged = None
+        try:
+            existing = self.read(name)
+            batch_bloom = bloom_words(
+                incoming, key, self.bloom_bits, self.bloom_k
+            )
+            if existing is None:
+                self._write_bloom(name, batch_bloom)
+                admitted = incoming
+            else:
+                bloom = self._load_bloom_local(name)
+                if bloom is None:
+                    # pre-bloom table or crash mid-overwrite: rebuild
+                    # from the table's keys (one-time full key scan)
+                    self._write_bloom(
+                        name,
+                        bloom_words(
+                            existing, key, self.bloom_bits, self.bloom_k
+                        ),
+                    )
+                    bloom = self._load_bloom_local(name)
+                flagged = with_maybe_seen(incoming, key, bloom).persist()
+                novel = flagged.filter(~F.col("maybe_seen")).drop(
+                    "maybe_seen"
+                )
+                suspect = flagged.filter(F.col("maybe_seen")).drop(
+                    "maybe_seen"
+                )
+                if suspect.isEmpty():
+                    admitted = novel
+                else:
+                    seen = self._existing_keys(name, suspect, existing)
+                    seen = seen.select(
+                        *[F.col(k).alias(f"__seen_{k}") for k in key]
+                    )
+                    cond = F.lit(True)
+                    for k in key:
+                        cond = cond & F.col(k).eqNullSafe(
+                            F.col(f"__seen_{k}")
+                        )
+                    admitted = novel.unionByName(
+                        suspect.join(seen, cond, "left_anti")
+                    )
+                admitted = admitted.select(*existing.columns)
+                # superset-safe order: bloom BEFORE data
+                self._write_bloom(name, merge_blooms(bloom, batch_bloom))
+            writer = admitted.write.mode("append")
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(self.path(name))
+        finally:
+            incoming.unpersist()
+            if flagged is not None:
+                flagged.unpersist()
+
+
 BACKENDS = {
     "parquet": ParquetAntiJoinSink,
     "manifest": ManifestParquetSink,
     "delta": DeltaMergeSink,
+    "bloom": BloomedAntiJoinSink,
 }
 
 

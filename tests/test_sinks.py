@@ -21,6 +21,7 @@ from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakista
 BACKEND_PARAMS = [
     "parquet",
     "manifest",
+    "bloom",
     pytest.param(
         "delta",
         marks=pytest.mark.skipif(
