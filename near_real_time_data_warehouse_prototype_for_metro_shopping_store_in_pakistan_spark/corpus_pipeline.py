@@ -133,6 +133,28 @@ class CorpusPipeline:
         ``run_stream_substr``."""
         return _dedup.remove_duplicate_spans(docs, span_tokens=span_tokens)
 
+    def score_fluency(
+        self, docs: DataFrame, lm_docs: DataFrame | None = None
+    ) -> DataFrame:
+        """CCNet-style bigram-LM surprisal per document (integer-exact
+        inverse transition probability). ``lm_docs=None`` trains on
+        ``docs`` itself (fluency-outlier detection); pass a reference
+        corpus for CCNet's held-out configuration. Compose
+        ``classify.quantile_prune`` on ``mean_invp_scaled`` for the
+        head/middle/tail cut."""
+        return _text.lm_surprisal_stats(docs, lm_docs=lm_docs)
+
+    def dsir_weights(
+        self, docs: DataFrame, target_rate: float = 0.05
+    ) -> DataFrame:
+        """DSIR importance weights (Xie et al. 2023): how target-like
+        each raw doc is under hashed-n-gram likelihood ratios — the
+        importance-resampling data selector (see
+        operators.classify.dsir_importance)."""
+        from .operators import classify as _classify
+
+        return _classify.dsir_importance(docs, target_rate=target_rate)
+
     def chunk(
         self, docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
     ) -> DataFrame:

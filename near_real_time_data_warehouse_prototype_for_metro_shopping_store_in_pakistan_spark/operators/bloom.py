@@ -17,13 +17,20 @@ it flags still goes through the exact anti-join. A saturated filter
 sink then behaves exactly like the plain anti-join backend, never
 incorrectly.
 
-Representation: ONE row of ``m_bits/64`` longs (``words
-array<long>``), e.g. 128 KiB at the default 2^20 bits — metadata
-scale, stored as a single-row parquet next to the table and
-broadcast into the membership check. Both build and check are JVM
-column expressions end to end (seeded ``xxhash64`` probes,
-``bit_or`` aggregation, ``element_at`` + shift tests): no Python in
-the row path, no shuffle beyond one ``m/64``-key aggregate.
+Representation: SPARSE — one row per 64-bit word with any bit set:
+``(w, bits)`` plus constant meta columns, ≤ m_bits/64 rows (≤ 16 Ki
+rows at the default 2^20 bits). Build is ONE map-side-combinable
+``bit_or`` aggregate; merge is an outer join on ``w``; the
+membership check is k broadcast-hash-joins of the probe word indices
+against the word relation (a probe word with no row has no bits set
+⇒ key definitely absent). Two earlier drafts were measured
+quadratically worse and are kept out by construction: densifying the
+words into one array row costs O(n_words²) in a single-row
+``transform``+map-lookup, and shipping a dense array into the check
+— by cross join (the array copied into EVERY probe row) or as a
+16k-element literal (k×16k expression nodes, codegen blowup) — made
+the check slower than the table scan it replaces. Sparse + broadcast
+joins keeps both sides metadata-scale.
 
 Spark exposes no SQL-level ``bloom_filter_agg``/``might_contain``
 (they are internal runtime-filter expressions), hence this
@@ -35,82 +42,93 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-BLOOM_DEFAULT_BITS = 1 << 20  # 16 Ki words = 128 KiB
+BLOOM_DEFAULT_BITS = 1 << 20  # up to 16 Ki sparse words
 BLOOM_K = 5  # probes per key; ~1% fpp near n = m/10
 
 
-def _key_sql(key_cols: list[str]) -> str:
-    """Serialize the (possibly NULL-bearing, multi-column) key to one
-    string for hashing. concat_ws drops NULLs — two distinct keys that
-    collapse to the same serialization merely collide in the filter,
-    which costs a join, never correctness."""
-    casts = ", ".join(f"cast({c} as string)" for c in key_cols)
-    return f"concat_ws('\\u0001', {casts})"
+def _serialized_key(key_cols: list[str]) -> Column:
+    """The (possibly NULL-bearing, multi-column) key as one string for
+    hashing. concat_ws drops NULLs — two distinct keys that collapse
+    to the same serialization merely collide in the filter, which
+    costs a join, never correctness."""
+    return F.concat_ws(
+        "\u0001", *[F.col(c).cast("string") for c in key_cols]
+    )
 
 
-def _probe_sql(key_sql: str, seed: int, m_bits: int) -> str:
-    """Bit position of probe ``seed`` for the serialized key — the
-    SINGLE definition both the build and the check compile against."""
-    return f"pmod(xxhash64({seed}, {key_sql}), {m_bits})"
+def _probe_positions(
+    key_cols: list[str], m_bits: int, k: int
+) -> list[Column]:
+    """Bit position of each of the k probes — the SINGLE definition
+    both the build and the check are compiled from."""
+    key = _serialized_key(key_cols)
+    return [
+        F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits)) for i in range(k)
+    ]
+
+
+def _with_meta(words: DataFrame, m_bits: int, k: int, n_keys: int) -> DataFrame:
+    return words.select(
+        "w",
+        "bits",
+        F.lit(m_bits).cast("long").alias("m_bits"),
+        F.lit(k).cast("long").alias("k"),
+        F.lit(n_keys).cast("long").alias("n_keys"),
+    )
 
 
 def bloom_words(
     df: DataFrame, key_cols: list[str], m_bits: int = BLOOM_DEFAULT_BITS,
     k: int = BLOOM_K,
 ) -> DataFrame:
-    """ONE dense single-row (words array<long>, m_bits, k, n_keys)
-    Bloom of ``df``'s keys. Explode to k bit positions per row, OR
-    per word (map-side combinable, ≤ m/64 distinct keys), then
-    densify in a final 1-row aggregate."""
-    key = _key_sql(key_cols)
+    """Sparse Bloom of ``df``'s keys: (w, bits, m_bits, k, n_keys),
+    one row per set word, built by one map-side-combinable ``bit_or``
+    aggregate over the k exploded probe positions."""
     pos = df.select(
-        F.explode(
-            F.array(*[F.expr(_probe_sql(key, i, m_bits)) for i in range(k)])
-        ).alias("idx")
+        F.explode(F.array(*_probe_positions(key_cols, m_bits, k))).alias(
+            "idx"
+        )
     )
     words = pos.select(
         F.expr("idx div 64").alias("w"),
         F.expr("shiftleft(1L, CAST(idx % 64 AS INT))").alias("m"),
     ).groupBy("w").agg(F.expr("bit_or(m)").alias("bits"))
-    n_words = m_bits // 64
-    n_keys = df.select(*key_cols).agg(F.count(F.lit(1)).alias("n"))
-    dense = words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("w"), F.col("bits")))
-        ).alias("mp")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("mp"), i.cast("long")), F.lit(0).cast("long")
-            ),
-        ).alias("words")
-    )
-    return dense.crossJoin(F.broadcast(n_keys)).select(
-        "words",
-        F.lit(m_bits).cast("long").alias("m_bits"),
-        F.lit(k).cast("long").alias("k"),
-        F.col("n").cast("long").alias("n_keys"),
-    )
+    return _with_meta(words, m_bits, k, df.count())
+
+
+def bloom_meta(bloom: DataFrame) -> tuple[int, int, int]:
+    """(m_bits, k, n_keys) — constant across rows; the defaults with
+    n_keys = 0 for an empty filter."""
+    row = bloom.select("m_bits", "k", "n_keys").first()
+    if row is None:
+        return BLOOM_DEFAULT_BITS, BLOOM_K, 0
+    return int(row["m_bits"]), int(row["k"]), int(row["n_keys"])
 
 
 def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Element-wise OR of two same-shape blooms; n_keys adds (an upper
-    bound — shared keys double-count, which only ever makes the
-    saturation estimate conservative)."""
-    av = a.select(
-        F.col("words").alias("_aw"), "m_bits", "k",
-        F.col("n_keys").alias("_an"),
+    """Word-wise OR of two same-shape sparse blooms (outer join on
+    ``w``); n_keys adds (an upper bound — shared keys double-count,
+    which only ever makes the saturation estimate conservative)."""
+    am, ak, an = bloom_meta(a)
+    bm, bk, bn = bloom_meta(b)
+    if (am, ak) != (bm, bk):
+        raise ValueError(
+            f"cannot merge blooms of different shape: "
+            f"(m_bits={am}, k={ak}) vs (m_bits={bm}, k={bk})"
+        )
+    merged = (
+        a.select("w", F.col("bits").alias("_ab"))
+        .join(
+            b.select("w", F.col("bits").alias("_bb")), ["w"], "full_outer"
+        )
+        .select(
+            "w",
+            F.coalesce("_ab", F.lit(0))
+            .bitwiseOR(F.coalesce("_bb", F.lit(0)))
+            .alias("bits"),
+        )
     )
-    bv = b.select(
-        F.col("words").alias("_bw"), F.col("n_keys").alias("_bn")
-    )
-    return av.crossJoin(F.broadcast(bv)).select(
-        F.zip_with("_aw", "_bw", lambda x, y: x.bitwiseOR(y)).alias("words"),
-        "m_bits",
-        "k",
-        (F.col("_an") + F.col("_bn")).alias("n_keys"),
-    )
+    return _with_meta(merged, am, ak, an + bn)
 
 
 def with_maybe_seen(
@@ -121,23 +139,27 @@ def with_maybe_seen(
 ) -> DataFrame:
     """``df`` plus a boolean ``out_col``: False = key PROVABLY absent
     from the bloom'd set; True = maybe present (exact check required).
-    The bloom rides in as a broadcast single-row cross join; all k
-    probes are JVM expressions against its words array."""
-    row = bloom.select(
-        F.col("words").alias("__bw"),
-        F.col("m_bits").alias("__bm"),
-        F.col("k").alias("__bk"),
-    )
-    m_bits, k = bloom.select("m_bits", "k").first()
-    key = _key_sql(key_cols)
-    checks = " AND ".join(
-        f"((element_at(__bw, CAST({_probe_sql(key, i, m_bits)} div 64 AS INT)"
-        f" + 1) & shiftleft(1L, CAST({_probe_sql(key, i, m_bits)} % 64"
-        f" AS INT))) != 0)"
-        for i in range(int(k))
-    )
-    return (
-        df.crossJoin(F.broadcast(row))
-        .withColumn(out_col, F.expr(checks))
-        .drop("__bw", "__bm", "__bk")
+    k broadcast-hash-joins of the probe word indices against the
+    sparse word relation."""
+    m_bits, k, _ = bloom_meta(bloom)
+    out = df
+    cond = None
+    for i, idx in enumerate(_probe_positions(key_cols, m_bits, k)):
+        out = out.withColumn(f"__bw{i}", F.shiftright(idx, 6)).join(
+            F.broadcast(
+                bloom.select(
+                    F.col("w").alias(f"__bw{i}"),
+                    F.col("bits").alias(f"__bb{i}"),
+                )
+            ),
+            [f"__bw{i}"],
+            "left",
+        )
+        c = (
+            F.getbit(F.coalesce(F.col(f"__bb{i}"), F.lit(0)), idx % 64)
+            == F.lit(1)
+        )
+        cond = c if cond is None else (cond & c)
+    return out.withColumn(out_col, cond).drop(
+        *[f"__bw{i}" for i in range(k)], *[f"__bb{i}" for i in range(k)]
     )

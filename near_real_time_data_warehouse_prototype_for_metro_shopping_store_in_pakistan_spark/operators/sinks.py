@@ -357,9 +357,6 @@ def delta_session_builder_conf() -> dict[str, str]:
     }
 
 
-BLOOM_SCHEMA = "words array<bigint>, m_bits bigint, k bigint, n_keys bigint"
-
-
 @dataclass
 class BloomedAntiJoinSink(ParquetAntiJoinSink):
     """Anti-join sink with a persisted seen-key Bloom filter
@@ -373,13 +370,19 @@ class BloomedAntiJoinSink(ParquetAntiJoinSink):
     BEFORE the data append and is therefore a SUPERSET of the admitted
     keys under any crash point. A superset only costs extra exact
     checks; the reverse order could mark admitted keys novel on replay
-    and double-insert. A Bloom left unreadable by a crash mid-
-    overwrite is rebuilt from the table's keys (one-time scan).
+    and double-insert. Bloom versions are immutable directories
+    (``_bloom/<table>/v<N>``): a batch writes v<N+1> while v<N> is
+    still being read (no overwrite-under-read), readers take the
+    newest version whose ``_SUCCESS`` marker exists, and a table with
+    no readable version rebuilds the filter from its keys (one-time
+    scan).
 
-    Saturation degrades gracefully: far beyond ``bloom_bits`` keys the
-    filter flags everything "maybe seen" and the sink behaves exactly
-    like ``ParquetAntiJoinSink`` — never incorrectly. Size
-    ``bloom_bits`` ≈ 10× expected keys for ~1% fpp.
+    Saturation self-heals: past ~10 bits/key the filter stops proving
+    novelty (everything flags "maybe seen" — still correct, just the
+    plain anti-join plus overhead), so the sink rebuilds it from the
+    table's keys at 2× headroom. Growth is geometric, so the rebuild
+    scans amortize to O(1) per key over the table's life;
+    ``bloom_bits`` is only the STARTING size.
     """
 
     bloom_bits: int = 1 << 20
@@ -388,29 +391,55 @@ class BloomedAntiJoinSink(ParquetAntiJoinSink):
     def _bloom_dir(self, name: str) -> str:
         return os.path.join(self.root, "_bloom", name)
 
-    def _load_bloom_local(self, name: str):
-        """The persisted bloom as a DRIVER-materialized single-row
-        DataFrame (metadata scale: m_bits/8 bytes), so membership
-        checks and merges never hold a lazy read on the file this
-        batch is about to overwrite. None if absent/unreadable."""
+    def _bloom_versions(self, name: str) -> list[int]:
+        """Committed (=_SUCCESS-marked) version numbers, ascending."""
+        d = self._bloom_dir(name)
         try:
-            row = self.spark.read.parquet(self._bloom_dir(name)).first()
+            entries = os.listdir(d)
+        except OSError:
+            return []
+        out = []
+        for e in entries:
+            if e.startswith("v") and e[1:].isdigit() and os.path.exists(
+                os.path.join(d, e, "_SUCCESS")
+            ):
+                out.append(int(e[1:]))
+        return sorted(out)
+
+    def _read_bloom(self, name: str):
+        """Newest committed bloom version as a (lazy) DataFrame, or
+        None when no readable version exists."""
+        vs = self._bloom_versions(name)
+        if not vs:
+            return None
+        try:
+            return self.spark.read.parquet(
+                os.path.join(self._bloom_dir(name), f"v{vs[-1]}")
+            )
         except Exception:
             return None
-        if row is None or row["words"] is None:
-            return None
-        return self.spark.createDataFrame([row], BLOOM_SCHEMA)
 
     def _write_bloom(self, name: str, bloom_df) -> None:
-        local = self.spark.createDataFrame(
-            [bloom_df.first()], BLOOM_SCHEMA
+        """Commit ``bloom_df`` as the next immutable version, then
+        drop older versions (single-writer, like the data path)."""
+        vs = self._bloom_versions(name)
+        nxt = (vs[-1] + 1) if vs else 0
+        d = self._bloom_dir(name)
+        bloom_df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"v{nxt}")
         )
-        local.coalesce(1).write.mode("overwrite").parquet(
-            self._bloom_dir(name)
-        )
+        import shutil
+
+        for v in vs:
+            shutil.rmtree(os.path.join(d, f"v{v}"), ignore_errors=True)
 
     def insert_if_absent(self, name: str, batch: DataFrame) -> None:
-        from .bloom import bloom_words, merge_blooms, with_maybe_seen
+        from .bloom import (
+            bloom_meta,
+            bloom_words,
+            merge_blooms,
+            with_maybe_seen,
+        )
 
         key = self.keys[name]
         parts = self.partitioning.get(name)
@@ -418,16 +447,16 @@ class BloomedAntiJoinSink(ParquetAntiJoinSink):
         flagged = None
         try:
             existing = self.read(name)
-            batch_bloom = bloom_words(
-                incoming, key, self.bloom_bits, self.bloom_k
-            )
             if existing is None:
-                self._write_bloom(name, batch_bloom)
+                self._write_bloom(
+                    name,
+                    bloom_words(incoming, key, self.bloom_bits, self.bloom_k),
+                )
                 admitted = incoming
             else:
-                bloom = self._load_bloom_local(name)
+                bloom = self._read_bloom(name)
                 if bloom is None:
-                    # pre-bloom table or crash mid-overwrite: rebuild
+                    # pre-bloom table or crashed version dir: rebuild
                     # from the table's keys (one-time full key scan)
                     self._write_bloom(
                         name,
@@ -435,7 +464,24 @@ class BloomedAntiJoinSink(ParquetAntiJoinSink):
                             existing, key, self.bloom_bits, self.bloom_k
                         ),
                     )
-                    bloom = self._load_bloom_local(name)
+                    bloom = self._read_bloom(name)
+                m_bits, k_probes, n_keys = bloom_meta(bloom)
+                if n_keys * 10 > m_bits:
+                    # saturation auto-growth: past ~10 bits/key the
+                    # fpp climbs and the filter stops proving novelty
+                    # — rebuild from the table's keys at 2× headroom
+                    # (geometric, so rebuild scans amortize to O(1)
+                    # per key over the table's life)
+                    m_bits = 1 << (n_keys * 20).bit_length()
+                    self._write_bloom(
+                        name,
+                        bloom_words(existing, key, m_bits, k_probes),
+                    )
+                    bloom = self._read_bloom(name)
+                # the batch bloom MUST share the live filter's shape
+                # (not the constructor default) or the merge below
+                # would reject it after any growth rebuild
+                batch_bloom = bloom_words(incoming, key, m_bits, k_probes)
                 flagged = with_maybe_seen(incoming, key, bloom).persist()
                 novel = flagged.filter(~F.col("maybe_seen")).drop(
                     "maybe_seen"

@@ -625,8 +625,27 @@ def compression_stats(
 LM_SCALE = 1_000_000
 
 
+def _gram_array(text_col: str):
+    """array<struct<w1,w2>> of adjacent lowercase token pairs; empty
+    for <2-token text (sequence(1, n-1) DESCENDS when n < 2)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
 def lm_surprisal_stats(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm_docs: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020,
     "CCNet: Extracting High Quality Monolingual Datasets"), the
@@ -636,9 +655,12 @@ def lm_surprisal_stats(
     (``classify.quantile_prune`` composes downstream for the
     head/middle/tail split).
 
-    This variant trains on the scored corpus itself (self-perplexity,
-    the fluency-outlier detector); pass a different ``docs`` to
-    ``bigram_lm_counts`` and join manually for held-out scoring.
+    ``lm_docs=None`` trains on the scored corpus itself
+    (self-perplexity, the fluency-outlier detector); passing a
+    reference corpus is CCNet's actual configuration (their LM is
+    Wikipedia-trained) — every doc is scored against THAT model, and
+    transitions outside it are maximally surprising
+    (``invp = V·LM_SCALE``: the Laplace floor, c2 = c1 = 0).
 
     Integer-exact per the module doctrine: see ``LM_SCALE``.
 
@@ -657,20 +679,10 @@ def lm_surprisal_stats(
     mean_invp_scaled, max_invp_scaled) — NULL stats for docs with
     fewer than 2 tokens (no transitions to score).
     """
-    toks = tokens(F.lower(F.col(text_col)))
-    # sequence(1, n-1) DESCENDS when n < 2 — guard to an empty gram list
-    grams_arr = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + F.lit(1)).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    # dg feeds FOUR consumers (c2 -> c1/vocab and the score join);
-    # checkpoint so the tokenize+explode corpus pass runs once, not 4×
+    grams_arr = _gram_array(text_col)
+    # dg feeds multiple consumers (the score join, plus the model
+    # relations when self-trained); checkpoint so the tokenize+explode
+    # corpus pass runs once, not 4×
     dg = (
         docs.select(F.col(id_col), F.explode(grams_arr).alias("g"))
         .select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
@@ -678,23 +690,39 @@ def lm_surprisal_stats(
         .agg(F.count(F.lit(1)).alias("dcnt"))
         .localCheckpoint(eager=False)
     )
-    c2 = dg.groupBy("w1", "w2").agg(F.sum("dcnt").alias("c2"))
+    if lm_docs is None:
+        c2 = dg.groupBy("w1", "w2").agg(F.sum("dcnt").alias("c2"))
+        how = "inner"  # self-trained: every scored gram is in the model
+    else:
+        c2 = (
+            lm_docs.select(F.explode(grams_arr).alias("g"))
+            .groupBy(
+                F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+            )
+            .agg(F.count(F.lit(1)).alias("c2"))
+            .localCheckpoint(eager=False)  # feeds c1, vocab, the join
+        )
+        how = "left"  # held-out: OOV grams score the Laplace floor
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    # V = distinct tokens participating in any bigram (derived from the
-    # count relation, not a second raw-token pass; <2-token docs have
-    # nothing to score so their tokens are out of model by definition)
+    # V = distinct tokens participating in any model bigram (derived
+    # from the count relation, not a second raw-token pass; <2-token
+    # docs have nothing to score so their tokens are out of model by
+    # definition)
     vocab = (
         c2.select(F.col("w1").alias("w"))
         .union(c2.select(F.col("w2").alias("w")))
         .agg(F.count_distinct("w").alias("v"))
     )
     scored = (
-        dg.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+        dg.join(c2, ["w1", "w2"], how)
+        .join(c1, ["w1"], how)
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "invp",
-            F.expr(f"((c1 + v) * {LM_SCALE}L) div (c2 + 1)"),
+            F.expr(
+                f"((coalesce(c1, 0L) + v) * {LM_SCALE}L) "
+                "div (coalesce(c2, 0L) + 1)"
+            ),
         )
     )
     per_doc = scored.groupBy(id_col).agg(

@@ -468,6 +468,20 @@ def text_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile.bottomk_sketch(table(spark, sf_dir, "documents"))
 
 
+LM_HELDOUT_RATE = 0.3  # md5-carved reference split the LM trains on
+
+
+def text_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's actual configuration: the bigram LM trains on a
+    REFERENCE split (md5-carved at LM_HELDOUT_RATE — standing in for
+    their Wikipedia LM) and every document is scored against that
+    model; out-of-model transitions score the Laplace floor
+    V·LM_SCALE (see operators.text_profile.lm_surprisal_stats)."""
+    docs = table(spark, sf_dir, "documents")
+    lm = partitioning.hash_sample(docs, "doc_id", LM_HELDOUT_RATE, salt="lm")
+    return text_profile.lm_surprisal_stats(docs, lm_docs=lm)
+
+
 def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     likelihood ratios of a deterministic md5-carved target split vs
@@ -1066,6 +1080,7 @@ PIPELINE_QUERIES = {
     "text_repetition": text_repetition,
     "text_bottomk_sketch": text_bottomk_sketch,
     "text_lm_surprisal": text_lm_surprisal,
+    "text_lm_heldout": text_lm_heldout,
     "corpus_dsir_weights": corpus_dsir_weights,
     "events_asof_prior_click": events_asof_prior_click,
     "events_range_join_sessions": events_range_join_sessions,
@@ -2216,6 +2231,57 @@ SELECT d.doc_id,
        p.mean_invp_scaled, p.max_invp_scaled
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
+
+def _lm_heldout_oracle() -> str:
+    from ..operators.partitioning import SAMPLE_DENOM as _DENOM
+
+    thr = int(LM_HELDOUT_RATE * _DENOM)
+    md5_lm = _sql_md5_long("CAST(doc_id AS VARCHAR) || '|lm'")
+    return f"""
+WITH t AS (
+    SELECT doc_id, ({md5_lm}) % {_DENOM} < {thr} AS is_lm,
+           {_sql_tokens("lower(text)")} AS tk
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, is_lm, g.w1 AS w1, g.w2 AS w2 FROM (
+        SELECT doc_id, is_lm,
+               unnest(list_transform(generate_series(1, len(tk) - 1),
+                      i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS g
+        FROM t WHERE len(tk) >= 2
+    )
+),
+dg AS (
+    SELECT doc_id, w1, w2, count(*) AS dcnt FROM bg GROUP BY doc_id, w1, w2
+),
+c2 AS (
+    SELECT w1, w2, count(*) AS c2 FROM bg WHERE is_lm GROUP BY w1, w2
+),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+vocab AS (
+    SELECT count(DISTINCT w) AS v FROM (
+        SELECT w1 AS w FROM c2 UNION SELECT w2 FROM c2
+    )
+),
+scored AS (
+    SELECT dg.doc_id, dg.dcnt,
+           ((COALESCE(c1.c1, 0) + vocab.v) * {text_profile.LM_SCALE})
+           // (COALESCE(c2.c2, 0) + 1) AS invp
+    FROM dg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+    CROSS JOIN vocab
+),
+per_doc AS (
+    SELECT doc_id, SUM(dcnt) AS n_bigrams,
+           SUM(dcnt * invp) // SUM(dcnt) AS mean_invp_scaled,
+           MAX(invp) AS max_invp_scaled
+    FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       p.mean_invp_scaled, p.max_invp_scaled
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
 
 ORACLE_TOKEN_STATS = f"""
 SELECT doc_id,
@@ -3515,6 +3581,7 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "text_repetition": _repetition_oracle(),
     "text_bottomk_sketch": ORACLE_BOTTOMK,
     "text_lm_surprisal": ORACLE_LM_SURPRISAL,
+    "text_lm_heldout": _lm_heldout_oracle(),
     "corpus_dsir_weights": _dsir_oracle(),
     "events_asof_prior_click": ORACLE_EVENTS_ASOF,
     "events_range_join_sessions": ORACLE_EVENTS_RANGEJOIN,

@@ -205,17 +205,20 @@ def stream_index_embeddings_pq(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     backend: str = "parquet",
+    by_residual: bool = False,
 ) -> StreamingQuery:
     """IVF-PQ index ingestion: like ``stream_index_embeddings`` but
     the persisted rows are (vec_id, codes array<int>, norm_sq, cell) —
     m small codes + one norm instead of the full quantized vector, so
     index storage is O(corpus × m) bytes, not O(corpus × dim). The
     trained coarse centroids AND the trained PQ codebooks
-    (``operators.pq.pq_codebooks``) are static for the stream's
-    lifetime, materialized once. Encoding is the zero-shuffle
-    broadcast-codebook argmin per micro-batch.
+    (``operators.pq.pq_codebooks``, or ``pq_codebooks_residual`` with
+    ``by_residual=True`` — the codes then encode residuals against
+    the coarse centroids and serving MUST pass the same flag) are
+    static for the stream's lifetime, materialized once. Encoding is
+    the zero-shuffle broadcast-codebook argmin per micro-batch.
     """
-    from ..operators.pq import pq_encode
+    from ..operators.pq import pq_encode, pq_encode_residual
 
     warehouse = pq_index_warehouse(spark, index_root, backend)
     cent = centroids.localCheckpoint(eager=True)
@@ -226,6 +229,11 @@ def stream_index_embeddings_pq(
     stream = reader.parquet(emb_dir)
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        if by_residual:
+            # residual encode carries its own cell assignment
+            enc = pq_encode_residual(batch, cent, bks, m, vec_col, id_col)
+            warehouse.insert_if_absent(PQ_INDEX_TABLE, enc)
+            return
         assigned = ivf_assignments(
             batch, vec_col=vec_col, id_col=id_col, centroids=cent
         ).select(id_col, "cell")
@@ -250,12 +258,17 @@ def ivfpq_index_topk(
     k: int = 5,
     n_probe: int = 4,
     backend: str = "parquet",
+    by_residual: bool = False,
 ) -> DataFrame:
     """Top-k ADC search served from the PERSISTED cell-partitioned
     IVF-PQ index: probe-cell partition pruning exactly as
     ``ivf_index_topk``, then m-lookup ADC scoring against the
     broadcast per-query lookup tables instead of a dim-length dot
-    product — the serve path never touches a raw vector. Results are
+    product — the serve path never touches a raw vector. With
+    ``by_residual=True`` (index built by residual-encoding ingestion)
+    the ADC decomposes as ``<q, c_cell> + Σ LUT`` — the coarse term
+    is one integer dot per (query, probed cell), broadcast, exactly
+    as ``operators.pq.ann_ivfpq_res_topk``. Results are
     identical to in-flight ``operators.pq.ann_ivfpq_topk`` over the
     same accumulated vectors (same probe, LUT, and tie-break
     expressions — asserted stream ≡ batch in tests)."""
@@ -281,7 +294,24 @@ def ivfpq_index_topk(
         .filter(F.col("query_id") != F.col("vec_id"))
         .join(F.broadcast(luts), "query_id")
     )
-    adc_cos = adc_dot() / (
+    dot = adc_dot()
+    if by_residual:
+        from ..operators.pq import _dot
+
+        qc = probes.join(
+            F.broadcast(
+                centroids.select(
+                    F.col("centroid_id").alias("cell"),
+                    F.col("cq").alias("_ccq"),
+                )
+            ),
+            "cell",
+        ).select(
+            "query_id", "cell", _dot(F.col("qq"), F.col("_ccq")).alias("_qc")
+        )
+        scored = scored.join(F.broadcast(qc), ["query_id", "cell"])
+        dot = F.col("_qc") + dot
+    adc_cos = dot / (
         F.sqrt(F.col("qn").cast("double"))
         * F.sqrt(F.col("norm_sq").cast("double"))
     )

@@ -14,6 +14,8 @@ controlled duplicate fraction, entirely as JVM column expressions —
 deterministic, no RNG, no Python in the generation path.
 
 Usage: python scalecheck.py [sizes...]   (default 5000 20000 80000)
+       python scalecheck.py sink [n_batches] [batch_rows]  (sink
+                                             backend batch-cost trend)
        python scalecheck.py emb [sizes...]  (embedding ops;
                                              default 2000 8000 32000)
 Prints one JSON line per (operator, size) with wall seconds and
@@ -251,8 +253,82 @@ def run_suite(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def sink_mode(spark, n_batches: int, batch_rows: int) -> None:
+    """Append-mostly insert-if-absent across backends: the scaling
+    question is whether per-batch cost GROWS with the accumulated
+    table (parquet reads its keys every batch) or stays flat (bloom
+    proves novelty from the metadata-scale filter). Every batch is
+    all-novel except one mid-run exact replay, which exercises the
+    maybe-seen path on both."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.sinks import (
+        make_sink,
+    )
+
+    def batch(b: int):
+        return spark.range(b * batch_rows, (b + 1) * batch_rows).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("v"),
+        )
+
+    total_keys = n_batches * batch_rows
+    for backend in ("parquet", "bloom"):
+        root = tempfile.mkdtemp(prefix=f"scalecheck_sink_{backend}_")
+        try:
+            sink = make_sink(
+                spark, root, keys={"t": ["k"]}, backend=backend
+            )
+            if backend == "bloom":
+                # size the filter to the workload (~10 bits/key for
+                # ~1% fpp) — an UNDERSIZED bloom saturates and the
+                # sink degrades to the plain anti-join plus the
+                # filter's fixed overhead (measured: the first cut of
+                # this harness ran 4.8M keys into the 2^20 default
+                # and the "bloom" curve grew exactly like parquet's)
+                sink.bloom_bits = 1 << max(20, (total_keys * 10).bit_length())
+            times = []
+            for b in range(n_batches):
+                t0 = time.time()
+                sink.insert_if_absent("t", batch(b))
+                times.append(round(time.time() - t0, 3))
+            t0 = time.time()
+            sink.insert_if_absent("t", batch(n_batches // 2))  # replay
+            replay_sec = round(time.time() - t0, 3)
+            n = sink.read("t").count()
+            assert n == n_batches * batch_rows, n
+            head = sum(times[1:4]) / 3  # skip the first-write outlier
+            tail = sum(times[-3:]) / 3
+            print(
+                json.dumps(
+                    {
+                        "backend": backend,
+                        "batch_rows": batch_rows,
+                        "n_batches": n_batches,
+                        "per_batch_sec": times,
+                        "early_avg_sec": round(head, 3),
+                        "late_avg_sec": round(tail, 3),
+                        "late_vs_early": round(tail / head, 2),
+                        "replay_batch_sec": replay_sec,
+                        "rows": n,
+                    }
+                ),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
+    if args and args[0] == "sink":
+        rest = [int(a) for a in args[1:]]
+        spark = get_spark(app_name="scalecheck-sink")
+        spark.sparkContext.setLogLevel("ERROR")
+        sink_mode(
+            spark,
+            n_batches=rest[0] if rest else 16,
+            batch_rows=rest[1] if len(rest) > 1 else 20000,
+        )
+        return
     emb_mode = bool(args) and args[0] == "emb"
     if emb_mode:
         args = args[1:]

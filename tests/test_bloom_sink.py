@@ -125,7 +125,7 @@ def test_crash_after_bloom_before_data_is_safe(spark, tmp_path):
     sink._write_bloom(
         "t",
         bloom.merge_blooms(
-            sink._load_bloom_local("t"),
+            sink._read_bloom("t"),
             bloom.bloom_words(b2, ["k"], sink.bloom_bits, sink.bloom_k),
         ),
     )
@@ -168,3 +168,30 @@ def test_saturated_bloom_stays_correct(spark, tmp_path):
     got = {(r["k"], r["v"]) for r in sink.read("t").collect()}
     assert len(got) == 90
     assert all(v == "x" for k, v in got if k < 50)
+
+
+def test_bloom_auto_grows_past_saturation(spark, tmp_path):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.bloom import (
+        bloom_meta,
+    )
+
+    sink = make_sink(spark, str(tmp_path), keys={"t": ["k"]}, backend="bloom")
+    sink.bloom_bits = 256  # tiny start: 100 keys saturate it at once
+    b1 = spark.createDataFrame(
+        [(i, "x") for i in range(100)], "k long, v string"
+    )
+    sink.insert_if_absent("t", b1)
+    m0, _, n0 = bloom_meta(sink._read_bloom("t"))
+    assert m0 == 256 and n0 == 100
+    b2 = spark.createDataFrame(
+        [(i, "y") for i in range(100, 200)], "k long, v string"
+    )
+    sink.insert_if_absent("t", b2)  # triggers the growth rebuild
+    m1, _, n1 = bloom_meta(sink._read_bloom("t"))
+    assert m1 >= 100 * 20  # ≥ 2× headroom over the pre-batch keys
+    assert sink.read("t").count() == 200
+    # grown filter still proves novelty and still veto-replays
+    sink.insert_if_absent("t", b2)
+    assert sink.read("t").count() == 200
+    got = {(r["k"], r["v"]) for r in sink.read("t").collect()}
+    assert all(v == "y" for k, v in got if k >= 100)

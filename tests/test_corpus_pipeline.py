@@ -135,3 +135,23 @@ def test_facade_cut_spans_and_stream_substr(spark, tmp_path):
         for r in cp.warehouse.read(SUBSTR_CURATED_TABLE).collect()
     }
     assert streamed == got
+
+
+def test_facade_score_fluency_and_dsir(spark, tmp_path):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.corpus_pipeline import (
+        CorpusPipeline,
+    )
+
+    pipe = CorpusPipeline(spark, str(tmp_path / "corpus"))
+    docs = spark.createDataFrame(
+        [(i, f"the cat sat on mat {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    flu = pipe.score_fluency(docs)
+    assert flu.count() == 20
+    assert set(flu.columns) == {
+        "doc_id", "n_bigrams", "mean_invp_scaled", "max_invp_scaled"
+    }
+    w = pipe.dsir_weights(docs, target_rate=0.3)
+    assert w.count() == 20
+    assert "weight_scaled" in w.columns

@@ -82,3 +82,28 @@ def test_plan_no_windows_no_crossjoin_blowup(spark):
     assert "CartesianProduct" not in plan
     # partial (map-side) aggregation present for the count/sum aggs
     assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_heldout_lm_scores_oov_at_laplace_floor(spark):
+    lm = spark.createDataFrame(
+        [(0, "the cat sat the cat sat")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "weird zap blorp"), (3, "the cat ran")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in lm_surprisal_stats(docs, lm_docs=lm).collect()
+    }
+    s = LM_SCALE
+    # LM grams: (the,cat)x2 (cat,sat)x2 (sat,the)x1; c1: the=2 cat=2;
+    # V={the,cat,sat}=3
+    assert rows[1]["mean_invp_scaled"] == 5 * s // 3
+    # fully out-of-model doc: every gram at the Laplace floor V*S
+    assert rows[2]["mean_invp_scaled"] == 3 * s
+    assert rows[2]["max_invp_scaled"] == 3 * s
+    # known context, unseen continuation: (c1+V)*S div 1
+    assert rows[3]["max_invp_scaled"] == 5 * s
+    # in-model text scores BELOW out-of-model text
+    assert rows[1]["mean_invp_scaled"] < rows[2]["mean_invp_scaled"]

@@ -269,3 +269,49 @@ def test_residual_books_differ_from_raw_books(spark):
         ).collect()
     }
     assert raw != res
+
+
+class TestPQResidualServedIndex:
+    """Streaming residual-PQ index (by_residual=True on both ingest
+    and serve) must equal the in-flight ann_ivfpq_res_topk over the
+    same vectors, quantizers, and tie-breaks."""
+
+    def test_stream_served_equals_batch_residual(
+        self, spark, sf_dir, tmp_path
+    ):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.similarity import (
+            kmeans_centroids,
+        )
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.ann_index import (
+            ivfpq_index_topk,
+            stream_index_embeddings_pq,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = kmeans_centroids(emb, k=4, iters=2)
+        books = pq.pq_codebooks_residual(emb, cents, m=4, ksub=8, iters=2)
+        src = str(tmp_path / "chunks")
+        emb.withColumn("_b", F.col("vec_id") % 3).repartition(
+            3, "_b"
+        ).drop("_b").write.parquet(src)
+        q = stream_index_embeddings_pq(
+            spark, src, str(tmp_path / "index"), str(tmp_path / "ckpt"),
+            cents, books, m=4, max_files_per_trigger=1, by_residual=True,
+        )
+        q.awaitTermination()
+        queries = emb.filter(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        served = ivfpq_index_topk(
+            spark, str(tmp_path / "index"), queries, cents, books,
+            m=4, k=3, n_probe=2, by_residual=True,
+        )
+        batch = pq.ann_ivfpq_res_topk(
+            emb, num_queries=6, k=3, n_centroids=4, n_probe=2,
+            m=4, ksub=8, iters=2, centroids=cents, books=books,
+        )
+        s = {(r.query_id, r.rank): (r.neighbor_id, r.adc_cosine)
+             for r in served.collect()}
+        b = {(r.query_id, r.rank): (r.neighbor_id, r.adc_cosine)
+             for r in batch.collect()}
+        assert s == b and s

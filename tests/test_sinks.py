@@ -152,7 +152,7 @@ def test_crashed_segment_is_invisible(spark, tmp_path):
 
 
 def test_make_sink_backend_registry(spark, tmp_path):
-    assert set(BACKENDS) == {"parquet", "manifest", "delta"}
+    assert set(BACKENDS) == {"parquet", "manifest", "delta", "bloom"}
     assert isinstance(
         make_sink(spark, str(tmp_path), keys={}), ParquetAntiJoinSink
     )
