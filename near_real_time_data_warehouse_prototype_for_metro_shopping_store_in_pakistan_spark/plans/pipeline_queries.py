@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import ENGLISH_STOPWORDS, LANG_ORDER, LANG_STOPWORDS
+from ..functions.text import md5_long as _md5_long
 from ..operators import (
     asof,
     classify,
@@ -478,8 +479,14 @@ def text_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     model; out-of-model transitions score the Laplace floor
     V·LM_SCALE (see operators.text_profile.lm_surprisal_stats)."""
     docs = table(spark, sf_dir, "documents")
-    lm = partitioning.hash_sample(docs, "doc_id", LM_HELDOUT_RATE, salt="lm")
-    return text_profile.lm_surprisal_stats(docs, lm_docs=lm)
+    # lm_filter fast path: the split is carved from the same corpus,
+    # so the model counts derive from the per-doc gram relation —
+    # one tokenize pass instead of two
+    is_lm = (
+        _md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("|lm")))
+        % partitioning.SAMPLE_DENOM
+    ) < int(LM_HELDOUT_RATE * partitioning.SAMPLE_DENOM)
+    return text_profile.lm_surprisal_stats(docs, lm_filter=is_lm)
 
 
 def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -107,3 +107,23 @@ def test_heldout_lm_scores_oov_at_laplace_floor(spark):
     assert rows[3]["max_invp_scaled"] == 5 * s
     # in-model text scores BELOW out-of-model text
     assert rows[1]["mean_invp_scaled"] < rows[2]["mean_invp_scaled"]
+
+
+def test_lm_filter_fast_path_equals_lm_docs(spark):
+    docs = spark.createDataFrame(
+        [(i, f"the cat sat {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    via_docs = lm_surprisal_stats(
+        docs, lm_docs=docs.filter("doc_id % 2 = 0")
+    )
+    via_filter = lm_surprisal_stats(
+        docs, lm_filter=F.expr("doc_id % 2 = 0")
+    )
+    a = sorted(map(tuple, via_docs.collect()))
+    b = sorted(map(tuple, via_filter.collect()))
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        lm_surprisal_stats(docs, lm_docs=docs, lm_filter=F.lit(True))
