@@ -343,6 +343,48 @@ def mix_plan(
     wdf = spark.createDataFrame(
         sorted(positive.items()), f"{source_col} string, _w long"
     )
+    return _mix_from_weights(docs, budget_docs, wdf, source_col, id_col)
+
+
+def temperature_mix_plan(
+    docs: DataFrame,
+    budget_docs: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled training mix (the multilingual/T5 practice:
+    sample source s with probability ∝ n_s^alpha, flattening the
+    head so small sources are not drowned), with alpha PINNED at 0.5:
+    sqrt is the one temperature whose weights stay integer-exact —
+    ``floor(sqrt(n))`` equals ``isqrt(n)`` for every count below 2^52
+    under IEEE correctly-rounded sqrt, identical on both engines,
+    where a general ``n^0.3`` would be irrational and engine-rounded.
+    Weights feed the same largest-remainder allocation and
+    deterministic hash draw as ``mix_plan`` — and they derive from the
+    per-source count relation IN-PLAN (metadata-scale, no driver
+    round-trip, no hand-maintained weight dict going stale as the
+    corpus grows)."""
+    wdf = (
+        docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            source_col,
+            F.expr("CAST(floor(sqrt(_n)) AS BIGINT)").alias("_w"),
+        )
+    )
+    return _mix_from_weights(docs, budget_docs, wdf, source_col, id_col)
+
+
+def _mix_from_weights(
+    docs: DataFrame,
+    budget_docs: int,
+    wdf: DataFrame,
+    source_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared allocation + draw core: largest-remainder apportionment
+    over the (source, _w) relation, availability-capped, then the
+    deterministic per-source hash draw."""
     avail = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("_avail"))
     present = avail.join(F.broadcast(wdf), source_col)
     # global windows over the #sources-row frame (metadata scale, like
@@ -415,3 +457,32 @@ def split_plan(
         .otherwise("train")
     )
     return df.withColumn("split", split)
+
+
+def epoch_order(
+    shards: DataFrame,
+    epoch: int,
+    shard_col: str = "shard",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch training order: within each shard, rank
+    docs by ``md5(id || '|epoch' || epoch)`` — a different uniform
+    permutation every epoch, bit-identical on every re-run/engine (the
+    reproducibility a training manifest needs: "epoch 3 order" is a
+    pure function of ids, never of partitioning or RNG state).
+
+    Plan shape: ONE window partitioned BY SHARD — each shard sorts its
+    own ~N/n_shards rows in parallel; there is no global sort, and at
+    100 TB the shard is the natural parallel unit (one reader task
+    consumes one shard in order). Compose after
+    ``shard_assignments``.
+    """
+    h = md5_long(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit(f"|epoch{int(epoch)}")
+        )
+    )
+    w = Window.partitionBy(shard_col).orderBy(h.asc(), F.col(id_col).asc())
+    return shards.withColumn(
+        "position", (F.row_number().over(w) - 1).cast("long")
+    )

@@ -274,39 +274,75 @@ class ManifestParquetSink(MergeSink):
     def _table_dir(self, name: str) -> str:
         return self.path(name)
 
-    def _segments(self, name: str) -> tuple[list[str], int]:
-        """(committed NON-EMPTY segment dirs ascending, next free
-        segment number). A fully-deduplicated replay batch commits a
-        zero-file segment — valid (the commit records the batch
-        happened) but skipped by readers, since an empty parquet
-        directory has no schema to scan."""
+    def _segments(
+        self, name: str
+    ) -> tuple[list[tuple[int, str]], list[int], int]:
+        """(committed NON-EMPTY (number, dir) ascending, ALL committed
+        numbers ascending, next free segment number). A
+        fully-deduplicated replay batch commits a zero-file segment —
+        valid (the commit records the batch happened, and it is a
+        snapshot id) but skipped by scans, since an empty parquet
+        directory has no schema."""
         import json
 
         tdir = self._table_dir(name)
         if not os.path.isdir(tdir):
-            return [], 0
+            return [], [], 0
         segs = sorted(
             (int(d[4:]), os.path.join(tdir, d))
             for d in os.listdir(tdir)
             if d.startswith("seg_") and d[4:].isdigit()
         )
-        committed = []
-        for _, p in segs:
+        committed, all_nums = [], []
+        for n, p in segs:
             try:
                 with open(os.path.join(p, "_COMMITTED.json")) as fh:
-                    if json.load(fh)["files"]:
-                        committed.append(p)
+                    nonempty = bool(json.load(fh)["files"])
             except (OSError, ValueError, KeyError):
                 continue  # uncommitted / crashed — invisible
+            all_nums.append(n)
+            if nonempty:
+                committed.append((n, p))
         nxt = segs[-1][0] + 1 if segs else 0
-        return committed, nxt
+        return committed, all_nums, nxt
+
+    def snapshots(self, name: str) -> list[int]:
+        """Committed segment numbers, ascending — every one is a
+        REPRODUCIBLE dataset version: ``read_at(name, s)`` returns the
+        table exactly as it stood when segment ``s`` committed,
+        forever (segments are immutable). This is the dataset-
+        versioning surface a training pipeline pins its runs to — "we
+        trained on snapshot 41" stays re-readable after any number of
+        later batches. Crashed (uncommitted) segments are not
+        snapshots."""
+        _, all_nums, _ = self._segments(name)
+        return all_nums
+
+    def read_at(self, name: str, snapshot: int) -> DataFrame | None:
+        """The table as of ``snapshot`` (inclusive): the union of
+        committed non-empty segments numbered <= snapshot. None when
+        nothing visible at that point."""
+        committed, all_nums, _ = self._segments(name)
+        if snapshot not in all_nums:
+            raise ValueError(
+                f"unknown snapshot {snapshot} for table {name!r}: "
+                f"committed snapshots are {all_nums}"
+            )
+        visible = [p for n, p in committed if n <= snapshot]
+        if not visible:
+            return None
+        out = None
+        for seg in visible:
+            df = self.spark.read.parquet(seg)
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def read(self, name: str) -> DataFrame | None:
-        committed, _ = self._segments(name)
+        committed, _, _ = self._segments(name)
         if not committed:
             return None
         out = None
-        for seg in committed:
+        for _, seg in committed:
             df = self.spark.read.parquet(seg)
             out = df if out is None else out.unionByName(df)
         return out
@@ -327,7 +363,7 @@ class ManifestParquetSink(MergeSink):
                 cond = cond & F.col(k).eqNullSafe(F.col(f"__seen_{k}"))
             incoming = incoming.join(seen, cond, "left_anti")
             incoming = incoming.select(*existing.columns)
-        _, nxt = self._segments(name)
+        _, _, nxt = self._segments(name)
         seg_dir = os.path.join(self._table_dir(name), f"seg_{nxt}")
         writer = incoming.write.mode("error")
         parts = self.partitioning.get(name)

@@ -541,6 +541,38 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_MIX_BUDGET = 150
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled training mix (alpha pinned 0.5 = sqrt, the
+    one integer-exact temperature): per-source weights derive from
+    the count relation in-plan — see
+    operators.partitioning.temperature_mix_plan."""
+    return partitioning.temperature_mix_plan(
+        table(spark, sf_dir, "documents"), TEMP_MIX_BUDGET
+    )
+
+
+TRAIN_EPOCH = 3  # the pinned epoch for the training-order row
+
+
+def corpus_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order: shard_assignments
+    placement + an md5(id|epoch)-keyed uniform permutation WITHIN each
+    shard (operators.partitioning.epoch_order) — the reproducible "what
+    did epoch 3 read, in what order" manifest, a pure function of doc
+    ids (no RNG, no partitioning dependence); the only window
+    partitions by shard (parallel per-shard sorts, no global sort)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    shards = partitioning.shard_assignments(
+        docs, N_SHARDS, size_col="n_chars", id_col="doc_id"
+    )
+    return partitioning.epoch_order(shards, epoch=TRAIN_EPOCH)
+
+
 QUALITY_MIN = 100
 
 
@@ -1061,6 +1093,8 @@ PIPELINE_QUERIES = {
     "corpus_hash_sample": corpus_hash_sample,
     "corpus_split_plan": corpus_split_plan,
     "corpus_shard_plan": corpus_shard_plan,
+    "corpus_epoch_order": corpus_epoch_order,
+    "corpus_temperature_mix": corpus_temperature_mix,
     "corpus_source_cap": corpus_source_cap,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_curation_funnel": corpus_curation_funnel,
@@ -1205,6 +1239,30 @@ SELECT doc_id, n_chars,
        CAST(CASE WHEN (r // {N_SHARDS}) % 2 = 0 THEN r % {N_SHARDS}
                  ELSE {N_SHARDS} - 1 - (r % {N_SHARDS}) END AS INTEGER) AS shard
 FROM ranked
+"""
+
+
+ORACLE_EPOCH_ORDER = f"""
+WITH sized AS (SELECT doc_id, length(text) AS n_chars FROM documents),
+ranked AS (
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r
+    FROM sized
+),
+sharded AS (
+    SELECT doc_id, n_chars,
+           CAST(CASE WHEN (r // {N_SHARDS}) % 2 = 0 THEN r % {N_SHARDS}
+                     ELSE {N_SHARDS} - 1 - (r % {N_SHARDS}) END
+                AS INTEGER) AS shard
+    FROM ranked
+)
+SELECT doc_id, n_chars, shard,
+       row_number() OVER (
+           PARTITION BY shard
+           ORDER BY {_sql_md5_long("CAST(doc_id AS VARCHAR) || '|epoch' || CAST(" + str(TRAIN_EPOCH) + " AS VARCHAR)")} ASC,
+                    doc_id ASC
+       ) - 1 AS position
+FROM sharded
 """
 
 
@@ -3187,6 +3245,43 @@ FROM drawn WHERE rk <= a
 """
 
 
+def _temperature_mix_oracle() -> str:
+    b = TEMP_MIX_BUDGET
+    draw_h = _sql_md5_long("CAST(doc_id AS VARCHAR) || '|mix'")
+    return f"""
+WITH avail AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+present AS (
+    SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM avail
+),
+tot AS (SELECT SUM(wt) AS W FROM present),
+quotas AS (
+    SELECT p.source, p.n,
+           ({b} * p.wt) // t.W AS base,
+           ({b} * p.wt) % t.W AS rem
+    FROM present p CROSS JOIN tot t
+),
+extras AS (SELECT {b} - SUM(base) AS e FROM quotas),
+alloc AS (
+    SELECT source, n,
+           CAST(least(base + CASE WHEN rk <= (SELECT e FROM extras)
+                                  THEN 1 ELSE 0 END, n) AS BIGINT) AS a
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+        FROM quotas
+    )
+),
+drawn AS (
+    SELECT d.doc_id, d.source, al.a,
+           row_number() OVER (
+               PARTITION BY d.source ORDER BY {draw_h} ASC, d.doc_id ASC
+           ) AS rk
+    FROM documents d JOIN alloc al USING (source)
+)
+SELECT doc_id, source, CAST(rk AS INT) AS mix_rank, CAST(a AS INT) AS source_alloc
+FROM drawn WHERE rk <= a
+"""
+
+
 def _decontaminate_oracle() -> str:
     n = DECONTAM_NGRAM
     denom = partitioning.SAMPLE_DENOM
@@ -3565,6 +3660,8 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "corpus_hash_sample": ORACLE_HASH_SAMPLE,
     "corpus_split_plan": ORACLE_SPLIT_PLAN,
     "corpus_shard_plan": ORACLE_SHARD_PLAN,
+    "corpus_epoch_order": ORACLE_EPOCH_ORDER,
+    "corpus_temperature_mix": _temperature_mix_oracle(),
     "corpus_source_cap": ORACLE_SOURCE_CAP,
     "corpus_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "corpus_curation_funnel": _funnel_oracle(),

@@ -263,3 +263,72 @@ def test_split_plan_is_disjoint_exhaustive_and_stable(spark):
 
     with pytest.raises(ValueError):
         split_plan(df, "doc_id", 0.6, 0.5)
+
+
+def test_epoch_order_is_deterministic_permutation(spark):
+    docs = spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(60)], "doc_id long, n_chars int"
+    )
+    shards = partitioning.shard_assignments(docs, 4, size_col="n_chars")
+    e1 = partitioning.epoch_order(shards, epoch=1)
+    e1b = partitioning.epoch_order(shards, epoch=1)
+    e2 = partitioning.epoch_order(shards, epoch=2)
+    rows1 = {(r["doc_id"]): (r["shard"], r["position"]) for r in e1.collect()}
+    rows1b = {(r["doc_id"]): (r["shard"], r["position"]) for r in e1b.collect()}
+    rows2 = {(r["doc_id"]): (r["shard"], r["position"]) for r in e2.collect()}
+    assert rows1 == rows1b  # same epoch: bit-identical re-run
+    # placement never changes across epochs; order does
+    assert {d: s for d, (s, _) in rows1.items()} == {
+        d: s for d, (s, _) in rows2.items()
+    }
+    assert rows1 != rows2  # a different epoch is a different permutation
+    # positions are contiguous 0..len-1 within every shard
+    from collections import defaultdict
+
+    per_shard = defaultdict(list)
+    for _, (s, p) in rows1.items():
+        per_shard[s].append(p)
+    for s, ps in per_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+
+
+def test_epoch_order_plan_has_no_global_window(spark):
+    from tests.test_plan_quality import plan_of
+
+    docs = spark.createDataFrame(
+        [(i, 10) for i in range(20)], "doc_id long, n_chars int"
+    )
+    shards = partitioning.shard_assignments(docs, 4, size_col="n_chars")
+    plan = plan_of(partitioning.epoch_order(shards, epoch=1))
+    # every Window in the plan must carry a partition spec (the
+    # global_row_numbers machinery windows by _pid; epoch_order by
+    # shard) — no single-task global sort anywhere
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), plan
+
+
+def test_temperature_mix_flattens_toward_small_sources(spark):
+    # head source 900 docs, tail 100: proportional gives tail 10%,
+    # sqrt-temperature gives 10/(30+10) = 25% of the budget
+    rows = [(i, "head") for i in range(900)] + [
+        (1000 + i, "tail") for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = partitioning.temperature_mix_plan(docs, budget_docs=100)
+    alloc = {
+        r["source"]: r["source_alloc"]
+        for r in out.select("source", "source_alloc").distinct().collect()
+    }
+    assert sum(alloc.values()) == 100
+    assert alloc["tail"] == 25 and alloc["head"] == 75
+    # deterministic draw: identical on re-run
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in partitioning.temperature_mix_plan(
+            docs, budget_docs=100
+        ).collect()
+    )
+    assert a == b

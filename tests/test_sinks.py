@@ -209,3 +209,40 @@ def test_streaming_etl_replay_idempotent_per_backend(spark, tmp_path, backend):
     fact = wh.read("sales_fact")
     assert fact.count() == 2
     assert wh.read("products").count() == 1
+
+
+def test_manifest_snapshots_time_travel(spark, tmp_path):
+    """Every committed segment is a reproducible dataset version:
+    read_at(s) returns the table exactly as of that commit, forever —
+    the 'we trained on snapshot N' pin a training pipeline needs."""
+    sink = _sink(spark, tmp_path, "manifest")
+    b1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    b2 = spark.createDataFrame([(2, "b"), (3, "c")], "k long, v string")
+    sink.insert_if_absent("t", b1)
+    sink.insert_if_absent("t", b2)
+    sink.insert_if_absent("t", b2)  # replay: empty commit, still a snapshot
+    assert sink.snapshots("t") == [0, 1, 2]
+    assert {r["k"] for r in sink.read_at("t", 0).collect()} == {1}
+    assert {r["k"] for r in sink.read_at("t", 1).collect()} == {1, 2, 3}
+    # the empty replay snapshot equals the one before it
+    assert {r["k"] for r in sink.read_at("t", 2).collect()} == {1, 2, 3}
+    # later batches never change an old snapshot
+    sink.insert_if_absent(
+        "t", spark.createDataFrame([(9, "z")], "k long, v string")
+    )
+    assert {r["k"] for r in sink.read_at("t", 0).collect()} == {1}
+    assert {r["k"] for r in sink.read("t").collect()} == {1, 2, 3, 9}
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        sink.read_at("t", 99)
+
+
+def test_manifest_crashed_segment_is_not_a_snapshot(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "manifest")
+    sink.insert_if_absent(
+        "t", spark.createDataFrame([(1, "a")], "k long, v string")
+    )
+    orphan = tmp_path / "t" / "seg_1"
+    spark.createDataFrame([(9, "ghost")], "k long, v string").write.parquet(
+        str(orphan)
+    )
+    assert sink.snapshots("t") == [0]
