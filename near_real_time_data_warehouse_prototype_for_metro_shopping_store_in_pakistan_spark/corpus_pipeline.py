@@ -231,3 +231,98 @@ class CorpusPipeline:
             max_files_per_trigger=max_files_per_trigger,
             backend=self.backend,
         )
+
+
+DATASET_TABLE = "dataset"
+
+
+class DatasetBuilder:
+    """End-to-end training-dataset builds over the manifest sink's
+    snapshot surface: each ``build`` runs the full selection chain —
+
+        curate → near-dup dedup → (optional) LM-fluency prune →
+        temperature mix → size-balanced shards → per-epoch order →
+        snapshot commit
+
+    — and returns an immutable snapshot id. Every stage is a
+    deterministic pure function of the input ids/text (md5 draws,
+    integer-exact scores, hash permutations — no RNG anywhere), so the
+    SAME inputs always produce the SAME dataset, and
+    ``read(snapshot)`` reproduces any historical build forever (the
+    "which exact rows did run N train on, in which order" answer).
+    Builds append via insert-if-absent on (doc_id, epoch): re-running
+    a build is a no-op commit (a new snapshot id with identical
+    content), and a crashed build is invisible
+    (ManifestParquetSink's commit protocol).
+    """
+
+    def __init__(self, pipeline: CorpusPipeline) -> None:
+        self.pipeline = pipeline
+        self.sink = make_sink(
+            pipeline.spark,
+            pipeline.root,
+            keys={DATASET_TABLE: ["doc_id", "epoch"]},
+            backend="manifest",  # snapshots need the segment protocol
+        )
+
+    def build(
+        self,
+        docs: DataFrame,
+        eval_docs: DataFrame,
+        budget_docs: int,
+        n_shards: int = 8,
+        epoch: int = 0,
+        quality_min: int = 100,
+        min_overlap: int = 10,
+        dedup_method: str = "ladder",
+        fluency_keep_pct: int | None = None,
+    ) -> int:
+        """Run the chain and commit one snapshot; returns its id.
+
+        ``fluency_keep_pct``: when set, score every surviving doc with
+        the self-trained bigram LM and keep only docs at or below the
+        corpus's pct-th surprisal percentile (the CCNet head+middle
+        cut) — implemented by quantile-pruning the NEGATED mean
+        surprisal, since ``quantile_prune`` keeps high scores.
+        """
+        from .operators import classify as _classify
+        from .operators import partitioning as _part
+
+        kept = self.pipeline.curate(
+            docs, eval_docs, quality_min=quality_min,
+            min_overlap=min_overlap,
+        )
+        kept = self.pipeline.dedup(kept, method=dedup_method)
+        if fluency_keep_pct is not None:
+            flu = self.pipeline.score_fluency(kept).filter(
+                F.col("n_bigrams") > 0
+            )
+            sel = _classify.quantile_prune(
+                flu.select(
+                    "doc_id", (-F.col("mean_invp_scaled")).alias("_neg")
+                ),
+                pct=100 - fluency_keep_pct,
+                score_col="_neg",
+            )
+            kept = kept.join(
+                sel.filter(F.col("keep")).select("doc_id"), "doc_id"
+            )
+        mixed = _part.temperature_mix_plan(kept, budget_docs)
+        rows = kept.join(mixed.select("doc_id"), "doc_id").select(
+            "doc_id", F.length("text").alias("n_chars")
+        )
+        sharded = _part.shard_assignments(rows, n_shards, "n_chars")
+        ordered = _part.epoch_order(sharded, epoch=epoch).withColumn(
+            "epoch", F.lit(int(epoch)).cast("int")
+        )
+        self.sink.insert_if_absent(DATASET_TABLE, ordered)
+        return self.sink.snapshots(DATASET_TABLE)[-1]
+
+    def snapshots(self) -> list[int]:
+        return self.sink.snapshots(DATASET_TABLE)
+
+    def read(self, snapshot: int) -> DataFrame:
+        got = self.sink.read_at(DATASET_TABLE, snapshot)
+        if got is None:
+            raise ValueError(f"snapshot {snapshot} is empty")
+        return got
