@@ -625,20 +625,26 @@ def compression_stats(
 LM_SCALE = 1_000_000
 
 
-def _gram_array(text_col: str):
-    """array<struct<w1,w2>> of adjacent lowercase token pairs; empty
-    for <2-token text (sequence(1, n-1) DESCENDS when n < 2)."""
+def _gram_array(text_col: str, n: int = 2):
+    """array<struct<ctx,w>> of order-``n`` lowercase token grams:
+    ``ctx`` = the n-1 context words space-joined, ``w`` = the
+    continuation. Empty for <n-token text (sequence DESCENDS when the
+    stop is below the start). For n=2 this is exactly the adjacent
+    pair (ctx=w1, w=w2)."""
     toks = tokens(F.lower(F.col(text_col)))
     return F.when(
-        F.size(toks) >= 2,
+        F.size(toks) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + F.lit(1)).alias("w2"),
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, i + F.lit(j)) for j in range(n - 1)],
+                ).alias("ctx"),
+                F.element_at(toks, i + F.lit(n - 1)).alias("w"),
             ),
         ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    ).otherwise(F.array().cast("array<struct<ctx:string,w:string>>"))
 
 
 def lm_surprisal_stats(
@@ -647,6 +653,7 @@ def lm_surprisal_stats(
     id_col: str = "doc_id",
     lm_docs: DataFrame | None = None,
     lm_filter: Column | None = None,
+    n: int = 2,
 ) -> DataFrame:
     """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020,
     "CCNet: Extracting High Quality Monolingual Datasets"), the
@@ -684,26 +691,26 @@ def lm_surprisal_stats(
     mean_invp_scaled, max_invp_scaled) — NULL stats for docs with
     fewer than 2 tokens (no transitions to score).
     """
-    grams_arr = _gram_array(text_col)
+    grams_arr = _gram_array(text_col, n)
     # dg feeds multiple consumers (the score join, plus the model
     # relations when self-trained); checkpoint so the tokenize+explode
     # corpus pass runs once, not 4×
     dg = (
         docs.select(F.col(id_col), F.explode(grams_arr).alias("g"))
-        .select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
-        .groupBy(id_col, "w1", "w2")
+        .select(id_col, F.col("g.ctx").alias("ctx"), F.col("g.w").alias("w"))
+        .groupBy(id_col, "ctx", "w")
         .agg(F.count(F.lit(1)).alias("dcnt"))
         .localCheckpoint(eager=False)
     )
     if lm_docs is not None and lm_filter is not None:
         raise ValueError("pass lm_docs OR lm_filter, not both")
     if lm_docs is None and lm_filter is None:
-        c2 = dg.groupBy("w1", "w2").agg(F.sum("dcnt").alias("c2"))
+        c2 = dg.groupBy("ctx", "w").agg(F.sum("dcnt").alias("c2"))
         how = "inner"  # self-trained: every scored gram is in the model
     elif lm_filter is not None:
         c2 = (
             dg.filter(lm_filter)
-            .groupBy("w1", "w2")
+            .groupBy("ctx", "w")
             .agg(F.sum("dcnt").alias("c2"))
         )
         how = "left"  # held-out: OOV grams score the Laplace floor
@@ -711,25 +718,29 @@ def lm_surprisal_stats(
         c2 = (
             lm_docs.select(F.explode(grams_arr).alias("g"))
             .groupBy(
-                F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+                F.col("g.ctx").alias("ctx"), F.col("g.w").alias("w")
             )
             .agg(F.count(F.lit(1)).alias("c2"))
             .localCheckpoint(eager=False)  # feeds c1, vocab, the join
         )
         how = "left"  # held-out: OOV grams score the Laplace floor
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    # V = distinct tokens participating in any model bigram (derived
-    # from the count relation, not a second raw-token pass; <2-token
+    c1 = c2.groupBy("ctx").agg(F.sum("c2").alias("c1"))
+    # V = distinct tokens participating in any model gram (derived
+    # from the count relation by re-splitting the joined context — a
+    # vocab²-bounded pass, never a second raw-token scan; <n-token
     # docs have nothing to score so their tokens are out of model by
-    # definition)
+    # definition). For n=2 this is exactly distinct(w1 ∪ w2).
     vocab = (
-        c2.select(F.col("w1").alias("w"))
-        .union(c2.select(F.col("w2").alias("w")))
-        .agg(F.count_distinct("w").alias("v"))
+        c2.select(
+            F.explode(
+                F.concat(F.split(F.col("ctx"), " "), F.array(F.col("w")))
+            ).alias("tok")
+        )
+        .agg(F.count_distinct("tok").alias("v"))
     )
     scored = (
-        dg.join(c2, ["w1", "w2"], how)
-        .join(c1, ["w1"], how)
+        dg.join(c2, ["ctx", "w"], how)
+        .join(c1, ["ctx"], how)
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "invp",

@@ -489,6 +489,16 @@ def text_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile.lm_surprisal_stats(docs, lm_filter=is_lm)
 
 
+def text_lm_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 LM surprisal (CCNet uses 5-gram KenLM; trigram is the
+    first order where the context is multi-token): same integer-exact
+    inverse-probability scoring with ctx = the 2 preceding tokens —
+    see operators.text_profile.lm_surprisal_stats(n=3)."""
+    return text_profile.lm_surprisal_stats(
+        table(spark, sf_dir, "documents"), n=3
+    )
+
+
 def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     likelihood ratios of a deterministic md5-carved target split vs
@@ -1122,6 +1132,7 @@ PIPELINE_QUERIES = {
     "text_bottomk_sketch": text_bottomk_sketch,
     "text_lm_surprisal": text_lm_surprisal,
     "text_lm_heldout": text_lm_heldout,
+    "text_lm_trigram": text_lm_trigram,
     "corpus_dsir_weights": corpus_dsir_weights,
     "events_asof_prior_click": events_asof_prior_click,
     "events_range_join_sessions": events_range_join_sessions,
@@ -2347,6 +2358,47 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
+
+ORACLE_LM_TRIGRAM = f"""
+WITH t AS (
+    SELECT doc_id, {_sql_tokens("lower(text)")} AS tk FROM documents
+),
+bg AS (
+    SELECT doc_id, g.ctx AS ctx, g.w AS w FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 2),
+                      i -> struct_pack(ctx := tk[i] || ' ' || tk[i + 1],
+                                       w := tk[i + 2]))) AS g
+        FROM t WHERE len(tk) >= 3
+    )
+),
+dg AS (
+    SELECT doc_id, ctx, w, count(*) AS dcnt FROM bg GROUP BY doc_id, ctx, w
+),
+c2 AS (SELECT ctx, w, SUM(dcnt) AS c2 FROM dg GROUP BY ctx, w),
+c1 AS (SELECT ctx, SUM(c2) AS c1 FROM c2 GROUP BY ctx),
+vocab AS (
+    SELECT count(DISTINCT tok) AS v FROM (
+        SELECT unnest(list_concat(string_split(ctx, ' '), [w])) AS tok
+        FROM c2
+    )
+),
+scored AS (
+    SELECT dg.doc_id, dg.dcnt,
+           ((c1.c1 + vocab.v) * {text_profile.LM_SCALE}) // (c2.c2 + 1) AS invp
+    FROM dg JOIN c2 USING (ctx, w) JOIN c1 USING (ctx) CROSS JOIN vocab
+),
+per_doc AS (
+    SELECT doc_id, SUM(dcnt) AS n_bigrams,
+           SUM(dcnt * invp) // SUM(dcnt) AS mean_invp_scaled,
+           MAX(invp) AS max_invp_scaled
+    FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       p.mean_invp_scaled, p.max_invp_scaled
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
 
 ORACLE_TOKEN_STATS = f"""
 SELECT doc_id,
@@ -3686,6 +3738,7 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "text_bottomk_sketch": ORACLE_BOTTOMK,
     "text_lm_surprisal": ORACLE_LM_SURPRISAL,
     "text_lm_heldout": _lm_heldout_oracle(),
+    "text_lm_trigram": ORACLE_LM_TRIGRAM,
     "corpus_dsir_weights": _dsir_oracle(),
     "events_asof_prior_click": ORACLE_EVENTS_ASOF,
     "events_range_join_sessions": ORACLE_EVENTS_RANGEJOIN,

@@ -127,3 +127,28 @@ def test_lm_filter_fast_path_equals_lm_docs(spark):
 
     with _pytest.raises(ValueError, match="not both"):
         lm_surprisal_stats(docs, lm_docs=docs, lm_filter=F.lit(True))
+
+
+def test_trigram_order_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in lm_surprisal_stats(docs, n=3).collect()
+    }
+    s = LM_SCALE
+    # trigrams: doc1: (a b,c)x2 (b c,a) (c a,b); doc3: (x y,z)
+    # c1: 'a b'=2 'b c'=1 'c a'=1 'x y'=1; V={a,b,c,x,y,z}=6
+    i_abc = (2 + 6) * s // 3
+    i_bca = (1 + 6) * s // 2
+    assert rows[1]["n_bigrams"] == 4
+    assert rows[1]["max_invp_scaled"] == max(i_abc, i_bca)
+    assert rows[1]["mean_invp_scaled"] == (
+        2 * i_abc + 2 * i_bca
+    ) // 4
+    # 2-token doc has no trigram
+    assert rows[2]["n_bigrams"] == 0 and rows[2]["mean_invp_scaled"] is None
+    assert rows[3]["n_bigrams"] == 1
+    assert rows[3]["mean_invp_scaled"] == (1 + 6) * s // 2
