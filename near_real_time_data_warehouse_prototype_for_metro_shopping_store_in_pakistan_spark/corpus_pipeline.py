@@ -145,15 +145,22 @@ class CorpusPipeline:
         return _text.lm_surprisal_stats(docs, lm_docs=lm_docs)
 
     def dsir_weights(
-        self, docs: DataFrame, target_rate: float = 0.05
+        self,
+        docs: DataFrame,
+        target_rate: float = 0.05,
+        target_docs: DataFrame | None = None,
     ) -> DataFrame:
         """DSIR importance weights (Xie et al. 2023): how target-like
         each raw doc is under hashed-n-gram likelihood ratios — the
-        importance-resampling data selector (see
-        operators.classify.dsir_importance)."""
+        importance-resampling data selector. Pass ``target_docs`` (the
+        high-quality corpus you want more of) for DSIR proper; without
+        it the target is md5-carved from ``docs`` at ``target_rate``
+        (see operators.classify.dsir_importance)."""
         from .operators import classify as _classify
 
-        return _classify.dsir_importance(docs, target_rate=target_rate)
+        return _classify.dsir_importance(
+            docs, target_rate=target_rate, target_docs=target_docs
+        )
 
     def chunk(
         self, docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16

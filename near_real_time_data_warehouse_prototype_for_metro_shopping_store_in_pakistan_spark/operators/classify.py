@@ -206,33 +206,17 @@ DSIR_TARGET_RATE = 0.05
 DSIR_BUCKETS = 1024
 
 
-def dsir_importance(
+def _dsir_features(
     docs: DataFrame,
-    target_rate: float = DSIR_TARGET_RATE,
-    n_buckets: int = DSIR_BUCKETS,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+    is_target,
 ) -> DataFrame:
-    """Hashed unigram+bigram importance weights for every document.
-
-    The target split is carved deterministically from the corpus
-    itself (md5 split at ``target_rate``, the embed_decontaminate
-    pattern) so the pinned query is self-contained; a real deployment
-    would feed bucket counts from an external target corpus — the
-    count relations are the only coupling point.
-
-    Plan shape (the 100 TB story): tokenize + hash to buckets as JVM
-    expressions; ONE map-side-combinable groupBy builds the per-doc
-    bucket relation; both n-gram models derive from it (n_buckets-
-    bounded — the "model" is a ≤2·n_buckets-row table, broadcast by
-    construction); scoring is a broadcast join + one per-doc
-    aggregate. No windows, no all-pairs, no Python.
-
-    Returns one row per doc: (id, is_target, n_feats, weight_scaled,
-    keep) — weight_scaled NULL for target docs and feature-less docs;
-    keep = raw doc with weight_scaled > DSIR_SCALE (more target-like
-    than raw-like; compose quantile_prune for a top-p% cut instead).
-    """
+    """Per-doc hashed unigram+bigram bucket counts:
+    (id, is_target, bucket, fcnt) with a NULL-bucket row for
+    feature-less docs (explode_outer), checkpointed — it feeds both
+    the model counts and the score join."""
     toks = tokens(F.lower(F.col(text_col)))
     uni = F.transform(
         toks, lambda t: md5_long(F.concat(F.lit("u|"), t)) % n_buckets
@@ -253,12 +237,7 @@ def dsir_importance(
             % n_buckets,
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    is_target = (
-        md5_long(F.concat(F.col(id_col).cast("string"), F.lit("|dsir")))
-        % SAMPLE_DENOM
-    ) < int(target_rate * SAMPLE_DENOM)
-
-    feats = (
+    return (
         docs.select(
             F.col(id_col),
             is_target.alias("is_target"),
@@ -266,18 +245,89 @@ def dsir_importance(
         )
         .groupBy(id_col, "is_target", "bucket")
         .agg(F.count(F.lit(1)).alias("fcnt"))
-        # feats feeds the model counts AND the score join; checkpoint
-        # so the tokenize+hash corpus pass runs once
         .localCheckpoint(eager=False)
     )
-    counts = feats.filter(F.col("bucket").isNotNull()).groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_target"), F.col("fcnt")).otherwise(0)).alias(
-            "cnt_t"
-        ),
-        F.sum(F.when(~F.col("is_target"), F.col("fcnt")).otherwise(0)).alias(
-            "cnt_r"
-        ),
-    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_rate: float = DSIR_TARGET_RATE,
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Hashed unigram+bigram importance weights for every document.
+
+    With ``target_docs=None`` the target split is carved
+    deterministically from the corpus itself (md5 split at
+    ``target_rate``, the embed_decontaminate pattern) so the pinned
+    query is self-contained. Passing ``target_docs`` is the
+    deployment form (DSIR proper: target = the high-quality corpus
+    you want more of, e.g. Wikipedia; raw = everything scored): the
+    target model's bucket counts come from THAT corpus, every ``docs``
+    row is raw (``is_target`` False throughout) and gets a weight.
+    The count relations are the only coupling point either way.
+
+    Plan shape (the 100 TB story): tokenize + hash to buckets as JVM
+    expressions; ONE map-side-combinable groupBy builds the per-doc
+    bucket relation; both n-gram models derive from it (n_buckets-
+    bounded — the "model" is a ≤2·n_buckets-row table, broadcast by
+    construction); scoring is a broadcast join + one per-doc
+    aggregate. No windows, no all-pairs, no Python.
+
+    Returns one row per doc: (id, is_target, n_feats, weight_scaled,
+    keep) — weight_scaled NULL for target docs and feature-less docs;
+    keep = raw doc with weight_scaled > DSIR_SCALE (more target-like
+    than raw-like; compose quantile_prune for a top-p% cut instead).
+    """
+    if target_docs is None:
+        is_target = (
+            md5_long(
+                F.concat(F.col(id_col).cast("string"), F.lit("|dsir"))
+            )
+            % SAMPLE_DENOM
+        ) < int(target_rate * SAMPLE_DENOM)
+        feats = _dsir_features(
+            docs, n_buckets, text_col, id_col, is_target
+        )
+        counts = (
+            feats.filter(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    F.when(F.col("is_target"), F.col("fcnt")).otherwise(0)
+                ).alias("cnt_t"),
+                F.sum(
+                    F.when(~F.col("is_target"), F.col("fcnt")).otherwise(0)
+                ).alias("cnt_r"),
+            )
+        )
+    else:
+        feats = _dsir_features(
+            docs, n_buckets, text_col, id_col, F.lit(False)
+        )
+        tcounts = (
+            _dsir_features(
+                target_docs, n_buckets, text_col, id_col, F.lit(True)
+            )
+            .filter(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.sum("fcnt").alias("cnt_t"))
+        )
+        rcounts = (
+            feats.filter(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.sum("fcnt").alias("cnt_r"))
+        )
+        counts = (
+            tcounts.join(rcounts, ["bucket"], "full_outer")
+            .select(
+                "bucket",
+                F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
+                F.coalesce("cnt_r", F.lit(0)).alias("cnt_r"),
+            )
+        )
     totals = counts.agg(
         F.sum("cnt_t").alias("tot_t"), F.sum("cnt_r").alias("tot_r")
     )

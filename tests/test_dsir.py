@@ -71,3 +71,22 @@ def test_plan_model_broadcast_no_windows(spark):
     # the ratio model is bucket-bounded and must reach the score join
     # as a broadcast, never a shuffle join
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_explicit_target_docs_mode(spark):
+    # external target corpus: every docs row is raw and weighted;
+    # target-flavored raw docs outscore noise
+    target = _docs(spark, ["the quick brown fox jumps high"] * 6)
+    docs = spark.createDataFrame(
+        [(100, "the quick brown fox runs"), (101, "zzq wwk vvt uup")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dsir_importance(docs, target_docs=target).collect()
+    }
+    assert all(not r["is_target"] for r in rows.values())
+    assert rows[100]["weight_scaled"] is not None
+    assert rows[101]["weight_scaled"] is not None
+    assert rows[100]["weight_scaled"] > rows[101]["weight_scaled"]
+    assert rows[100]["weight_scaled"] > DSIR_SCALE
