@@ -676,15 +676,18 @@ def lm_surprisal_stats(
 
     Integer-exact per the module doctrine: see ``LM_SCALE``.
 
-    Plan shape (the 100 TB story): one explode to (doc, w1, w2) with
+    Plan shape (the 100 TB story): one explode to (doc, ctx, w) with
     an immediate per-doc gram combine (map-side combinable groupBy);
-    global bigram counts derive FROM that relation (vocab²-bounded,
-    ≪ corpus — no second pass over raw tokens); context counts and
-    vocab derive from the bigram counts (tiny). Scoring joins the
-    per-doc gram relation against the count relation on the gram key
-    — hot grams ("the the") are skew-bounded by AQE's skew-join
-    split, and the count side broadcasts outright under the
-    autoBroadcast threshold. Final per-doc aggregate is map-side
+    global gram counts derive FROM that relation — no second pass
+    over raw tokens; context counts and vocab derive from the gram
+    counts. At n=2 the count relation is vocab²-bounded (≪ corpus,
+    broadcasts under the threshold); at n≥3 it grows with distinct
+    n-grams — on natural text ~O(corpus tokens) in the worst case —
+    so the score join becomes a key-partitioned shuffle join there
+    (still never all-pairs; hot grams are skew-bounded by AQE's
+    skew-join split; a production 5-gram LM would prune rare grams
+    to a count floor first, which composes as one extra filter on
+    the count relation). Final per-doc aggregate is map-side
     combinable. No windows, no all-pairs, nothing driver-side.
 
     Returns one row per input document: (id, n_bigrams,
