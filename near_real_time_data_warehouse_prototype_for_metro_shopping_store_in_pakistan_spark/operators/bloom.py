@@ -142,11 +142,20 @@ def with_maybe_seen(
     k broadcast-hash-joins of the probe word indices against the
     sparse word relation."""
     m_bits, k, _ = bloom_meta(bloom)
+    # the word relation is ≤ m_bits/64 rows (~16 B each): hint the
+    # broadcast only while that bound stays comfortably inside an
+    # executor (≤ 2^28 bits ≈ 64 MB) — an auto-grown multi-billion-key
+    # filter is bigger, and forcing its broadcast would OOM; past the
+    # bound the joins fall to AQE's choice (shuffle join on the word
+    # index, still key-bounded)
+    def _side(rel):
+        return F.broadcast(rel) if m_bits <= (1 << 28) else rel
+
     out = df
     cond = None
     for i, idx in enumerate(_probe_positions(key_cols, m_bits, k)):
         out = out.withColumn(f"__bw{i}", F.shiftright(idx, 6)).join(
-            F.broadcast(
+            _side(
                 bloom.select(
                     F.col("w").alias(f"__bw{i}"),
                     F.col("bits").alias(f"__bb{i}"),
