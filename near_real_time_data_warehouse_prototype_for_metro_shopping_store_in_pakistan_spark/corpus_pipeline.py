@@ -286,11 +286,14 @@ class DatasetBuilder:
     ) -> int:
         """Run the chain and commit one snapshot; returns its id.
 
-        ``fluency_keep_pct``: when set, score every surviving doc with
-        the self-trained bigram LM and keep only docs at or below the
-        corpus's pct-th surprisal percentile (the CCNet head+middle
-        cut) — implemented by quantile-pruning the NEGATED mean
-        surprisal, since ``quantile_prune`` keeps high scores.
+        ``fluency_keep_pct``: when set (1-99), score every surviving
+        doc with the self-trained bigram LM and keep docs at or below
+        the corpus's pct-th surprisal percentile (the CCNet
+        head+middle cut) — implemented by quantile-pruning the
+        NEGATED mean surprisal, since ``quantile_prune`` keeps high
+        scores. Docs with no bigram to score (< 2 tokens) are
+        UNSCORABLE, not bad: they are kept regardless of the cut.
+        ``100`` is an explicit no-op (keep everything).
         """
         from .operators import classify as _classify
         from .operators import partitioning as _part
@@ -300,20 +303,25 @@ class DatasetBuilder:
             min_overlap=min_overlap,
         )
         kept = self.pipeline.dedup(kept, method=dedup_method)
-        if fluency_keep_pct is not None:
-            flu = self.pipeline.score_fluency(kept).filter(
-                F.col("n_bigrams") > 0
-            )
+        if fluency_keep_pct is not None and fluency_keep_pct != 100:
+            flu = self.pipeline.score_fluency(kept)
+            scorable = flu.filter(F.col("n_bigrams") > 0)
             sel = _classify.quantile_prune(
-                flu.select(
+                scorable.select(
                     "doc_id", (-F.col("mean_invp_scaled")).alias("_neg")
                 ),
                 pct=100 - fluency_keep_pct,
                 score_col="_neg",
             )
-            kept = kept.join(
-                sel.filter(F.col("keep")).select("doc_id"), "doc_id"
+            # unscorable (<2-token) docs are kept, not silently cut
+            keep_ids = (
+                sel.filter(F.col("keep"))
+                .select("doc_id")
+                .unionByName(
+                    flu.filter(F.col("n_bigrams") == 0).select("doc_id")
+                )
             )
+            kept = kept.join(keep_ids, "doc_id")
         mixed = _part.temperature_mix_plan(kept, budget_docs)
         rows = kept.join(mixed.select("doc_id"), "doc_id").select(
             "doc_id", F.length("text").alias("n_chars")

@@ -93,12 +93,22 @@ def bloom_words(
         F.expr("idx div 64").alias("w"),
         F.expr("shiftleft(1L, CAST(idx % 64 AS INT))").alias("m"),
     ).groupBy("w").agg(F.expr("bit_or(m)").alias("bits"))
-    return _with_meta(words, m_bits, k, df.count())
+    # sentinel row (w=-1, bits=0): probe indices are pmod-non-negative
+    # so it never matches a check join, and it guarantees the meta
+    # columns survive an EMPTY key set — without it, a zero-key batch
+    # bloom has no rows, bloom_meta falls back to the module defaults,
+    # and merging it into a live (auto-grown or custom-sized) filter
+    # raises the shape-mismatch guard
+    sentinel = df.sparkSession.createDataFrame(
+        [(-1, 0)], "w long, bits long"
+    )
+    return _with_meta(words.unionByName(sentinel), m_bits, k, df.count())
 
 
 def bloom_meta(bloom: DataFrame) -> tuple[int, int, int]:
-    """(m_bits, k, n_keys) — constant across rows; the defaults with
-    n_keys = 0 for an empty filter."""
+    """(m_bits, k, n_keys) — constant across rows (the sentinel row
+    guarantees at least one); module defaults with n_keys = 0 only
+    for a legacy/foreign relation with no rows at all."""
     row = bloom.select("m_bits", "k", "n_keys").first()
     if row is None:
         return BLOOM_DEFAULT_BITS, BLOOM_K, 0

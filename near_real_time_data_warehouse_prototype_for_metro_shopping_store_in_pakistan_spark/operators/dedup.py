@@ -1385,6 +1385,8 @@ def span_gram_occurrences(
             poss: list = []
             ghs: list = []
             for did, tok_ids in zip(pdf[id_col], pdf["_ti"]):
+                if tok_ids is None:  # NULL text: nothing to hash — the
+                    continue  # doc passes through whole, uncut
                 nwin = len(tok_ids) - span_tokens + 1
                 if nwin <= 0:
                     continue

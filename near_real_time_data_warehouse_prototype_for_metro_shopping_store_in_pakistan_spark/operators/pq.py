@@ -268,6 +268,7 @@ def pq_encode(
     m: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    subwidth: int | None = None,
 ) -> DataFrame:
     """Encode every vector as m codes + its stored norm:
     (id, codes array<int>, norm_sq long).
@@ -278,7 +279,8 @@ def pq_encode(
     (neg_dist, neg_code) structs = min distance, ties to the lower
     code — identical to the trainer's assignment tie-break)."""
     v = scaled_vectors(emb, vec_col, id_col)
-    w = F.lit(_validated_subwidth(v, "q", books, m))
+    w = F.lit(subwidth if subwidth is not None
+              else _validated_subwidth(v, "q", books, m))
 
     def best_code(book, j):
         sub = F.slice(F.col("q"), j * w + 1, w)
@@ -497,6 +499,7 @@ def pq_encode_residual(
     m: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    subwidth: int | None = None,
 ) -> DataFrame:
     """Encode every vector's residual as m codes:
     (id, cell, codes array<int>, norm_sq long). Same ZERO-shuffle
@@ -504,7 +507,11 @@ def pq_encode_residual(
     slices; the cell rides along so serving needs no second coarse
     assignment."""
     res = _residual_vectors(emb, centroids, vec_col, id_col)
-    w = F.lit(_validated_subwidth(res, "r", books, m))
+    # probe the RAW vector for the width (same dim as the residual)
+    # — probing `res` would execute the full coarse-assignment
+    # lineage just to read one row
+    w = F.lit(subwidth if subwidth is not None
+              else _validated_subwidth(emb, vec_col, books, m))
 
     def best_code(book, j):
         sub = F.slice(F.col("r"), j * w + 1, w)

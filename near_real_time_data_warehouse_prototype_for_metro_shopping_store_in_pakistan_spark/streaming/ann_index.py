@@ -218,7 +218,11 @@ def stream_index_embeddings_pq(
     static for the stream's lifetime, materialized once. Encoding is
     the zero-shuffle broadcast-codebook argmin per micro-batch.
     """
-    from ..operators.pq import pq_encode, pq_encode_residual
+    from ..operators.pq import (
+        _validated_subwidth,
+        pq_encode,
+        pq_encode_residual,
+    )
 
     warehouse = pq_index_warehouse(spark, index_root, backend)
     cent = centroids.localCheckpoint(eager=True)
@@ -227,17 +231,32 @@ def stream_index_embeddings_pq(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(emb_dir)
+    # validate (m, codebook width) against the FIRST non-empty batch
+    # and reuse the width for the stream's lifetime — the validation
+    # probes are two driver-side jobs, which should not recur per
+    # micro-batch
+    width_cache: list[int] = []
+
+    def _width(batch: DataFrame) -> int | None:
+        if not width_cache:
+            width_cache.append(
+                _validated_subwidth(batch, vec_col, bks, m)
+            )
+        return width_cache[0]
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        sw = _width(batch)
         if by_residual:
             # residual encode carries its own cell assignment
-            enc = pq_encode_residual(batch, cent, bks, m, vec_col, id_col)
+            enc = pq_encode_residual(
+                batch, cent, bks, m, vec_col, id_col, subwidth=sw
+            )
             warehouse.insert_if_absent(PQ_INDEX_TABLE, enc)
             return
         assigned = ivf_assignments(
             batch, vec_col=vec_col, id_col=id_col, centroids=cent
         ).select(id_col, "cell")
-        enc = pq_encode(batch, bks, m, vec_col, id_col)
+        enc = pq_encode(batch, bks, m, vec_col, id_col, subwidth=sw)
         warehouse.insert_if_absent(PQ_INDEX_TABLE, enc.join(assigned, id_col))
 
     writer = stream.writeStream.foreachBatch(process).option(

@@ -295,8 +295,12 @@ def sink_mode(spark, n_batches: int, batch_rows: int) -> None:
             replay_sec = round(time.time() - t0, 3)
             n = sink.read("t").count()
             assert n == n_batches * batch_rows, n
-            head = sum(times[1:4]) / 3  # skip the first-write outlier
-            tail = sum(times[-3:]) / 3
+            # skip the first-write outlier; window sizes adapt so
+            # tiny n_batches neither crash nor dilute the averages
+            hw = times[1:4] or times[:1]
+            tw = times[-3:]
+            head = sum(hw) / len(hw)
+            tail = sum(tw) / len(tw)
             print(
                 json.dumps(
                     {
