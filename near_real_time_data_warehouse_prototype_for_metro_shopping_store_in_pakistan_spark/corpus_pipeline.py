@@ -198,9 +198,13 @@ class CorpusPipeline:
         max_files_per_trigger: int | None = None,
         redact_pii: bool = False,
         min_classifier_score: int | None = None,
+        lm_docs: DataFrame | None = None,
+        max_fluency_invp: int | None = None,
     ) -> StreamingQuery:
         """The same funnel as micro-batched ingestion with cross-batch
-        MinHash near-dup admission (see streaming.corpus)."""
+        MinHash near-dup admission (see streaming.corpus).
+        ``lm_docs`` + ``max_fluency_invp`` switch on the streaming
+        CCNet fluency gate (held-out model trained once per stream)."""
         return stream_curate_neardup(
             self.spark,
             docs_dir,
@@ -213,6 +217,8 @@ class CorpusPipeline:
             redact_pii=redact_pii,
             min_classifier_score=min_classifier_score,
             backend=self.backend,
+            lm_docs=lm_docs,
+            max_fluency_invp=max_fluency_invp,
         )
 
     def run_stream_substr(

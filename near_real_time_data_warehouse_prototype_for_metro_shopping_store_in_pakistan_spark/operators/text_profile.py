@@ -647,6 +647,22 @@ def _gram_array(text_col: str, n: int = 2):
     ).otherwise(F.array().cast("array<struct<ctx:string,w:string>>"))
 
 
+def bigram_lm_counts(
+    lm_docs: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """The trained n-gram model as its count relation: (ctx, w, c2).
+    This is the ONE artifact a long-lived scorer (e.g. the streaming
+    fluency gate) materializes once and reuses — pass it to
+    ``lm_surprisal_stats(lm_counts=...)`` so each micro-batch scores
+    against the same static model without re-counting."""
+    grams_arr = _gram_array(text_col, n)
+    return (
+        lm_docs.select(F.explode(grams_arr).alias("g"))
+        .groupBy(F.col("g.ctx").alias("ctx"), F.col("g.w").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+
+
 def lm_surprisal_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -654,6 +670,7 @@ def lm_surprisal_stats(
     lm_docs: DataFrame | None = None,
     lm_filter: Column | None = None,
     n: int = 2,
+    lm_counts: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020,
     "CCNet: Extracting High Quality Monolingual Datasets"), the
@@ -705,9 +722,15 @@ def lm_surprisal_stats(
         .agg(F.count(F.lit(1)).alias("dcnt"))
         .localCheckpoint(eager=False)
     )
-    if lm_docs is not None and lm_filter is not None:
-        raise ValueError("pass lm_docs OR lm_filter, not both")
-    if lm_docs is None and lm_filter is None:
+    given = [x is not None for x in (lm_docs, lm_filter, lm_counts)]
+    if sum(given) > 1:
+        raise ValueError(
+            "pass at most one of lm_docs / lm_filter / lm_counts"
+        )
+    if lm_counts is not None:
+        c2 = lm_counts
+        how = "left"  # held-out: OOV grams score the Laplace floor
+    elif lm_docs is None and lm_filter is None:
         c2 = dg.groupBy("ctx", "w").agg(F.sum("dcnt").alias("c2"))
         how = "inner"  # self-trained: every scored gram is in the model
     elif lm_filter is not None:
@@ -718,13 +741,9 @@ def lm_surprisal_stats(
         )
         how = "left"  # held-out: OOV grams score the Laplace floor
     else:
-        c2 = (
-            lm_docs.select(F.explode(grams_arr).alias("g"))
-            .groupBy(
-                F.col("g.ctx").alias("ctx"), F.col("g.w").alias("w")
-            )
-            .agg(F.count(F.lit(1)).alias("c2"))
-            .localCheckpoint(eager=False)  # feeds c1, vocab, the join
+        # feeds c1, vocab, the join — checkpoint once
+        c2 = bigram_lm_counts(lm_docs, text_col, n).localCheckpoint(
+            eager=False
         )
         how = "left"  # held-out: OOV grams score the Laplace floor
     c1 = c2.groupBy("ctx").agg(F.sum("c2").alias("c1"))

@@ -62,9 +62,11 @@ def curate_batch(
     max_top_bigram_frac: float | None = None,
     redact_pii: bool = False,
     min_classifier_score: int | None = None,
+    lm_counts: "DataFrame | None" = None,
+    max_fluency_invp: int | None = None,
 ) -> DataFrame:
     """One batch through the gates (language, quality, decontamination,
-    optional repetition / PII / classifier) — everything except the
+    optional repetition / PII / classifier / LM fluency) — everything except the
     cross-batch dedup, which the sink owns. Returns the surviving docs
     with their fingerprints. Pass a prepared ``eval_state``
     (``dedup.broadcast_eval_grams``) when calling per micro-batch so
@@ -82,7 +84,14 @@ def curate_batch(
     redacted text — the order a shipping pipeline requires.
     ``min_classifier_score`` switches on the hashed linear quality
     gate (operators.classify; deterministic stand-in weights — a
-    learned model is the same plan)."""
+    learned model is the same plan).
+
+    ``lm_counts`` + ``max_fluency_invp`` switch on the CCNet-style
+    fluency gate: each doc scored against the STATIC held-out n-gram
+    model (``text_profile.bigram_lm_counts``, materialized once for
+    the stream's lifetime — the Wikipedia-LM configuration), kept when
+    ``mean_invp_scaled <= max_fluency_invp``. Docs with nothing to
+    score (< n tokens) are unscorable, not bad — they pass."""
     if redact_pii:
         from ..operators.pii import redact
 
@@ -109,6 +118,23 @@ def curate_batch(
         flags = flags.join(
             scores.filter(
                 F.col("score_sum") >= min_classifier_score
+            ).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+    if max_fluency_invp is not None:
+        if lm_counts is None:
+            raise ValueError(
+                "max_fluency_invp needs lm_counts (the static model: "
+                "text_profile.bigram_lm_counts over the reference corpus)"
+            )
+        from ..operators.text_profile import lm_surprisal_stats
+
+        flu = lm_surprisal_stats(docs, lm_counts=lm_counts)
+        flags = flags.join(
+            flu.filter(
+                (F.col("n_bigrams") == 0)
+                | (F.col("mean_invp_scaled") <= max_fluency_invp)
             ).select("doc_id"),
             "doc_id",
             "left_semi",
@@ -142,11 +168,16 @@ def stream_curate(
     redact_pii: bool = False,
     min_classifier_score: int | None = None,
     backend: str = "parquet",
+    lm_docs: DataFrame | None = None,
+    max_fluency_invp: int | None = None,
 ) -> StreamingQuery:
     """Stream document files through the curation funnel into an
     idempotent curated-corpus table keyed on the text fingerprint.
     ``backend`` selects the insert-if-absent sink implementation
-    (operators.sinks)."""
+    (operators.sinks). ``lm_docs`` + ``max_fluency_invp`` switch on
+    the streaming CCNet fluency gate: the held-out n-gram model
+    trains ONCE here (like the eval grams) and every micro-batch
+    scores against it."""
     warehouse = make_sink(
         spark, corpus_root, keys={CURATED_TABLE: ["text_fp"]},
         backend=backend,
@@ -154,6 +185,15 @@ def stream_curate(
     # the eval set is static for the stream's lifetime: collect and
     # broadcast it ONCE here, not per trigger
     eval_state = broadcast_eval_grams(eval_docs)
+    lm_counts = None
+    if max_fluency_invp is not None:
+        if lm_docs is None:
+            raise ValueError("max_fluency_invp needs lm_docs")
+        from ..operators.text_profile import bigram_lm_counts
+
+        # the model is static for the stream's lifetime too —
+        # materialize the count relation once
+        lm_counts = bigram_lm_counts(lm_docs).localCheckpoint(eager=True)
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -167,6 +207,8 @@ def stream_curate(
             min_overlap=min_overlap,
             redact_pii=redact_pii,
             min_classifier_score=min_classifier_score,
+            lm_counts=lm_counts,
+            max_fluency_invp=max_fluency_invp,
         )
         # in-batch first-arrival (min doc_id) per fingerprint; the
         # sink's anti-join handles every earlier batch and replays
@@ -493,9 +535,12 @@ def stream_curate_neardup(
     redact_pii: bool = False,
     min_classifier_score: int | None = None,
     backend: str = "parquet",
+    lm_docs: DataFrame | None = None,
+    max_fluency_invp: int | None = None,
 ) -> StreamingQuery:
     """``stream_curate`` upgraded from exact to NEAR-dup cross-batch
-    dedup: the same stateless gates per batch, then MinHash band
+    dedup: the same stateless gates per batch (including the optional
+    static-LM fluency gate — see ``stream_curate``), then MinHash band
     admission against a persisted band index (see
     ``admit_neardup_batch``). State remains plain warehouse tables —
     no streaming state store, replays are no-ops. ``backend`` selects
@@ -513,6 +558,13 @@ def stream_curate_neardup(
         backend=backend,
     )
     eval_state = broadcast_eval_grams(eval_docs)
+    lm_counts = None
+    if max_fluency_invp is not None:
+        if lm_docs is None:
+            raise ValueError("max_fluency_invp needs lm_docs")
+        from ..operators.text_profile import bigram_lm_counts
+
+        lm_counts = bigram_lm_counts(lm_docs).localCheckpoint(eager=True)
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -526,6 +578,8 @@ def stream_curate_neardup(
             min_overlap=min_overlap,
             redact_pii=redact_pii,
             min_classifier_score=min_classifier_score,
+            lm_counts=lm_counts,
+            max_fluency_invp=max_fluency_invp,
         )
         from pyspark.sql import Window
 

@@ -125,7 +125,7 @@ def test_lm_filter_fast_path_equals_lm_docs(spark):
     assert a == b
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="not both"):
+    with _pytest.raises(ValueError, match="at most one"):
         lm_surprisal_stats(docs, lm_docs=docs, lm_filter=F.lit(True))
 
 

@@ -362,3 +362,75 @@ def test_stream_curate_substr_equals_sequential_batches(spark, tmp_path):
     # occurrence lost exactly 18 tokens
     removed = sorted(r[2] for r in got if r[2] > 0)
     assert removed == [18] * 5
+
+
+def test_streaming_fluency_gate_equals_batch(spark, tmp_path):
+    """The CCNet fluency gate, streamed: micro-batch admission against
+    the static held-out LM must equal the batch cut; unscorable docs
+    pass; replays stay no-ops."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.text_profile import (
+        LM_SCALE,
+        bigram_lm_counts,
+        lm_surprisal_stats,
+    )
+
+    lm = spark.createDataFrame(
+        [(0, "the cat sat on the mat " * 3)], "doc_id long, text string"
+    )
+    # distinct fluent texts (identical text would collapse under the
+    # curated table's fingerprint key); one OOV continuation each
+    rows = [
+        (i, f"the cat sat on the mat r{i}", "en", "s0")
+        for i in range(1, 7)
+    ] + [
+        (i, f"zzq{i} wwk{i} vvt{i} uup{i} qqa{i} ppb{i}", "en", "s0")
+        for i in range(10, 16)
+    ] + [(99, "solo", "en", "s0")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    src = str(tmp_path / "in")
+    docs.withColumn("_b", F.col("doc_id") % 3).repartition(3, "_b").drop(
+        "_b"
+    ).write.parquet(src)
+
+    # LM vocab = {the, cat, sat, on, mat} -> all-OOV docs score the
+    # Laplace floor V*S = 5S exactly; mostly-in-model docs sit near
+    # ~1.3S. One below the floor cuts gibberish, passes fluent.
+    cutoff = 5 * LM_SCALE - 1
+    eval_docs = spark.createDataFrame(
+        [(1000, "completely disjoint eval text")], "doc_id long, text string"
+    )
+    root = str(tmp_path / "corpus")
+    q = sc.stream_curate(
+        spark, src, root, str(tmp_path / "ckpt"), eval_docs,
+        quality_min=1, min_overlap=10**6, max_files_per_trigger=1,
+        lm_docs=lm, max_fluency_invp=cutoff,
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/{sc.CURATED_TABLE}").collect()
+    }
+    # batch reference cut
+    flu = lm_surprisal_stats(docs, lm_counts=bigram_lm_counts(lm))
+    expect = {
+        r["doc_id"]
+        for r in flu.filter(
+            (F.col("n_bigrams") == 0)
+            | (F.col("mean_invp_scaled") <= cutoff)
+        ).collect()
+    }
+    assert got == expect
+    assert 99 in got  # unscorable passes
+    assert all(d < 10 or d == 99 for d in got)  # gibberish cut
+    # replay with a fresh checkpoint: no duplicates
+    q2 = sc.stream_curate(
+        spark, src, root, str(tmp_path / "ckpt2"), eval_docs,
+        quality_min=1, min_overlap=10**6, max_files_per_trigger=1,
+        lm_docs=lm, max_fluency_invp=cutoff,
+    )
+    q2.awaitTermination()
+    assert (
+        spark.read.parquet(f"{root}/{sc.CURATED_TABLE}").count() == len(got)
+    )
