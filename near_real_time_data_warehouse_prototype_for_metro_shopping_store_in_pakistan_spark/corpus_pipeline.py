@@ -267,6 +267,17 @@ class DatasetBuilder:
     a build is a no-op commit (a new snapshot id with identical
     content), and a crashed build is invisible
     (ManifestParquetSink's commit protocol).
+
+    Per-epoch config guard: the replay-no-op guarantee holds only when
+    the SAME build re-runs. A DIFFERENT config (budget, fluency cut,
+    shard count…) at an already-built epoch would silently merge the
+    two selections' rows under insert-if-absent — per-shard positions
+    would stop being a contiguous permutation and the reproducible
+    training order would break without an error. So every build
+    records a config fingerprint per epoch (a JSON sidecar next to the
+    sink root, written before the commit so a crashed build still
+    blocks a conflicting retry) and a mismatched rebuild raises
+    instead of merging.
     """
 
     def __init__(self, pipeline: CorpusPipeline) -> None:
@@ -277,6 +288,44 @@ class DatasetBuilder:
             keys={DATASET_TABLE: ["doc_id", "epoch"]},
             backend="manifest",  # snapshots need the segment protocol
         )
+
+    # -- per-epoch build-config fingerprints ---------------------------
+    def _config_dir(self) -> str:
+        import os
+
+        d = os.path.join(self.pipeline.root, "_dataset_builds")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _guard_epoch_config(self, epoch: int, params: dict) -> None:
+        """Record ``params`` for ``epoch`` on first build; raise on a
+        rebuild whose params differ (same params = legitimate replay,
+        a no-op commit). The record is written BEFORE the data commit:
+        a build that crashes mid-commit leaves the fingerprint behind,
+        so a conflicting retry is still refused — conservative, and
+        the error names the sidecar file to remove if the operator
+        really intends a different epoch-``epoch`` dataset."""
+        import json
+        import os
+
+        path = os.path.join(self._config_dir(), f"epoch_{int(epoch)}.json")
+        fingerprint = json.dumps(params, sort_keys=True)
+        if os.path.exists(path):
+            with open(path) as fh:
+                recorded = fh.read()
+            if recorded != fingerprint:
+                raise ValueError(
+                    f"epoch {epoch} was already built with a different "
+                    f"config: recorded {recorded} vs requested "
+                    f"{fingerprint}. Rebuilding the same epoch with a "
+                    "different config would silently merge two "
+                    "selections into one table; use a fresh epoch (or "
+                    f"delete {path} AND the epoch's rows if the old "
+                    "build must be replaced)."
+                )
+            return
+        with open(path, "w") as fh:
+            fh.write(fingerprint)
 
     def build(
         self,
@@ -301,6 +350,34 @@ class DatasetBuilder:
         UNSCORABLE, not bad: they are kept regardless of the cut.
         ``100`` is an explicit no-op (keep everything).
         """
+        return self.build_epochs(
+            docs,
+            eval_docs,
+            budget_docs,
+            n_epochs=1,
+            first_epoch=epoch,
+            n_shards=n_shards,
+            quality_min=quality_min,
+            min_overlap=min_overlap,
+            dedup_method=dedup_method,
+            fluency_keep_pct=fluency_keep_pct,
+        )
+
+    def _select(
+        self,
+        docs: DataFrame,
+        eval_docs: DataFrame,
+        budget_docs: int,
+        n_shards: int,
+        quality_min: int,
+        min_overlap: int,
+        dedup_method: str,
+        fluency_keep_pct: int | None,
+    ) -> DataFrame:
+        """The epoch-independent selection chain: curate → dedup →
+        (optional) fluency prune → temperature mix → shards. Returns
+        (doc_id, n_chars, shard) — membership and sharding; per-epoch
+        order is layered on top."""
         from .operators import classify as _classify
         from .operators import partitioning as _part
 
@@ -332,10 +409,71 @@ class DatasetBuilder:
         rows = kept.join(mixed.select("doc_id"), "doc_id").select(
             "doc_id", F.length("text").alias("n_chars")
         )
-        sharded = _part.shard_assignments(rows, n_shards, "n_chars")
-        ordered = _part.epoch_order(sharded, epoch=epoch).withColumn(
-            "epoch", F.lit(int(epoch)).cast("int")
+        return _part.shard_assignments(rows, n_shards, "n_chars")
+
+    def build_epochs(
+        self,
+        docs: DataFrame,
+        eval_docs: DataFrame,
+        budget_docs: int,
+        n_epochs: int,
+        first_epoch: int = 0,
+        n_shards: int = 8,
+        quality_min: int = 100,
+        min_overlap: int = 10,
+        dedup_method: str = "ladder",
+        fluency_keep_pct: int | None = None,
+    ) -> int:
+        """A whole training run's worth of epochs in ONE commit: the
+        selection chain runs once, then every epoch in
+        ``[first_epoch, first_epoch + n_epochs)`` contributes its own
+        deterministic order permutation, all committed under one
+        snapshot id. Membership and shard assignment are identical
+        across the epochs BY CONSTRUCTION (one ``_select`` feeds every
+        ``epoch_order``); only the within-shard order differs. A
+        caller looping ``build()`` per epoch gets N unrelated
+        snapshots instead — this binds (snapshot, epoch) in one
+        manifest row, which is what a training manifest wants to pin.
+
+        Returns the one snapshot id; ``read(snapshot)`` then holds
+        every epoch's rows, distinguished by the ``epoch`` column.
+        """
+        from .operators import partitioning as _part
+
+        if n_epochs < 1:
+            raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
+        params = {
+            "budget_docs": int(budget_docs),
+            "n_shards": int(n_shards),
+            "quality_min": int(quality_min),
+            "min_overlap": int(min_overlap),
+            "dedup_method": dedup_method,
+            "fluency_keep_pct": fluency_keep_pct,
+        }
+        epochs = range(int(first_epoch), int(first_epoch) + int(n_epochs))
+        for e in epochs:
+            self._guard_epoch_config(e, params)
+        sharded = self._select(
+            docs,
+            eval_docs,
+            budget_docs,
+            n_shards,
+            quality_min,
+            min_overlap,
+            dedup_method,
+            fluency_keep_pct,
         )
+        # one physical pass of the (expensive) selection chain feeds
+        # every epoch's order; the lazy checkpoint pins it so N epochs
+        # don't re-run curate/dedup N times
+        if n_epochs > 1:
+            sharded = sharded.localCheckpoint(eager=False)
+        ordered = None
+        for e in epochs:
+            one = _part.epoch_order(sharded, epoch=e).withColumn(
+                "epoch", F.lit(int(e)).cast("int")
+            )
+            ordered = one if ordered is None else ordered.unionByName(one)
         self.sink.insert_if_absent(DATASET_TABLE, ordered)
         return self.sink.snapshots(DATASET_TABLE)[-1]
 

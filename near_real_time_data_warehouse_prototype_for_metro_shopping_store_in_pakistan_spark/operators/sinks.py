@@ -411,7 +411,11 @@ class BloomedAntiJoinSink(ParquetAntiJoinSink):
     still being read (no overwrite-under-read), readers take the
     newest version whose ``_SUCCESS`` marker exists, and a table with
     no readable version rebuilds the filter from its keys (one-time
-    scan).
+    scan). Stale versions are garbage-collected at the START of the
+    next batch, never mid-batch, so every lazy plan of the current
+    batch (``flagged``/``admitted`` still reference the pre-merge
+    version until the data append materializes them) keeps its files
+    for the batch's whole lifetime even under recompute.
 
     Saturation self-heals: past ~10 bits/key the filter stops proving
     novelty (everything flags "maybe seen" — still correct, just the
@@ -456,17 +460,33 @@ class BloomedAntiJoinSink(ParquetAntiJoinSink):
             return None
 
     def _write_bloom(self, name: str, bloom_df) -> None:
-        """Commit ``bloom_df`` as the next immutable version, then
-        drop older versions (single-writer, like the data path)."""
+        """Commit ``bloom_df`` as the next immutable version. Older
+        versions are NOT deleted here: lazy plans built earlier in the
+        SAME batch (``flagged``/``admitted``) still reference the
+        previous version's parquet files, and the superset-safe write
+        order materializes them only at the final data append — a
+        recompute (shuffle-block loss, cache eviction, an unbroadcast
+        auto-grown filter) after an eager delete would scan removed
+        files and fail the batch. Stale versions are garbage-collected
+        at the START of the next batch (``_gc_stale_blooms``), when no
+        plan can reference them (single-writer invariant)."""
         vs = self._bloom_versions(name)
         nxt = (vs[-1] + 1) if vs else 0
         d = self._bloom_dir(name)
         bloom_df.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(d, f"v{nxt}")
         )
+
+    def _gc_stale_blooms(self, name: str) -> None:
+        """Drop every committed bloom version except the newest.
+        Runs before a batch touches the filter, so the only plans that
+        could reference a stale version belong to ALREADY-COMPLETED
+        batches (their appends materialized before they returned)."""
         import shutil
 
-        for v in vs:
+        vs = self._bloom_versions(name)
+        d = self._bloom_dir(name)
+        for v in vs[:-1]:
             shutil.rmtree(os.path.join(d, f"v{v}"), ignore_errors=True)
 
     def insert_if_absent(self, name: str, batch: DataFrame) -> None:
@@ -479,6 +499,7 @@ class BloomedAntiJoinSink(ParquetAntiJoinSink):
 
         key = self.keys[name]
         parts = self.partitioning.get(name)
+        self._gc_stale_blooms(name)
         incoming = batch.dropDuplicates(key).persist()
         flagged = None
         try:
