@@ -648,19 +648,44 @@ def _gram_array(text_col: str, n: int = 2):
 
 
 def bigram_lm_counts(
-    lm_docs: DataFrame, text_col: str = "text", n: int = 2
+    lm_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    min_count: int = 1,
+    lang_col: str | None = None,
 ) -> DataFrame:
-    """The trained n-gram model as its count relation: (ctx, w, c2).
-    This is the ONE artifact a long-lived scorer (e.g. the streaming
-    fluency gate) materializes once and reuses — pass it to
+    """The trained n-gram model as its count relation: (ctx, w, c2) —
+    plus a leading ``lang_col`` key when ``lang_col`` is given (one model
+    per language, CCNet's actual configuration). This is the ONE
+    artifact a long-lived scorer (e.g. the streaming fluency gate)
+    materializes once and reuses — pass it to
     ``lm_surprisal_stats(lm_counts=...)`` so each micro-batch scores
-    against the same static model without re-counting."""
+    against the same static model without re-counting.
+
+    ``min_count`` is the production count floor for n≥3 models: grams
+    rarer than the floor are dropped from the relation (they score the
+    Laplace floor downstream, exactly like OOV grams), which bounds
+    the model at the grams that repeat — the long tail of one-off
+    n-grams, the part that grows ~O(corpus tokens), never
+    materializes past the (map-side combinable) count aggregate."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
     grams_arr = _gram_array(text_col, n)
-    return (
-        lm_docs.select(F.explode(grams_arr).alias("g"))
-        .groupBy(F.col("g.ctx").alias("ctx"), F.col("g.w").alias("w"))
+    keys = ([F.col(lang_col)] if lang_col else []) + [
+        F.col("g.ctx").alias("ctx"),
+        F.col("g.w").alias("w"),
+    ]
+    cols = ([F.col(lang_col)] if lang_col else []) + [
+        F.explode(grams_arr).alias("g")
+    ]
+    counts = (
+        lm_docs.select(*cols)
+        .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("c2"))
     )
+    if min_count > 1:
+        counts = counts.filter(F.col("c2") >= min_count)
+    return counts
 
 
 def lm_surprisal_stats(
@@ -671,6 +696,8 @@ def lm_surprisal_stats(
     lm_filter: Column | None = None,
     n: int = 2,
     lm_counts: DataFrame | None = None,
+    min_count: int = 1,
+    lang_col: str | None = None,
 ) -> DataFrame:
     """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020,
     "CCNet: Extracting High Quality Monolingual Datasets"), the
@@ -707,18 +734,46 @@ def lm_surprisal_stats(
     the count relation). Final per-doc aggregate is map-side
     combinable. No windows, no all-pairs, nothing driver-side.
 
-    Returns one row per input document: (id, n_bigrams,
+    ``min_count`` prunes the model to grams seen at least that often —
+    the production mitigation for the n≥3 count relation (which grows
+    ~O(corpus tokens) on natural text at min_count=1): everything
+    downstream (context counts, vocab, the score join) derives from
+    the PRUNED relation, so pruned grams score exactly like OOV grams
+    (the Laplace floor) and the model relation is bounded by the grams
+    that repeat. Any ``min_count > 1`` therefore makes the score join
+    a left join even when self-trained.
+
+    ``lang_col`` keys the WHOLE model by language — one independent LM
+    per language, CCNet's actual configuration (Wenzek 2020 trains one
+    KenLM per language; a shared model mis-scores a multilingual
+    corpus because cross-language transitions look maximally
+    surprising). Every relation (counts, contexts, vocab) carries the
+    language key and each document is scored only against its own
+    language's model; the output gains the ``lang_col`` column. A
+    language whose model is empty (all docs under n tokens, or fully
+    pruned) has V=0 and scores 0 — degenerate by construction,
+    documented rather than special-cased. With ``lm_counts`` the
+    passed relation must carry the same ``lang_col`` key.
+
+    Returns one row per input document: (id[, lang], n_bigrams,
     mean_invp_scaled, max_invp_scaled) — NULL stats for docs with
-    fewer than 2 tokens (no transitions to score).
+    fewer than n tokens (no transitions to score).
     """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    mk = [lang_col] if lang_col else []
     grams_arr = _gram_array(text_col, n)
     # dg feeds multiple consumers (the score join, plus the model
     # relations when self-trained); checkpoint so the tokenize+explode
     # corpus pass runs once, not 4×
     dg = (
-        docs.select(F.col(id_col), F.explode(grams_arr).alias("g"))
-        .select(id_col, F.col("g.ctx").alias("ctx"), F.col("g.w").alias("w"))
-        .groupBy(id_col, "ctx", "w")
+        docs.select(
+            F.col(id_col), *[F.col(c) for c in mk],
+            F.explode(grams_arr).alias("g"),
+        )
+        .select(id_col, *mk, F.col("g.ctx").alias("ctx"),
+                F.col("g.w").alias("w"))
+        .groupBy(id_col, *mk, "ctx", "w")
         .agg(F.count(F.lit(1)).alias("dcnt"))
         .localCheckpoint(eager=False)
     )
@@ -731,54 +786,68 @@ def lm_surprisal_stats(
         c2 = lm_counts
         how = "left"  # held-out: OOV grams score the Laplace floor
     elif lm_docs is None and lm_filter is None:
-        c2 = dg.groupBy("ctx", "w").agg(F.sum("dcnt").alias("c2"))
+        c2 = dg.groupBy(*mk, "ctx", "w").agg(F.sum("dcnt").alias("c2"))
         how = "inner"  # self-trained: every scored gram is in the model
     elif lm_filter is not None:
         c2 = (
             dg.filter(lm_filter)
-            .groupBy("ctx", "w")
+            .groupBy(*mk, "ctx", "w")
             .agg(F.sum("dcnt").alias("c2"))
         )
         how = "left"  # held-out: OOV grams score the Laplace floor
     else:
         # feeds c1, vocab, the join — checkpoint once
-        c2 = bigram_lm_counts(lm_docs, text_col, n).localCheckpoint(
-            eager=False
-        )
+        c2 = bigram_lm_counts(
+            lm_docs, text_col, n, lang_col=lang_col
+        ).localCheckpoint(eager=False)
         how = "left"  # held-out: OOV grams score the Laplace floor
-    c1 = c2.groupBy("ctx").agg(F.sum("c2").alias("c1"))
+    if min_count > 1:
+        # the production floor: one filter on the count relation;
+        # pruned grams become indistinguishable from OOV, so the
+        # score join must tolerate misses even when self-trained
+        c2 = c2.filter(F.col("c2") >= min_count)
+        how = "left"
+    c1 = c2.groupBy(*mk, "ctx").agg(F.sum("c2").alias("c1"))
     # V = distinct tokens participating in any model gram (derived
     # from the count relation by re-splitting the joined context — a
     # vocab²-bounded pass, never a second raw-token scan; <n-token
     # docs have nothing to score so their tokens are out of model by
-    # definition). For n=2 this is exactly distinct(w1 ∪ w2).
+    # definition). For n=2 this is exactly distinct(w1 ∪ w2). Per
+    # language when lang_col is set (each model has its own V).
     vocab = (
         c2.select(
+            *mk,
             F.explode(
                 F.concat(F.split(F.col("ctx"), " "), F.array(F.col("w")))
-            ).alias("tok")
+            ).alias("tok"),
         )
+        .groupBy(*mk)
         .agg(F.count_distinct("tok").alias("v"))
     )
-    scored = (
-        dg.join(c2, ["ctx", "w"], how)
-        .join(c1, ["ctx"], how)
-        .crossJoin(F.broadcast(vocab))
-        .withColumn(
-            "invp",
-            F.expr(
-                f"((coalesce(c1, 0L) + v) * {LM_SCALE}L) "
-                "div (coalesce(c2, 0L) + 1)"
-            ),
-        )
+    joined = dg.join(c2, mk + ["ctx", "w"], how).join(
+        c1, mk + ["ctx"], how
+    )
+    if lang_col:
+        # #languages-bounded relation — broadcast, left so an
+        # empty-model language degenerates to V=0 instead of dropping
+        joined = joined.join(F.broadcast(vocab), mk, "left")
+    else:
+        joined = joined.crossJoin(F.broadcast(vocab))
+    scored = joined.withColumn(
+        "invp",
+        F.expr(
+            f"((coalesce(c1, 0L) + coalesce(v, 0L)) * {LM_SCALE}L) "
+            "div (coalesce(c2, 0L) + 1)"
+        ),
     )
     per_doc = scored.groupBy(id_col).agg(
         F.sum("dcnt").alias("n_bigrams"),
         F.expr("sum(dcnt * invp) div sum(dcnt)").alias("mean_invp_scaled"),
         F.max("invp").alias("max_invp_scaled"),
     )
-    return docs.select(id_col).join(per_doc, id_col, "left").select(
+    return docs.select(id_col, *mk).join(per_doc, id_col, "left").select(
         id_col,
+        *mk,
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         "mean_invp_scaled",
         "max_invp_scaled",

@@ -499,6 +499,35 @@ def text_lm_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_PRUNE_MIN_COUNT = 2  # production count floor for the n>=3 model
+
+
+def text_lm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM with the production count floor (KenLM-style
+    pruning): grams rarer than LM_PRUNE_MIN_COUNT are dropped from the
+    model relation and score the Laplace floor like OOV grams, so the
+    n>=3 count relation is bounded by the grams that REPEAT instead of
+    growing ~O(corpus tokens) — see
+    operators.text_profile.lm_surprisal_stats(min_count=)."""
+    return text_profile.lm_surprisal_stats(
+        table(spark, sf_dir, "documents"), n=3,
+        min_count=LM_PRUNE_MIN_COUNT,
+    )
+
+
+def text_lm_perlang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bigram LMs — CCNet's actual configuration (Wenzek
+    2020 trains one KenLM per language; a shared model scores
+    cross-language transitions as maximally surprising and mis-ranks a
+    multilingual corpus). Every model relation is keyed by the
+    documents table's lang column and each doc scores only against its
+    own language's model — see
+    operators.text_profile.lm_surprisal_stats(lang_col=)."""
+    return text_profile.lm_surprisal_stats(
+        table(spark, sf_dir, "documents"), lang_col="lang"
+    )
+
+
 def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     likelihood ratios of a deterministic md5-carved target split vs
@@ -1133,6 +1162,8 @@ PIPELINE_QUERIES = {
     "text_lm_surprisal": text_lm_surprisal,
     "text_lm_heldout": text_lm_heldout,
     "text_lm_trigram": text_lm_trigram,
+    "text_lm_pruned": text_lm_pruned,
+    "text_lm_perlang": text_lm_perlang,
     "corpus_dsir_weights": corpus_dsir_weights,
     "events_asof_prior_click": events_asof_prior_click,
     "events_range_join_sessions": events_range_join_sessions,
@@ -2399,6 +2430,103 @@ SELECT d.doc_id,
        p.mean_invp_scaled, p.max_invp_scaled
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
+
+def _lm_pruned_oracle() -> str:
+    """ORACLE_LM_TRIGRAM with the production count floor: c2 keeps
+    only grams with count >= LM_PRUNE_MIN_COUNT, everything downstream
+    (c1, vocab) derives from the pruned relation, and the score join
+    goes LEFT so pruned grams hit the Laplace floor like OOV."""
+    return f"""
+WITH t AS (
+    SELECT doc_id, {_sql_tokens("lower(text)")} AS tk FROM documents
+),
+bg AS (
+    SELECT doc_id, g.ctx AS ctx, g.w AS w FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 2),
+                      i -> struct_pack(ctx := tk[i] || ' ' || tk[i + 1],
+                                       w := tk[i + 2]))) AS g
+        FROM t WHERE len(tk) >= 3
+    )
+),
+dg AS (
+    SELECT doc_id, ctx, w, count(*) AS dcnt FROM bg GROUP BY doc_id, ctx, w
+),
+c2 AS (
+    SELECT ctx, w, SUM(dcnt) AS c2 FROM dg GROUP BY ctx, w
+    HAVING SUM(dcnt) >= {LM_PRUNE_MIN_COUNT}
+),
+c1 AS (SELECT ctx, SUM(c2) AS c1 FROM c2 GROUP BY ctx),
+vocab AS (
+    SELECT count(DISTINCT tok) AS v FROM (
+        SELECT unnest(list_concat(string_split(ctx, ' '), [w])) AS tok
+        FROM c2
+    )
+),
+scored AS (
+    SELECT dg.doc_id, dg.dcnt,
+           ((COALESCE(c1.c1, 0) + vocab.v) * {text_profile.LM_SCALE})
+           // (COALESCE(c2.c2, 0) + 1) AS invp
+    FROM dg LEFT JOIN c2 USING (ctx, w) LEFT JOIN c1 USING (ctx)
+    CROSS JOIN vocab
+),
+per_doc AS (
+    SELECT doc_id, SUM(dcnt) AS n_bigrams,
+           SUM(dcnt * invp) // SUM(dcnt) AS mean_invp_scaled,
+           MAX(invp) AS max_invp_scaled
+    FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       p.mean_invp_scaled, p.max_invp_scaled
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+ORACLE_LM_PERLANG = f"""
+WITH t AS (
+    SELECT doc_id, lang, {_sql_tokens("lower(text)")} AS tk FROM documents
+),
+bg AS (
+    SELECT doc_id, lang, g.w1 AS w1, g.w2 AS w2 FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, len(tk) - 1),
+                      i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS g
+        FROM t WHERE len(tk) >= 2
+    )
+),
+dg AS (
+    SELECT doc_id, lang, w1, w2, count(*) AS dcnt
+    FROM bg GROUP BY doc_id, lang, w1, w2
+),
+c2 AS (
+    SELECT lang, w1, w2, SUM(dcnt) AS c2 FROM dg GROUP BY lang, w1, w2
+),
+c1 AS (SELECT lang, w1, SUM(c2) AS c1 FROM c2 GROUP BY lang, w1),
+vocab AS (
+    SELECT lang, count(DISTINCT w) AS v FROM (
+        SELECT lang, w1 AS w FROM c2 UNION SELECT lang, w2 FROM c2
+    ) GROUP BY lang
+),
+scored AS (
+    SELECT dg.doc_id, dg.dcnt,
+           ((c1.c1 + vocab.v) * {text_profile.LM_SCALE}) // (c2.c2 + 1)
+           AS invp
+    FROM dg JOIN c2 USING (lang, w1, w2) JOIN c1 USING (lang, w1)
+    JOIN vocab USING (lang)
+),
+per_doc AS (
+    SELECT doc_id, SUM(dcnt) AS n_bigrams,
+           SUM(dcnt * invp) // SUM(dcnt) AS mean_invp_scaled,
+           MAX(invp) AS max_invp_scaled
+    FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       p.mean_invp_scaled, p.max_invp_scaled
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
 
 ORACLE_TOKEN_STATS = f"""
 SELECT doc_id,
@@ -3739,6 +3867,8 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "text_lm_surprisal": ORACLE_LM_SURPRISAL,
     "text_lm_heldout": _lm_heldout_oracle(),
     "text_lm_trigram": ORACLE_LM_TRIGRAM,
+    "text_lm_pruned": _lm_pruned_oracle(),
+    "text_lm_perlang": ORACLE_LM_PERLANG,
     "corpus_dsir_weights": _dsir_oracle(),
     "events_asof_prior_click": ORACLE_EVENTS_ASOF,
     "events_range_join_sessions": ORACLE_EVENTS_RANGEJOIN,

@@ -321,8 +321,141 @@ def sink_mode(spark, n_batches: int, batch_rows: int) -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+def lm_mode(spark, sizes: list[int]) -> None:
+    """Evidence for the n≥3 count floor (text_profile.bigram_lm_counts
+    ``min_count``): the UNPRUNED trigram model relation grows with
+    distinct n-grams — near-linearly in corpus tokens, since most
+    higher-order grams are one-offs — while the floor keeps only grams
+    that REPEAT, whose count is bounded by actually-recurring phrases
+    (here the planted near-dup docs plus hash collisions). Prints the
+    model-relation row count at each corpus size for min_count 1 vs 2
+    and the large-vs-small growth ratio of each (1.0 = flat,
+    sizes-ratio = linear)."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        text_profile,
+    )
+
+    def make_zipf_corpus(spark, n_docs: int, out_dir: str) -> None:
+        # natural text is Zipfian — gram repetition comes from the
+        # heavy head, and the one-off tail is what grows ~linearly.
+        # The uniform-vocab corpus used by the timing modes has no
+        # head (its only repeats are the planted near-dups, a
+        # constant fraction), which would mis-state the floor's
+        # effect as a constant-factor cut. word_id = ⌊V·u^6⌋ over an
+        # md5 uniform concentrates ~17% of tokens on the top word —
+        # a crude but deterministic Zipf stand-in.
+        u = (
+            md5_long(
+                F.concat(
+                    F.col("id").cast("string"),
+                    F.lit("|"),
+                    F.col("i").cast("string"),
+                )
+            )
+            % 1_000_000
+        ) / 1_000_000.0
+        docs = (
+            spark.range(n_docs)
+            .select(
+                F.col("id"),
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(WORDS_PER_DOC - 1))
+                ).alias("i"),
+            )
+            .select(
+                "id",
+                "i",
+                F.concat(
+                    F.lit("w"),
+                    F.floor(F.lit(VOCAB) * F.pow(u, F.lit(6.0))).cast(
+                        "string"
+                    ),
+                ).alias("tok"),
+            )
+            .groupBy("id")
+            .agg(F.array_join(F.collect_list("tok"), " ").alias("text"))
+            .select(F.col("id").alias("doc_id"), "text")
+        )
+        docs.repartition(32).write.mode("overwrite").parquet(out_dir)
+
+    floors = (2, 8)
+    root = tempfile.mkdtemp(prefix="scalecheck_lm_")
+    per_size: dict[int, dict[int, int]] = {}
+    try:
+        for n in sizes:
+            out = f"{root}/data_{n}"
+            make_zipf_corpus(spark, n, out)
+            docs = spark.read.parquet(out)
+            # one count pass; floors are filters over the same relation
+            counts = text_profile.bigram_lm_counts(docs, n=3).persist()
+            grams = counts.select(F.sum("c2")).collect()[0][0]
+            row = {1: counts.count()}
+            for mc in floors:
+                row[mc] = counts.filter(F.col("c2") >= mc).count()
+            counts.unpersist()
+            per_size[n] = row
+            print(
+                json.dumps(
+                    {
+                        "n_docs": n,
+                        "corpus_gram_instances": grams,
+                        "trigram_model_rows": row[1],
+                        **{
+                            f"rows_floor{mc}": row[mc] for mc in floors
+                        },
+                        **{
+                            # the hard bound: every surviving gram
+                            # consumed >= mc corpus occurrences
+                            f"hard_bound_floor{mc}": grams // mc
+                            for mc in floors
+                        },
+                    }
+                ),
+                flush=True,
+            )
+        lo, hi = sizes[0], sizes[-1]
+        print(
+            json.dumps(
+                {
+                    "summary": "trigram model-relation growth at "
+                    f"{hi} vs {lo} docs (corpus grew {hi / lo:.0f}x; "
+                    "1.0 = flat). The floor's guarantee is the hard "
+                    "bound rows <= corpus_grams/floor plus the "
+                    "measured cut below; deeper floors (a production "
+                    "5-gram LM prunes harder) flatten the transient "
+                    "growth of the count>=floor set.",
+                    "full_growth": round(
+                        per_size[hi][1] / per_size[lo][1], 2
+                    ),
+                    **{
+                        f"floor{mc}_growth": round(
+                            per_size[hi][mc] / max(per_size[lo][mc], 1),
+                            2,
+                        )
+                        for mc in floors
+                    },
+                    **{
+                        f"floor{mc}_cut_vs_unpruned": round(
+                            per_size[hi][1] / max(per_size[hi][mc], 1), 1
+                        )
+                        for mc in floors
+                    },
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
+    if args and args[0] == "lm":
+        sizes = [int(a) for a in args[1:]] or [5000, 80000]
+        spark = get_spark(app_name="scalecheck-lm")
+        spark.sparkContext.setLogLevel("ERROR")
+        lm_mode(spark, sizes)
+        return
     if args and args[0] == "sink":
         rest = [int(a) for a in args[1:]]
         spark = get_spark(app_name="scalecheck-sink")

@@ -152,3 +152,119 @@ def test_trigram_order_hand_computed(spark):
     assert rows[2]["n_bigrams"] == 0 and rows[2]["mean_invp_scaled"] is None
     assert rows[3]["n_bigrams"] == 1
     assert rows[3]["mean_invp_scaled"] == (1 + 6) * s // 2
+
+
+# ---------------------- round 8: count floor + per-language models
+
+
+def test_min_count_prunes_to_laplace_floor(spark):
+    """min_count=2 drops the singleton (cat,ran) gram from the model;
+    everything downstream (c1, V) derives from the PRUNED relation and
+    the pruned gram scores exactly like OOV (Laplace floor)."""
+    s = LM_SCALE
+    rows = {
+        r["doc_id"]: r
+        for r in lm_surprisal_stats(_docs(spark), min_count=2).collect()
+    }
+    # pruned model: (the,cat)x3 (cat,sat)x2; c1: the=3 cat=2;
+    # V={the,cat,sat}=3
+    i_tc = (3 + 3) * s // 4
+    i_cs = (2 + 3) * s // 3
+    i_cr = (2 + 3) * s // 1  # pruned -> floor with known ctx 'cat'
+    assert rows[1]["mean_invp_scaled"] == (i_tc + i_cs) // 2
+    assert rows[2]["mean_invp_scaled"] == (i_tc + i_cr) // 2
+    assert rows[2]["max_invp_scaled"] == i_cr
+    # pruning only ever RAISES surprisal (model shrinks)
+    base = {
+        r["doc_id"]: r for r in lm_surprisal_stats(_docs(spark)).collect()
+    }
+    assert rows[2]["mean_invp_scaled"] > base[2]["mean_invp_scaled"]
+
+
+def test_min_count_one_is_identity_and_validates(spark):
+    import pytest as _pytest
+
+    a = sorted(map(tuple, lm_surprisal_stats(_docs(spark)).collect()))
+    b = sorted(
+        map(tuple, lm_surprisal_stats(_docs(spark), min_count=1).collect())
+    )
+    assert a == b
+    with _pytest.raises(ValueError, match="min_count"):
+        lm_surprisal_stats(_docs(spark), min_count=0)
+
+
+def _bilingual(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat", "en"),
+            (2, "the cat ran", "en"),
+            (3, "le chat dort", "fr"),
+            (4, "le chat mange", "fr"),
+            (5, "solo", "es"),  # <2 tokens: empty es model
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_per_language_models_are_isolated(spark):
+    """Each doc scores only against its own language's model: the en
+    scores with lang_col are bit-identical to scoring the en subset
+    alone with a shared model."""
+    docs = _bilingual(spark)
+    per_lang = {
+        r["doc_id"]: r
+        for r in lm_surprisal_stats(docs, lang_col="lang").collect()
+    }
+    en_only = {
+        r["doc_id"]: r
+        for r in lm_surprisal_stats(docs.filter("lang = 'en'")).collect()
+    }
+    for did in (1, 2):
+        for c in ("n_bigrams", "mean_invp_scaled", "max_invp_scaled"):
+            assert per_lang[did][c] == en_only[did][c]
+    # output carries the language key; every input doc present
+    assert per_lang[3]["lang"] == "fr"
+    assert len(per_lang) == 5
+    # a language with an empty model: nothing to score, NULL stats
+    assert per_lang[5]["n_bigrams"] == 0
+    assert per_lang[5]["mean_invp_scaled"] is None
+
+
+def test_shared_model_misscores_vs_per_language(spark):
+    """The motivating defect: a SHARED model counts cross-language
+    vocabulary into V, inflating every language's Laplace smoothing —
+    per-language models score fluent text lower (less surprising)."""
+    docs = _bilingual(spark)
+    shared = {
+        r["doc_id"]: r for r in lm_surprisal_stats(docs).collect()
+    }
+    per_lang = {
+        r["doc_id"]: r
+        for r in lm_surprisal_stats(docs, lang_col="lang").collect()
+    }
+    assert (
+        per_lang[1]["mean_invp_scaled"] < shared[1]["mean_invp_scaled"]
+    )
+
+
+def test_per_language_plan_shape(spark):
+    from tests.test_plan_quality import plan_of
+
+    plan = plan_of(lm_surprisal_stats(_bilingual(spark), lang_col="lang"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_counts_floor_and_lang(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.text_profile import (
+        bigram_lm_counts,
+    )
+
+    docs = _bilingual(spark)
+    c = bigram_lm_counts(docs, lang_col="lang")
+    assert set(c.columns) == {"lang", "ctx", "w", "c2"}
+    # (le, chat) appears once per fr doc -> c2=2 under the fr model
+    fr = {(r["ctx"], r["w"]): r["c2"] for r in c.filter("lang='fr'").collect()}
+    assert fr[("le", "chat")] == 2
+    pruned = bigram_lm_counts(docs, lang_col="lang", min_count=2)
+    assert {(r["ctx"], r["w"]) for r in pruned.collect()} == {("le", "chat"), ("the", "cat")}
