@@ -338,6 +338,7 @@ class DatasetBuilder:
         min_overlap: int = 10,
         dedup_method: str = "ladder",
         fluency_keep_pct: int | None = None,
+        dsir_target: DataFrame | None = None,
     ) -> int:
         """Run the chain and commit one snapshot; returns its id.
 
@@ -361,6 +362,7 @@ class DatasetBuilder:
             min_overlap=min_overlap,
             dedup_method=dedup_method,
             fluency_keep_pct=fluency_keep_pct,
+            dsir_target=dsir_target,
         )
 
     def _select(
@@ -373,11 +375,17 @@ class DatasetBuilder:
         min_overlap: int,
         dedup_method: str,
         fluency_keep_pct: int | None,
+        dsir_target: DataFrame | None,
     ) -> DataFrame:
         """The epoch-independent selection chain: curate → dedup →
-        (optional) fluency prune → temperature mix → shards. Returns
-        (doc_id, n_chars, shard) — membership and sharding; per-epoch
-        order is layered on top."""
+        (optional) fluency prune → budget draw → shards. The budget
+        draw is ``temperature_mix_plan`` by default; with
+        ``dsir_target`` it is DSIR importance RESAMPLING instead
+        (weights vs the target corpus, Sequential-Poisson draw —
+        operators.classify.dsir_select), the Xie 2023 configuration
+        where the dataset is tilted toward a high-quality target
+        distribution. Returns (doc_id, n_chars, shard) — membership
+        and sharding; per-epoch order is layered on top."""
         from .operators import classify as _classify
         from .operators import partitioning as _part
 
@@ -405,7 +413,16 @@ class DatasetBuilder:
                 )
             )
             kept = kept.join(keep_ids, "doc_id")
-        mixed = _part.temperature_mix_plan(kept, budget_docs)
+        if dsir_target is not None:
+            sel = _classify.dsir_select(
+                kept, budget_docs,
+                weights=_classify.dsir_importance(
+                    kept, target_docs=dsir_target
+                ),
+            )
+            mixed = sel.filter(F.col("selected"))
+        else:
+            mixed = _part.temperature_mix_plan(kept, budget_docs)
         rows = kept.join(mixed.select("doc_id"), "doc_id").select(
             "doc_id", F.length("text").alias("n_chars")
         )
@@ -423,6 +440,7 @@ class DatasetBuilder:
         min_overlap: int = 10,
         dedup_method: str = "ladder",
         fluency_keep_pct: int | None = None,
+        dsir_target: DataFrame | None = None,
     ) -> int:
         """A whole training run's worth of epochs in ONE commit: the
         selection chain runs once, then every epoch in
@@ -449,6 +467,10 @@ class DatasetBuilder:
             "min_overlap": int(min_overlap),
             "dedup_method": dedup_method,
             "fluency_keep_pct": fluency_keep_pct,
+            # the target CORPUS itself is not fingerprintable here —
+            # the flag at least refuses mixing a DSIR build into a
+            # temperature-mix epoch (or vice versa)
+            "selection": "dsir" if dsir_target is not None else "temperature",
         }
         epochs = range(int(first_epoch), int(first_epoch) + int(n_epochs))
         for e in epochs:
@@ -462,6 +484,7 @@ class DatasetBuilder:
             min_overlap,
             dedup_method,
             fluency_keep_pct,
+            dsir_target,
         )
         # one physical pass of the (expensive) selection chain feeds
         # every epoch's order; the lazy checkpoint pins it so N epochs

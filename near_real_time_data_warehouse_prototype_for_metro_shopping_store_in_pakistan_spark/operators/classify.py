@@ -371,3 +371,87 @@ def dsir_importance(
             & (weight > DSIR_SCALE)
         ).alias("keep"),
     )
+
+
+# Selection priority scale: u ∈ [1, SAMPLE_DENOM] times this stays
+# under 2^63 (1e6 · 1e12 = 1e18) while giving full resolution against
+# the largest possible weight (DSIR_RATIO_CAP · DSIR_SCALE = 1e12).
+DSIR_SELECT_SCALE = DSIR_RATIO_CAP * DSIR_SCALE
+
+
+def dsir_select(
+    docs: DataFrame,
+    budget_docs: int,
+    target_rate: float = DSIR_TARGET_RATE,
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_docs: DataFrame | None = None,
+    weights: DataFrame | None = None,
+    salt: str = "dsirsel",
+) -> DataFrame:
+    """DSIR importance RESAMPLING — the step that makes the weights
+    useful (Xie et al. 2023 §3: sample the raw corpus proportionally
+    to importance weight under a document budget), as deterministic
+    Sequential Poisson Sampling (Ohlsson 1998): each candidate gets a
+    priority key u/w with u an md5-derived uniform, and the
+    ``budget_docs`` SMALLEST keys win. Inclusion probability is
+    ~proportional to weight, the draw is without replacement, and —
+    because u is hashed from the id — the selected set is a pure
+    function of (corpus, budget, salt): reproducible across runs,
+    partitionings, and engines.
+
+    Integer-exact throughout: the key is
+    ``(u · DSIR_SELECT_SCALE) div weight_scaled`` with
+    u ∈ [1, SAMPLE_DENOM], so u·scale ≤ 1e18 < 2^63 and both engines
+    agree bit-for-bit; ties break on id. Candidates are raw docs with
+    a positive weight (weight 0 = maximally un-target-like, never
+    drawn; NULL = target/featureless, not eligible by construction).
+
+    ``weights`` short-circuits the importance pass with a
+    pre-computed ``dsir_importance`` output (the production shape:
+    weigh once, draw many budgets). Ranking is the distributed
+    ``global_row_numbers`` scan — no single-partition window.
+
+    Returns one row per CANDIDATE: (id, weight_scaled, sel_key,
+    sel_rank, selected) with selected = sel_rank < budget_docs.
+    """
+    if budget_docs < 0:
+        raise ValueError(f"budget_docs must be >= 0, got {budget_docs}")
+    from .partitioning import global_row_numbers
+
+    if weights is None:
+        weights = dsir_importance(
+            docs, target_rate, n_buckets, text_col, id_col, target_docs
+        )
+    u = (
+        md5_long(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))
+        )
+        % SAMPLE_DENOM
+        + 1
+    )
+    cand = (
+        weights.filter(
+            F.col("weight_scaled").isNotNull()
+            & (F.col("weight_scaled") > 0)
+        )
+        .withColumn("_u", u)
+        .withColumn(
+            "sel_key",
+            F.expr(f"({DSIR_SELECT_SCALE}L * _u) div weight_scaled"),
+        )
+        .select(id_col, "weight_scaled", "sel_key")
+    )
+    ranked = global_row_numbers(
+        cand,
+        [F.col("sel_key").asc(), F.col(id_col).asc()],
+        out_col="sel_rank",
+    )
+    return ranked.select(
+        id_col,
+        "weight_scaled",
+        "sel_key",
+        F.col("sel_rank").cast("long").alias("sel_rank"),
+        (F.col("sel_rank") < budget_docs).alias("selected"),
+    )

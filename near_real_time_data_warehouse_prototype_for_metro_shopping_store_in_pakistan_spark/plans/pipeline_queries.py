@@ -537,6 +537,21 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify.dsir_importance(table(spark, sf_dir, "documents"))
 
 
+DSIR_SELECT_BUDGET = 200  # documents drawn by the pinned resampling row
+
+
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING (Xie et al. 2023 §3) — the weighted
+    draw the weights exist for: deterministic Sequential Poisson
+    Sampling (Ohlsson 1998) over the importance weights, budget
+    DSIR_SELECT_BUDGET docs, priority key (u·scale) div weight with u
+    md5-derived — integer-exact and partitioning-invariant (see
+    operators.classify.dsir_select)."""
+    return classify.dsir_select(
+        table(spark, sf_dir, "documents"), budget_docs=DSIR_SELECT_BUDGET
+    )
+
+
 def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style bigram-LM fluency scoring (Wenzek et al. 2020):
     self-trained add-one-smoothed bigram model, each document scored by
@@ -1165,6 +1180,7 @@ PIPELINE_QUERIES = {
     "text_lm_pruned": text_lm_pruned,
     "text_lm_perlang": text_lm_perlang,
     "corpus_dsir_weights": corpus_dsir_weights,
+    "corpus_dsir_select": corpus_dsir_select,
     "events_asof_prior_click": events_asof_prior_click,
     "events_range_join_sessions": events_range_join_sessions,
     "events_hourly_rollup": events_hourly_rollup,
@@ -2297,6 +2313,35 @@ SELECT t.doc_id, t.is_target,
        CASE WHEN NOT t.is_target THEN p.w END AS weight_scaled,
        COALESCE(NOT t.is_target AND p.w > {DSIR_SCALE}, FALSE) AS keep
 FROM t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def _dsir_select_oracle() -> str:
+    """Sequential Poisson Sampling over the DSIR weights: priority key
+    (u·scale) // weight over raw positive-weight candidates, rank
+    ascending with id tie-break, budget smallest selected — all BIGINT
+    (u·scale ≤ 1e18)."""
+    from ..operators.classify import DSIR_SELECT_SCALE
+    from ..operators.partitioning import SAMPLE_DENOM as _DENOM
+
+    md5_u = _sql_md5_long("CAST(doc_id AS VARCHAR) || '|dsirsel'")
+    return f"""
+WITH cand AS (
+    SELECT doc_id, weight_scaled,
+           (CAST({DSIR_SELECT_SCALE} AS BIGINT)
+                * (({md5_u}) % {_DENOM} + 1)) // weight_scaled AS sel_key
+    FROM ({_dsir_oracle()}) w
+    WHERE weight_scaled IS NOT NULL AND weight_scaled > 0
+),
+ranked AS (
+    SELECT doc_id, weight_scaled, sel_key,
+           CAST(row_number() OVER (ORDER BY sel_key, doc_id) - 1 AS BIGINT)
+               AS sel_rank
+    FROM cand
+)
+SELECT doc_id, weight_scaled, sel_key, sel_rank,
+       sel_rank < {DSIR_SELECT_BUDGET} AS selected
+FROM ranked
 """
 
 
@@ -3870,6 +3915,7 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "text_lm_pruned": _lm_pruned_oracle(),
     "text_lm_perlang": ORACLE_LM_PERLANG,
     "corpus_dsir_weights": _dsir_oracle(),
+    "corpus_dsir_select": _dsir_select_oracle(),
     "events_asof_prior_click": ORACLE_EVENTS_ASOF,
     "events_range_join_sessions": ORACLE_EVENTS_RANGEJOIN,
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,

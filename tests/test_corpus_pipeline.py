@@ -210,3 +210,49 @@ def test_dataset_builder_end_to_end_reproducible(spark, tmp_path, sf_dir):
         quality_min=1, min_overlap=10**6, fluency_keep_pct=80,
     )
     assert b1.read(s4).count() == 80
+
+
+def test_dataset_builder_dsir_selection(spark, tmp_path, sf_dir):
+    """dsir_target= switches the budget draw from temperature mix to
+    DSIR importance resampling (classify.dsir_select): budget-exact,
+    deterministic, and config-guarded against mixing with a
+    temperature-mix build at the same epoch."""
+    import pytest
+
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.corpus_pipeline import (
+        CorpusPipeline,
+        DatasetBuilder,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_docs = docs.filter("doc_id % 50 = 0").select("doc_id", "text")
+    target = docs.filter("doc_id % 7 = 3").select("doc_id", "text")
+
+    def fresh(root):
+        b = DatasetBuilder(CorpusPipeline(spark, str(root)))
+        snap = b.build(
+            docs, eval_docs, budget_docs=30, n_shards=4, epoch=1,
+            quality_min=1, min_overlap=10**6, dsir_target=target,
+        )
+        return b, snap
+
+    b1, s1 = fresh(tmp_path / "a")
+    b2, s2 = fresh(tmp_path / "b")
+    rows1 = sorted(map(tuple, b1.read(s1).collect()))
+    rows2 = sorted(map(tuple, b2.read(s2).collect()))
+    assert rows1 == rows2 and len(rows1) == 30  # budget-exact + stable
+    # the DSIR draw differs from the temperature-mix draw
+    b3 = DatasetBuilder(CorpusPipeline(spark, str(tmp_path / "c")))
+    s3 = b3.build(
+        docs, eval_docs, budget_docs=30, n_shards=4, epoch=1,
+        quality_min=1, min_overlap=10**6,
+    )
+    ids_dsir = {r[0] for r in rows1}
+    ids_mix = {r["doc_id"] for r in b3.read(s3).collect()}
+    assert ids_dsir != ids_mix
+    # selection mode is part of the epoch config fingerprint
+    with pytest.raises(ValueError, match="different config"):
+        b1.build(
+            docs, eval_docs, budget_docs=30, n_shards=4, epoch=1,
+            quality_min=1, min_overlap=10**6,  # temperature mix now
+        )

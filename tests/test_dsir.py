@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.classify import (
     DSIR_SCALE,
     dsir_importance,
+    dsir_select,
 )
 
 
@@ -90,3 +91,73 @@ def test_explicit_target_docs_mode(spark):
     assert rows[101]["weight_scaled"] is not None
     assert rows[100]["weight_scaled"] > rows[101]["weight_scaled"]
     assert rows[100]["weight_scaled"] > DSIR_SCALE
+
+
+def _weights_df(spark, rows):
+    """Synthetic dsir_importance-shaped relation: (doc_id,
+    weight_scaled)."""
+    return spark.createDataFrame(
+        rows, "doc_id long, weight_scaled long"
+    ).select(
+        "doc_id",
+        F.lit(False).alias("is_target"),
+        F.lit(1).cast("long").alias("n_feats"),
+        "weight_scaled",
+        F.lit(True).alias("keep"),
+    )
+
+
+def test_dsir_select_budget_exact_and_deterministic(spark):
+    docs = _docs(
+        spark, [f"alpha beta w{i} gamma delta t{i % 5}" for i in range(40)]
+    )
+    out1 = dsir_select(docs, budget_docs=10).collect()
+    out2 = dsir_select(docs.repartition(5), budget_docs=10).collect()
+    cands = [r for r in out1 if r["weight_scaled"] is not None]
+    sel1 = sorted(r["doc_id"] for r in out1 if r["selected"])
+    sel2 = sorted(r["doc_id"] for r in out2 if r["selected"])
+    assert len(sel1) == min(10, len(cands))
+    assert sel1 == sel2  # partitioning-invariant draw
+    # ranks are the contiguous permutation 0..n_cand-1
+    assert sorted(r["sel_rank"] for r in out1) == list(range(len(out1)))
+
+
+def test_dsir_select_budget_edge_cases(spark):
+    docs = _docs(spark, ["a b c", "d e f", "g h i"])
+    assert dsir_select(docs, budget_docs=0).filter("selected").count() == 0
+    big = dsir_select(docs, budget_docs=10_000)
+    assert big.filter("selected").count() == big.count()  # all candidates
+    try:
+        dsir_select(docs, budget_docs=-1)
+        raise AssertionError("negative budget must raise")
+    except ValueError:
+        pass
+
+
+def test_dsir_select_weight_monotone_under_fixed_uniforms(spark):
+    # same ids (=> same uniforms); raising one doc's weight can only
+    # lower its priority key, so its rank must not worsen
+    base = _weights_df(spark, [(i, 1_000_000) for i in range(20)])
+    boosted = _weights_df(
+        spark,
+        [(i, 1_000_000 if i != 7 else 500_000_000) for i in range(20)],
+    )
+    docs = _docs(spark, ["x"] * 20)  # ignored when weights= is passed
+    r_base = {
+        r["doc_id"]: r["sel_rank"]
+        for r in dsir_select(docs, 5, weights=base).collect()
+    }
+    r_boost = {
+        r["doc_id"]: r["sel_rank"]
+        for r in dsir_select(docs, 5, weights=boosted).collect()
+    }
+    assert r_boost[7] <= r_base[7]
+
+
+def test_dsir_select_excludes_nonpositive_and_null_weights(spark):
+    w = _weights_df(
+        spark, [(1, 10_000), (2, 0), (3, None), (4, 20_000)]
+    )
+    docs = _docs(spark, ["x"] * 5)
+    out = dsir_select(docs, 10, weights=w).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 4]
