@@ -1,0 +1,215 @@
+"""Deterministic corpus-trained BPE-style subword tokenizer.
+
+Everything that sizes training data — pack capacities, token budgets,
+chunk windows — is denominated in TOKENIZER tokens, and whitespace
+counts mis-size natural text by 1.3-2×. This module trains a small
+byte-pair-encoding merge table from the corpus itself and counts
+documents in the resulting subword units, so pack/budget decisions
+use the same denomination the training run will.
+
+The tokenizer is a deliberately simplified BPE (Sennrich et al. 2016
+shape) whose every step is exactly mirrorable in SQL — the repo's
+oracle doctrine — while keeping the real structure: learned merges,
+frequency-ranked, applied lowest-rank-first:
+
+- **Training** operates on the word-count dictionary (as real BPE
+  training does), restricted to the top ``top_words`` words by
+  (count DESC, word ASC) — a bounded, metadata-scale relation that is
+  collected to the driver exactly like the decontamination eval grams
+  (the repo's one sanctioned collect class). Each of ``n_merges``
+  steps counts weighted adjacent symbol pairs over the current
+  symbolizations, picks the best pair by (count DESC, encoded pair
+  ASC), and merges its LEFTMOST occurrence in each word (one per word
+  per step — the step is a closed-form list rewrite, which is what
+  makes the unrolled-CTE SQL oracle possible; a pair that stays
+  frequent is simply re-picked by later steps). The merge TABLE is
+  the distinct picked pairs in first-pick order.
+- **Application** segments each word by repeatedly finding the
+  present pair with the lowest merge rank and merging its leftmost
+  occurrence, until no table pair remains. It runs once per DISTINCT
+  corpus word — the vocab-bounded relation (Heaps-law growth, the
+  same boundedness class as the pruned LM model), never per token —
+  as one shuffle-free Arrow ``mapInPandas`` pass with the ≤
+  ``n_merges``-row table in the closure. Per-doc counts are then an
+  equi-join on word + one map-side-combinable aggregate.
+
+Pair encoding: ``left + chr(1) + right`` — the separator sorts below
+every text character, so binary comparison of the encoded pair equals
+tuple comparison of (left, right) in both engines (Spark/Python
+compare code points, DuckDB compares UTF-8 bytes; identical order).
+
+At 100 TB: training cost is one word-count aggregate (map-side
+combinable) + driver work over ``top_words`` rows; application cost
+is one distinct over corpus words + an embarrassingly parallel Arrow
+pass + one key-partitioned join. Nothing all-pairs, nothing
+driver-side beyond the bounded dictionary.
+
+Beyond reference parity: the reference has no tokenizer surface; this
+is LLM-pipeline extension surface (SURVEY.md §2 extension block).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+BPE_TOP_WORDS = 2048
+BPE_MERGES = 24
+PAIR_SEP = "\x01"
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(word, wcnt) over lowercased whitespace tokens — ONE map-side
+    combinable aggregate; the input relation of BPE training."""
+    return (
+        docs.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+
+
+def _best_pair(vocab: list[tuple[list[str], int]]) -> str | None:
+    """Encoded best pair by (weighted count DESC, encoded ASC), or
+    None when no word has two symbols left."""
+    counts: dict[str, int] = {}
+    for syms, cnt in vocab:
+        for a, b in zip(syms, syms[1:]):
+            enc = a + PAIR_SEP + b
+            counts[enc] = counts.get(enc, 0) + cnt
+    if not counts:
+        return None
+    return min(counts, key=lambda p: (-counts[p], p))
+
+
+def _merge_leftmost(syms: list[str], left: str, right: str) -> list[str]:
+    for i in range(len(syms) - 1):
+        if syms[i] == left and syms[i + 1] == right:
+            return syms[:i] + [left + right] + syms[i + 2 :]
+    return syms
+
+
+def train_merges(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    top_words: int = BPE_TOP_WORDS,
+    text_col: str = "text",
+) -> list[str]:
+    """The learned merge table: ≤ ``n_merges`` encoded pairs in
+    first-pick order (rank = list position). Deterministic: the top
+    dictionary, every pair count, and every tie-break are pure
+    functions of the corpus."""
+    top = (
+        word_counts(docs, text_col)
+        .orderBy(F.col("wcnt").desc(), F.col("word").asc())
+        .limit(top_words)
+        .collect()
+    )
+    vocab = [(list(r["word"]), int(r["wcnt"])) for r in top]
+    merges: list[str] = []
+    for _ in range(n_merges):
+        best = _best_pair(vocab)
+        if best is None:
+            break
+        if best not in merges:
+            merges.append(best)
+        left, right = best.split(PAIR_SEP)
+        vocab = [
+            (_merge_leftmost(syms, left, right), cnt) for syms, cnt in vocab
+        ]
+    return merges
+
+
+def segment_len(word: str, merges: list[str]) -> int:
+    """Subword count of one word under the merge table: repeatedly
+    merge the leftmost occurrence of the lowest-rank present pair.
+    Pure function — the single definition both the Arrow pass and the
+    tests call."""
+    rank = {p: i for i, p in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        best_r = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = rank.get(syms[i] + PAIR_SEP + syms[i + 1])
+            if r is not None and (best_r is None or r < best_r):
+                best_r, best_i = r, i
+        if best_r is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return len(syms)
+
+
+def segment_words(words: DataFrame, merges: list[str]) -> DataFrame:
+    """(word, n_bpe) for every row of the (distinct) ``words``
+    relation — one shuffle-free Arrow pass, merge table in the
+    closure (≤ n_merges strings, broadcast with the task)."""
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_bpe": [
+                        segment_len(w, merges) for w in pdf["word"]
+                    ],
+                }
+            )
+
+    return words.mapInPandas(seg, "word string, n_bpe int")
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc token counts in the learned subword denomination:
+    (id, n_ws_tokens, n_bpe_tokens), zero-token docs included with
+    zeros. Plan: explode words (narrow) → distinct-word segmentation
+    (Arrow pass over the vocab-bounded relation) → key-partitioned
+    equi-join → one map-side-combinable per-doc aggregate."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    )
+    seg = segment_words(words.select("word").distinct(), merges)
+    per_doc = (
+        words.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ws_tokens"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+        )
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_ws_tokens", F.lit(0)).cast("long").alias(
+            "n_ws_tokens"
+        ),
+        F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def merge_table(docs: DataFrame, merges: list[str]) -> DataFrame:
+    """The learned merge table as a relation: (rank, left, right) —
+    the ≤ n_merges-row artifact a deployment would persist next to
+    the dataset snapshot."""
+    spark = docs.sparkSession
+    rows = [
+        (i, *p.split(PAIR_SEP)) for i, p in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, pair_left string, pair_right string"
+    )

@@ -45,6 +45,7 @@ def pack_sequences(
     n_shards: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Assign every doc to a (shard, pack) so that each pack's token
     total stays <= ``capacity`` wherever possible.
@@ -55,9 +56,21 @@ def pack_sequences(
     (overflowing) pack — packing never splits or drops documents;
     truncation is a separate, explicit pipeline stage if wanted.
 
+    ``token_count_col`` names a precomputed per-doc token count column
+    on ``docs`` — the hook for TOKENIZER-denominated packing (e.g.
+    ``operators.bpe.bpe_token_counts``'s ``n_bpe_tokens``, joined on
+    by the caller), since whitespace counts mis-size natural-text
+    packs by 1.3-2× against the BPE units a training run actually
+    consumes. Default stays the whitespace count.
+
     Returns (doc_id, shard, pack_id, n_tokens, pack_pos) where
     ``pack_pos`` is the doc's 0-based position inside its pack.
     """
+    n_tok = (
+        F.col(token_count_col)
+        if token_count_col is not None
+        else token_count(F.col(text_col))
+    )
     sized = docs.select(
         F.col(id_col).alias("doc_id"),
         (
@@ -66,7 +79,7 @@ def pack_sequences(
         )
         .cast("int")
         .alias("shard"),
-        token_count(F.col(text_col)).cast("int").alias("n_tokens"),
+        n_tok.cast("int").alias("n_tokens"),
     )
 
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:

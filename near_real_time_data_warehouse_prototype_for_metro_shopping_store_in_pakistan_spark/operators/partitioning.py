@@ -272,11 +272,19 @@ def token_budget_select(
     budget_tokens: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Data mixing under a token budget: walk documents from highest
     quality down (ties on id) and keep them while the running token
     total stays within ``budget_tokens`` — the standard
     "best N tokens" curation cut.
+
+    ``token_counts`` swaps the whitespace denomination for a
+    precomputed (id, n_tokens) relation — the hook for
+    TOKENIZER-denominated budgets (``operators.bpe.bpe_token_counts``
+    renamed to ``n_tokens``), since a budget in BPE units is what the
+    training run actually spends. Ordering stays by quality score;
+    only the running-total denomination changes.
 
     The running total is the distributed ``prefix_sums`` scan, so the
     selection needs no single-partition window and no driver loop at
@@ -288,6 +296,10 @@ def token_budget_select(
     scored = quality_scores(docs, text_col, id_col).select(
         id_col, "n_tokens", "quality_score"
     )
+    if token_counts is not None:
+        scored = scored.drop("n_tokens").join(
+            token_counts.select(id_col, "n_tokens"), id_col
+        )
     cum = prefix_sums(
         scored,
         [F.col("quality_score").desc(), F.col(id_col).asc()],

@@ -19,6 +19,7 @@ from ..functions.text import ENGLISH_STOPWORDS, LANG_ORDER, LANG_STOPWORDS
 from ..functions.text import md5_long as _md5_long
 from ..operators import (
     asof,
+    bpe,
     classify,
     dedup,
     events,
@@ -550,6 +551,26 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify.dsir_select(
         table(spark, sf_dir, "documents"), budget_docs=DSIR_SELECT_BUDGET
     )
+
+
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-trained BPE merge table (Sennrich et al. 2016
+    shape): BPE_MERGES steps over the top-word dictionary, best pair
+    by (weighted count DESC, pair ASC), leftmost-occurrence merge per
+    word per step — the ≤ n_merges-row artifact a deployment persists
+    next to the dataset snapshot (see operators.bpe)."""
+    docs = table(spark, sf_dir, "documents")
+    return bpe.merge_table(docs, bpe.train_merges(docs))
+
+
+def corpus_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts in the learned BPE subword denomination
+    vs whitespace — the honest denomination for pack capacities and
+    token budgets (whitespace mis-sizes natural text 1.3-2×).
+    Segmentation runs once per DISTINCT word (vocab-bounded Arrow
+    pass), then an equi-join + one aggregate (see operators.bpe)."""
+    docs = table(spark, sf_dir, "documents")
+    return bpe.bpe_token_counts(docs, bpe.train_merges(docs))
 
 
 def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1181,6 +1202,8 @@ PIPELINE_QUERIES = {
     "text_lm_perlang": text_lm_perlang,
     "corpus_dsir_weights": corpus_dsir_weights,
     "corpus_dsir_select": corpus_dsir_select,
+    "corpus_bpe_merges": corpus_bpe_merges,
+    "corpus_bpe_token_stats": corpus_bpe_token_stats,
     "events_asof_prior_click": events_asof_prior_click,
     "events_range_join_sessions": events_range_join_sessions,
     "events_hourly_rollup": events_hourly_rollup,
@@ -2342,6 +2365,148 @@ ranked AS (
 SELECT doc_id, weight_scaled, sel_key, sel_rank,
        sel_rank < {DSIR_SELECT_BUDGET} AS selected
 FROM ranked
+"""
+
+
+def _bpe_training_ctes() -> str:
+    """The unrolled BPE training pipeline as chained CTEs (the
+    engine's standard oracle pattern for iterative algorithms): wc →
+    top-dict v0 → BPE_MERGES × (pair counts p{{i}} → best pair b{{i}}
+    → leftmost-merge rewrite v{{i}}) → deduped first-pick merge table
+    ``mt`` (pr, rank). Mirrors operators.bpe.train_merges exactly;
+    note DuckDB list_position returns 0 (not NULL) on a miss."""
+    from ..operators.bpe import BPE_MERGES, BPE_TOP_WORDS
+
+    parts = [
+        f"""wc AS MATERIALIZED (
+    SELECT word, count(*) AS wcnt FROM (
+        SELECT unnest({_sql_tokens("lower(text)")}) AS word
+        FROM documents
+    ) GROUP BY word
+),
+v0 AS MATERIALIZED (
+    SELECT word, wcnt,
+           list_transform(generate_series(1, length(word)),
+                          i -> word[i]) AS syms
+    FROM (SELECT word, wcnt FROM wc
+          ORDER BY wcnt DESC, word ASC LIMIT {BPE_TOP_WORDS})
+)"""
+    ]
+    pair_list = (
+        "list_transform(generate_series(1, len(syms) - 1), "
+        "j -> syms[j] || chr(1) || syms[j + 1])"
+    )
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+    SELECT pr, SUM(wcnt) AS c FROM (
+        SELECT wcnt, unnest({pair_list}) AS pr FROM v{i - 1}
+    ) GROUP BY pr
+),
+b{i} AS MATERIALIZED (SELECT pr AS bp FROM p{i} ORDER BY c DESC, pr ASC LIMIT 1),
+v{i} AS MATERIALIZED (
+    SELECT word, wcnt,
+        CASE WHEN bp IS NULL OR pos = 0 THEN syms
+             ELSE list_concat(list_concat(
+                      list_slice(syms, 1, pos - 1),
+                      [syms[pos] || syms[pos + 1]]),
+                      list_slice(syms, pos + 2, len(syms)))
+        END AS syms
+    FROM (
+        SELECT word, wcnt, syms, bp,
+               list_position({pair_list}, bp) AS pos
+        FROM v{i - 1} LEFT JOIN b{i} ON TRUE
+    )
+)"""
+        )
+    allb = "\n    UNION ALL ".join(
+        f"SELECT {i} AS stage, bp FROM b{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    parts.append(
+        f"""allb AS (
+    {allb}
+),
+mt AS MATERIALIZED (
+    SELECT bp AS pr,
+           CAST(row_number() OVER (ORDER BY MIN(stage)) - 1 AS INT)
+               AS rank
+    FROM allb GROUP BY bp
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def _bpe_merges_oracle() -> str:
+    return f"""
+WITH {_bpe_training_ctes()}
+SELECT rank,
+       string_split(pr, chr(1))[1] AS pair_left,
+       string_split(pr, chr(1))[2] AS pair_right
+FROM mt
+"""
+
+
+def _bpe_token_stats_oracle() -> str:
+    """Training CTEs + recursive per-distinct-word segmentation
+    (repeatedly merge the leftmost occurrence of the lowest-rank
+    present pair until none applies) + per-doc aggregate — mirrors
+    operators.bpe.segment_len/bpe_token_counts."""
+    rk_list = (
+        "list_transform(generate_series(1, len(syms) - 1), "
+        "j -> NULLIF(list_position(ml, syms[j] || chr(1) || syms[j + 1]),"
+        " 0))"
+    )
+    return f"""
+WITH RECURSIVE {_bpe_training_ctes()},
+mlist AS MATERIALIZED (
+    SELECT COALESCE(list(pr ORDER BY rank), CAST([] AS VARCHAR[])) AS ml
+    FROM mt
+),
+wtok AS MATERIALIZED (
+    SELECT doc_id, unnest({_sql_tokens("lower(text)")}) AS word
+    FROM documents
+),
+init AS (
+    SELECT word,
+           list_transform(generate_series(1, length(word)),
+                          i -> word[i]) AS syms
+    FROM (SELECT DISTINCT word FROM wtok)
+),
+seg AS (
+    SELECT word, syms FROM init
+    UNION ALL
+    SELECT word,
+           list_concat(list_concat(
+               list_slice(syms, 1, bi - 1),
+               [syms[bi] || syms[bi + 1]]),
+               list_slice(syms, bi + 2, len(syms))) AS syms
+    FROM (
+        SELECT word, syms,
+               list_position(rk, list_min(
+                   list_filter(rk, x -> x IS NOT NULL))) AS bi
+        FROM (
+            SELECT word, syms, {rk_list} AS rk
+            FROM seg CROSS JOIN mlist
+        )
+    ) WHERE bi IS NOT NULL AND bi > 0
+),
+fixp AS (
+    SELECT word, len(syms) AS n_bpe FROM (
+        SELECT word, syms,
+               list_min(list_filter({rk_list}, x -> x IS NOT NULL)) AS br
+        FROM seg CROSS JOIN mlist
+    ) WHERE br IS NULL
+),
+per AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+    FROM wtok JOIN fixp USING (word) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_ws_tokens, 0) AS n_ws_tokens,
+       COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
@@ -3916,6 +4081,8 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "text_lm_perlang": ORACLE_LM_PERLANG,
     "corpus_dsir_weights": _dsir_oracle(),
     "corpus_dsir_select": _dsir_select_oracle(),
+    "corpus_bpe_merges": _bpe_merges_oracle(),
+    "corpus_bpe_token_stats": _bpe_token_stats_oracle(),
     "events_asof_prior_click": ORACLE_EVENTS_ASOF,
     "events_range_join_sessions": ORACLE_EVENTS_RANGEJOIN,
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,

@@ -1,0 +1,118 @@
+"""Corpus-trained BPE tokenizer: hand-computed merge sequences,
+segmentation semantics, per-doc counts, and the token_count_col /
+token_counts hooks in pack/budget."""
+
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.bpe import (
+    PAIR_SEP,
+    bpe_token_counts,
+    merge_table,
+    segment_len,
+    train_merges,
+    word_counts,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def test_train_merges_hand_computed(spark):
+    # words: aa (count 2), ab (count 1).
+    # step 1: pair (a,a) weight 2 beats (a,b) weight 1 -> merge: aa
+    #         becomes [aa]; step 2: only (a,b) remains -> merge;
+    # step 3: no pairs left -> stop early.
+    docs = _docs(spark, ["aa aa ab"])
+    merges = train_merges(docs)
+    assert merges == [f"a{PAIR_SEP}a", f"a{PAIR_SEP}b"]
+
+
+def test_train_merges_tiebreak_lexicographic(spark):
+    # (a,b) and (c,d) both appear once: count tie -> encoded-pair ASC
+    docs = _docs(spark, ["ab cd"])
+    merges = train_merges(docs, n_merges=1)
+    assert merges == [f"a{PAIR_SEP}b"]
+
+
+def test_segment_len_lowest_rank_leftmost(spark):
+    merges = [f"a{PAIR_SEP}a", f"a{PAIR_SEP}b"]
+    assert segment_len("aab", merges) == 2  # (a,a) first -> [aa, b]
+    assert segment_len("ab", merges) == 1
+    assert segment_len("zzz", merges) == 3  # nothing applies
+    assert segment_len("a", merges) == 1
+    assert segment_len("", merges) == 0
+
+
+def test_train_deterministic_and_partition_invariant(spark):
+    rows = [f"the quick brown fox w{i} jumps" for i in range(30)]
+    m1 = train_merges(_docs(spark, rows))
+    m2 = train_merges(_docs(spark, rows).repartition(7))
+    assert m1 == m2 and len(m1) > 0
+
+
+def test_bpe_token_counts_bounds_and_empty_docs(spark):
+    docs = _docs(spark, ["hello world hello", "", "xy"])
+    merges = train_merges(docs)
+    out = {r["doc_id"]: r for r in bpe_token_counts(docs, merges).collect()}
+    assert len(out) == 3
+    assert out[1]["n_ws_tokens"] == 0 and out[1]["n_bpe_tokens"] == 0
+    for r in out.values():
+        # every word is >= 1 and <= len(word) subwords
+        assert r["n_bpe_tokens"] >= r["n_ws_tokens"]
+    assert out[0]["n_ws_tokens"] == 3
+
+
+def test_merge_table_relation(spark):
+    docs = _docs(spark, ["aa aa ab"])
+    mt = merge_table(docs, train_merges(docs)).collect()
+    assert [(r["rank"], r["pair_left"], r["pair_right"]) for r in mt] == [
+        (0, "a", "a"),
+        (1, "a", "b"),
+    ]
+
+
+def test_word_counts_lowercased(spark):
+    docs = _docs(spark, ["The THE the"])
+    rows = word_counts(docs).collect()
+    assert len(rows) == 1 and rows[0]["wcnt"] == 3
+
+
+def test_pack_sequences_token_count_col(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = _docs(spark, ["aaaa bbbb", "cccc dddd", "eeee ffff"])
+    merges = train_merges(docs, n_merges=0)  # no merges: bpe = chars
+    counted = docs.join(
+        bpe_token_counts(docs, merges), "doc_id"
+    )
+    # whitespace denomination: 2 tokens/doc -> capacity 4 packs 2 docs
+    ws = pack_sequences(docs, capacity=4, n_shards=1)
+    assert ws.groupBy("pack_id").count().agg(F.max("count")).first()[0] == 2
+    # bpe denomination: 8 subword tokens/doc -> each doc its own pack
+    bp = pack_sequences(
+        counted, capacity=8, n_shards=1, token_count_col="n_bpe_tokens"
+    )
+    assert bp.groupBy("pack_id").count().agg(F.max("count")).first()[0] == 1
+    assert {r["n_tokens"] for r in bp.collect()} == {8}
+
+
+def test_token_budget_select_token_counts(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.partitioning import (
+        token_budget_select,
+    )
+
+    docs = _docs(spark, ["aaaa bbbb", "cccc dddd", "eeee ffff"])
+    merges = train_merges(docs, n_merges=0)
+    counts = bpe_token_counts(docs, merges).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    out = token_budget_select(docs, 16, token_counts=counts).collect()
+    assert sum(r["selected"] for r in out) == 2  # 2 x 8 bpe tokens
+    assert {r["n_tokens"] for r in out} == {8}
+    ws = token_budget_select(docs, 16).collect()
+    assert sum(r["selected"] for r in ws) == 3  # whitespace: 2/doc
