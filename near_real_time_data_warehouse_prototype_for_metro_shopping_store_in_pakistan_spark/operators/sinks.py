@@ -110,6 +110,29 @@ class ParquetAntiJoinSink(MergeSink):
         except Exception:
             return None
 
+    def _scoped_existing(
+        self, name: str, incoming: DataFrame, existing: DataFrame
+    ) -> DataFrame:
+        """``existing`` scoped to only the hive partitions the
+        incoming batch touches (see ``_existing_keys``); the whole
+        table when unpartitioned."""
+        parts = self.partitioning.get(name)
+        if parts and set(parts) <= set(incoming.columns):
+            touched = incoming.select(*parts).distinct().collect()
+            pred = F.lit(False)
+            for row in touched:
+                clause = F.lit(True)
+                for p in parts:
+                    # null-safe: a plain == is never true against a
+                    # NULL partition value, which would EXCLUDE the
+                    # null partition from the "seen" scan and re-admit
+                    # replayed NULL-partition rows — defeating the
+                    # eqNullSafe key join below
+                    clause = clause & F.col(p).eqNullSafe(F.lit(row[p]))
+                pred = pred | clause
+            existing = existing.filter(pred)
+        return existing
+
     def _existing_keys(
         self, name: str, incoming: DataFrame, existing: DataFrame
     ) -> DataFrame:
@@ -132,21 +155,7 @@ class ParquetAntiJoinSink(MergeSink):
         and land in the same partition.
         """
         key = self.keys[name]
-        parts = self.partitioning.get(name)
-        if parts and set(parts) <= set(incoming.columns):
-            touched = incoming.select(*parts).distinct().collect()
-            pred = F.lit(False)
-            for row in touched:
-                clause = F.lit(True)
-                for p in parts:
-                    # null-safe: a plain == is never true against a
-                    # NULL partition value, which would EXCLUDE the
-                    # null partition from the "seen" scan and re-admit
-                    # replayed NULL-partition rows — defeating the
-                    # eqNullSafe key join below
-                    clause = clause & F.col(p).eqNullSafe(F.lit(row[p]))
-                pred = pred | clause
-            existing = existing.filter(pred)
+        existing = self._scoped_existing(name, incoming, existing)
         return existing.select(*key).dropDuplicates(key)
 
     def insert_if_absent(self, name: str, batch: DataFrame) -> None:
@@ -344,6 +353,49 @@ class ManifestParquetSink(MergeSink):
         out = None
         for _, seg in committed:
             df = self.spark.read.parquet(seg)
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def added_between(
+        self, name: str, since: int | None, until: int
+    ) -> DataFrame | None:
+        """Provenance diff: the rows that ENTERED the table after
+        snapshot ``since`` (exclusive; None = since the beginning) up
+        to snapshot ``until`` (inclusive), each tagged with the
+        committing snapshot number in a ``_snapshot`` column.
+
+        This answers the dataset-governance audit question — "which
+        docs entered the training set between snapshot A and B, and
+        from where" — directly from the manifest structure: segments
+        are immutable and insert-if-absent means every row belongs to
+        exactly ONE segment (its first admission), so the diff is a
+        union of whole segments, no key-level anti-join needed.
+        ``added_between(name, None, s)`` therefore equals
+        ``read_at(name, s)`` minus the tag column, and
+        ``added_between(name, a, b)`` equals ``read_at(b)`` minus
+        ``read_at(a)`` by key — asserted by the sink contract tests.
+        None when no committed non-empty segment falls in the range.
+        """
+        committed, all_nums, _ = self._segments(name)
+        for label, s in (("until", until), ("since", since)):
+            if s is not None and s not in all_nums:
+                raise ValueError(
+                    f"unknown {label} snapshot {s} for table {name!r}: "
+                    f"committed snapshots are {all_nums}"
+                )
+        if since is not None and since > until:
+            raise ValueError(
+                f"since snapshot {since} is after until snapshot {until}"
+            )
+        lo = -1 if since is None else since
+        visible = [(n, p) for n, p in committed if lo < n <= until]
+        if not visible:
+            return None
+        out = None
+        for n, seg in visible:
+            df = self.spark.read.parquet(seg).withColumn(
+                "_snapshot", F.lit(n).cast("long")
+            )
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -549,17 +601,35 @@ class BloomedAntiJoinSink(ParquetAntiJoinSink):
                 if suspect.isEmpty():
                     admitted = novel
                 else:
-                    seen = self._existing_keys(name, suspect, existing)
-                    seen = seen.select(
-                        *[F.col(k).alias(f"__seen_{k}") for k in key]
-                    )
+                    # The suspect side is fpp-bounded by construction
+                    # (replays + false positives, never the whole
+                    # batch unless the filter is saturated), so invert
+                    # the exact check around that asymmetry: ONE
+                    # column-pruned, partition-scoped scan of the
+                    # existing keys, BROADCAST-semi-joined against the
+                    # suspect keys, yields the (tiny) actually-seen
+                    # set; suspects then anti-join against THAT, also
+                    # broadcast. The accumulated key relation is never
+                    # shuffled or deduplicated — unlike the plain
+                    # backend, whose probe side (the whole batch) is
+                    # unbounded and therefore pays dropDuplicates +
+                    # sort-merge over the full seen set every batch.
+                    skeys = suspect.select(*key).dropDuplicates(key)
+                    scoped = self._scoped_existing(
+                        name, suspect, existing
+                    ).select(*[F.col(k).alias(f"__seen_{k}") for k in key])
                     cond = F.lit(True)
                     for k in key:
                         cond = cond & F.col(k).eqNullSafe(
                             F.col(f"__seen_{k}")
                         )
+                    matched = scoped.join(
+                        F.broadcast(skeys), cond, "left_semi"
+                    )
                     admitted = novel.unionByName(
-                        suspect.join(seen, cond, "left_anti")
+                        suspect.join(
+                            F.broadcast(matched), cond, "left_anti"
+                        )
                     )
                 admitted = admitted.select(*existing.columns)
                 # superset-safe order: bloom BEFORE data

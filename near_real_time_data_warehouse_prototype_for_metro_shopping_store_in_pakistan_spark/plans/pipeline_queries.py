@@ -553,6 +553,69 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_added_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-governance provenance diff over the manifest sink's
+    snapshot surface: three overlapping insert-if-absent commits of
+    the documents table (doc_id%4=0, then %4 in (0,1), then %2=0 —
+    each later batch partially replays earlier keys), then
+    ``added_between(snapshot 0, snapshot 2)`` answers "which docs
+    entered the dataset after the first commit, and from which
+    source" — aggregated per (snapshot, source). Because segments are
+    immutable and rows insert-if-absent, every row belongs to exactly
+    one snapshot and the diff is pure set algebra (the SQL oracle
+    mirrors it as %4=1 and %4=2 carves)."""
+    import shutil
+    import tempfile
+
+    from ..operators.sinks import make_sink
+
+    docs = table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="drv_snapshot_diff_")
+    try:
+        sink = make_sink(
+            spark, root, keys={"corpus": ["doc_id"]}, backend="manifest"
+        )
+        for pred in (
+            F.col("doc_id") % 4 == 0,
+            (F.col("doc_id") % 4).isin(0, 1),
+            F.col("doc_id") % 2 == 0,
+        ):
+            sink.insert_if_absent("corpus", docs.filter(pred))
+        snaps = sink.snapshots("corpus")
+        added = sink.added_between("corpus", snaps[0], snaps[-1])
+        return (
+            added.groupBy(
+                F.col("_snapshot").alias("snapshot"), F.col("source")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_SNAPSHOT_ADDED_BETWEEN = """
+WITH added AS (
+    SELECT CAST(1 AS BIGINT) AS snapshot, source, doc_id, n_chars
+    FROM documents WHERE doc_id % 4 = 1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS snapshot, source, doc_id, n_chars
+    FROM documents WHERE doc_id % 4 = 2
+)
+SELECT snapshot, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM added GROUP BY snapshot, source
+"""
+
+
 def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-trained BPE merge table (Sennrich et al. 2016
     shape): BPE_MERGES steps over the top-word dictionary, best pair
@@ -1202,6 +1265,7 @@ PIPELINE_QUERIES = {
     "text_lm_perlang": text_lm_perlang,
     "corpus_dsir_weights": corpus_dsir_weights,
     "corpus_dsir_select": corpus_dsir_select,
+    "snapshot_added_between": snapshot_added_between,
     "corpus_bpe_merges": corpus_bpe_merges,
     "corpus_bpe_token_stats": corpus_bpe_token_stats,
     "events_asof_prior_click": events_asof_prior_click,
@@ -4081,6 +4145,7 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "text_lm_perlang": ORACLE_LM_PERLANG,
     "corpus_dsir_weights": _dsir_oracle(),
     "corpus_dsir_select": _dsir_select_oracle(),
+    "snapshot_added_between": ORACLE_SNAPSHOT_ADDED_BETWEEN,
     "corpus_bpe_merges": _bpe_merges_oracle(),
     "corpus_bpe_token_stats": _bpe_token_stats_oracle(),
     "events_asof_prior_click": ORACLE_EVENTS_ASOF,

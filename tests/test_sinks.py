@@ -246,3 +246,41 @@ def test_manifest_crashed_segment_is_not_a_snapshot(spark, tmp_path):
         str(orphan)
     )
     assert sink.snapshots("t") == [0]
+
+
+def test_manifest_added_between_provenance(spark, tmp_path):
+    """added_between = whole-segment union; equals the read_at diff by
+    key; validates its snapshot arguments."""
+    sink = _sink(spark, tmp_path, "manifest")
+    mk = lambda *ks: spark.createDataFrame(
+        [(k, f"v{k}") for k in ks], "k long, v string"
+    )
+    sink.insert_if_absent("t", mk(1, 2))
+    sink.insert_if_absent("t", mk(2, 3))      # 2 replayed -> adds 3
+    sink.insert_if_absent("t", mk(2, 3))      # full replay -> empty seg
+    sink.insert_if_absent("t", mk(4, 5))
+    assert sink.snapshots("t") == [0, 1, 2, 3]
+    # full history tagged by first-admission snapshot
+    full = sink.added_between("t", None, 3)
+    assert {(r["k"], r["_snapshot"]) for r in full.collect()} == {
+        (1, 0), (2, 0), (3, 1), (4, 3), (5, 3)
+    }
+    # added_between(None, s) == read_at(s) modulo the tag column
+    assert {r["k"] for r in full.collect()} == {
+        r["k"] for r in sink.read_at("t", 3).collect()
+    }
+    # window diff == read_at(b) minus read_at(a) by key
+    win = sink.added_between("t", 0, 2)
+    assert {r["k"] for r in win.collect()} == (
+        {r["k"] for r in sink.read_at("t", 2).collect()}
+        - {r["k"] for r in sink.read_at("t", 0).collect()}
+    )
+    # window covering only the replay segment -> zero added rows
+    replay_win = sink.added_between("t", 1, 2)
+    assert replay_win is None or replay_win.count() == 0
+    with pytest.raises(ValueError, match="unknown until"):
+        sink.added_between("t", 0, 99)
+    with pytest.raises(ValueError, match="unknown since"):
+        sink.added_between("t", 77, 3)
+    with pytest.raises(ValueError, match="after until"):
+        sink.added_between("t", 3, 1)
