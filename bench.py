@@ -43,6 +43,10 @@ MEASUREMENT_QUERIES = frozenset(
         "stream_embed_admission",
         "stream_neardup_admission",
         "stream_substr_admission",
+        # replays three sequential manifest-sink commits at query
+        # time to exercise the snapshot-diff surface — sink
+        # round-trips, not operator throughput
+        "snapshot_added_between",
     }
 )
 

@@ -451,8 +451,26 @@ class BloomedAntiJoinSink(ParquetAntiJoinSink):
     (operators/bloom.py): keys the filter PROVES novel bypass the
     seen-scan + anti-join entirely; only the "maybe seen" residue
     (replays + false positives) pays for the partition-pruned exact
-    check. On an append-mostly stream the per-batch existing-table
-    read disappears.
+    check — and that check broadcasts the fpp-bounded suspect keys
+    against ONE column-pruned scan (semi-join, then a broadcast
+    anti-join), so the accumulated key relation is never shuffled or
+    deduplicated.
+
+    STATUS — measured and DORMANT (SCALE.md "round 8 … verdict"):
+    in the deliberately constructed win regime (64-char
+    unpartitionable keys, 2M-12M pre-seeded accumulation), the plain
+    anti-join backend beats this one at every level once the table
+    sits in page cache — which it always does in-container. The
+    per-batch floor here is filter maintenance (merge+write of the
+    full word relation, O(filter) not O(batch)) plus k
+    broadcast-membership joins (Catalyst builds k separate broadcast
+    exchanges; measured, no reuse). The one measured inversion is the
+    COLD-cache sub-regime (8M seed, cold: anti-join 12.9/13.7 s vs
+    bloom 9.0/8.0 s) — the regime a 100 TB table actually lives in
+    (seen scan storage-bound, ~64 B/key read+shuffle vs ~1.25 B/key
+    of filter) — so the backend stays available, correctness-proven
+    by the shared contract suite, for storage-bound unpartitionable
+    key spaces; parquet stays the default everywhere else.
 
     Crash-safety ordering invariant: the Bloom is always written
     BEFORE the data append and is therefore a SUPERSET of the admitted

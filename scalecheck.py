@@ -321,6 +321,108 @@ def sink_mode(spark, n_batches: int, batch_rows: int) -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+def sinkwide_mode(
+    spark, levels: list[int], batch_rows: int, n_measure: int = 4
+) -> None:
+    """The Bloom sink's claimed win regime, constructed deliberately:
+    WIDE string keys (64 chars — two concatenated md5 hex digests,
+    the shape of a content-hash / URL key space), a payload column,
+    NO partition-prunable key column, and a LARGE pre-seeded
+    accumulated table. ``sink`` mode measures the batch-cost TREND
+    from an empty table; this mode measures the per-batch cost AT a
+    given accumulation, which is where the two backends' plans
+    actually diverge:
+
+    - parquet anti-join: every batch scans the accumulated key
+      column, dropDuplicates it (full shuffle of the seen set), and
+      sort-merge anti-joins the batch against it — per-batch cost
+      grows with accumulated keys × key width.
+    - bloom: k broadcast word-joins flag the batch; only the
+      fpp-bounded suspect residue pays an exact check, and that
+      check is inverted (seen scan BROADCAST-semi-joined against the
+      tiny suspect keys) so the accumulated relation is scanned but
+      never shuffled. Filter maintenance is O(set words)/batch.
+
+    For each level the table (and the bloom backend's filter) is
+    seeded directly — seeding through the sink would just re-measure
+    the trend — then ``n_measure`` all-novel batches plus one full
+    replay batch run through ``insert_if_absent``. The crossover
+    level (if any) is where bloom's flat check cost undercuts the
+    plain backend's grow-with-the-table shuffle."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.bloom import (
+        bloom_words,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.sinks import (
+        make_sink,
+    )
+
+    def rows(lo: int, hi: int):
+        wide = F.concat(
+            F.md5(F.col("id").cast("string")),
+            F.md5(F.concat(F.col("id").cast("string"), F.lit("|w"))),
+        )
+        return spark.range(lo, hi).select(
+            wide.alias("k"),
+            F.repeat(F.md5(F.concat(F.col("id").cast("string"),
+                                    F.lit("|p"))), 4).alias("payload"),
+        )
+
+    for level in levels:
+        total = level + (n_measure + 1) * batch_rows
+        m_bits = 1 << max(20, (total * 10).bit_length())
+        for backend in ("parquet", "bloom"):
+            root = tempfile.mkdtemp(prefix=f"scalecheck_sw_{backend}_")
+            try:
+                sink = make_sink(
+                    spark, root, keys={"t": ["k"]}, backend=backend
+                )
+                # seed the accumulated state directly, in multiple
+                # files (the shape N prior appends leave behind)
+                seed = rows(0, level).repartition(
+                    max(32, level // 50_000)
+                )
+                seed.write.mode("overwrite").parquet(sink.path("t"))
+                if backend == "bloom":
+                    sink.bloom_bits = m_bits
+                    sink._write_bloom(
+                        "t",
+                        bloom_words(
+                            spark.read.parquet(sink.path("t")),
+                            ["k"], m_bits, sink.bloom_k,
+                        ),
+                    )
+                times = []
+                for b in range(n_measure):
+                    lo = level + b * batch_rows
+                    t0 = time.time()
+                    sink.insert_if_absent("t", rows(lo, lo + batch_rows))
+                    times.append(round(time.time() - t0, 3))
+                t0 = time.time()  # full replay of already-seeded keys
+                sink.insert_if_absent("t", rows(0, batch_rows))
+                replay_sec = round(time.time() - t0, 3)
+                n = sink.read("t").count()
+                assert n == level + n_measure * batch_rows, n
+                print(
+                    json.dumps(
+                        {
+                            "mode": "sinkwide",
+                            "backend": backend,
+                            "seed_keys": level,
+                            "batch_rows": batch_rows,
+                            "per_batch_sec": times,
+                            "avg_batch_sec": round(
+                                sum(times) / len(times), 3
+                            ),
+                            "replay_sec": replay_sec,
+                            "rows": n,
+                        }
+                    ),
+                    flush=True,
+                )
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
+
 def lm_mode(spark, sizes: list[int]) -> None:
     """Evidence for the n≥3 count floor (text_profile.bigram_lm_counts
     ``min_count``): the UNPRUNED trigram model relation grows with
@@ -455,6 +557,16 @@ def main() -> None:
         spark = get_spark(app_name="scalecheck-lm")
         spark.sparkContext.setLogLevel("ERROR")
         lm_mode(spark, sizes)
+        return
+    if args and args[0] == "sinkwide":
+        rest = [int(a) for a in args[1:]]
+        spark = get_spark(app_name="scalecheck-sinkwide")
+        spark.sparkContext.setLogLevel("ERROR")
+        sinkwide_mode(
+            spark,
+            levels=rest[:-1] or [1_000_000, 4_000_000, 12_000_000],
+            batch_rows=rest[-1] if rest else 20_000,
+        )
         return
     if args and args[0] == "sink":
         rest = [int(a) for a in args[1:]]

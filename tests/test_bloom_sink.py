@@ -100,13 +100,16 @@ def test_replay_takes_exact_path_and_noops(spark, tmp_path, monkeypatch):
     b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
     sink.insert_if_absent("t", b1)
     calls = []
-    orig = BloomedAntiJoinSink._existing_keys
+    # the exact check is the inverted broadcast form: it scopes the
+    # existing table via _scoped_existing (never the full-shuffle
+    # _existing_keys path the plain backend uses)
+    orig = BloomedAntiJoinSink._scoped_existing
 
     def spy(self, *a, **kw):
         calls.append(1)
         return orig(self, *a, **kw)
 
-    monkeypatch.setattr(BloomedAntiJoinSink, "_existing_keys", spy)
+    monkeypatch.setattr(BloomedAntiJoinSink, "_scoped_existing", spy)
     sink.insert_if_absent("t", b1)  # at-least-once replay
     assert calls, "replayed keys must go through the exact anti-join"
     assert _rows(sink) == {(1, "a"), (2, "b")}
