@@ -202,6 +202,124 @@ def bpe_token_counts(
     )
 
 
+def bpe_chunk_documents(
+    docs: DataFrame,
+    merges: list[str],
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking DENOMINATED IN BPE TOKENS: windows
+    cover ``chunk_tokens`` subword tokens with stride
+    ``chunk_tokens - overlap``, but boundaries fall on whole words (a
+    word whose subword span intersects a window belongs to it — the
+    greedy convention every subword chunker uses, so a window may
+    slightly exceed the target where a word straddles its edge).
+    Whitespace-denominated ``text_profile.chunk_documents`` mis-sizes
+    context windows by the same 1.3-2× factor that motivates the BPE
+    counts; this is the chunker a RAG/pretraining pipeline would
+    actually run.
+
+    Chunk count per doc follows the same closed form as the
+    whitespace chunker (1 if total ≤ C else ⌈(total-C)/S⌉ + 1) over
+    the doc's TOTAL BPE tokens, so the final window reaches the
+    document's end. Zero-token docs emit one empty chunk.
+
+    Plan: posexplode words (narrow) → distinct-word segmentation
+    (vocab-bounded Arrow pass) → equi-join → per-DOC windows (cum
+    subword starts; partitioned by id, never global) → a ≤
+    spans-per-word explode → one groupBy(id, chunk) with a
+    sort_array'd collect_list for deterministic word order. No
+    global windows, no all-pairs.
+
+    Returns (id, chunk_id, chunk_text, n_chunk_words, n_chunk_bpe).
+    """
+    from pyspark.sql import Window
+
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    ).withColumn("lword", F.lower(F.col("word")))
+    seg = segment_words(
+        words.select(F.col("lword").alias("word")).distinct(), merges
+    ).select(F.col("word").alias("lword"), "n_bpe")
+    w_doc = Window.partitionBy(id_col)
+    w_cum = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spanned = (
+        words.join(seg, "lword")
+        .withColumn("s", F.coalesce(F.sum("n_bpe").over(w_cum), F.lit(0)))
+        .withColumn("tot", F.sum("n_bpe").over(w_doc))
+        .withColumn(
+            "n_chunks",
+            F.when(F.col("tot") <= chunk_tokens, F.lit(1)).otherwise(
+                (F.col("tot") - chunk_tokens + stride - 1)
+                .cast("long") / stride + 1
+            ).cast("int"),
+        )
+        .withColumn(
+            "c_lo",
+            F.when(
+                F.col("s") >= chunk_tokens,
+                F.expr(f"(s - {chunk_tokens} + {stride}) div {stride}"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "c_hi",
+            F.least(
+                F.expr(f"(s + n_bpe - 1) div {stride}"),
+                (F.col("n_chunks") - 1).cast("long"),
+            ),
+        )
+        .select(
+            id_col, "pos", "word", "n_bpe",
+            F.explode(F.sequence("c_lo", "c_hi")).alias("chunk_id"),
+        )
+    )
+    chunks = (
+        spanned.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "word"))
+                    ),
+                    lambda st: st["word"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).alias("n_chunk_words"),
+            F.sum("n_bpe").alias("n_chunk_bpe"),
+        )
+    )
+    # zero-token docs emit one empty chunk, like the whitespace
+    # chunker — every doc appears
+    empties = (
+        docs.join(chunks.select(id_col).distinct(), id_col, "left_anti")
+        .select(
+            id_col,
+            F.lit(0).cast("int").alias("chunk_id"),
+            F.lit("").alias("chunk_text"),
+            F.lit(0).cast("long").alias("n_chunk_words"),
+            F.lit(0).cast("long").alias("n_chunk_bpe"),
+        )
+    )
+    return chunks.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "chunk_text",
+        F.col("n_chunk_words").cast("long").alias("n_chunk_words"),
+        F.col("n_chunk_bpe").cast("long").alias("n_chunk_bpe"),
+    ).unionByName(empties)
+
+
 def merge_table(docs: DataFrame, merges: list[str]) -> DataFrame:
     """The learned merge table as a relation: (rank, left, right) —
     the ≤ n_merges-row artifact a deployment would persist next to

@@ -636,6 +636,26 @@ def corpus_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_token_counts(docs, bpe.train_merges(docs))
 
 
+BPE_CHUNK_TOKENS = 32
+BPE_CHUNK_OVERLAP = 8
+
+
+def corpus_bpe_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking denominated in LEARNED BPE tokens
+    (windows of BPE_CHUNK_TOKENS subwords, stride minus
+    BPE_CHUNK_OVERLAP, boundaries on whole words) — the
+    context-window prep a pipeline actually runs, vs the whitespace
+    chunker's 1.3-2× mis-sizing (see operators.bpe
+    .bpe_chunk_documents)."""
+    docs = table(spark, sf_dir, "documents")
+    return bpe.bpe_chunk_documents(
+        docs,
+        bpe.train_merges(docs),
+        chunk_tokens=BPE_CHUNK_TOKENS,
+        overlap=BPE_CHUNK_OVERLAP,
+    )
+
+
 def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style bigram-LM fluency scoring (Wenzek et al. 2020):
     self-trained add-one-smoothed bigram model, each document scored by
@@ -1268,6 +1288,7 @@ PIPELINE_QUERIES = {
     "snapshot_added_between": snapshot_added_between,
     "corpus_bpe_merges": corpus_bpe_merges,
     "corpus_bpe_token_stats": corpus_bpe_token_stats,
+    "corpus_bpe_chunk_plan": corpus_bpe_chunk_plan,
     "events_asof_prior_click": events_asof_prior_click,
     "events_range_join_sessions": events_range_join_sessions,
     "events_hourly_rollup": events_hourly_rollup,
@@ -2571,6 +2592,107 @@ SELECT d.doc_id,
        COALESCE(p.n_ws_tokens, 0) AS n_ws_tokens,
        COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens
 FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+def _bpe_chunk_oracle() -> str:
+    """BPE training + recursive segmentation (as in the token-stats
+    oracle) + the window algebra of bpe_chunk_documents: per-doc
+    cumulative subword starts, a word joins chunk c iff its span
+    intersects [c·stride, c·stride + C), chunk count by the closed
+    form over total BPE tokens, text via ORDER BY pos string_agg."""
+    C = BPE_CHUNK_TOKENS
+    S = BPE_CHUNK_TOKENS - BPE_CHUNK_OVERLAP
+    rk_list = (
+        "list_transform(generate_series(1, len(syms) - 1), "
+        "j -> NULLIF(list_position(ml, syms[j] || chr(1) || syms[j + 1]),"
+        " 0))"
+    )
+    return f"""
+WITH RECURSIVE {_bpe_training_ctes()},
+mlist AS MATERIALIZED (
+    SELECT COALESCE(list(pr ORDER BY rank), CAST([] AS VARCHAR[])) AS ml
+    FROM mt
+),
+wtok AS MATERIALIZED (
+    SELECT doc_id, g.pos AS pos, g.word AS word, lower(g.word) AS lword
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(tk)),
+                      i -> struct_pack(pos := i - 1, word := tk[i]))) AS g
+        FROM (SELECT doc_id, {_sql_tokens("text")} AS tk FROM documents)
+    )
+),
+init AS (
+    SELECT word,
+           list_transform(generate_series(1, length(word)),
+                          i -> word[i]) AS syms
+    FROM (SELECT DISTINCT lword AS word FROM wtok)
+),
+seg AS (
+    SELECT word, syms FROM init
+    UNION ALL
+    SELECT word,
+           list_concat(list_concat(
+               list_slice(syms, 1, bi - 1),
+               [syms[bi] || syms[bi + 1]]),
+               list_slice(syms, bi + 2, len(syms))) AS syms
+    FROM (
+        SELECT word, syms,
+               list_position(rk, list_min(
+                   list_filter(rk, x -> x IS NOT NULL))) AS bi
+        FROM (
+            SELECT word, syms, {rk_list} AS rk
+            FROM seg CROSS JOIN mlist
+        )
+    ) WHERE bi IS NOT NULL AND bi > 0
+),
+fixp AS MATERIALIZED (
+    SELECT word, len(syms) AS n_bpe FROM (
+        SELECT word, syms,
+               list_min(list_filter({rk_list}, x -> x IS NOT NULL)) AS br
+        FROM seg CROSS JOIN mlist
+    ) WHERE br IS NULL
+),
+cum AS MATERIALIZED (
+    SELECT doc_id, pos, word, n_bpe,
+           COALESCE(SUM(n_bpe) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+           SUM(n_bpe) OVER (PARTITION BY doc_id) AS tot
+    FROM (SELECT w.doc_id, w.pos, w.word, f.n_bpe
+          FROM wtok w JOIN fixp f ON w.lword = f.word)
+),
+spans AS (
+    SELECT doc_id, pos, word, n_bpe,
+           unnest(generate_series(c_lo, c_hi)) AS chunk_id
+    FROM (
+        SELECT doc_id, pos, word, n_bpe, s,
+               CAST(CASE WHEN s >= {C} THEN (s - {C} + {S}) // {S}
+                         ELSE 0 END AS BIGINT) AS c_lo,
+               CAST(LEAST((s + n_bpe - 1) // {S}, n_chunks - 1)
+                    AS BIGINT) AS c_hi
+        FROM (
+            SELECT *, CASE WHEN tot <= {C} THEN 1
+                           ELSE (tot - {C} + {S} - 1) // {S} + 1
+                      END AS n_chunks
+            FROM cum
+        )
+    )
+),
+ch AS (
+    SELECT doc_id, chunk_id,
+           string_agg(word, ' ' ORDER BY pos) AS chunk_text,
+           CAST(count(*) AS BIGINT) AS n_chunk_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_chunk_bpe
+    FROM spans GROUP BY doc_id, chunk_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(c.chunk_id, 0) AS INT) AS chunk_id,
+       COALESCE(c.chunk_text, '') AS chunk_text,
+       COALESCE(c.n_chunk_words, 0) AS n_chunk_words,
+       COALESCE(c.n_chunk_bpe, 0) AS n_chunk_bpe
+FROM documents d LEFT JOIN ch c USING (doc_id)
 """
 
 
@@ -4148,6 +4270,7 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "snapshot_added_between": ORACLE_SNAPSHOT_ADDED_BETWEEN,
     "corpus_bpe_merges": _bpe_merges_oracle(),
     "corpus_bpe_token_stats": _bpe_token_stats_oracle(),
+    "corpus_bpe_chunk_plan": _bpe_chunk_oracle(),
     "events_asof_prior_click": ORACLE_EVENTS_ASOF,
     "events_range_join_sessions": ORACLE_EVENTS_RANGEJOIN,
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,

@@ -116,3 +116,64 @@ def test_token_budget_select_token_counts(spark):
     assert {r["n_tokens"] for r in out} == {8}
     ws = token_budget_select(docs, 16).collect()
     assert sum(r["selected"] for r in ws) == 3  # whitespace: 2/doc
+
+
+def test_bpe_chunk_documents_windows_and_overlap(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.bpe import (
+        bpe_chunk_documents,
+    )
+
+    # no merges -> bpe = chars: 3 words x 4 tokens, C=8 S=4
+    docs = _docs(spark, ["aaaa bbbb cccc", ""])
+    out = bpe_chunk_documents(
+        docs, [], chunk_tokens=8, overlap=4
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    # doc 0: windows [0,8) and [4,12): [w0 w1], [w1 w2]
+    assert by[0][0]["chunk_text"] == "aaaa bbbb"
+    assert by[0][1]["chunk_text"] == "bbbb cccc"
+    assert len(by[0]) == 2
+    assert by[0][0]["n_chunk_bpe"] == 8
+    # zero-token doc emits one empty chunk
+    assert by[1] == {0: by[1][0]}
+    assert by[1][0]["chunk_text"] == "" and by[1][0]["n_chunk_bpe"] == 0
+
+
+def test_bpe_chunk_short_doc_single_chunk_preserves_case(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.bpe import (
+        bpe_chunk_documents,
+        train_merges,
+    )
+
+    docs = _docs(spark, ["Hello World"])
+    m = train_merges(docs)
+    out = bpe_chunk_documents(docs, m, chunk_tokens=64, overlap=8).collect()
+    assert len(out) == 1
+    assert out[0]["chunk_text"] == "Hello World"  # original case kept
+    assert out[0]["n_chunk_words"] == 2
+
+
+def test_bpe_chunk_every_doc_contiguous(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.bpe import (
+        bpe_chunk_documents,
+        train_merges,
+    )
+
+    rows = [f"alpha beta gamma w{i} delta epsilon zeta" * 3 for i in range(12)]
+    docs = _docs(spark, rows)
+    m = train_merges(docs)
+    out = bpe_chunk_documents(docs, m, chunk_tokens=16, overlap=4)
+    agg = (
+        out.groupBy("doc_id")
+        .agg(
+            F.min("chunk_id").alias("mn"),
+            F.max("chunk_id").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert len(agg) == 12
+    for r in agg:
+        assert r["mn"] == 0 and r["n"] == r["mx"] + 1  # 0..k contiguous

@@ -404,3 +404,51 @@ def test_span_removal_bounded_shuffles_no_per_window_md5(spark, sf_dir):
     # md5(concat_ws(slice(...))) expression (O(tokens×span) bytes
     # hashed); per-token md5 appears inside one transform only
     assert "concat_ws" not in plan.lower() or "slice" not in plan.lower()
+
+
+def test_dsir_select_has_no_global_window(spark, sf_dir):
+    """The SPS draw ranks via the distributed global_row_numbers scan:
+    windows may only partition by _pid (parallel), never run
+    unpartitioned over the candidate relation."""
+    import re
+
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        classify,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.testdata import (
+        table,
+    )
+
+    plan = plan_of(
+        classify.dsir_select(table(spark, sf_dir, "documents"), 100)
+    )
+    # every window spec in the plan must be keyed by the partition id
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "_pid" in spec, f"unpartitioned window in plan: {spec}"
+
+
+def test_bpe_segmentation_pass_is_shuffle_free(spark, sf_dir):
+    """segment_words is one Arrow pass over the distinct-word
+    relation: beyond the distinct itself, no joins, no windows, no
+    extra exchanges."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        bpe,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.testdata import (
+        table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("word")
+    ).distinct()
+    plan = plan_of(bpe.segment_words(words, ["a\x01b"]))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    # the distinct is the only hash exchange
+    assert n_hash_exchanges(plan) == 1
