@@ -224,7 +224,12 @@ def bpe_chunk_documents(
     Chunk count per doc follows the same closed form as the
     whitespace chunker (1 if total ≤ C else ⌈(total-C)/S⌉ + 1) over
     the doc's TOTAL BPE tokens, so the final window reaches the
-    document's end. Zero-token docs emit one empty chunk.
+    document's end. Zero-token docs emit one empty chunk. Corollary
+    of never splitting words: a word whose subword span is WIDER than
+    the stride belongs to every window it intersects, so a
+    pathological single giant word repeats verbatim in each of its
+    windows (each window is still a faithful view of the tokens it
+    covers); every chunk remains non-empty and chunk ids contiguous.
 
     Plan: posexplode words (narrow) → distinct-word segmentation
     (vocab-bounded Arrow pass) → equi-join → per-DOC windows (cum

@@ -177,3 +177,20 @@ def test_bpe_chunk_every_doc_contiguous(spark):
     assert len(agg) == 12
     for r in agg:
         assert r["mn"] == 0 and r["n"] == r["mx"] + 1  # 0..k contiguous
+
+
+def test_bpe_chunk_giant_word_repeats_per_window(spark):
+    # documented corollary: a single word wider than the stride
+    # intersects every window, so it appears verbatim in each; ids
+    # stay contiguous and no chunk is empty
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.bpe import (
+        bpe_chunk_documents,
+    )
+
+    docs = _docs(spark, ["aaaaaaaaaaaa"])  # 12 chars, C=8 S=4 -> 2 windows
+    out = sorted(
+        bpe_chunk_documents(docs, [], chunk_tokens=8, overlap=4).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk_id"] for r in out] == [0, 1]
+    assert all(r["chunk_text"] == "aaaaaaaaaaaa" for r in out)
