@@ -23,13 +23,21 @@ SCALE = 1_000_000
 
 
 def scaled_vectors(
-    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = SCALE,
 ) -> DataFrame:
     """(id, q: array<bigint>, norm_sq: bigint) with integer micro-unit
-    components."""
+    components.  ``scale=1`` is the identity rescale for vectors whose
+    components are ALREADY integer-valued (e.g. the feature-hashed
+    signed counts of ``text_profile.hashed_embedding_vectors``) —
+    cosine is scale-invariant, so every downstream formula is
+    unchanged while the int64 overflow headroom widens from micro-unit
+    squares to raw-count squares."""
     q = F.transform(
         F.col(vec_col).cast("array<double>"),
-        lambda x: F.round(x * SCALE, 0).cast("long"),
+        lambda x: F.round(x * scale, 0).cast("long"),
     )
     out = emb.select(F.col(id_col), q.alias("q"))
     norm_sq = F.aggregate(
@@ -483,6 +491,7 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_size: int = 2048,
+    vec_scale: int = SCALE,
 ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold — embedding-space
     near-dup detection, executed as a distributed block matrix product.
@@ -505,7 +514,7 @@ def cosine_neardup_pairs(
     import numpy as np
     import pandas as pd
 
-    v = scaled_vectors(emb, vec_col, id_col).select(
+    v = scaled_vectors(emb, vec_col, id_col, scale=vec_scale).select(
         F.col(id_col).alias("vid"), "q", "norm_sq"
     )
     v = v.withColumn("blk", F.floor(F.col("vid") / block_size).cast("long"))
@@ -560,6 +569,112 @@ def cosine_neardup_pairs(
     )
 
 
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_size: int = 2048,
+    vec_scale: int = SCALE,
+) -> DataFrame:
+    """Exact k-nearest-neighbor graph under cosine: for every vector
+    its top-k neighbors (self excluded), ties broken by neighbor id —
+    (vec_id, neighbor_id, rnk, cosine).
+
+    Same distributed block-GEMM shape as ``cosine_neardup_pairs``, but
+    the graph is DIRECTED (b ∈ knn(a) does not imply a ∈ knn(b)), so
+    tiles cover the full block grid and each tile keeps only its local
+    top-k per source row (numpy lexsort under the global total order
+    (cosine desc, id asc) — top-k selection is associative under a
+    total order, so merging per-tile winners is exact).  The final
+    merge is a window PARTITIONED BY SOURCE VECTOR — never global —
+    over ≤ k·(n/block) candidate rows per source instead of n.
+
+    Scale shape: exact all-pairs is O((n/block)²) tiles — the honest
+    cost of an exact graph; this is the baseline approximate variants
+    (per-IVF-cell GEMM, the SemDeDup shape) are measured against, the
+    role ``ann_recall_report`` plays for query serving.  Zero vectors
+    produce NaN cosines, which numpy sorts last and the window never
+    ranks into the top k (both engines agree).
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = scaled_vectors(emb, vec_col, id_col, scale=vec_scale).select(
+        F.col(id_col).alias("vid"), "q", "norm_sq"
+    )
+    v = v.withColumn("blk", F.floor(F.col("vid") / block_size).cast("long"))
+    blks = v.select("blk").distinct()
+    pairs = (
+        blks.alias("x")
+        .join(blks.alias("y"), F.lit(True))
+        .select(F.col("x.blk").alias("ba"), F.col("y.blk").alias("bb"))
+    )
+    left = (
+        v.alias("l")
+        .join(F.broadcast(pairs.alias("pl")), F.col("l.blk") == F.col("pl.ba"))
+        .select("pl.ba", "pl.bb", "l.vid", "l.q", "l.norm_sq")
+    )
+    right = (
+        v.alias("r")
+        .join(F.broadcast(pairs.alias("pr")), F.col("r.blk") == F.col("pr.bb"))
+        .select(
+            F.col("pr.ba").alias("rba"),
+            F.col("pr.bb").alias("rbb"),
+            F.col("r.vid").alias("rvid"),
+            F.col("r.q").alias("rq"),
+            F.col("r.norm_sq").alias("rnorm_sq"),
+        )
+    )
+
+    def tile_topk(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "cosine": []}
+        )
+        if lpdf.empty or rpdf.empty:
+            return empty
+        A = np.array([np.asarray(x, dtype=np.int64) for x in lpdf["q"]])
+        B = np.array([np.asarray(x, dtype=np.int64) for x in rpdf["rq"]])
+        dots = A @ B.T  # exact int64
+        na = np.sqrt(lpdf["norm_sq"].to_numpy(dtype=np.float64))
+        nb = np.sqrt(rpdf["rnorm_sq"].to_numpy(dtype=np.float64))
+        # same association order as the column formula and the oracle
+        cos = dots / (na[:, None] * nb[None, :])
+        ia = lpdf["vid"].to_numpy()
+        ib = rpdf["rvid"].to_numpy()
+        out_src, out_dst, out_cos = [], [], []
+        for i in range(cos.shape[0]):
+            row = cos[i]
+            mask = ib != ia[i]  # self excluded; NaN sorts last anyway
+            cand_ids = ib[mask]
+            cand_cos = row[mask]
+            # stable sort by id asc, then by -cosine: yields the global
+            # total order (cosine desc, id asc); NaN keys sort last
+            order = np.lexsort((cand_ids, -cand_cos))[:k]
+            keep = ~np.isnan(cand_cos[order])
+            order = order[keep]
+            out_src.extend([ia[i]] * len(order))
+            out_dst.extend(cand_ids[order])
+            out_cos.extend(cand_cos[order])
+        return pd.DataFrame(
+            {"vec_id": out_src, "neighbor_id": out_dst, "cosine": out_cos}
+        )
+
+    cands = (
+        left.groupby("ba", "bb")
+        .cogroup(right.groupby("rba", "rbb"))
+        .applyInPandas(tile_topk, "vec_id long, neighbor_id long, cosine double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select("vec_id", "neighbor_id", "rnk", "cosine")
+    )
+
+
 def _sq_dist(q_col, c_col):
     """Exact integer squared L2 distance between two quantized vectors
     (components ≤ SCALE, so diff² ≤ 4e12 and a 64-dim sum stays far
@@ -585,6 +700,7 @@ def kmeans_cells(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    scale: int = SCALE,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over quantized embeddings —
     integer-exact and therefore bit-reproducible against a DuckDB
@@ -615,7 +731,7 @@ def kmeans_cells(
 
     Returns (vec_id, cell, dist_sq) under the FINAL centroids.
     """
-    v = scaled_vectors(emb, vec_col, id_col).select(id_col, "q")
+    v = scaled_vectors(emb, vec_col, id_col, scale=scale).select(id_col, "q")
     cents = _kmeans_iterate(v, k, iters, id_col)
     return _kmeans_assign(v, cents, id_col).select(id_col, "cell", "dist_sq")
 
@@ -797,6 +913,7 @@ def semdedup(
     id_col: str = "vec_id",
     max_cell_rows: int = SEMDEDUP_MAX_CELL_ROWS,
     block_size: int = 2048,
+    scale: int = SCALE,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by clustering —
     k-means partitions the embedding space, near-duplicate pairs are
@@ -850,10 +967,12 @@ def semdedup(
             "Assign dense ids first (operators.dedup.dense_ids)."
         )
 
-    v = scaled_vectors(emb, vec_col, id_col).select(id_col, "q", "norm_sq")
-    cells = kmeans_cells(emb, k, iters, vec_col, id_col).localCheckpoint(
-        eager=False
+    v = scaled_vectors(emb, vec_col, id_col, scale=scale).select(
+        id_col, "q", "norm_sq"
     )
+    cells = kmeans_cells(
+        emb, k, iters, vec_col, id_col, scale=scale
+    ).localCheckpoint(eager=False)
     withcell = v.join(cells.select(id_col, "cell"), id_col)
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -852,3 +852,100 @@ def lm_surprisal_stats(
         "mean_invp_scaled",
         "max_invp_scaled",
     )
+
+
+# --- Feature-hashed text embeddings (hashing trick) -------------------
+# Weinberger et al. 2009 ("Feature Hashing for Large Scale Multitask
+# Learning"): bucket every token by hash, flip its contribution's sign
+# by an independent hash bit, sum.  Inner products of the sketches are
+# unbiased estimates of bag-of-words inner products, so the
+# embedding-space operators (cosine near-dup, kNN graph, k-means,
+# SemDeDup, ANN) can run on corpora that have NO model-produced
+# embedding column — text in, vectors out, no external model, fully
+# deterministic.  This is the signed-sum core SimHash shares; unlike
+# SimHash the components stay integer counts instead of collapsing to
+# sign bits, so cosine between sketches approximates cosine between
+# bag-of-words vectors rather than angular agreement of fingerprints.
+HASH_EMBED_DIM = 64
+
+
+def hashed_embedding_components(
+    docs: DataFrame,
+    dim: int = HASH_EMBED_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse feature-hashed embedding: (id, bucket, val) signed
+    occurrence counts, exactly-cancelled (val = 0) buckets dropped.
+
+    bucket = md5_long('e|' + tok) % dim, sign = ± by an independent
+    md5 bit — both mirrored verbatim in the DuckDB oracle, so the
+    relation is hash-exact (components are integers; no floats).
+
+    Plan shape: one explode + one map-side-combinable groupBy on
+    (id, bucket) — a single bounded shuffle, rows ≤ docs × dim.
+    Tokenless documents contribute no rows; the dense variant
+    re-attaches them as zero vectors."""
+    toks = tokens(F.lower(F.col(text_col)))
+    sign = F.when(
+        md5_long(F.concat(F.lit("s|"), F.col("tok"))) % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .select(
+            id_col,
+            (md5_long(F.concat(F.lit("e|"), F.col("tok"))) % dim)
+            .cast("int")
+            .alias("bucket"),
+            sign.alias("sign"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("sign").cast("long").alias("val"))
+        .where(F.col("val") != 0)
+    )
+
+
+def hashed_embedding_vectors(
+    docs: DataFrame,
+    dim: int = HASH_EMBED_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dense form of ``hashed_embedding_components``: (vec_id,
+    embedding: array<double>) — column names chosen to plug directly
+    into every embedding operator in ``operators.similarity``.
+
+    Components are INTEGER-VALUED doubles (signed counts, exactly
+    representable).  Pass ``vec_scale=1`` to the similarity operators:
+    their micro-unit rescale is then the identity and all downstream
+    integer-exactness guarantees hold verbatim.  Tokenless documents
+    become zero vectors (cosine against them is NaN and fails every
+    threshold/top-k comparison on both engines).
+
+    Densify is a per-doc map lookup — no window, no all-pairs. Plan
+    shape: the components' (id, bucket) combine, an id-keyed combine
+    into one map row per doc, and an id-equi join back onto the doc
+    ids (re-attaching tokenless docs as zero vectors) — two bounded
+    exchanges plus one join, every relation ≤ docs × dim rows. At
+    sketch width dim the dense relation is docs × dim doubles; for
+    100 TB corpora keep the sparse components relation instead and
+    densify only inside the consuming operator's partition."""
+    comp = hashed_embedding_components(docs, dim, text_col, id_col)
+    m = comp.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "val"))
+        ).alias("_m")
+    )
+    return (
+        docs.select(F.col(id_col).alias("vec_id"))
+        .join(m.withColumnRenamed(id_col, "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_m"), i.cast("int")), F.lit(0)
+                ).cast("double"),
+            ).alias("embedding"),
+        )
+    )

@@ -432,6 +432,43 @@ def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HASHED_NEARDUP_THRESHOLD = 0.9  # on 64-dim signed-count hash sketches
+KNN_GRAPH_K = 3
+
+
+def text_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed bag-of-words embedding (Weinberger 2009 hashing
+    trick): sparse (doc_id, bucket, val) signed token counts — the
+    text-only on-ramp into every embedding-space operator for corpora
+    with no model-produced embedding column.  Integer relation, so the
+    gate is exact, not approximate-float."""
+    return text_profile.hashed_embedding_components(
+        table(spark, sf_dir, "documents")
+    )
+
+
+def text_hashed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text near-dup with NO model embeddings: feature-hash
+    documents into 64-dim signed-count vectors, then run the same
+    distributed block-GEMM pair search as ``embed_cosine_neardup``
+    (``vec_scale=1``: components are already integers)."""
+    vecs = text_profile.hashed_embedding_vectors(
+        table(spark, sf_dir, "documents"), id_col="doc_id"
+    )
+    return similarity.cosine_neardup_pairs(
+        vecs, threshold=HASHED_NEARDUP_THRESHOLD, vec_scale=1
+    )
+
+
+def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine k-NN graph (k=3) over the embeddings table — the
+    all-pairs baseline the approximate neighbor structures (IVF cells,
+    SemDeDup tiles) are judged against."""
+    return similarity.knn_graph(
+        table(spark, sf_dir, "embeddings"), k=KNN_GRAPH_K
+    )
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile.token_stats(table(spark, sf_dir, "documents"))
 
@@ -1269,6 +1306,9 @@ PIPELINE_QUERIES = {
     "embed_kmeans_cells": embed_kmeans_cells,
     "embed_decontaminate": embed_decontaminate,
     "embed_cosine_neardup": embed_cosine_neardup,
+    "text_hashed_embedding": text_hashed_embedding,
+    "text_hashed_neardup": text_hashed_neardup,
+    "embed_knn_graph": embed_knn_graph,
     "multimodal_decode": multimodal_decode,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -2356,6 +2396,83 @@ WHERE CAST(dot AS DOUBLE)
       / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE)))
       >= {NEARDUP_COSINE_THRESHOLD}
 """
+
+def _hashed_components_cte() -> str:
+    """(doc_id, bucket, val) mirror of
+    text_profile.hashed_embedding_components — same md5 bucket/sign
+    derivations, same exact-cancellation drop."""
+    from ..operators.text_profile import HASH_EMBED_DIM
+
+    sign_hash = _sql_md5_long("'s|' || tok")
+    sign = f"CASE WHEN {sign_hash} % 2 = 0 THEN 1 ELSE -1 END"
+    return f"""
+hcomp AS (
+    SELECT doc_id,
+           CAST({_sql_md5_long("'e|' || tok")} % {HASH_EMBED_DIM} AS INT) AS bucket,
+           CAST(SUM({sign}) AS BIGINT) AS val
+    FROM (SELECT doc_id, unnest({_sql_tokens("lower(text)")}) AS tok
+          FROM documents)
+    GROUP BY 1, 2
+    HAVING SUM({sign}) != 0
+)
+"""
+
+
+def _hashed_embedding_oracle() -> str:
+    return f"WITH {_hashed_components_cte()} SELECT doc_id, bucket, val FROM hcomp"
+
+
+def _hashed_neardup_oracle() -> str:
+    """Sparse-dot formulation of the dense block-GEMM: buckets absent
+    from a sketch are exact zeros, so shared-bucket Σ a.val·b.val IS
+    the 64-dim dot product; norms likewise."""
+    return f"""
+WITH {_hashed_components_cte()},
+hnorms AS (SELECT doc_id, SUM(val * val) AS norm_sq FROM hcomp GROUP BY 1),
+hdots AS (
+    SELECT a.doc_id AS vec_a, b.doc_id AS vec_b, SUM(a.val * b.val) AS dot
+    FROM hcomp a JOIN hcomp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT vec_a, vec_b,
+       CAST(dot AS DOUBLE)
+       / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE)))
+       AS cosine
+FROM hdots
+JOIN hnorms na ON vec_a = na.doc_id
+JOIN hnorms nb ON vec_b = nb.doc_id
+WHERE CAST(dot AS DOUBLE)
+      / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE)))
+      >= {HASHED_NEARDUP_THRESHOLD}
+"""
+
+
+ORACLE_KNN_GRAPH = f"""
+WITH {_SCALED_VECS},
+kdots AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.val * b.val) AS dot
+    FROM elem a JOIN elem b ON a.i = b.i AND a.vec_id <> b.vec_id
+    GROUP BY 1, 2
+),
+kcos AS (
+    SELECT va AS vec_id, vb AS neighbor_id,
+           CAST(dot AS DOUBLE)
+           / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE)))
+           AS cosine
+    FROM kdots
+    JOIN norms na ON va = na.vec_id
+    JOIN norms nb ON vb = nb.vec_id
+    WHERE na.norm_sq > 0 AND nb.norm_sq > 0
+)
+SELECT vec_id, neighbor_id, rnk, cosine FROM (
+    SELECT vec_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, neighbor_id ASC)
+                AS INT) AS rnk
+    FROM kcos
+) WHERE rnk <= {KNN_GRAPH_K}
+"""
+
 
 _PUNCT = "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INT)"
 
@@ -4251,6 +4368,9 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "ann_ivfpq_res_topk": _ivfpq_res_oracle(),
     "ann_recall_report": _ann_recall_oracle(),
     "embed_cosine_neardup": ORACLE_EMBED_NEARDUP,
+    "text_hashed_embedding": _hashed_embedding_oracle(),
+    "text_hashed_neardup": _hashed_neardup_oracle(),
+    "embed_knn_graph": ORACLE_KNN_GRAPH,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAMES,

@@ -126,6 +126,9 @@ def operators(spark, docs):
         ),
         "lm_surprisal": lambda: text_profile.lm_surprisal_stats(docs),
         "dsir_weights": lambda: classify.dsir_importance(docs),
+        "hashed_embedding": lambda: text_profile.hashed_embedding_vectors(
+            docs, id_col="doc_id"
+        ),
     }
 
 
@@ -193,6 +196,10 @@ def emb_operators(spark, emb):
         "ann_ivf_topk": lambda: similarity.ann_ivf_topk(
             emb, num_queries=10, k=5, n_centroids=16, n_probe=4
         ),
+        # exact all-pairs baseline: (n/block)^2 tiles, so the per-unit
+        # ratio GROWS ~linearly in n by design — the measured cost the
+        # bucketed structures (IVF cells, SemDeDup tiles) exist to avoid
+        "knn_graph": lambda: similarity.knn_graph(emb, k=3),
     }
 
 

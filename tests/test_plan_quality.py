@@ -452,3 +452,48 @@ def test_bpe_segmentation_pass_is_shuffle_free(spark, sf_dir):
     assert "Join" not in plan
     # the distinct is the only hash exchange
     assert n_hash_exchanges(plan) == 1
+
+
+def test_hashed_embedding_components_is_one_bounded_exchange(spark, sf_dir):
+    """The feature-hash sketch pass: one explode + one map-side
+    combinable (doc, bucket) aggregate — a single hash shuffle whose
+    relation is ≤ docs × dim rows, no windows, no joins, no Python."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.text_profile import (
+        hashed_embedding_components,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.testdata import (
+        table,
+    )
+
+    plan = plan_of(hashed_embedding_components(table(spark, sf_dir, "documents")))
+    assert n_hash_exchanges(plan) == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_graph_final_window_is_per_source_never_global(spark, sf_dir):
+    """The kNN merge ranks per-tile winners PARTITIONED BY SOURCE
+    VECTOR — a global (unpartitioned) sort over all candidates would
+    be the 100 TB scale-killer; tile fan-out must stay a broadcast of
+    the metadata-scale block grid, never a cartesian of the vectors."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.similarity import (
+        knn_graph,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.testdata import (
+        table,
+    )
+
+    plan = plan_of(knn_graph(table(spark, sf_dir, "embeddings"), k=3))
+    assert "windowspecdefinition(vec_id" in plan
+    # rank<=k is pushed as a group-limit, so each partition prunes to
+    # its local top-k BEFORE the window's exchange
+    assert "WindowGroupLimit" in plan
+    # tile GEMM runs as one Arrow cogroup, and the only nested-loop
+    # products are the blocks x blocks grid (metadata-scale distinct
+    # block ids, broadcast onto the vectors): 2 nodes, each printed
+    # twice by formatted explain (tree + details) — never a
+    # CartesianProduct of the vector relation itself
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
