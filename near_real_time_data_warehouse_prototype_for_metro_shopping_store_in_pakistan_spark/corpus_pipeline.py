@@ -83,7 +83,11 @@ class CorpusPipeline:
         )
 
     def dedup(
-        self, docs: DataFrame, threshold: float = 0.5, method: str = "exact"
+        self,
+        docs: DataFrame,
+        threshold: float = 0.5,
+        method: str = "exact",
+        semantic_cells: int = 8,
     ) -> DataFrame:
         """Keep one representative per near-dup group (pairs →
         connected components → min-id keeper). ``method``:
@@ -96,11 +100,34 @@ class CorpusPipeline:
           bands, exact verification) — the 100 TB default; recall
           bounded by the banding (P(detect | J=0.5) ≈ 0.87, →1 above),
           precision exact.
+        - ``"semantic"``: SemDeDup over feature-hashed bag-of-words
+          sketches (``hashed_embedding_vectors`` — no model embedding
+          column needed): k-means into ``semantic_cells`` cells, pair
+          search confined within cells, keeper = farthest-from-centroid
+          per component. ``threshold`` is COSINE between sketches, not
+          Jaccard — hashed-cosine runs higher (0.9 ≈ strong overlap;
+          set ``semantic_cells ≈ n_docs / target_cell_size`` at scale).
+          Requires integral doc_id (k-means seeds from ids < k).
         """
         if method == "exact":
             pairs = _dedup.jaccard_similar_pairs(docs, threshold=threshold)
         elif method == "ladder":
             pairs = _dedup.minhash_verified_pairs(docs, threshold=threshold)
+        elif method == "semantic":
+            from .operators import similarity as _sim
+
+            vecs = _text.hashed_embedding_vectors(docs, id_col="doc_id")
+            marks = _sim.semdedup(
+                vecs,
+                k=semantic_cells,
+                threshold=threshold,
+                scale=1,  # sketch components are already integers
+            )
+            return docs.join(
+                marks.filter(F.col("is_keeper"))
+                .select(F.col("vec_id").alias("doc_id")),
+                "doc_id",
+            )
         else:
             raise ValueError(f"unknown dedup method {method!r}")
         keepers = _dedup.neardup_keepers(docs, pairs)

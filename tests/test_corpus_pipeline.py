@@ -256,3 +256,42 @@ def test_dataset_builder_dsir_selection(spark, tmp_path, sf_dir):
             docs, eval_docs, budget_docs=30, n_shards=4, epoch=1,
             quality_min=1, min_overlap=10**6,  # temperature mix now
         )
+
+
+def test_dedup_semantic_method_keeps_one_per_clone_family(spark):
+    import hashlib
+
+    # identical texts hash to identical sketches (cosine ~1 at any
+    # threshold); lexically disjoint families (md5 vocabularies) have
+    # near-orthogonal sketches, far below the 0.9 cut
+    rows = []
+    for i in range(6):
+        words = " ".join(
+            hashlib.md5(f"sem{i}|{j}".encode()).hexdigest()[:8]
+            for j in range(20)
+        )
+        rows.append((2 * i, words, "en", "s", 0))
+        rows.append((2 * i + 1, words, "en", "s", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    cp = CorpusPipeline(spark, "/tmp/unused_corpus_root")
+    kept = {
+        r["doc_id"]
+        for r in cp.dedup(
+            docs, threshold=0.9, method="semantic", semantic_cells=3
+        ).collect()
+    }
+    # exactly one survivor per clone pair; SemDeDup's keeper is the
+    # farthest-from-centroid member (not necessarily the min id), so
+    # assert the partition, not the representative choice
+    assert len(kept) == 6
+    assert all(len({2 * i, 2 * i + 1} & kept) == 1 for i in range(6))
+    # deterministic across invocations
+    again = {
+        r["doc_id"]
+        for r in cp.dedup(
+            docs, threshold=0.9, method="semantic", semantic_cells=3
+        ).collect()
+    }
+    assert kept == again
