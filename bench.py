@@ -40,6 +40,7 @@ MEASUREMENT_QUERIES = frozenset(
     {
         "ann_recall_report",
         "dedup_recall_report",
+        "knn_recall_report",
         "stream_embed_admission",
         "stream_neardup_admission",
         "stream_substr_admission",

@@ -597,9 +597,6 @@ def knn_graph(
     produce NaN cosines, which numpy sorts last and the window never
     ranks into the top k (both engines agree).
     """
-    import numpy as np
-    import pandas as pd
-
     v = scaled_vectors(emb, vec_col, id_col, scale=vec_scale).select(
         F.col(id_col).alias("vid"), "q", "norm_sq"
     )
@@ -626,6 +623,33 @@ def knn_graph(
             F.col("r.norm_sq").alias("rnorm_sq"),
         )
     )
+
+    tile = _tile_topk_fn(k)
+    cands = (
+        left.groupby("ba", "bb")
+        .cogroup(right.groupby("rba", "rbb"))
+        .applyInPandas(tile, "vec_id long, neighbor_id long, cosine double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select("vec_id", "neighbor_id", "rnk", "cosine")
+    )
+
+
+def _tile_topk_fn(k: int):
+    """Per-tile directed top-k for the kNN graph builders: exact int64
+    GEMM over one (left-block × right-block) tile, then each source
+    row keeps its local top-k under the global total order
+    (cosine desc, id asc) — top-k selection is associative under a
+    total order, so the per-source merge window over per-tile winners
+    is exact. Self-pairs excluded; NaN cosines (zero vectors) sort
+    last and are dropped."""
+    import numpy as np
+    import pandas as pd
 
     def tile_topk(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -660,10 +684,127 @@ def knn_graph(
             {"vec_id": out_src, "neighbor_id": out_dst, "cosine": out_cos}
         )
 
+    return tile_topk
+
+
+def knn_graph_ivf(
+    emb: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_size: int = 2048,
+    vec_scale: int = SCALE,
+) -> DataFrame:
+    """Approximate k-NN graph, cell-bounded: k-means partitions the
+    space (the ``kmeans_cells`` trained centroids), every vector is a
+    MEMBER of exactly its argmin cell, and as a SOURCE it ranks the
+    members of its ``n_probe`` nearest cells — the IVF probe
+    discipline applied to graph building, the scale path beside the
+    exact ``knn_graph`` whose tile grid inflates the corpus
+    O(n/block) times. Recall is bounded by the probing exactly as
+    IVF serving's is: a true neighbor whose home cell is outside the
+    source's probe list is not examined (``knn_recall_report`` pins
+    the measured cost; raising ``n_probe`` buys recall for a linear
+    cost factor). Same output shape and total order as ``knn_graph``;
+    rnk is dense per source over the probed candidates (< k rows when
+    the probed cells are small).
+
+    Plan shape: the probe assignment is the same zero-shuffle
+    broadcast-centroid attach as ``_kmeans_assign`` (top-p slice
+    instead of argmin), then per-cell hash-derived blocks — sized
+    from the ≤ 2·n_centroids-row cell-count metadata, the SemDeDup
+    degenerate-cell guard — tile the (cell, source-block,
+    member-block) grid so no Arrow task ever owns an unbounded
+    |cell|² GEMM; the final merge window is per source vector over
+    ≤ k·(probed blocks) candidates, never n. Cost
+    n_probe · Σ|cell| · |cell|/block tiles, controlled by
+    ``n_centroids`` — set ≈ n/target_cell_size at scale (the
+    50k-cells-over-5B-embeddings regime of the SemDeDup paper).
+    Candidate edges are distinct by construction (members have one
+    home cell; a source probes p DISTINCT cells), so the merge window
+    needs no dedup.
+    """
+    v = scaled_vectors(emb, vec_col, id_col, scale=vec_scale).select(
+        F.col(id_col).alias("vid"), "q", "norm_sq"
+    )
+    cents = _kmeans_iterate(v.select("vid", "q"), n_centroids, iters, "vid")
+    members = (
+        v.join(
+            _kmeans_assign(v.select("vid", "q"), cents, "vid").select(
+                "vid", "cell"
+            ),
+            "vid",
+        ).localCheckpoint(eager=False)
+    )
+    sources = (
+        v.join(
+            _kmeans_probe(v.select("vid", "q"), cents, "vid", n_probe).select(
+                "vid", "cell"
+            ),
+            "vid",
+        ).localCheckpoint(eager=False)
+    )
+
+    # metadata-scale: ≤ n_centroids rows each; blocks sized per side
+    mcnt = members.groupBy("cell").count().collect()
+    scnt = sources.groupBy("cell").count().collect()
+
+    def blk_col(counts):
+        nblocks = {r["cell"]: -(-r["count"] // block_size) for r in counts}
+        return F.pmod(
+            F.xxhash64(F.col("vid")),
+            F.create_map(
+                *[F.lit(x) for c, n in sorted(nblocks.items()) for x in (c, n)]
+            )[F.col("cell")],
+        ).cast("long")
+
+    sb = sources.withColumn("blk", blk_col(scnt))
+    mb = members.withColumn("blk", blk_col(mcnt))
+    pairs = (
+        sb.select("cell", "blk").distinct().alias("x")
+        .join(
+            mb.select("cell", "blk").distinct().alias("y"),
+            F.col("x.cell") == F.col("y.cell"),
+        )
+        .select(
+            F.col("x.cell").alias("cell"),
+            F.col("x.blk").alias("ba"),
+            F.col("y.blk").alias("bb"),
+        )
+    )
+    left = (
+        sb.alias("l")
+        .join(
+            F.broadcast(pairs.alias("pl")),
+            (F.col("l.cell") == F.col("pl.cell"))
+            & (F.col("l.blk") == F.col("pl.ba")),
+        )
+        .select("pl.cell", "pl.ba", "pl.bb", "l.vid", "l.q", "l.norm_sq")
+    )
+    right = (
+        mb.alias("r")
+        .join(
+            F.broadcast(pairs.alias("pr")),
+            (F.col("r.cell") == F.col("pr.cell"))
+            & (F.col("r.blk") == F.col("pr.bb")),
+        )
+        .select(
+            F.col("pr.cell").alias("rcell"),
+            F.col("pr.ba").alias("rba"),
+            F.col("pr.bb").alias("rbb"),
+            F.col("r.vid").alias("rvid"),
+            F.col("r.q").alias("rq"),
+            F.col("r.norm_sq").alias("rnorm_sq"),
+        )
+    )
+    tile = _tile_topk_fn(k)
     cands = (
-        left.groupby("ba", "bb")
-        .cogroup(right.groupby("rba", "rbb"))
-        .applyInPandas(tile_topk, "vec_id long, neighbor_id long, cosine double")
+        left.groupby("cell", "ba", "bb")
+        .cogroup(right.groupby("rcell", "rba", "rbb"))
+        .applyInPandas(tile, "vec_id long, neighbor_id long, cosine double")
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -826,6 +967,38 @@ def _kmeans_assign(v: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
         "q",
         (-best["neg_cid"]).alias("cell"),
         (-best["neg_d"]).alias("dist_sq"),
+    )
+
+
+def _kmeans_probe(
+    v: DataFrame, cents: DataFrame, id_col: str, n_probe: int
+) -> DataFrame:
+    """Zero-shuffle top-``n_probe`` cell assignment — the multi-probe
+    generalization of ``_kmeans_assign``: the same broadcast
+    array-of-structs attach, sorted ascending by (dist_sq,
+    centroid_id) and sliced, one output row per (vector, probed cell).
+    ``n_probe=1`` reproduces the argmin assignment exactly."""
+
+    def cents_row(c: DataFrame):
+        return F.broadcast(
+            c.select(
+                F.struct(
+                    F.col("centroid_id").alias("centroid_id"),
+                    F.col("cq").alias("cq"),
+                ).alias("c")
+            ).agg(F.array_sort(F.collect_list("c")).alias("cents"))
+        )
+
+    scored = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            _sq_dist(F.col("q"), s["cq"]).alias("d"),
+            s["centroid_id"].alias("cid"),
+        ),
+    )
+    probed = F.slice(F.array_sort(scored), 1, n_probe)
+    return v.crossJoin(cents_row(cents)).select(
+        id_col, "q", F.explode(probed["cid"]).alias("cell")
     )
 
 

@@ -469,6 +469,64 @@ def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_IVF_CELLS = 8
+KNN_IVF_PROBE = 2
+
+
+def embed_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-bounded approximate k-NN graph: every vector ranks the
+    members of its n_probe nearest k-means cells — the IVF probe
+    discipline applied to graph building, n_probe·Σ|cell| candidate
+    cost instead of the exact grid's O(n/block) corpus inflation."""
+    return similarity.knn_graph_ivf(
+        table(spark, sf_dir, "embeddings"),
+        k=KNN_GRAPH_K,
+        n_centroids=KNN_IVF_CELLS,
+        n_probe=KNN_IVF_PROBE,
+    )
+
+
+def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge recall of the cell-bounded graph against the exact graph —
+    same role `ann_recall_report` plays for query serving: the
+    per-variant oracles prove each graph computes its own definition
+    exactly; this pins whether the approximation is any GOOD, as an
+    integer-exact measured number (recall_bp = basis points of exact
+    edges recovered)."""
+    emb = table(spark, sf_dir, "embeddings")
+    exact = (
+        similarity.knn_graph(emb, k=KNN_GRAPH_K)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    approx = similarity.knn_graph_ivf(
+        emb, k=KNN_GRAPH_K, n_centroids=KNN_IVF_CELLS, n_probe=KNN_IVF_PROBE
+    ).select("vec_id", "neighbor_id")
+    e = exact.agg(F.count(F.lit(1)).alias("exact_edges"))
+    a = approx.agg(F.count(F.lit(1)).alias("ivf_edges"))
+    m = exact.join(approx, ["vec_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("matched_edges")
+    )
+    return (
+        e.crossJoin(a)
+        .crossJoin(m)
+        .select(
+            F.lit(KNN_GRAPH_K).cast("int").alias("k"),
+            F.lit(KNN_IVF_CELLS).cast("int").alias("cells"),
+            F.lit(KNN_IVF_PROBE).cast("int").alias("probe"),
+            "exact_edges",
+            "ivf_edges",
+            "matched_edges",
+            # integer division on both engines (Spark `div`, DuckDB
+            # `//`) — a double quotient cast would ROUND in DuckDB
+            # and TRUNCATE in Spark
+            F.expr("div(matched_edges * 10000, exact_edges)")
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile.token_stats(table(spark, sf_dir, "documents"))
 
@@ -1309,6 +1367,8 @@ PIPELINE_QUERIES = {
     "text_hashed_embedding": text_hashed_embedding,
     "text_hashed_neardup": text_hashed_neardup,
     "embed_knn_graph": embed_knn_graph,
+    "embed_knn_graph_ivf": embed_knn_graph_ivf,
+    "knn_recall_report": knn_recall_report,
     "multimodal_decode": multimodal_decode,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -2447,8 +2507,8 @@ WHERE CAST(dot AS DOUBLE)
 """
 
 
-ORACLE_KNN_GRAPH = f"""
-WITH {_SCALED_VECS},
+# exact directed-edge CTE chain; expects elem/norms from _SCALED_VECS
+_KNN_EXACT_CTES = """
 kdots AS (
     SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.val * b.val) AS dot
     FROM elem a JOIN elem b ON a.i = b.i AND a.vec_id <> b.vec_id
@@ -2463,14 +2523,98 @@ kcos AS (
     JOIN norms na ON va = na.vec_id
     JOIN norms nb ON vb = nb.vec_id
     WHERE na.norm_sq > 0 AND nb.norm_sq > 0
-)
-SELECT vec_id, neighbor_id, rnk, cosine FROM (
+),
+kext AS (
     SELECT vec_id, neighbor_id, cosine,
            CAST(row_number() OVER (PARTITION BY vec_id
                                    ORDER BY cosine DESC, neighbor_id ASC)
                 AS INT) AS rnk
     FROM kcos
-) WHERE rnk <= {KNN_GRAPH_K}
+)
+"""
+
+ORACLE_KNN_GRAPH = f"""
+WITH {_SCALED_VECS},
+{_KNN_EXACT_CTES}
+SELECT vec_id, neighbor_id, rnk, cosine FROM kext WHERE rnk <= {KNN_GRAPH_K}
+"""
+
+
+def _knn_ivf_ctes(iters: int) -> str:
+    """Mirror of similarity.knn_graph_ivf's probed cell confinement:
+    members rank by the final-centroid argmin (same tie order as the
+    k-means oracle), sources probe their top-``KNN_IVF_PROBE`` cells,
+    and the directed dot relation is restricted to (source-probed
+    cell = member home cell); ranking is the exact chain's total
+    order. Expects v/elem/norms (_SCALED_VECS) and the trained
+    c{iters} list (_kmeans_ctes). Blocking-invariance is structural:
+    the Spark side tiles WITHIN (probed cell) only, so the examined
+    pair set is exactly this one."""
+    dist = _KMEANS_DIST
+    return f"""
+kranked AS (
+    SELECT vec_id, centroid_id AS cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY {dist}, c.centroid_id) AS rn
+    FROM v CROSS JOIN c{iters} c
+),
+kassign AS (SELECT vec_id, cell FROM kranked WHERE rn = 1),
+kprobe AS (SELECT vec_id, cell FROM kranked WHERE rn <= {KNN_IVF_PROBE}),
+ikdots AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.val * b.val) AS dot
+    FROM elem a
+    JOIN elem b ON a.i = b.i AND a.vec_id <> b.vec_id
+    JOIN kprobe pa ON pa.vec_id = a.vec_id
+    JOIN kassign cb ON cb.vec_id = b.vec_id AND cb.cell = pa.cell
+    GROUP BY 1, 2
+),
+ikcos AS (
+    SELECT va AS vec_id, vb AS neighbor_id,
+           CAST(dot AS DOUBLE)
+           / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE)))
+           AS cosine
+    FROM ikdots
+    JOIN norms na ON va = na.vec_id
+    JOIN norms nb ON vb = nb.vec_id
+    WHERE na.norm_sq > 0 AND nb.norm_sq > 0
+),
+ik AS (
+    SELECT vec_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, neighbor_id ASC)
+                AS INT) AS rnk
+    FROM ikcos
+)
+"""
+
+
+def _knn_graph_ivf_oracle(iters: int = 2) -> str:
+    return f"""WITH {_SCALED_VECS},
+{_kmeans_ctes(KNN_IVF_CELLS, iters, with_v=False)},
+{_knn_ivf_ctes(iters)}
+SELECT vec_id, neighbor_id, rnk, cosine FROM ik WHERE rnk <= {KNN_GRAPH_K}
+"""
+
+
+def _knn_recall_oracle(iters: int = 2) -> str:
+    k = KNN_GRAPH_K
+    return f"""WITH {_SCALED_VECS},
+{_kmeans_ctes(KNN_IVF_CELLS, iters, with_v=False)},
+{_KNN_EXACT_CTES},
+{_knn_ivf_ctes(iters)},
+ee AS (SELECT vec_id, neighbor_id FROM kext WHERE rnk <= {k}),
+ie AS (SELECT vec_id, neighbor_id FROM ik WHERE rnk <= {k}),
+mm AS (SELECT count(*) AS matched_edges
+       FROM ee JOIN ie USING (vec_id, neighbor_id))
+SELECT CAST({k} AS INT) AS k,
+       CAST({KNN_IVF_CELLS} AS INT) AS cells,
+       CAST({KNN_IVF_PROBE} AS INT) AS probe,
+       (SELECT count(*) FROM ee) AS exact_edges,
+       (SELECT count(*) FROM ie) AS ivf_edges,
+       matched_edges,
+       CAST(matched_edges * 10000 // (SELECT count(*) FROM ee) AS BIGINT)
+           AS recall_bp
+FROM mm
 """
 
 
@@ -4371,6 +4515,8 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "text_hashed_embedding": _hashed_embedding_oracle(),
     "text_hashed_neardup": _hashed_neardup_oracle(),
     "embed_knn_graph": ORACLE_KNN_GRAPH,
+    "embed_knn_graph_ivf": _knn_graph_ivf_oracle(),
+    "knn_recall_report": _knn_recall_oracle(),
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAMES,

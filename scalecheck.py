@@ -200,6 +200,10 @@ def emb_operators(spark, emb):
         # ratio GROWS ~linearly in n by design — the measured cost the
         # bucketed structures (IVF cells, SemDeDup tiles) exist to avoid
         "knn_graph": lambda: similarity.knn_graph(emb, k=3),
+        # the cell-bounded scale path: n_probe * sum(|cell|) candidates
+        "knn_graph_ivf": lambda: similarity.knn_graph_ivf(
+            emb, k=3, n_centroids=16, n_probe=2
+        ),
     }
 
 

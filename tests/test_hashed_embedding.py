@@ -201,3 +201,83 @@ def test_knn_graph_tie_broken_by_neighbor_id(spark):
         if r["vec_id"] == 1
     )
     assert rows == [(1, 2), (2, 3)]
+
+
+# ------------------------------------------------- IVF kNN graph
+
+
+def test_kmeans_probe_1_equals_argmin_assign(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.similarity import (
+        _kmeans_assign,
+        _kmeans_iterate,
+        _kmeans_probe,
+        scaled_vectors,
+    )
+
+    rng = np.random.default_rng(7)
+    emb = _emb(
+        spark,
+        [(i, [float(x) for x in rng.integers(-5, 6, 8)]) for i in range(30)],
+    )
+    v = scaled_vectors(emb).select("vec_id", "q")
+    cents = _kmeans_iterate(v, 4, 2, "vec_id")
+    argmin = {
+        r["vec_id"]: r["cell"]
+        for r in _kmeans_assign(v, cents, "vec_id").collect()
+    }
+    probed1 = {
+        r["vec_id"]: r["cell"]
+        for r in _kmeans_probe(v, cents, "vec_id", 1).collect()
+    }
+    assert probed1 == argmin
+
+
+def test_knn_graph_ivf_single_cell_equals_exact(spark):
+    # n_centroids=1: every vector is member of and probes the one
+    # cell, so the "approximate" graph IS the exact graph
+    rng = np.random.default_rng(11)
+    emb = _emb(
+        spark,
+        [(i, [float(x) for x in rng.integers(-5, 6, 8)]) for i in range(25)],
+    )
+    exact = {
+        (r["vec_id"], r["rnk"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.knn_graph(emb, k=3, block_size=8).collect()
+    }
+    ivf = {
+        (r["vec_id"], r["rnk"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.knn_graph_ivf(
+            emb, k=3, n_centroids=1, n_probe=1, block_size=8
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_knn_graph_ivf_blocking_invariant_and_probe_monotone(spark):
+    rng = np.random.default_rng(13)
+    emb = _emb(
+        spark,
+        [(i, [float(x) for x in rng.integers(-5, 6, 8)]) for i in range(40)],
+    )
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in similarity.knn_graph(emb, k=3, block_size=16).collect()
+    }
+
+    def edges(n_probe, block_size):
+        return {
+            (r["vec_id"], r["neighbor_id"])
+            for r in similarity.knn_graph_ivf(
+                emb, k=3, n_centroids=4, n_probe=n_probe,
+                block_size=block_size,
+            ).collect()
+        }
+
+    # tiny blocks vs one block per cell: identical edge set
+    assert edges(2, 4) == edges(2, 64)
+    # recall is monotone in n_probe, and probing ALL cells recovers
+    # the exact graph
+    r1 = len(edges(1, 64) & exact)
+    r2 = len(edges(2, 64) & exact)
+    assert r1 <= r2
+    assert edges(4, 64) == exact

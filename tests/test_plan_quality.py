@@ -497,3 +497,24 @@ def test_knn_graph_final_window_is_per_source_never_global(spark, sf_dir):
     assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 4
+
+
+def test_knn_graph_ivf_probe_assign_is_broadcast_no_cartesian(spark, sf_dir):
+    """The IVF graph's probe/member assignments ride the broadcast
+    centroid attach (zero-shuffle), tiles are the per-cell block grid,
+    and the merge window is per source vector — no CartesianProduct
+    of the vector relation, no global sort."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.similarity import (
+        knn_graph_ivf,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.testdata import (
+        table,
+    )
+
+    plan = plan_of(
+        knn_graph_ivf(table(spark, sf_dir, "embeddings"), k=3, n_centroids=4)
+    )
+    assert "windowspecdefinition(vec_id" in plan
+    assert "WindowGroupLimit" in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
