@@ -109,6 +109,12 @@ def train_merges(
     functions of the corpus."""
     top = (
         word_counts(docs, text_col)
+        # a word containing the \x01 pair separator would make encoded
+        # pairs ambiguous (best.split would see >2 parts and crash) —
+        # exclude such words from the TRAINING dictionary; application
+        # still segments them safely (their pair keys simply never
+        # match the clean table). Mirrored in the oracle's v0 CTE.
+        .where(~F.col("word").contains(PAIR_SEP))
         .orderBy(F.col("wcnt").desc(), F.col("word").asc())
         .limit(top_words)
         .collect()

@@ -2735,6 +2735,7 @@ v0 AS MATERIALIZED (
            list_transform(generate_series(1, length(word)),
                           i -> word[i]) AS syms
     FROM (SELECT word, wcnt FROM wc
+          WHERE strpos(word, chr(1)) = 0
           ORDER BY wcnt DESC, word ASC LIMIT {BPE_TOP_WORDS})
 )"""
     ]

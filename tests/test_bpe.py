@@ -194,3 +194,23 @@ def test_bpe_chunk_giant_word_repeats_per_window(spark):
     )
     assert [r["chunk_id"] for r in out] == [0, 1]
     assert all(r["chunk_text"] == "aaaaaaaaaaaa" for r in out)
+
+
+def test_training_survives_separator_bearing_words(spark):
+    # a token containing the \x01 pair-separator must not crash
+    # training (encoded pairs would be ambiguous: best.split saw >2
+    # parts pre-fix) — it is excluded from the dictionary; clean words
+    # still train, and the dirty word still segments (to chars: its
+    # pair keys never match the clean table)
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa ab aa"), (2, "x\x01y x\x01y x\x01y x\x01y")],
+        "doc_id long, text string",
+    )
+    merges = train_merges(docs, n_merges=4, top_words=10)
+    assert merges  # clean pairs learned
+    assert all("\x01\x01" not in m for m in merges)
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    assert counts[2] == 4 * 3  # x,\x01,y per occurrence — chars, no merge
