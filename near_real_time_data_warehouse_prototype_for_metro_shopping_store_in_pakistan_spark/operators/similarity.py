@@ -816,6 +816,64 @@ def knn_graph_ivf(
     )
 
 
+def knn_clusters(
+    emb: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_size: int = 2048,
+    vec_scale: int = SCALE,
+) -> DataFrame:
+    """Mutual-kNN clustering: an undirected edge joins a and b iff
+    b ∈ knn(a) AND a ∈ knn(b) — the mutuality requirement is what
+    makes kNN graphs usable for grouping (a one-sided edge lets a hub
+    vector chain unrelated regions together; mutual edges demand the
+    affinity be reciprocal) — then connected components label every
+    vector with the min member id of its group (singletons: their own
+    id). The corpus-structure primitive on top of the graph builders:
+    topic/near-source grouping, cluster-aware sampling, SemDeDup-style
+    diversity analysis over any embedding column (including the
+    feature-hashed text sketches).
+
+    Plan shape: the graph build dominates (see ``knn_graph``; swap in
+    ``knn_graph_ivf`` edges upstream for the cell-bounded scale path —
+    components accept any pair relation); the mutual filter is one
+    self-join of the k·n-row edge relation on the reversed key; the
+    component walk is the cost-based union-find / min-label machinery
+    shared with the text dedup family (operators.dedup)."""
+    from . import dedup as _dedup
+
+    g = knn_graph(
+        emb, k, vec_col, id_col, block_size, vec_scale
+    ).select("vec_id", "neighbor_id")
+    mut = (
+        g.alias("x")
+        .join(
+            g.alias("y"),
+            (F.col("x.vec_id") == F.col("y.neighbor_id"))
+            & (F.col("x.neighbor_id") == F.col("y.vec_id")),
+            "left_semi",
+        )
+        .where(F.col("vec_id") < F.col("neighbor_id"))
+        .select(
+            F.col("vec_id").alias("va"), F.col("neighbor_id").alias("vb")
+        )
+    )
+    comps = _dedup.connected_components(mut, src="va", dst="vb")
+    return (
+        emb.select(F.col(id_col).alias("vec_id"))
+        .join(
+            comps.withColumnRenamed("vertex", "vec_id"),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).alias("cluster"),
+        )
+    )
+
+
 def _sq_dist(q_col, c_col):
     """Exact integer squared L2 distance between two quantized vectors
     (components ≤ SCALE, so diff² ≤ 4e12 and a 64-dim sum stays far

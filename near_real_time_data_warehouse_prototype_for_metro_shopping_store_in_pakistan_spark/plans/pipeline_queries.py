@@ -486,6 +486,16 @@ def embed_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN clustering over the embeddings table: reciprocal
+    top-k edges → connected components → min-member-id cluster per
+    vector (singletons keep their own id) — the corpus-structure
+    primitive the graph builders feed."""
+    return similarity.knn_clusters(
+        table(spark, sf_dir, "embeddings"), k=KNN_GRAPH_K
+    )
+
+
 def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge recall of the cell-bounded graph against the exact graph —
     same role `ann_recall_report` plays for query serving: the
@@ -1368,6 +1378,7 @@ PIPELINE_QUERIES = {
     "text_hashed_neardup": text_hashed_neardup,
     "embed_knn_graph": embed_knn_graph,
     "embed_knn_graph_ivf": embed_knn_graph_ivf,
+    "embed_knn_clusters": embed_knn_clusters,
     "knn_recall_report": knn_recall_report,
     "multimodal_decode": multimodal_decode,
     "multimodal_features": multimodal_features,
@@ -2585,6 +2596,32 @@ ik AS (
                 AS INT) AS rnk
     FROM ikcos
 )
+"""
+
+
+def _knn_clusters_oracle() -> str:
+    """Mutual edges from the exact-kNN chain, then the same recursive
+    min-label transitive closure as the text dedup clusters oracle;
+    every embeddings row appears, singletons labelled by their own
+    id."""
+    k = KNN_GRAPH_K
+    return f"""WITH RECURSIVE {_SCALED_VECS},
+{_KNN_EXACT_CTES},
+kedge AS (SELECT vec_id AS a, neighbor_id AS b FROM kext WHERE rnk <= {k}),
+kmut AS (
+    SELECT x.a, x.b FROM kedge x
+    JOIN kedge y ON x.a = y.b AND x.b = y.a
+    WHERE x.a < x.b
+),
+kund AS (SELECT a AS v, b AS w FROM kmut UNION SELECT b, a FROM kmut),
+kwalk(v, m) AS (
+    SELECT v, v FROM (SELECT DISTINCT v FROM kund)
+    UNION
+    SELECT e.w, kwalk.m FROM kwalk JOIN kund e ON kwalk.v = e.v
+),
+kcomp AS (SELECT v, MIN(m) AS component FROM kwalk GROUP BY v)
+SELECT emb.vec_id, COALESCE(kcomp.component, emb.vec_id) AS cluster
+FROM embeddings emb LEFT JOIN kcomp ON emb.vec_id = kcomp.v
 """
 
 
@@ -4517,6 +4554,7 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "text_hashed_neardup": _hashed_neardup_oracle(),
     "embed_knn_graph": ORACLE_KNN_GRAPH,
     "embed_knn_graph_ivf": _knn_graph_ivf_oracle(),
+    "embed_knn_clusters": _knn_clusters_oracle(),
     "knn_recall_report": _knn_recall_oracle(),
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,

@@ -281,3 +281,60 @@ def test_knn_graph_ivf_blocking_invariant_and_probe_monotone(spark):
     r2 = len(edges(2, 64) & exact)
     assert r1 <= r2
     assert edges(4, 64) == exact
+
+
+# ------------------------------------------------- mutual-kNN clusters
+
+
+def test_knn_clusters_mutuality_blocks_hub_chaining(spark):
+    # two tight pairs + a hub equidistant-ish between them: the hub's
+    # edges are one-sided (pair members prefer each other), so
+    # mutuality keeps the pairs separate and the hub a singleton
+    emb = _emb(
+        spark,
+        [
+            (1, [10.0, 0.0]),
+            (2, [10.0, 0.5]),
+            (3, [0.0, 10.0]),
+            (4, [0.5, 10.0]),
+            (5, [7.0, 7.0]),  # hub leaning to no pair
+        ],
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.knn_clusters(emb, k=1, block_size=2).collect()
+    }
+    assert got[1] == got[2] == 1
+    assert got[3] == got[4] == 3
+    assert got[5] == 5  # singleton: no reciprocal edge at k=1
+
+
+def test_knn_clusters_every_vector_labelled_zero_vec_singleton(spark):
+    emb = _emb(
+        spark,
+        [(1, [1.0, 0.0]), (2, [1.0, 0.1]), (3, [0.0, 0.0])],
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.knn_clusters(emb, k=2, block_size=2).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == got[2] == 1
+    assert got[3] == 3  # zero vector: NaN cosine, no edges, own label
+
+
+def test_knn_clusters_transitive_chain_collapses(spark):
+    # a -- b -- c chain of mutual edges at k=2 merges into one cluster
+    emb = _emb(
+        spark,
+        [
+            (10, [10.0, 0.0]),
+            (11, [10.0, 1.0]),
+            (12, [10.0, 2.0]),
+        ],
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.knn_clusters(emb, k=2, block_size=2).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10}
