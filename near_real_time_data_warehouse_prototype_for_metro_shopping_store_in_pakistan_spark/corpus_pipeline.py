@@ -138,6 +138,20 @@ class CorpusPipeline:
             "doc_id",
         )
 
+    def cluster(self, docs: DataFrame, k: int = 3) -> DataFrame:
+        """Group documents by reciprocal text affinity WITHOUT model
+        embeddings: feature-hashed sketches → mutual-kNN edges →
+        connected components. Returns (doc_id, cluster) for every doc
+        (singletons keep their own id) — the input to cluster-aware
+        sampling / diversity analysis over a text-only corpus.
+        Requires integral doc_id (the graph builders' id arithmetic)."""
+        from .operators import similarity as _sim
+
+        vecs = _text.hashed_embedding_vectors(docs, id_col="doc_id")
+        return _sim.knn_clusters(vecs, k=k, vec_scale=1).select(
+            F.col("vec_id").alias("doc_id"), "cluster"
+        )
+
     def ingest(self, docs: DataFrame) -> None:
         """Insert-if-absent into the curated table (idempotent under
         replay; exact cross-batch dedup by text fingerprint)."""

@@ -843,9 +843,13 @@ def knn_clusters(
     shared with the text dedup family (operators.dedup)."""
     from . import dedup as _dedup
 
-    g = knn_graph(
-        emb, k, vec_col, id_col, block_size, vec_scale
-    ).select("vec_id", "neighbor_id")
+    # the graph feeds BOTH sides of the mutuality self-join — pin it
+    # so the tile GEMM runs once, not twice
+    g = (
+        knn_graph(emb, k, vec_col, id_col, block_size, vec_scale)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     mut = (
         g.alias("x")
         .join(

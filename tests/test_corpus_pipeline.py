@@ -295,3 +295,33 @@ def test_dedup_semantic_method_keeps_one_per_clone_family(spark):
         ).collect()
     }
     assert kept == again
+
+
+def test_cluster_groups_text_families_without_embeddings(spark):
+    import hashlib
+
+    # three clone families of three docs each + one loner; identical
+    # texts share sketches, so family members are mutual neighbors
+    rows = []
+    did = 0
+    for fam in range(3):
+        words = " ".join(
+            hashlib.md5(f"fam{fam}|{j}".encode()).hexdigest()[:8]
+            for j in range(15)
+        )
+        for _ in range(3):
+            rows.append((did, words, "en", "s", 0))
+            did += 1
+    rows.append((did, " ".join(f"lone{j}" for j in range(15)), "en", "s", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    cp = CorpusPipeline(spark, "/tmp/unused_corpus_root")
+    got = {r["doc_id"]: r["cluster"] for r in cp.cluster(docs, k=2).collect()}
+    assert len(got) == 10  # every doc labelled
+    for fam in range(3):
+        ids = [3 * fam, 3 * fam + 1, 3 * fam + 2]
+        assert len({got[i] for i in ids}) == 1  # family collapses
+        assert got[ids[0]] == ids[0]  # min member id labels it
+    # the three families and the loner stay apart
+    assert len(set(got.values())) == 4
