@@ -496,14 +496,23 @@ def cosine_neardup_pairs(
     """All pairs (a < b) with cosine >= threshold — embedding-space
     near-dup detection, executed as a distributed block matrix product.
 
-    Vectors are tiled into id-range blocks; each block-pair (ba <= bb)
-    becomes one cogrouped-``applyInPandas`` task computing the tile's
-    dot products with a single int64 numpy GEMM — ~100× the per-row
+    Vectors are tiled into HASH-derived blocks — nblocks =
+    ceil(count/block_size), blk = xxhash64(id) % nblocks, the same
+    discipline as SemDeDup's degenerate-cell guard: id-range blocks
+    (floor(id/block_size)) would let a sparse id space put ~one row
+    per occupied block and grow the broadcast block-pair grid
+    quadratically in occupied blocks. The count is one
+    metadata-cheap job. Each unordered block-pair (ba <= bb) becomes
+    one cogrouped-``applyInPandas`` task computing the tile's dot
+    products with a single int64 numpy GEMM — ~100× the per-row
     array-lambda throughput, still exact integer math (micro-unit
     components keep every dot < 2^47; see module docstring), and the
     cosine expression evaluates in the identical IEEE order as the
     column formula, so results are bit-equal to the naive join and the
-    DuckDB oracle is unchanged.
+    DuckDB oracle is unchanged. Blocks are not id-monotone, so
+    diagonal tiles keep the strict ``a < b`` triangle while
+    off-diagonal tiles keep every cross pair normalized to
+    (min, max) — every unordered pair lands in exactly one tile.
 
     Scale shape: row inflation is O(#blocks) copies of the corpus —
     the unavoidable cost of an EXACT all-pairs op; tasks are
@@ -517,7 +526,10 @@ def cosine_neardup_pairs(
     v = scaled_vectors(emb, vec_col, id_col, scale=vec_scale).select(
         F.col(id_col).alias("vid"), "q", "norm_sq"
     )
-    v = v.withColumn("blk", F.floor(F.col("vid") / block_size).cast("long"))
+    nblocks = max(1, -(-emb.count() // block_size))
+    v = v.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(nblocks)).cast("long")
+    )
     blks = v.select("blk").distinct()
     pairs = (
         blks.alias("x")
@@ -556,10 +568,26 @@ def cosine_neardup_pairs(
         cos = dots / (na[:, None] * nb[None, :])
         ia = lpdf["vid"].to_numpy()
         ib = rpdf["rvid"].to_numpy()
-        keep = (cos >= threshold) & (ia[:, None] < ib[None, :])
+        # hash blocks are not id-monotone (see docstring): diagonal
+        # tiles keep the strict triangle; off-diagonal tiles keep
+        # every cross pair (blocks disjoint -> ia != ib) normalized
+        # to (min, max) — cosine is symmetric, so the value is the
+        # same either orientation
+        if bool(lpdf["ba"].iloc[0] == lpdf["bb"].iloc[0]):
+            keep = (cos >= threshold) & (ia[:, None] < ib[None, :])
+            ii, jj = np.nonzero(keep)
+            return pd.DataFrame(
+                {"vec_a": ia[ii], "vec_b": ib[jj], "cosine": cos[ii, jj]}
+            )
+        keep = cos >= threshold
         ii, jj = np.nonzero(keep)
+        a, b = ia[ii], ib[jj]
         return pd.DataFrame(
-            {"vec_a": ia[ii], "vec_b": ib[jj], "cosine": cos[ii, jj]}
+            {
+                "vec_a": np.minimum(a, b),
+                "vec_b": np.maximum(a, b),
+                "cosine": cos[ii, jj],
+            }
         )
 
     return (
@@ -600,7 +628,15 @@ def knn_graph(
     v = scaled_vectors(emb, vec_col, id_col, scale=vec_scale).select(
         F.col(id_col).alias("vid"), "q", "norm_sq"
     )
-    v = v.withColumn("blk", F.floor(F.col("vid") / block_size).cast("long"))
+    # hash-derived blocks sized from one metadata-cheap count — never
+    # floor(id/block): a sparse id space would otherwise occupy ~one
+    # row per block and square the broadcast tile grid (the SemDeDup
+    # degenerate-cell discipline). The graph is directed and the grid
+    # is full, so no tile-side ordering care is needed.
+    nblocks = max(1, -(-emb.count() // block_size))
+    v = v.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(nblocks)).cast("long")
+    )
     blks = v.select("blk").distinct()
     pairs = (
         blks.alias("x")
