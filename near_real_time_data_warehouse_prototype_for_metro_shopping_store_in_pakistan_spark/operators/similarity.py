@@ -1006,6 +1006,18 @@ def _kmeans_iterate(
         .select(F.col(id_col).alias("centroid_id"), F.col("q").alias("cq"))
         .localCheckpoint(eager=False)
     )
+    # deterministic prefix seeding requires ids < k to EXIST: with an
+    # id space starting above k the centroid relation is empty, every
+    # assignment comes back NULL, and downstream consumers (SemDeDup,
+    # IVF) silently treat the whole corpus as unclustered singletons —
+    # a silent-correctness hole, so fail loudly instead. The probe is
+    # one k-row-bounded job; partial seeding (< k ids) is fine (fewer
+    # cells).
+    if not cents.take(1):
+        raise ValueError(
+            f"k-means prefix seeding found no ids < k={k}: assign dense "
+            "ids first (operators.dedup.dense_ids) or lower k"
+        )
     for _ in range(iters):
         assigned = _kmeans_assign(v, cents, id_col)
         sums = (

@@ -338,3 +338,16 @@ def test_knn_clusters_transitive_chain_collapses(spark):
         for r in similarity.knn_clusters(emb, k=2, block_size=2).collect()
     }
     assert got == {10: 10, 11: 10, 12: 10}
+
+
+def test_kmeans_refuses_unseedable_id_space(spark):
+    # ids all >= k: prefix seeding would produce an EMPTY centroid
+    # relation, NULL assignments, and silently-singleton SemDeDup —
+    # must raise with a pointer to dense_ids instead
+    import pytest
+
+    emb = _emb(spark, [(1000 + i, [float(i), 1.0]) for i in range(6)])
+    with pytest.raises(ValueError, match="dense_ids"):
+        similarity.kmeans_cells(emb, k=4, iters=1).collect()
+    with pytest.raises(ValueError, match="dense_ids"):
+        similarity.semdedup(emb, k=4, threshold=0.99).collect()
