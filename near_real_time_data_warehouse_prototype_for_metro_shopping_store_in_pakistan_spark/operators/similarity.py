@@ -859,6 +859,9 @@ def knn_clusters(
     id_col: str = "vec_id",
     block_size: int = 2048,
     vec_scale: int = SCALE,
+    graph: str = "exact",
+    n_centroids: int = 8,
+    n_probe: int = 2,
 ) -> DataFrame:
     """Mutual-kNN clustering: an undirected edge joins a and b iff
     b ∈ knn(a) AND a ∈ knn(b) — the mutuality requirement is what
@@ -880,12 +883,20 @@ def knn_clusters(
     from . import dedup as _dedup
 
     # the graph feeds BOTH sides of the mutuality self-join — pin it
-    # so the tile GEMM runs once, not twice
-    g = (
-        knn_graph(emb, k, vec_col, id_col, block_size, vec_scale)
-        .select("vec_id", "neighbor_id")
-        .localCheckpoint(eager=False)
-    )
+    # so the tile GEMM runs once, not twice. graph="ivf" swaps in the
+    # cell-bounded builder (n_centroids/n_probe take effect): clusters
+    # over probed edges only — mutuality and components are unchanged,
+    # recall bounded exactly as knn_recall_report measures.
+    if graph == "exact":
+        built = knn_graph(emb, k, vec_col, id_col, block_size, vec_scale)
+    elif graph == "ivf":
+        built = knn_graph_ivf(
+            emb, k, n_centroids, n_probe, 2, vec_col, id_col,
+            block_size, vec_scale,
+        )
+    else:
+        raise ValueError(f"unknown graph builder {graph!r}")
+    g = built.select("vec_id", "neighbor_id").localCheckpoint(eager=False)
     mut = (
         g.alias("x")
         .join(

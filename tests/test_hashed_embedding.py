@@ -351,3 +351,34 @@ def test_kmeans_refuses_unseedable_id_space(spark):
         similarity.kmeans_cells(emb, k=4, iters=1).collect()
     with pytest.raises(ValueError, match="dense_ids"):
         similarity.semdedup(emb, k=4, threshold=0.99).collect()
+
+
+def test_knn_clusters_ivf_graph_option(spark):
+    import pytest
+
+    rng = np.random.default_rng(17)
+    emb = _emb(
+        spark,
+        [(i, [float(x) for x in rng.integers(-5, 6, 8)]) for i in range(30)],
+    )
+    exact = {
+        (r["vec_id"], r["cluster"])
+        for r in similarity.knn_clusters(emb, k=2, block_size=16).collect()
+    }
+    # probing ALL cells makes the ivf graph the exact graph, so the
+    # clustering coincides too
+    all_cells = {
+        (r["vec_id"], r["cluster"])
+        for r in similarity.knn_clusters(
+            emb, k=2, block_size=16, graph="ivf", n_centroids=4, n_probe=4
+        ).collect()
+    }
+    assert all_cells == exact
+    # bounded probing still yields a full partition (every vector
+    # labelled exactly once)
+    probed = similarity.knn_clusters(
+        emb, k=2, block_size=16, graph="ivf", n_centroids=4, n_probe=1
+    ).collect()
+    assert sorted(r["vec_id"] for r in probed) == list(range(30))
+    with pytest.raises(ValueError, match="graph builder"):
+        similarity.knn_clusters(emb, graph="nope").collect()
