@@ -86,20 +86,22 @@ class CorpusPipeline:
         self,
         docs: DataFrame,
         threshold: float = 0.5,
-        method: str = "exact",
+        method: str = "ladder",
         semantic_cells: int = 8,
     ) -> DataFrame:
         """Keep one representative per near-dup group (pairs →
         connected components → min-id keeper). ``method``:
 
-        - ``"exact"``: every pair at ``threshold`` via
-          ``jaccard_similar_pairs`` (itself cost-based: block-GEMM vs
-          prefix-filtered join) — exact recall, corpus-quadratic
-          candidate floor.
-        - ``"ladder"``: ``minhash_verified_pairs`` (128 hashes, 32×4
-          bands, exact verification) — the 100 TB default; recall
+        - ``"ladder"`` (default): ``minhash_verified_pairs`` (128
+          hashes, 32×4 bands, exact verification) — the 100 TB path
+          and therefore the default a naive caller gets; recall
           bounded by the banding (P(detect | J=0.5) ≈ 0.87, →1 above),
           precision exact.
+        - ``"exact"``: every pair at ``threshold`` via
+          ``jaccard_similar_pairs`` (itself cost-based: block-GEMM vs
+          prefix-filtered join) — exact recall, but a
+          corpus-quadratic candidate floor: opt-in for small or
+          recall-audit runs, never the scale path.
         - ``"semantic"``: SemDeDup over feature-hashed bag-of-words
           sketches (``hashed_embedding_vectors`` — no model embedding
           column needed): k-means into ``semantic_cells`` cells, pair
@@ -107,7 +109,7 @@ class CorpusPipeline:
           per component. ``threshold`` is COSINE between sketches, not
           Jaccard — hashed-cosine runs higher (0.9 ≈ strong overlap;
           set ``semantic_cells ≈ n_docs / target_cell_size`` at scale).
-          Requires integral doc_id (k-means seeds from ids < k).
+          Requires integral doc_id (integer centroid-id tie-breaks).
         """
         if method == "exact":
             pairs = _dedup.jaccard_similar_pairs(docs, threshold=threshold)
@@ -138,19 +140,39 @@ class CorpusPipeline:
             "doc_id",
         )
 
-    def cluster(self, docs: DataFrame, k: int = 3) -> DataFrame:
+    def cluster(
+        self,
+        docs: DataFrame,
+        k: int = 3,
+        graph: str = "ivf",
+        n_centroids: int = 8,
+        n_probe: int = 2,
+    ) -> DataFrame:
         """Group documents by reciprocal text affinity WITHOUT model
         embeddings: feature-hashed sketches → mutual-kNN edges →
         connected components. Returns (doc_id, cluster) for every doc
         (singletons keep their own id) — the input to cluster-aware
         sampling / diversity analysis over a text-only corpus.
-        Requires integral doc_id (the graph builders' id arithmetic)."""
+        Requires integral doc_id (the graph builders' id arithmetic).
+
+        ``graph="ivf"`` (default — the scale path) builds the edge
+        relation with the cell-bounded IVF-probed builder
+        (``knn_graph_ivf``: n_probe · Σ|cell| candidates; set
+        ``n_centroids ≈ n_docs / target_cell_size``, raise ``n_probe``
+        to buy edge recall — ``knn_recall_report`` pins the dial).
+        ``graph="exact"`` opts into the all-pairs tile grid — exact
+        edges, O((n/block)²) tiles, for small or audit runs only."""
         from .operators import similarity as _sim
 
         vecs = _text.hashed_embedding_vectors(docs, id_col="doc_id")
-        return _sim.knn_clusters(vecs, k=k, vec_scale=1).select(
-            F.col("vec_id").alias("doc_id"), "cluster"
-        )
+        return _sim.knn_clusters(
+            vecs,
+            k=k,
+            vec_scale=1,
+            graph=graph,
+            n_centroids=n_centroids,
+            n_probe=n_probe,
+        ).select(F.col("vec_id").alias("doc_id"), "cluster")
 
     def ingest(self, docs: DataFrame) -> None:
         """Insert-if-absent into the curated table (idempotent under
@@ -285,6 +307,22 @@ class CorpusPipeline:
             max_files_per_trigger=max_files_per_trigger,
             backend=self.backend,
         )
+
+
+def _relation_fingerprint(df: DataFrame, id_col: str) -> str:
+    """Order-insensitive content fingerprint of a relation's id set:
+    ``<count>:<bit_xor of xxhash64(id)>``. One constant-size
+    aggregate — usable on a target corpus of any size (nothing is
+    collected but two scalars), deterministic across replays and
+    partitionings (xor is commutative/associative and, unlike an
+    integer sum, can never overflow under ANSI arithmetic)."""
+    row = df.select(
+        F.count(id_col).alias("n"),
+        F.expr(
+            f"bit_xor(xxhash64(cast({id_col} as string)))"
+        ).alias("h"),
+    ).collect()[0]
+    return f"{row['n']}:{row['h']}"
 
 
 DATASET_TABLE = "dataset"
@@ -508,10 +546,18 @@ class DatasetBuilder:
             "min_overlap": int(min_overlap),
             "dedup_method": dedup_method,
             "fluency_keep_pct": fluency_keep_pct,
-            # the target CORPUS itself is not fingerprintable here —
-            # the flag at least refuses mixing a DSIR build into a
-            # temperature-mix epoch (or vice versa)
-            "selection": "dsir" if dsir_target is not None else "temperature",
+            # content fingerprint of the DSIR target, not just a mode
+            # flag: rebuilding an epoch against a DIFFERENT target
+            # corpus must raise like any other config change, or the
+            # two selections silently merge under insert-if-absent.
+            # Order-insensitive constant-size aggregate (count + sum
+            # of per-id hashes), so it is replay-deterministic and
+            # never collects the target to the driver.
+            "selection": (
+                "temperature"
+                if dsir_target is None
+                else "dsir:" + _relation_fingerprint(dsir_target, "doc_id")
+            ),
         }
         epochs = range(int(first_epoch), int(first_epoch) + int(n_epochs))
         for e in epochs:

@@ -58,8 +58,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-BPE_TOP_WORDS = 2048
-BPE_MERGES = 24
+BPE_TOP_WORDS = 8192
+BPE_MERGES = 64
 PAIR_SEP = "\x01"
 
 
@@ -79,7 +79,9 @@ def word_counts(
 
 def _best_pair(vocab: list[tuple[list[str], int]]) -> str | None:
     """Encoded best pair by (weighted count DESC, encoded ASC), or
-    None when no word has two symbols left."""
+    None when no word has two symbols left. Full recount — kept as
+    the reference implementation the incremental trainer's counts
+    must equal at every step (asserted by tests/test_bpe.py)."""
     counts: dict[str, int] = {}
     for syms, cnt in vocab:
         for a, b in zip(syms, syms[1:]):
@@ -120,17 +122,57 @@ def train_merges(
         .collect()
     )
     vocab = [(list(r["word"]), int(r["wcnt"])) for r in top]
+    # Incremental pair maintenance: a full recount per merge is
+    # O(n_merges × top_words × |word|) driver work — minutes at a
+    # real 32k-merge vocabulary. Only the words CONTAINING the picked
+    # pair change per step, so keep (a) the weighted pair counts and
+    # (b) an inverted index pair -> word ids, and apply exact count
+    # deltas for just the rewritten words. The counts dict equals the
+    # full recount at every step (asserted in tests), so picks and
+    # tie-breaks — hence the learned table and the unrolled-CTE
+    # oracle — are unchanged.
+    from collections import Counter
+
+    def word_pairs(syms: list[str]) -> list[str]:
+        return [a + PAIR_SEP + b for a, b in zip(syms, syms[1:])]
+
+    counts: dict[str, int] = {}
+    index: dict[str, set[int]] = {}
+    for wi, (syms, cnt) in enumerate(vocab):
+        for enc in word_pairs(syms):
+            counts[enc] = counts.get(enc, 0) + cnt
+            index.setdefault(enc, set()).add(wi)
     merges: list[str] = []
+    seen: set[str] = set()
     for _ in range(n_merges):
-        best = _best_pair(vocab)
-        if best is None:
+        if not counts:
             break
-        if best not in merges:
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if best not in seen:
+            seen.add(best)
             merges.append(best)
         left, right = best.split(PAIR_SEP)
-        vocab = [
-            (_merge_leftmost(syms, left, right), cnt) for syms, cnt in vocab
-        ]
+        # the index may hold stale entries (a word that no longer
+        # contains the pair after earlier rewrites); _merge_leftmost
+        # returning the input unchanged makes those no-ops
+        for wi in index.get(best, ()):
+            syms, cnt = vocab[wi]
+            new = _merge_leftmost(syms, left, right)
+            if new is syms or new == syms:
+                continue
+            delta = Counter(word_pairs(new))
+            delta.subtract(word_pairs(syms))
+            for enc, d in delta.items():
+                if d == 0:
+                    continue
+                c = counts.get(enc, 0) + d * cnt
+                if c > 0:
+                    counts[enc] = c
+                    if d > 0:
+                        index.setdefault(enc, set()).add(wi)
+                else:
+                    counts.pop(enc, None)
+            vocab[wi] = (new, cnt)
     return merges
 
 
@@ -208,6 +250,57 @@ def bpe_token_counts(
     )
 
 
+def bpe_coverage(
+    docs: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row vocabulary-coverage report for a learned merge table —
+    the train-time health stat that says whether ``n_merges`` was
+    worth it on THIS corpus: (n_tokens, covered_tokens,
+    coverage_permille, bpe_char_permille).
+
+    A corpus (whitespace) token is COVERED when at least one learned
+    merge applies to its word (``n_bpe < length(word)`` — its
+    segmentation is shorter than raw characters); coverage_permille =
+    covered/total in integer permille. ``bpe_char_permille`` is the
+    aggregate compression ratio Σ wcnt·n_bpe / Σ wcnt·len(word) —
+    1000 means the table did nothing, real tables push well below.
+    Integer ``div`` permilles keep the row hash-exact vs the oracle.
+
+    Plan: ONE word-count aggregate (map-side combinable) + the
+    vocab-bounded Arrow segmentation pass + a single global
+    aggregate — metadata-scale output, corpus-scale input never
+    reshuffled."""
+    wc = word_counts(docs, text_col)
+    seg = segment_words(wc.select("word"), merges)
+    return (
+        wc.join(seg, "word")
+        .agg(
+            F.sum("wcnt").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("n_bpe") < F.length("word"), F.col("wcnt")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("covered_tokens"),
+            F.sum(F.col("wcnt") * F.col("n_bpe")).alias("_wb"),
+            F.sum(F.col("wcnt") * F.length("word")).alias("_wchars"),
+        )
+        .select(
+            "n_tokens",
+            "covered_tokens",
+            F.expr("covered_tokens * 1000 div n_tokens")
+            .cast("long")
+            .alias("coverage_permille"),
+            F.expr("_wb * 1000 div _wchars")
+            .cast("long")
+            .alias("bpe_char_permille"),
+        )
+    )
+
+
 def bpe_chunk_documents(
     docs: DataFrame,
     merges: list[str],
@@ -269,10 +362,15 @@ def bpe_chunk_documents(
         .withColumn("s", F.coalesce(F.sum("n_bpe").over(w_cum), F.lit(0)))
         .withColumn("tot", F.sum("n_bpe").over(w_doc))
         .withColumn(
+            # integer `div` like c_lo/c_hi and the oracle's `//` — a
+            # float divide then int cast could double-round away from
+            # the closed form at extreme per-doc totals
             "n_chunks",
             F.when(F.col("tot") <= chunk_tokens, F.lit(1)).otherwise(
-                (F.col("tot") - chunk_tokens + stride - 1)
-                .cast("long") / stride + 1
+                F.expr(
+                    f"(tot - {chunk_tokens} + {stride} - 1) "
+                    f"div {stride} + 1"
+                )
             ).cast("int"),
         )
         .withColumn(

@@ -284,7 +284,12 @@ def token_budget_select(
     TOKENIZER-denominated budgets (``operators.bpe.bpe_token_counts``
     renamed to ``n_tokens``), since a budget in BPE units is what the
     training run actually spends. Ordering stays by quality score;
-    only the running-total denomination changes.
+    only the running-total denomination changes. The relation must
+    cover every doc: a doc absent from ``token_counts`` raises at
+    execution (lazy ``raise_error``, no extra pass) instead of being
+    silently dropped from the selection — a partial counts relation
+    shrinking the corpus without a sound is the failure mode this
+    guards against.
 
     The running total is the distributed ``prefix_sums`` scan, so the
     selection needs no single-partition window and no driver loop at
@@ -297,8 +302,33 @@ def token_budget_select(
         id_col, "n_tokens", "quality_score"
     )
     if token_counts is not None:
-        scored = scored.drop("n_tokens").join(
-            token_counts.select(id_col, "n_tokens"), id_col
+        # left join + lazy raise, NOT an inner join: an inner join
+        # would silently drop docs the counts relation missed
+        scored = (
+            scored.drop("n_tokens")
+            .join(
+                token_counts.select(
+                    id_col, F.col("n_tokens").alias("_tc_tokens")
+                ),
+                id_col,
+                "left",
+            )
+            .withColumn(
+                "n_tokens",
+                F.when(
+                    F.col("_tc_tokens").isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "token_budget_select: token_counts has no "
+                                "n_tokens row for doc "
+                            ),
+                            F.col(id_col).cast("string"),
+                        )
+                    ),
+                ).otherwise(F.col("_tc_tokens")),
+            )
+            .drop("_tc_tokens")
         )
     cum = prefix_sums(
         scored,

@@ -19,7 +19,8 @@ Design decisions, all in service of the repo's determinism doctrine
 - Codebooks are trained with the SAME integer-exact distributed
   Lloyd's iteration as the coarse quantizer (``_kmeans_iterate``) —
   one run per subspace over the sliced micro-unit vectors, seeded
-  from the corpus prefix (ids < ksub). Integer centroids mean the
+  from the ksub smallest md5(id||'|seed') ids (content-spread,
+  deterministic — similarity._seed_key). Integer centroids mean the
   encode argmin and the ADC lookup table are integer-exact too.
 - BOTH encodings are implemented: ``pq_codebooks``/``pq_encode``
   encode the RAW vector (FAISS ``by_residual=false`` — quantizers
@@ -95,14 +96,26 @@ def _grouped_kmeans_iterate(
     (subspace, cell, pos)-keyed update shuffle (≤ m×ksub×(dim/m) =
     ksub×dim keys — the same bound as m separate trainings). Math is
     identical to running ``similarity._kmeans_iterate`` per subspace
-    (groups are independent; same prefix seeds, tie-breaks, floor
-    division), so the unrolled per-subspace oracle CTEs are unchanged
+    (groups are independent; same md5-ordered seeds, tie-breaks,
+    floor division), so the unrolled per-subspace oracle CTEs are unchanged
     — this is purely a job-count optimization (m× fewer Spark actions
     per round; the sequential per-subspace loop paid m× the fixed
     job-scheduling cost).
     """
+    # content-spread deterministic seeds: the ksub ids with the
+    # smallest md5(id||'|seed') — same key as similarity._seed_key,
+    # so every subspace seeds from the SAME vectors (slices of one
+    # id set), mirrorable per-subspace in the oracle. TakeOrdered
+    # top-k over the distinct ids, then a broadcast semi-join attach.
+    from .similarity import _seed_key
+
+    seed_ids = (
+        sub.select(F.col(id_col)).distinct()
+        .orderBy(_seed_key(id_col), F.col(id_col).asc())
+        .limit(ksub)
+    )
     cents = (
-        sub.filter(F.col(id_col) < ksub)
+        sub.join(F.broadcast(seed_ids), id_col)
         .select(
             "subspace",
             F.col(id_col).alias("centroid_id"),
@@ -155,6 +168,23 @@ def _grouped_kmeans_iterate(
     return cents
 
 
+def _dense_codes(cents: DataFrame) -> DataFrame:
+    """Relabel trained centroid ids to DENSE per-subspace codes
+    0..ksub-1 (rank by centroid_id): md5-seeded training leaves
+    centroid ids as arbitrary seed vec_ids, but PQ codes must be
+    dense — element_at(books[j], code + 1) is the O(1) ADC lookup and
+    a code must fit a byte at ksub=256. Rank is monotone in
+    centroid_id, so every argmin tie-break is preserved under the
+    relabel; the oracle applies the same row_number remap. The window
+    is (m × ksub)-row metadata, never corpus-scale."""
+    wdw = Window.partitionBy("subspace").orderBy("centroid_id")
+    return cents.select(
+        "subspace",
+        (F.row_number().over(wdw) - 1).cast("int").alias("code"),
+        "cq",
+    )
+
+
 def pq_codebooks(
     emb: DataFrame,
     m: int = 4,
@@ -166,7 +196,7 @@ def pq_codebooks(
     """Train the m per-subspace codebooks: slice every quantized
     vector into m contiguous subvectors and run the integer-exact
     Lloyd iteration on each slice, seeded deterministically from the
-    corpus prefix (ids < ksub). All m trainings are FUSED into one
+    ksub smallest md5(id||'|seed') ids. All m trainings are FUSED into one
     grouped job sequence (``_grouped_kmeans_iterate``) — numerically
     identical to m independent ``similarity._kmeans_iterate`` runs
     (asserted by test), m× fewer Spark actions.
@@ -199,9 +229,7 @@ def pq_codebooks(
         ).alias("s"),
     ).select(id_col, F.col("s.subspace").alias("subspace"), F.col("s.q").alias("q"))
     cents = _grouped_kmeans_iterate(sub, ksub, iters, id_col)
-    return cents.select(
-        "subspace", F.col("centroid_id").cast("int").alias("code"), "cq"
-    )
+    return _dense_codes(cents)
 
 
 def _validated_subwidth(
@@ -487,9 +515,7 @@ def pq_codebooks_residual(
         id_col, F.col("s.subspace").alias("subspace"), F.col("s.q").alias("q")
     )
     cents = _grouped_kmeans_iterate(sub, ksub, iters, id_col)
-    return cents.select(
-        "subspace", F.col("centroid_id").cast("int").alias("code"), "cq"
-    )
+    return _dense_codes(cents)
 
 
 def pq_encode_residual(

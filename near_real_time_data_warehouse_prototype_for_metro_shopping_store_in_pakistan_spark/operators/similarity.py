@@ -492,6 +492,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     block_size: int = 2048,
     vec_scale: int = SCALE,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold — embedding-space
     near-dup detection, executed as a distributed block matrix product.
@@ -502,7 +503,11 @@ def cosine_neardup_pairs(
     (floor(id/block_size)) would let a sparse id space put ~one row
     per occupied block and grow the broadcast block-pair grid
     quadratically in occupied blocks. The count is one
-    metadata-cheap job. Each unordered block-pair (ba <= bb) becomes
+    metadata-cheap job that runs EAGERLY at call time (constructing
+    the DataFrame scans the corpus once to size the grid) — pass
+    ``n_vectors`` (an exact or conservative row count) to keep the
+    call fully lazy when composing plans or invoking repeatedly.
+    Each unordered block-pair (ba <= bb) becomes
     one cogrouped-``applyInPandas`` task computing the tile's dot
     products with a single int64 numpy GEMM — ~100× the per-row
     array-lambda throughput, still exact integer math (micro-unit
@@ -526,7 +531,8 @@ def cosine_neardup_pairs(
     v = scaled_vectors(emb, vec_col, id_col, scale=vec_scale).select(
         F.col(id_col).alias("vid"), "q", "norm_sq"
     )
-    nblocks = max(1, -(-emb.count() // block_size))
+    n = emb.count() if n_vectors is None else n_vectors
+    nblocks = max(1, -(-n // block_size))
     v = v.withColumn(
         "blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(nblocks)).cast("long")
     )
@@ -604,6 +610,7 @@ def knn_graph(
     id_col: str = "vec_id",
     block_size: int = 2048,
     vec_scale: int = SCALE,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Exact k-nearest-neighbor graph under cosine: for every vector
     its top-k neighbors (self excluded), ties broken by neighbor id —
@@ -632,8 +639,11 @@ def knn_graph(
     # floor(id/block): a sparse id space would otherwise occupy ~one
     # row per block and square the broadcast tile grid (the SemDeDup
     # degenerate-cell discipline). The graph is directed and the grid
-    # is full, so no tile-side ordering care is needed.
-    nblocks = max(1, -(-emb.count() // block_size))
+    # is full, so no tile-side ordering care is needed. The count
+    # runs EAGERLY at call time unless ``n_vectors`` supplies it —
+    # pass a (conservative) row count to keep composition lazy.
+    n = emb.count() if n_vectors is None else n_vectors
+    nblocks = max(1, -(-n // block_size))
     v = v.withColumn(
         "blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(nblocks)).cast("long")
     )
@@ -784,21 +794,28 @@ def knn_graph_ivf(
         ).localCheckpoint(eager=False)
     )
 
-    # metadata-scale: ≤ n_centroids rows each; blocks sized per side
-    mcnt = members.groupBy("cell").count().collect()
-    scnt = sources.groupBy("cell").count().collect()
+    # per-cell block counts as a BROADCAST-joined ≤ n_centroids-row
+    # relation, not an expression literal: a create_map literal
+    # carries 2·n_centroids lit nodes into every plan that embeds it
+    # — ~100k literals at the docstring's 50k-cell regime, all
+    # analyzer cost. Also keeps the builder fully lazy (no count
+    # collect at call time).
+    def with_blk(df):
+        nblk = df.groupBy("cell").agg(
+            F.expr(f"(count(*) + {block_size} - 1) div {block_size}")
+            .alias("_nblk")
+        )
+        return (
+            df.join(F.broadcast(nblk), "cell")
+            .withColumn(
+                "blk",
+                F.pmod(F.xxhash64(F.col("vid")), F.col("_nblk")).cast("long"),
+            )
+            .drop("_nblk")
+        )
 
-    def blk_col(counts):
-        nblocks = {r["cell"]: -(-r["count"] // block_size) for r in counts}
-        return F.pmod(
-            F.xxhash64(F.col("vid")),
-            F.create_map(
-                *[F.lit(x) for c, n in sorted(nblocks.items()) for x in (c, n)]
-            )[F.col("cell")],
-        ).cast("long")
-
-    sb = sources.withColumn("blk", blk_col(scnt))
-    mb = members.withColumn("blk", blk_col(mcnt))
+    sb = with_blk(sources)
+    mb = with_blk(members)
     pairs = (
         sb.select("cell", "blk").distinct().alias("x")
         .join(
@@ -962,10 +979,13 @@ def kmeans_cells(
     pmod identity keeps Spark's truncating ``div`` and DuckDB's
     flooring ``//`` in agreement on negative sums). Ties break to the
     lower centroid id; empty cells keep their previous centroid.
-    Init is the deterministic corpus prefix (ids < k) — the
-    ``ivf_assignments`` seeding, now actually trained: this closes the
-    "production would plug trained centroids into the same plan" gap
-    that operator documents.
+    Init is the k vectors with the smallest md5(id||'|seed') —
+    deterministic and SQL-mirrorable like a corpus prefix, but
+    content-spread: ingest-ordered (e.g. sorted-by-source) corpora
+    cannot seed every centroid from one source. Trained centroids
+    plug into ``ivf_assignments``/``ann_ivf_topk`` via
+    ``kmeans_centroids`` — the "production trains, then serves the
+    same plan" loop.
 
     Plan shape per iteration (the 100 TB story):
     - assignment is ZERO-shuffle: the k centroids ride along as one
@@ -1007,27 +1027,40 @@ def kmeans_centroids(
     return cents.withColumn("cn", cn)
 
 
+def _seed_key(id_col: str):
+    """Deterministic content-spread seed order: md5 of the id plus a
+    domain tag — identical expression on both engines
+    (md5(CAST(id AS VARCHAR) || '|seed'), lowercase hex, binary
+    collation), so the picked seed SET is oracle-mirrorable."""
+    return F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit("|seed"))
+    ).asc()
+
+
 def _kmeans_iterate(
     v: DataFrame, k: int, iters: int, id_col: str
 ) -> DataFrame:
     """``iters`` Lloyd rounds over the quantized relation ``v``
     (id, q); returns the final (centroid_id, cq) relation."""
     cents = (
-        v.filter(F.col(id_col) < k)
+        v.orderBy(_seed_key(id_col), F.col(id_col).asc())
+        .limit(k)
         .select(F.col(id_col).alias("centroid_id"), F.col("q").alias("cq"))
         .localCheckpoint(eager=False)
     )
-    # deterministic prefix seeding requires ids < k to EXIST: with an
-    # id space starting above k the centroid relation is empty, every
-    # assignment comes back NULL, and downstream consumers (SemDeDup,
-    # IVF) silently treat the whole corpus as unclustered singletons —
-    # a silent-correctness hole, so fail loudly instead. The probe is
-    # one k-row-bounded job; partial seeding (< k ids) is fine (fewer
-    # cells).
+    # Content-spread deterministic seeding: the k vectors with the
+    # smallest md5(id||'|seed') — still pure and SQL-mirrorable (the
+    # oracle doctrine), but DECORRELATED from ingest order, unlike the
+    # previous ids < k prefix, which could seed every centroid from
+    # one source on a sorted-by-source corpus. orderBy+limit is a
+    # distributed TakeOrdered top-k, never a global window. It also
+    # removes the old sparse-id-space hole (ids all >= k -> zero
+    # seeds): any non-empty corpus now seeds min(n, k) centroids —
+    # only a fully EMPTY corpus is degenerate, and that fails loudly.
     if not cents.take(1):
         raise ValueError(
-            f"k-means prefix seeding found no ids < k={k}: assign dense "
-            "ids first (operators.dedup.dense_ids) or lower k"
+            "k-means seeding found an empty vector relation: nothing "
+            "to cluster"
         )
     for _ in range(iters):
         assigned = _kmeans_assign(v, cents, id_col)
@@ -1248,7 +1281,7 @@ def semdedup(
     from .dedup import connected_components
 
     # Numeric ids are a hard requirement of the k-means stage (the
-    # deterministic `ids < k` seeding and the keeper struct-max), not
+    # integer centroid-id tie-breaks and the keeper struct-max), not
     # just of this kernel — fail with the contract instead of a
     # confusing Arrow cast error deep in the job.
     id_type = emb.schema[id_col].dataType
@@ -1256,9 +1289,10 @@ def semdedup(
         id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     ):
         raise ValueError(
-            f"semdedup requires an integral {id_col} (k-means seeds "
-            f"centroids from ids < k); got {id_type.simpleString()}. "
-            "Assign dense ids first (operators.dedup.dense_ids)."
+            f"semdedup requires an integral {id_col} (integer "
+            "centroid-id tie-breaks and keeper struct-max); got "
+            f"{id_type.simpleString()}. Assign dense ids first "
+            "(operators.dedup.dense_ids)."
         )
 
     v = scaled_vectors(emb, vec_col, id_col, scale=scale).select(

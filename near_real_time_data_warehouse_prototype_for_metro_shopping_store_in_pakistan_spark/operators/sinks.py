@@ -278,6 +278,18 @@ class ManifestParquetSink(MergeSink):
     cross-WRITER atomicity is what the Delta MERGE backend buys.
     Segment numbering skips over uncommitted (crashed) directories so
     a retry never writes into a partial segment.
+
+    ``compact(name)`` bounds the small-file growth streaming cadence
+    causes (one immutable segment dir per micro-batch, forever):
+    it rewrites every live segment into ONE new segment whose rows
+    carry their first-admission snapshot number in a ``_snapshot``
+    column and whose manifest lists the ``covers`` snapshot numbers —
+    so all historical ``snapshots()``/``read_at()``/``added_between()``
+    answers are preserved bit-for-bit while the read path drops from
+    O(batches) directories to O(compactions). The covering manifest
+    write is the commit point (covered dirs become invisible the
+    instant it lands, deleted afterwards as cleanup), keeping the
+    crash-atomicity story intact.
     """
 
     def _table_dir(self, name: str) -> str:
@@ -285,12 +297,21 @@ class ManifestParquetSink(MergeSink):
 
     def _segments(
         self, name: str
-    ) -> tuple[list[tuple[int, str]], list[int], int]:
-        """(committed NON-EMPTY (number, dir) ascending, ALL committed
-        numbers ascending, next free segment number). A
-        fully-deduplicated replay batch commits a zero-file segment —
-        valid (the commit records the batch happened, and it is a
-        snapshot id) but skipped by scans, since an empty parquet
+    ) -> tuple[list[tuple[int, str, list[int] | None]], list[int], int]:
+        """(live committed NON-EMPTY (number, dir, covers) ascending,
+        ALL committed snapshot numbers ascending, next free segment
+        number).
+
+        ``covers`` is None for a plain per-batch segment and the list
+        of superseded snapshot numbers for a compacted segment (whose
+        rows carry a ``_snapshot`` first-admission column). A segment
+        whose number appears in any committed segment's ``covers`` is
+        superseded: its directory is skipped by scans (and normally
+        deleted by ``compact``), but its number remains a valid
+        snapshot, answered from the covering segment's ``_snapshot``
+        column. A fully-deduplicated replay batch commits a zero-file
+        segment — valid (the commit records the batch happened, and it
+        is a snapshot id) but skipped by scans, since an empty parquet
         directory has no schema."""
         import json
 
@@ -302,18 +323,34 @@ class ManifestParquetSink(MergeSink):
             for d in os.listdir(tdir)
             if d.startswith("seg_") and d[4:].isdigit()
         )
-        committed, all_nums = [], []
+        committed = []  # (num, dir, covers, nonempty)
+        superseded: set[int] = set()
         for n, p in segs:
             try:
                 with open(os.path.join(p, "_COMMITTED.json")) as fh:
-                    nonempty = bool(json.load(fh)["files"])
+                    meta = json.load(fh)
+                    nonempty = bool(meta["files"])
             except (OSError, ValueError, KeyError):
                 continue  # uncommitted / crashed — invisible
-            all_nums.append(n)
-            if nonempty:
-                committed.append((n, p))
-        nxt = segs[-1][0] + 1 if segs else 0
-        return committed, all_nums, nxt
+            covers = meta.get("covers")
+            if covers is not None:
+                superseded.update(covers)
+            committed.append((n, p, covers, nonempty))
+        all_nums = sorted(
+            {n for n, _, _, _ in committed} | superseded
+        )
+        live = [
+            (n, p, covers)
+            for n, p, covers, nonempty in committed
+            if nonempty and n not in superseded
+        ]
+        # next free number clears every number ever seen: present dirs
+        # (committed or crashed) AND covered numbers whose dirs may
+        # already be deleted — a reused snapshot id would corrupt
+        # time travel
+        seen = {n for n, _ in segs} | superseded
+        nxt = max(seen) + 1 if seen else 0
+        return live, all_nums, nxt
 
     def snapshots(self, name: str) -> list[int]:
         """Committed segment numbers, ascending — every one is a
@@ -329,30 +366,43 @@ class ManifestParquetSink(MergeSink):
 
     def read_at(self, name: str, snapshot: int) -> DataFrame | None:
         """The table as of ``snapshot`` (inclusive): the union of
-        committed non-empty segments numbered <= snapshot. None when
-        nothing visible at that point."""
-        committed, all_nums, _ = self._segments(name)
+        committed non-empty segments numbered <= snapshot, plus — for
+        compacted segments — their rows whose first-admission
+        ``_snapshot`` is <= snapshot. Identical before and after
+        ``compact`` by construction. None when nothing visible at that
+        point."""
+        live, all_nums, _ = self._segments(name)
         if snapshot not in all_nums:
             raise ValueError(
                 f"unknown snapshot {snapshot} for table {name!r}: "
                 f"committed snapshots are {all_nums}"
             )
-        visible = [p for n, p in committed if n <= snapshot]
-        if not visible:
-            return None
         out = None
-        for seg in visible:
-            df = self.spark.read.parquet(seg)
+        for n, seg, covers in live:
+            if covers is None:
+                if n > snapshot:
+                    continue
+                df = self.spark.read.parquet(seg)
+            else:
+                if covers and min(covers) > snapshot:
+                    continue
+                df = (
+                    self.spark.read.parquet(seg)
+                    .filter(F.col("_snapshot") <= F.lit(snapshot))
+                    .drop("_snapshot")
+                )
             out = df if out is None else out.unionByName(df)
         return out
 
     def read(self, name: str) -> DataFrame | None:
-        committed, _, _ = self._segments(name)
-        if not committed:
+        live, _, _ = self._segments(name)
+        if not live:
             return None
         out = None
-        for _, seg in committed:
+        for _, seg, covers in live:
             df = self.spark.read.parquet(seg)
+            if covers is not None:
+                df = df.drop("_snapshot")
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -374,9 +424,12 @@ class ManifestParquetSink(MergeSink):
         ``read_at(name, s)`` minus the tag column, and
         ``added_between(name, a, b)`` equals ``read_at(b)`` minus
         ``read_at(a)`` by key — asserted by the sink contract tests.
-        None when no committed non-empty segment falls in the range.
+        Compacted segments answer from their persisted per-row
+        ``_snapshot`` column, so the diff survives ``compact``
+        unchanged. None when no committed non-empty segment falls in
+        the range.
         """
-        committed, all_nums, _ = self._segments(name)
+        live, all_nums, _ = self._segments(name)
         for label, s in (("until", until), ("since", since)):
             if s is not None and s not in all_nums:
                 raise ValueError(
@@ -388,14 +441,21 @@ class ManifestParquetSink(MergeSink):
                 f"since snapshot {since} is after until snapshot {until}"
             )
         lo = -1 if since is None else since
-        visible = [(n, p) for n, p in committed if lo < n <= until]
-        if not visible:
-            return None
         out = None
-        for n, seg in visible:
-            df = self.spark.read.parquet(seg).withColumn(
-                "_snapshot", F.lit(n).cast("long")
-            )
+        for n, seg, covers in live:
+            if covers is None:
+                if not (lo < n <= until):
+                    continue
+                df = self.spark.read.parquet(seg).withColumn(
+                    "_snapshot", F.lit(n).cast("long")
+                )
+            else:
+                if covers and (min(covers) > until or max(covers) <= lo):
+                    continue
+                df = self.spark.read.parquet(seg).filter(
+                    (F.col("_snapshot") > F.lit(lo))
+                    & (F.col("_snapshot") <= F.lit(until))
+                )
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -431,6 +491,103 @@ class ManifestParquetSink(MergeSink):
         # the single manifest write IS the commit point
         with open(os.path.join(seg_dir, "_COMMITTED.json"), "w") as fh:
             json.dump({"files": files}, fh)
+
+    def compact(
+        self,
+        name: str,
+        upto: int | None = None,
+        target_partitions: int = 1,
+    ) -> int | None:
+        """Rewrite every live committed segment numbered <= ``upto``
+        (default: all of them) into ONE new segment, committed as a
+        new snapshot, and delete the superseded directories.
+
+        Streaming cadence commits one immutable segment directory per
+        micro-batch forever; without compaction the read path unions
+        thousands of tiny parquet dirs — the classic small-file
+        scale-killer (the MySQL table the reference upserts into,
+        src/Meshjoin.java:612-626, never fragments because the storage
+        engine compacts under it). This is the manifest backend's
+        equivalent of Delta's OPTIMIZE.
+
+        History is preserved exactly: each row in the compacted
+        segment carries its FIRST-ADMISSION snapshot number in a
+        ``_snapshot`` column and the manifest records the ``covers``
+        list, so ``snapshots()`` still returns every historical id and
+        ``read_at``/``added_between`` answer identically before and
+        after (asserted by tests/test_sinks.py). Crash-atomic like
+        every other commit here: the covering manifest write is the
+        commit point — a crash before it leaves an invisible orphan
+        and the old segments intact; a crash after it (mid-cleanup)
+        leaves covered dirs that every reader already skips.
+
+        ``target_partitions`` bounds the output file count (per hive
+        partition value when partitioned); size it so compacted files
+        land near the 128 MB-1 GB parquet sweet spot at scale.
+
+        Returns the new snapshot number, or None when fewer than two
+        live segments fall in range (nothing to compact).
+        """
+        import glob
+        import json
+        import shutil
+
+        live, all_nums, nxt = self._segments(name)
+        if upto is None:
+            upto = max((n for n, _, _ in live), default=-1)
+        targets = [(n, p, c) for n, p, c in live if n <= upto]
+        if len(targets) < 2:
+            return None
+        # empty committed segments <= upto are covered too (their dirs
+        # hold only a manifest; their snapshot ids live on in covers)
+        covers: set[int] = set()
+        empty_dirs: list[str] = []
+        tdir = self._table_dir(name)
+        live_nums = {n for n, _, _ in live}
+        for s in all_nums:
+            if s <= upto and s not in live_nums:
+                covers.add(s)
+                d = os.path.join(tdir, f"seg_{s}")
+                if os.path.isdir(d):
+                    empty_dirs.append(d)
+        for n, _, c in targets:
+            covers.add(n)
+            if c:
+                covers.update(c)
+        out = None
+        for n, seg, c in sorted(targets):
+            df = self.spark.read.parquet(seg)
+            if c is None:
+                df = df.withColumn("_snapshot", F.lit(n).cast("long"))
+            out = df if out is None else out.unionByName(df)
+        parts = self.partitioning.get(name)
+        if parts:
+            # one task per hive value -> one file per value per
+            # target partition
+            out = out.repartition(target_partitions, *parts)
+        else:
+            out = out.coalesce(target_partitions)
+        seg_dir = os.path.join(tdir, f"seg_{nxt}")
+        writer = out.write.mode("error")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(seg_dir)
+        files = sorted(
+            os.path.relpath(p, seg_dir)
+            for p in glob.glob(
+                os.path.join(seg_dir, "**", "*.parquet"), recursive=True
+            )
+        )
+        # the covering manifest write IS the commit point: from here
+        # the covered segments are invisible to every reader
+        with open(os.path.join(seg_dir, "_COMMITTED.json"), "w") as fh:
+            json.dump({"files": files, "covers": sorted(covers)}, fh)
+        # cleanup, not commit: readers already skip these
+        for _, p, _ in targets:
+            shutil.rmtree(p, ignore_errors=True)
+        for p in empty_dirs:
+            shutil.rmtree(p, ignore_errors=True)
+        return nxt
 
 
 def delta_session_builder_conf() -> dict[str, str]:

@@ -624,6 +624,12 @@ def compression_stats(
 # LM_SCALE·V/c-ish small values, rare ones score large.
 LM_SCALE = 1_000_000
 
+# Row bound under which a min_count-pruned LM model relation is
+# broadcast into the score join (~50 B/gram row → ~50 MB at the
+# bound). The floor exists to shrink the model 36-426×; paying a
+# full shuffle join against a relation that small inverts the point.
+LM_BROADCAST_MODEL_ROWS = 1_000_000
+
 
 def _gram_array(text_col: str, n: int = 2):
     """array<struct<ctx,w>> of order-``n`` lowercase token grams:
@@ -801,13 +807,28 @@ def lm_surprisal_stats(
             lm_docs, text_col, n, lang_col=lang_col
         ).localCheckpoint(eager=False)
         how = "left"  # held-out: OOV grams score the Laplace floor
+    broadcast_model = False
     if min_count > 1:
         # the production floor: one filter on the count relation;
         # pruned grams become indistinguishable from OOV, so the
         # score join must tolerate misses even when self-trained
-        c2 = c2.filter(F.col("c2") >= min_count)
+        c2 = c2.filter(F.col("c2") >= min_count).localCheckpoint(
+            eager=False
+        )
         how = "left"
+        # A floored model is bounded by the grams that REPEAT
+        # (≤ corpus_tokens/min_count rows, measured 36-426× cuts at
+        # min_count 2-5) — when it fits the broadcast budget the
+        # score join should be a broadcast hash join, not a shuffle
+        # of the full per-doc gram relation. One metadata-bounded
+        # count decides (the checkpoint pins the pruned relation so
+        # the decision pass is not recomputed by the join); cost-based
+        # like the fused/iterative component walk.
+        broadcast_model = c2.count() <= LM_BROADCAST_MODEL_ROWS
     c1 = c2.groupBy(*mk, "ctx").agg(F.sum("c2").alias("c1"))
+    if broadcast_model:
+        c2 = F.broadcast(c2)
+        c1 = F.broadcast(c1)
     # V = distinct tokens participating in any model gram (derived
     # from the count relation by re-splitting the joined context — a
     # vocab²-bounded pass, never a second raw-token scan; <n-token

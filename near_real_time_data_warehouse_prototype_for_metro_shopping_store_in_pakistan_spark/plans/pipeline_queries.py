@@ -470,7 +470,11 @@ def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_IVF_CELLS = 8
-KNN_IVF_PROBE = 2
+# default probe chosen FROM the knn_recall_report curve: smallest
+# level with recall >= 0.8 at the sf0.01 gate (probe 4 = 7813 bp,
+# probe 5 = 8646 bp); the full dial stays pinned as data by the
+# report's KNN_PROBE_GRID rows
+KNN_IVF_PROBE = 5
 
 
 def embed_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,45 +500,60 @@ def embed_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_PROBE_GRID = (1, 2, 4, 5, 8)  # 5 = the chosen default
+# (KNN_IVF_PROBE); 8 = every cell: recall must hit 10000
+
+
 def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge recall of the cell-bounded graph against the exact graph —
     same role `ann_recall_report` plays for query serving: the
     per-variant oracles prove each graph computes its own definition
     exactly; this pins whether the approximation is any GOOD, as an
     integer-exact measured number (recall_bp = basis points of exact
-    edges recovered)."""
+    edges recovered).
+
+    One row per ``KNN_PROBE_GRID`` point, so the full accuracy/cost
+    dial — recall_bp vs the linear n_probe cost factor — is pinned as
+    DATA, not a single operating point: probe=all-cells must read
+    10000 (the structural upper bound), and the default
+    ``KNN_IVF_PROBE`` is chosen from this curve (recall ≥ 0.8 at the
+    gate scale)."""
     emb = table(spark, sf_dir, "embeddings")
     exact = (
         similarity.knn_graph(emb, k=KNN_GRAPH_K)
         .select("vec_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
-    approx = similarity.knn_graph_ivf(
-        emb, k=KNN_GRAPH_K, n_centroids=KNN_IVF_CELLS, n_probe=KNN_IVF_PROBE
-    ).select("vec_id", "neighbor_id")
     e = exact.agg(F.count(F.lit(1)).alias("exact_edges"))
-    a = approx.agg(F.count(F.lit(1)).alias("ivf_edges"))
-    m = exact.join(approx, ["vec_id", "neighbor_id"]).agg(
-        F.count(F.lit(1)).alias("matched_edges")
-    )
-    return (
-        e.crossJoin(a)
-        .crossJoin(m)
-        .select(
-            F.lit(KNN_GRAPH_K).cast("int").alias("k"),
-            F.lit(KNN_IVF_CELLS).cast("int").alias("cells"),
-            F.lit(KNN_IVF_PROBE).cast("int").alias("probe"),
-            "exact_edges",
-            "ivf_edges",
-            "matched_edges",
-            # integer division on both engines (Spark `div`, DuckDB
-            # `//`) — a double quotient cast would ROUND in DuckDB
-            # and TRUNCATE in Spark
-            F.expr("div(matched_edges * 10000, exact_edges)")
-            .cast("long")
-            .alias("recall_bp"),
+    out = None
+    for p in KNN_PROBE_GRID:
+        approx = similarity.knn_graph_ivf(
+            emb, k=KNN_GRAPH_K, n_centroids=KNN_IVF_CELLS, n_probe=p
+        ).select("vec_id", "neighbor_id")
+        a = approx.agg(F.count(F.lit(1)).alias("ivf_edges"))
+        m = exact.join(approx, ["vec_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("matched_edges")
         )
-    )
+        row = (
+            e.crossJoin(a)
+            .crossJoin(m)
+            .select(
+                F.lit(KNN_GRAPH_K).cast("int").alias("k"),
+                F.lit(KNN_IVF_CELLS).cast("int").alias("cells"),
+                F.lit(p).cast("int").alias("probe"),
+                "exact_edges",
+                "ivf_edges",
+                "matched_edges",
+                # integer division on both engines (Spark `div`,
+                # DuckDB `//`) — a double quotient cast would ROUND
+                # in DuckDB and TRUNCATE in Spark
+                F.expr("div(matched_edges * 10000, exact_edges)")
+                .cast("long")
+                .alias("recall_bp"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,6 +758,17 @@ def corpus_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass), then an equi-join + one aggregate (see operators.bpe)."""
     docs = table(spark, sf_dir, "documents")
     return bpe.bpe_token_counts(docs, bpe.train_merges(docs))
+
+
+def corpus_bpe_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row vocabulary-coverage report for the learned merge
+    table: what fraction of corpus tokens at least one merge touches
+    (coverage_permille) and the aggregate char→subword compression
+    (bpe_char_permille) — the train-time stat that says whether
+    n_merges was worth it on this corpus (see
+    operators.bpe.bpe_coverage)."""
+    docs = table(spark, sf_dir, "documents")
+    return bpe.bpe_coverage(docs, bpe.train_merges(docs))
 
 
 BPE_CHUNK_TOKENS = 32
@@ -1275,6 +1305,32 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMANTIC_DEDUP_THRESHOLD = 0.9  # hashed-sketch cosine (runs higher
+# than token Jaccard: 0.9 ~ strong bag-of-words overlap)
+SEMANTIC_DEDUP_CELLS = 8
+
+
+def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The facade's text-only SEMANTIC dedup path end-to-end
+    (CorpusPipeline.dedup(method='semantic')): feature-hashed
+    bag-of-words sketches → k-means cells → SemDeDup within-cell pair
+    search → farthest-from-centroid keeper per component → keepers
+    joined back onto the docs. Composes the hashed-embedding and
+    semdedup operators this contract already pins individually; this
+    row pins their COMPOSITION as one oracle answer."""
+    from ..corpus_pipeline import CorpusPipeline
+
+    docs = table(spark, sf_dir, "documents")
+    cp = CorpusPipeline(spark, "/tmp/_unused_semantic_dedup_root")
+    kept = cp.dedup(
+        docs,
+        threshold=SEMANTIC_DEDUP_THRESHOLD,
+        method="semantic",
+        semantic_cells=SEMANTIC_DEDUP_CELLS,
+    )
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
 def corpus_interdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-document duplicate-content coverage per doc
     (ExactSubstr-lite, operators.text_profile.interdoc_dup_stats)."""
@@ -1399,6 +1455,7 @@ PIPELINE_QUERIES = {
     "snapshot_added_between": snapshot_added_between,
     "corpus_bpe_merges": corpus_bpe_merges,
     "corpus_bpe_token_stats": corpus_bpe_token_stats,
+    "corpus_bpe_coverage": corpus_bpe_coverage,
     "corpus_bpe_chunk_plan": corpus_bpe_chunk_plan,
     "events_asof_prior_click": events_asof_prior_click,
     "events_range_join_sessions": events_range_join_sessions,
@@ -1424,6 +1481,7 @@ PIPELINE_QUERIES = {
     "stream_embed_admission": stream_embed_admission,
     "stream_substr_admission": stream_substr_admission,
     "corpus_interdoc_dup": corpus_interdoc_dup,
+    "corpus_semantic_dedup": corpus_semantic_dedup,
     "embed_semdedup": embed_semdedup,
     "text_compression": text_compression,
     "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -2551,52 +2609,66 @@ SELECT vec_id, neighbor_id, rnk, cosine FROM kext WHERE rnk <= {KNN_GRAPH_K}
 """
 
 
-def _knn_ivf_ctes(iters: int) -> str:
-    """Mirror of similarity.knn_graph_ivf's probed cell confinement:
-    members rank by the final-centroid argmin (same tie order as the
-    k-means oracle), sources probe their top-``KNN_IVF_PROBE`` cells,
-    and the directed dot relation is restricted to (source-probed
-    cell = member home cell); ranking is the exact chain's total
-    order. Expects v/elem/norms (_SCALED_VECS) and the trained
-    c{iters} list (_kmeans_ctes). Blocking-invariance is structural:
-    the Spark side tiles WITHIN (probed cell) only, so the examined
-    pair set is exactly this one."""
+def _knn_ivf_base_ctes(iters: int) -> str:
+    """Probe-independent half of the IVF graph oracle: member argmin
+    assignment + the full per-source cell ranking (kranked) both the
+    home-cell and every probe slice derive from. Expects v/elem/norms
+    (_SCALED_VECS) and the trained c{iters} list (_kmeans_ctes)."""
     dist = _KMEANS_DIST
     return f"""
-kranked AS (
+kranked AS MATERIALIZED (
     SELECT vec_id, centroid_id AS cell,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY {dist}, c.centroid_id) AS rn
     FROM v CROSS JOIN c{iters} c
 ),
-kassign AS (SELECT vec_id, cell FROM kranked WHERE rn = 1),
-kprobe AS (SELECT vec_id, cell FROM kranked WHERE rn <= {KNN_IVF_PROBE}),
-ikdots AS (
+kassign AS (SELECT vec_id, cell FROM kranked WHERE rn = 1)"""
+
+
+def _knn_ivf_probe_ctes(probe: int, sfx: str = "") -> str:
+    """Probe-dependent half, name-suffixed so one query can carry
+    several probe levels: sources examine the members of their top-
+    ``probe`` cells, dots/cosine/rank mirror the exact chain's total
+    order. Blocking-invariance is structural: the Spark side tiles
+    WITHIN (probed cell) only, so the examined pair set is exactly
+    this one."""
+    return f"""
+kprobe{sfx} AS (SELECT vec_id, cell FROM kranked WHERE rn <= {probe}),
+ikdots{sfx} AS (
     SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.val * b.val) AS dot
     FROM elem a
     JOIN elem b ON a.i = b.i AND a.vec_id <> b.vec_id
-    JOIN kprobe pa ON pa.vec_id = a.vec_id
+    JOIN kprobe{sfx} pa ON pa.vec_id = a.vec_id
     JOIN kassign cb ON cb.vec_id = b.vec_id AND cb.cell = pa.cell
     GROUP BY 1, 2
 ),
-ikcos AS (
+ikcos{sfx} AS (
     SELECT va AS vec_id, vb AS neighbor_id,
            CAST(dot AS DOUBLE)
            / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE)))
            AS cosine
-    FROM ikdots
+    FROM ikdots{sfx}
     JOIN norms na ON va = na.vec_id
     JOIN norms nb ON vb = nb.vec_id
     WHERE na.norm_sq > 0 AND nb.norm_sq > 0
 ),
-ik AS (
+ik{sfx} AS (
     SELECT vec_id, neighbor_id, cosine,
            CAST(row_number() OVER (PARTITION BY vec_id
                                    ORDER BY cosine DESC, neighbor_id ASC)
                 AS INT) AS rnk
-    FROM ikcos
-)
-"""
+    FROM ikcos{sfx}
+)"""
+
+
+def _knn_ivf_ctes(iters: int) -> str:
+    """Mirror of similarity.knn_graph_ivf at the default
+    KNN_IVF_PROBE (unsuffixed names, as the graph oracle expects)."""
+    return (
+        _knn_ivf_base_ctes(iters)
+        + ","
+        + _knn_ivf_probe_ctes(KNN_IVF_PROBE)
+    )
 
 
 def _knn_clusters_oracle() -> str:
@@ -2634,25 +2706,46 @@ SELECT vec_id, neighbor_id, rnk, cosine FROM ik WHERE rnk <= {KNN_GRAPH_K}
 
 
 def _knn_recall_oracle(iters: int = 2) -> str:
+    """One row per KNN_PROBE_GRID point: the probe-independent CTEs
+    (scaled vectors, trained centroids, the exact graph, kranked) are
+    shared; each probe level contributes a suffixed slice + one
+    report row."""
     k = KNN_GRAPH_K
-    return f"""WITH {_SCALED_VECS},
-{_kmeans_ctes(KNN_IVF_CELLS, iters, with_v=False)},
-{_KNN_EXACT_CTES},
-{_knn_ivf_ctes(iters)},
-ee AS (SELECT vec_id, neighbor_id FROM kext WHERE rnk <= {k}),
-ie AS (SELECT vec_id, neighbor_id FROM ik WHERE rnk <= {k}),
-mm AS (SELECT count(*) AS matched_edges
-       FROM ee JOIN ie USING (vec_id, neighbor_id))
-SELECT CAST({k} AS INT) AS k,
+    parts = [
+        _SCALED_VECS,
+        _kmeans_ctes(KNN_IVF_CELLS, iters, with_v=False),
+        _KNN_EXACT_CTES,
+        _knn_ivf_base_ctes(iters),
+        f"ee AS MATERIALIZED (SELECT vec_id, neighbor_id FROM kext "
+        f"WHERE rnk <= {k})",
+    ]
+    rows = []
+    for p in KNN_PROBE_GRID:
+        sfx = f"_p{p}"
+        parts.append(_knn_ivf_probe_ctes(p, sfx))
+        parts.append(
+            f"ie{sfx} AS (SELECT vec_id, neighbor_id FROM ik{sfx} "
+            f"WHERE rnk <= {k})"
+        )
+        parts.append(
+            f"""mm{sfx} AS (
+    SELECT count(*) AS matched_edges
+    FROM ee JOIN ie{sfx} USING (vec_id, neighbor_id))"""
+        )
+        rows.append(
+            f"""SELECT CAST({k} AS INT) AS k,
        CAST({KNN_IVF_CELLS} AS INT) AS cells,
-       CAST({KNN_IVF_PROBE} AS INT) AS probe,
+       CAST({p} AS INT) AS probe,
        (SELECT count(*) FROM ee) AS exact_edges,
-       (SELECT count(*) FROM ie) AS ivf_edges,
+       (SELECT count(*) FROM ie{sfx}) AS ivf_edges,
        matched_edges,
        CAST(matched_edges * 10000 // (SELECT count(*) FROM ee) AS BIGINT)
            AS recall_bp
-FROM mm
-"""
+FROM mm{sfx}"""
+        )
+    ctes = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(rows)
+    return f"WITH {ctes}\n{union}\n"
 
 
 _PUNCT = "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INT)"
@@ -2891,6 +2984,64 @@ SELECT d.doc_id,
        COALESCE(p.n_ws_tokens, 0) AS n_ws_tokens,
        COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens
 FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+def _bpe_coverage_oracle() -> str:
+    """Training CTEs + the token-stats oracle's recursive
+    segmentation over the (distinct) word-count relation, then one
+    global aggregate — mirrors operators.bpe.bpe_coverage (integer
+    `//` permilles)."""
+    rk_list = (
+        "list_transform(generate_series(1, len(syms) - 1), "
+        "j -> NULLIF(list_position(ml, syms[j] || chr(1) || syms[j + 1]),"
+        " 0))"
+    )
+    return f"""
+WITH RECURSIVE {_bpe_training_ctes()},
+mlist AS MATERIALIZED (
+    SELECT COALESCE(list(pr ORDER BY rank), CAST([] AS VARCHAR[])) AS ml
+    FROM mt
+),
+init AS (
+    SELECT word,
+           list_transform(generate_series(1, length(word)),
+                          i -> word[i]) AS syms
+    FROM (SELECT word FROM wc)
+),
+seg AS (
+    SELECT word, syms FROM init
+    UNION ALL
+    SELECT word,
+           list_concat(list_concat(
+               list_slice(syms, 1, bi - 1),
+               [syms[bi] || syms[bi + 1]]),
+               list_slice(syms, bi + 2, len(syms))) AS syms
+    FROM (
+        SELECT word, syms,
+               list_position(rk, list_min(
+                   list_filter(rk, x -> x IS NOT NULL))) AS bi
+        FROM (
+            SELECT word, syms, {rk_list} AS rk
+            FROM seg CROSS JOIN mlist
+        )
+    ) WHERE bi IS NOT NULL AND bi > 0
+),
+fixp AS (
+    SELECT word, len(syms) AS n_bpe FROM (
+        SELECT word, syms,
+               list_min(list_filter({rk_list}, x -> x IS NOT NULL)) AS br
+        FROM seg CROSS JOIN mlist
+    ) WHERE br IS NULL
+)
+SELECT CAST(SUM(wcnt) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN n_bpe < length(word) THEN wcnt ELSE 0 END)
+            AS BIGINT) AS covered_tokens,
+       CAST(SUM(CASE WHEN n_bpe < length(word) THEN wcnt ELSE 0 END)
+            * 1000 // SUM(wcnt) AS BIGINT) AS coverage_permille,
+       CAST(SUM(wcnt * n_bpe) * 1000 // SUM(wcnt * length(word))
+            AS BIGINT) AS bpe_char_permille
+FROM wc JOIN fixp USING (word)
 """
 
 
@@ -3311,10 +3462,15 @@ def _kmeans_ctes(
         else ""
     )
     p = prefix
+    # content-spread deterministic seeding — mirrors
+    # similarity._seed_key: the k ids with the smallest
+    # md5(id||'|seed'), id tie-break (lowercase hex on both engines)
     ctes = [
         head
         + f"{p}c0 AS (SELECT vec_id AS centroid_id, q AS cq "
-        f"FROM {src} WHERE vec_id < {k})"
+        f"FROM {src} "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR) || '|seed'), vec_id "
+        f"LIMIT {k})"
     ]
     for t in range(iters):
         ctes.append(
@@ -4446,18 +4602,14 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
 """
 
 
-def _semdedup_oracle(
-    k: int = ANN_IVF_CENTROIDS // 2,
-    iters: int = 2,
-    threshold: float = NEARDUP_COSINE_THRESHOLD,
-) -> str:
-    """Mirror similarity.semdedup: the unrolled k-means CTEs (shared
-    with the kmeans/IVF oracles), within-cell exact integer dots, the
-    recursive min-label component walk (as in _clusters_oracle), and
-    farthest-from-centroid keeper selection."""
+def _semdedup_chain_ctes(iters: int, threshold: float) -> str:
+    """The SemDeDup chain downstream of a quantized relation ``v`` +
+    trained ``c{iters}`` centroids: argmin assignment, within-cell
+    exact integer dots, the recursive min-label component walk, and
+    farthest-from-centroid keeper selection. Shared by the embedding
+    SemDeDup oracle and the text-only (hashed-sketch) composition."""
     dist = _KMEANS_DIST
-    return f"""WITH RECURSIVE {_kmeans_ctes(k, iters)},
-assign AS (
+    return f"""assign AS (
     SELECT vec_id, q, centroid_id AS cell, CAST(d AS BIGINT) AS dist_sq FROM (
         SELECT v.vec_id, v.q, c.centroid_id, {dist} AS d,
                row_number() OVER (
@@ -4508,10 +4660,55 @@ keeper AS (
             PARTITION BY component ORDER BY dist_sq DESC, vec_id) AS rn
         FROM members
     ) WHERE rn = 1
-)
+)"""
+
+
+def _semdedup_oracle(
+    k: int = ANN_IVF_CENTROIDS // 2,
+    iters: int = 2,
+    threshold: float = NEARDUP_COSINE_THRESHOLD,
+) -> str:
+    """Mirror similarity.semdedup over the embeddings table: the
+    unrolled k-means CTEs (shared with the kmeans/IVF oracles) + the
+    shared SemDeDup chain."""
+    return f"""WITH RECURSIVE {_kmeans_ctes(k, iters)},
+{_semdedup_chain_ctes(iters, threshold)}
 SELECT m.vec_id, m.cell, m.component, kp.keeper_vec_id,
        m.vec_id = kp.keeper_vec_id AS is_keeper
 FROM members m JOIN keeper kp USING (component)
+"""
+
+
+def _semantic_dedup_oracle(iters: int = 2) -> str:
+    """The facade's text-only semantic dedup as ONE composed query:
+    hashed sketches (hcomp) densified to a quantized relation ``v``
+    (scale=1 — sketch components are already integers), the unrolled
+    k-means CTEs over it, the shared SemDeDup chain at the sketch
+    threshold, and the keeper set joined back onto documents —
+    mirrors CorpusPipeline.dedup(method='semantic')."""
+    from ..operators.text_profile import HASH_EMBED_DIM
+
+    return f"""WITH RECURSIVE {_hashed_components_cte().strip().rstrip()},
+hgrid AS (
+    SELECT d.doc_id, b.bucket, COALESCE(h.val, 0) AS val
+    FROM documents d
+    CROSS JOIN (SELECT unnest(generate_series(0, {HASH_EMBED_DIM - 1}))
+                AS bucket) b
+    LEFT JOIN hcomp h ON h.doc_id = d.doc_id AND h.bucket = b.bucket
+),
+v AS MATERIALIZED (
+    SELECT doc_id AS vec_id, list(val ORDER BY bucket) AS q
+    FROM hgrid GROUP BY doc_id
+),
+{_kmeans_ctes(SEMANTIC_DEDUP_CELLS, iters, with_v=False)},
+{_semdedup_chain_ctes(iters, SEMANTIC_DEDUP_THRESHOLD)}
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN (
+    SELECT m.vec_id FROM members m
+    JOIN keeper kp USING (component)
+    WHERE m.vec_id = kp.keeper_vec_id
+) kk ON d.doc_id = kk.vec_id
 """
 
 
@@ -4575,6 +4772,7 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "snapshot_added_between": ORACLE_SNAPSHOT_ADDED_BETWEEN,
     "corpus_bpe_merges": _bpe_merges_oracle(),
     "corpus_bpe_token_stats": _bpe_token_stats_oracle(),
+    "corpus_bpe_coverage": _bpe_coverage_oracle(),
     "corpus_bpe_chunk_plan": _bpe_chunk_oracle(),
     "events_asof_prior_click": ORACLE_EVENTS_ASOF,
     "events_range_join_sessions": ORACLE_EVENTS_RANGEJOIN,
@@ -4603,6 +4801,7 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "stream_embed_admission": _stream_embed_admission_oracle(),
     "stream_substr_admission": _stream_substr_admission_oracle(),
     "corpus_interdoc_dup": _interdoc_oracle(),
+    "corpus_semantic_dedup": _semantic_dedup_oracle(),
     "embed_semdedup": _semdedup_oracle(),
     "dedup_simhash_pairs": _simhash_pairs_oracle(),
     "text_langid_confusion": _langid_confusion_oracle(),

@@ -86,7 +86,11 @@ def test_replay_is_noop(spark, sf_dir, tmp_path):
 
 def test_serve_scan_reads_only_probed_cells(spark, sf_dir, tmp_path):
     emb, cents = _ingest(spark, sf_dir, tmp_path)
-    queries = emb.filter(F.col("vec_id") < 2).select(
+    # ONE query: its probe set is <= N_PROBE cells, necessarily a
+    # strict subset of K_CELLS (two queries could legitimately cover
+    # all 4 cells now that md5 seeding decorrelates the centroids
+    # from the low ids)
+    queries = emb.filter(F.col("vec_id") < 1).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     probe = {

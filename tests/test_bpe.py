@@ -214,3 +214,47 @@ def test_training_survives_separator_bearing_words(spark):
         for r in bpe_token_counts(docs, merges).collect()
     }
     assert counts[2] == 4 * 3  # x,\x01,y per occurrence — chars, no merge
+
+
+def test_incremental_trainer_equals_full_recount(spark):
+    """The incremental pair-count trainer must pick the SAME merge
+    sequence as a full recount per step (_best_pair) — on a corpus
+    rich in repeated-pair words ("aaaa", overlapping merges) where a
+    stale index or a wrong delta would diverge."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.bpe import (
+        PAIR_SEP,
+        _best_pair,
+        _merge_leftmost,
+        train_merges,
+        word_counts,
+    )
+
+    texts = [
+        "aaaa aaaa aaa banana banana bandana",
+        "abab abab ababab cacao cacao",
+        "the the the then them theme",
+        "aaaa banana abab then",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for n_merges in (1, 5, 12, 40):
+        got = train_merges(docs, n_merges=n_merges, top_words=50)
+        # reference: full recount per step
+        top = (
+            word_counts(docs)
+            .orderBy(F.col("wcnt").desc(), F.col("word").asc())
+            .limit(50)
+            .collect()
+        )
+        vocab = [(list(r["word"]), int(r["wcnt"])) for r in top]
+        want = []
+        for _ in range(n_merges):
+            best = _best_pair(vocab)
+            if best is None:
+                break
+            if best not in want:
+                want.append(best)
+            l, r = best.split(PAIR_SEP)
+            vocab = [(_merge_leftmost(s, l, r), c) for s, c in vocab]
+        assert got == want, f"diverged at n_merges={n_merges}"

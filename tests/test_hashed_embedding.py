@@ -340,17 +340,24 @@ def test_knn_clusters_transitive_chain_collapses(spark):
     assert got == {10: 10, 11: 10, 12: 10}
 
 
-def test_kmeans_refuses_unseedable_id_space(spark):
-    # ids all >= k: prefix seeding would produce an EMPTY centroid
-    # relation, NULL assignments, and silently-singleton SemDeDup —
-    # must raise with a pointer to dense_ids instead
+def test_kmeans_seeds_any_nonempty_id_space(spark):
+    # md5-ordered seeding (round 9) removed the old sparse-id hole:
+    # ids all >= k used to produce an EMPTY centroid relation (and a
+    # loud ValueError); now ANY non-empty corpus seeds min(n, k)
+    # centroids and every vector is assigned a cell. Only an EMPTY
+    # relation stays a loud error.
     import pytest
 
     emb = _emb(spark, [(1000 + i, [float(i), 1.0]) for i in range(6)])
-    with pytest.raises(ValueError, match="dense_ids"):
-        similarity.kmeans_cells(emb, k=4, iters=1).collect()
-    with pytest.raises(ValueError, match="dense_ids"):
-        similarity.semdedup(emb, k=4, threshold=0.99).collect()
+    cells = similarity.kmeans_cells(emb, k=4, iters=1).collect()
+    assert len(cells) == 6
+    assert all(r["cell"] is not None for r in cells)
+    marks = similarity.semdedup(emb, k=4, threshold=0.99).collect()
+    assert len(marks) == 6
+    with pytest.raises(ValueError, match="empty vector relation"):
+        similarity.kmeans_cells(
+            emb.filter("vec_id < 0"), k=4, iters=1
+        ).collect()
 
 
 def test_knn_clusters_ivf_graph_option(spark):

@@ -518,3 +518,22 @@ def test_knn_graph_ivf_probe_assign_is_broadcast_no_cartesian(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pruned_lm_model_join_is_broadcast(spark, sf_dir):
+    """A min_count-pruned LM model is bounded by the grams that
+    repeat; when it fits the broadcast budget the score join must be
+    a BroadcastHashJoin, not a shuffle of the per-doc gram relation —
+    the pruned path costing MORE than the unpruned one inverts the
+    floor's whole point (round-8 verdict)."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.plans.pipeline_queries import (
+        text_lm_pruned,
+    )
+
+    plan = plan_of(text_lm_pruned(spark, sf_dir))
+    # both model joins — (ctx, w) score and ctx context — broadcast;
+    # formatted explain prints each node twice (tree + details)
+    assert plan.count("BroadcastHashJoin") == 4
+    # the only shuffle join left is the final docs ⟕ per_doc attach,
+    # whose BOTH sides are corpus-sized (legitimate)
+    assert plan.count("SortMergeJoin") == 2

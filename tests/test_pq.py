@@ -202,10 +202,13 @@ def test_grouped_training_identical_to_per_subspace(spark):
     v = scaled_vectors(emb).select("vec_id", "q")
     for j in range(m):
         sub = v.select("vec_id", F.slice("q", j * w + 1, w).alias("q"))
-        want = {
-            (j, r["centroid_id"]): tuple(r["cq"])
+        ref = sorted(
+            (r["centroid_id"], tuple(r["cq"]))
             for r in _kmeans_iterate(sub, ksub, iters, "vec_id").collect()
-        }
+        )
+        # pq_codebooks relabels centroid ids to dense codes by rank
+        # (md5 seeding leaves arbitrary seed vec_ids); mirror it
+        want = {(j, code): cq for code, (_, cq) in enumerate(ref)}
         assert {k: got[k] for k in want} == want
 
 

@@ -284,3 +284,131 @@ def test_manifest_added_between_provenance(spark, tmp_path):
         sink.added_between("t", 77, 3)
     with pytest.raises(ValueError, match="after until"):
         sink.added_between("t", 3, 1)
+
+
+def _mk(spark, *ks):
+    return spark.createDataFrame(
+        [(k, f"v{k}") for k in ks], "k long, v string"
+    )
+
+
+def _hist(sink, name="t"):
+    """Full observable history of a manifest table: every snapshot's
+    row set, the current rows, and the full provenance diff."""
+    snaps = sink.snapshots(name)
+    at = {
+        s: {tuple(r) for r in (sink.read_at(name, s) or _EMPTY).collect()}
+        for s in snaps
+    }
+    full = sink.added_between(name, None, snaps[-1])
+    prov = {(r["k"], r["_snapshot"]) for r in full.collect()}
+    now = {tuple(r) for r in sink.read(name).collect()}
+    return snaps, at, prov, now
+
+
+class _Empty:
+    def collect(self):
+        return []
+
+
+_EMPTY = _Empty()
+
+
+def test_manifest_compaction_preserves_history(spark, tmp_path):
+    """compact() must be invisible to every reader: same snapshots()
+    ids, identical read_at for each historical snapshot, identical
+    added_between provenance, replays still no-ops — while the live
+    directory count collapses to one segment."""
+    sink = _sink(spark, tmp_path, "manifest")
+    sink.insert_if_absent("t", _mk(spark, 1, 2))
+    sink.insert_if_absent("t", _mk(spark, 2, 3))   # 2 replayed
+    sink.insert_if_absent("t", _mk(spark, 2, 3))   # empty snapshot 2
+    sink.insert_if_absent("t", _mk(spark, 4))
+    snaps0, at0, prov0, now0 = _hist(sink)
+    assert snaps0 == [0, 1, 2, 3]
+
+    new = sink.compact("t")
+    assert new == 4
+    snaps1, at1, prov1, now1 = _hist(sink)
+    # all historical ids survive; the compaction commit is a snapshot
+    assert snaps1 == [0, 1, 2, 3, 4]
+    for s in snaps0:
+        assert at1[s] == at0[s], f"read_at({s}) changed across compact"
+    assert at1[4] == at0[3]  # compaction adds no rows
+    assert prov1 == prov0
+    assert now1 == now0
+    # exactly one live data directory remains
+    seg_dirs = sorted(
+        d for d in (tmp_path / "t").iterdir() if d.name.startswith("seg_")
+    )
+    assert [d.name for d in seg_dirs] == ["seg_4"]
+    # replay of an already-compacted batch is still a no-op
+    sink.insert_if_absent("t", _mk(spark, 2, 3))
+    assert {tuple(r) for r in sink.read("t").collect()} == now0
+    # new batches append normally and a SECOND compaction (covering
+    # the compacted segment itself) still preserves everything
+    sink.insert_if_absent("t", _mk(spark, 9))
+    snaps2, at2, prov2, now2 = _hist(sink)
+    assert sink.compact("t") == 7
+    snaps3, at3, prov3, now3 = _hist(sink)
+    assert snaps3 == snaps2 + [7]
+    for s in snaps2:
+        assert at3[s] == at2[s]
+    assert prov3 == prov2 and now3 == now2
+
+
+def test_manifest_compaction_crash_before_cleanup(spark, tmp_path, monkeypatch):
+    """A crash between the covering-manifest commit and the covered-dir
+    deletion must leave the table fully consistent: readers skip
+    covered dirs the moment the covering manifest exists."""
+    import shutil
+
+    sink = _sink(spark, tmp_path, "manifest")
+    sink.insert_if_absent("t", _mk(spark, 1))
+    sink.insert_if_absent("t", _mk(spark, 2))
+    _, at0, prov0, now0 = _hist(sink)
+    monkeypatch.setattr(shutil, "rmtree", lambda *a, **kw: None)
+    assert sink.compact("t") == 2
+    monkeypatch.undo()
+    # covered dirs still on disk...
+    assert (tmp_path / "t" / "seg_0").is_dir()
+    # ...but invisible: no double-counting anywhere
+    snaps1, at1, prov1, now1 = _hist(sink)
+    assert snaps1 == [0, 1, 2]
+    assert at1[0] == at0[0] and at1[1] == at0[1]
+    assert prov1 == prov0 and now1 == now0
+    # next batch numbers past everything and replays stay no-ops
+    sink.insert_if_absent("t", _mk(spark, 1, 5))
+    assert {r["k"] for r in sink.read("t").collect()} == {1, 2, 5}
+    assert sink.snapshots("t") == [0, 1, 2, 3]
+
+
+def test_manifest_compaction_partitioned(spark, tmp_path):
+    """Hive-partitioned tables compact into one file per partition
+    value and keep pruning + time travel."""
+    sink = make_sink(
+        spark, str(tmp_path), keys={"t": ["k"]},
+        partitioning={"t": ["p"]}, backend="manifest",
+    )
+    b = lambda rows: spark.createDataFrame(rows, "k long, p int, v string")
+    sink.insert_if_absent("t", b([(1, 10, "a"), (2, 20, "b")]))
+    sink.insert_if_absent("t", b([(3, 10, "c")]))
+    sink.insert_if_absent("t", b([(4, 20, "d")]))
+    _, at0, _, now0 = _hist(sink)
+    assert sink.compact("t") == 3
+    _, at1, _, now1 = _hist(sink)
+    assert now1 == now0
+    for s in (0, 1, 2):
+        assert at1[s] == at0[s]
+    # partition dirs survive inside the compacted segment
+    assert (tmp_path / "t" / "seg_3" / "p=10").is_dir()
+    files = list((tmp_path / "t" / "seg_3" / "p=10").glob("*.parquet"))
+    assert len(files) == 1  # target_partitions=1 -> one file per value
+
+
+def test_manifest_compaction_too_few_segments_is_noop(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "manifest")
+    sink.insert_if_absent("t", _mk(spark, 1))
+    assert sink.compact("t") is None
+    assert sink.snapshots("t") == [0]
+    assert {r["k"] for r in sink.read("t").collect()} == {1}
