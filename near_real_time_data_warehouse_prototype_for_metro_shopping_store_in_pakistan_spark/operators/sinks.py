@@ -292,6 +292,16 @@ class ManifestParquetSink(MergeSink):
     crash-atomicity story intact.
     """
 
+    # When set, ``insert_if_absent`` compacts the table as soon as
+    # the LIVE segment count exceeds this bound — the streaming-sink
+    # policy knob that keeps the read path O(bound) directories at
+    # any micro-batch cadence without an external maintenance job.
+    # Each compaction rewrites the whole table, so a fixed bound
+    # costs O(accumulated/bound) full rewrites over the table's life:
+    # size it to the write rate, or leave None (default) and run
+    # ``compact()`` on an operator schedule instead.
+    auto_compact_segments: int | None = None
+
     def _table_dir(self, name: str) -> str:
         return self.path(name)
 
@@ -491,6 +501,10 @@ class ManifestParquetSink(MergeSink):
         # the single manifest write IS the commit point
         with open(os.path.join(seg_dir, "_COMMITTED.json"), "w") as fh:
             json.dump({"files": files}, fh)
+        if self.auto_compact_segments is not None:
+            live, _, _ = self._segments(name)
+            if len(live) > self.auto_compact_segments:
+                self.compact(name)
 
     def compact(
         self,

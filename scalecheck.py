@@ -332,6 +332,155 @@ def sink_mode(spark, n_batches: int, batch_rows: int) -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+def compact_mode(spark, n_batches: int, batch_rows: int) -> None:
+    """Manifest-sink small-file growth and the compaction answer:
+    read cost grows with the number of accumulated segment dirs (one
+    per micro-batch, the streaming-cadence scale-killer); after
+    ``compact()`` the same row set reads from ONE segment and the
+    cost falls back to ~the single-table floor, while every
+    historical snapshot stays answerable. Reports read seconds at
+    increasing batch counts, then post-compaction read/again, plus a
+    time-travel read both sides of the rewrite."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.sinks import (
+        make_sink,
+    )
+
+    def batch(b: int):
+        return spark.range(b * batch_rows, (b + 1) * batch_rows).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("v"),
+        )
+
+    root = tempfile.mkdtemp(prefix="scalecheck_compact_")
+    try:
+        sink = make_sink(spark, root, keys={"t": ["k"]}, backend="manifest")
+        levels = sorted({n_batches // 4, n_batches // 2, n_batches})
+        reads = []
+        b = 0
+        for level in levels:
+            while b < level:
+                sink.insert_if_absent("t", batch(b))
+                b += 1
+            t0 = time.time()
+            n = sink.read("t").count()
+            reads.append(
+                {"n_batches": level, "read_sec": round(time.time() - t0, 3)}
+            )
+        assert n == n_batches * batch_rows, n
+        mid_snap = levels[0] - 1
+        t0 = time.time()
+        pre_travel = sink.read_at("t", mid_snap).count()
+        travel_pre_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        new_snap = sink.compact("t")
+        compact_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        n2 = sink.read("t").count()
+        post_read_sec = round(time.time() - t0, 3)
+        assert n2 == n, (n2, n)
+        t0 = time.time()
+        post_travel = sink.read_at("t", mid_snap).count()
+        travel_post_sec = round(time.time() - t0, 3)
+        assert post_travel == pre_travel, (post_travel, pre_travel)
+        # a replay after compaction must still no-op
+        sink.insert_if_absent("t", batch(0))
+        assert sink.read("t").count() == n
+        print(
+            json.dumps(
+                {
+                    "mode": "manifest_compaction",
+                    "batch_rows": batch_rows,
+                    "reads_pre_compaction": reads,
+                    "read_growth_pre": round(
+                        reads[-1]["read_sec"] / max(reads[0]["read_sec"], 1e-9),
+                        2,
+                    ),
+                    "compact_sec": compact_sec,
+                    "post_compaction_read_sec": post_read_sec,
+                    "post_vs_first_level_read": round(
+                        post_read_sec / max(reads[0]["read_sec"], 1e-9), 2
+                    ),
+                    "time_travel_snapshot": mid_snap,
+                    "time_travel_pre_sec": travel_pre_sec,
+                    "time_travel_post_sec": travel_post_sec,
+                    "snapshots_after": len(sink.snapshots("t")),
+                    "new_snapshot": new_snap,
+                    "rows": n,
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def bpe_mode(spark, merge_levels: list[int], n_docs: int = 20000) -> None:
+    """BPE trainer scaling in n_merges: the incremental pair-count
+    trainer touches only the words containing each picked pair, so
+    train time must grow ~linearly in n_merges (the old full-recount
+    loop was O(n_merges × top_words × |word|)). One corpus, one
+    word-count aggregate per level (constant), driver loop varying."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.bpe import (
+        BPE_TOP_WORDS,
+        bpe_coverage,
+        train_merges,
+    )
+
+    root = tempfile.mkdtemp(prefix="scalecheck_bpe_")
+    try:
+        make_corpus(spark, n_docs, f"{root}/docs")
+        docs = spark.read.parquet(f"{root}/docs")
+        docs.select(F.sum(F.length("text"))).collect()  # warm cache
+        # untimed warmup: the first word-count aggregate pays one-time
+        # Spark/Arrow setup that would poison the base level's timing
+        train_merges(docs, n_merges=1, top_words=BPE_TOP_WORDS)
+        rows = []
+        base_sec = None
+        merges = []
+        for n_merges in merge_levels:
+            p0 = _probe()
+            t0 = time.time()
+            merges = train_merges(
+                docs, n_merges=n_merges, top_words=BPE_TOP_WORDS
+            )
+            sec = round(time.time() - t0, 3)
+            if base_sec is None:
+                base_sec = sec  # ~the fixed word-count aggregate cost
+            rows.append(
+                {
+                    "n_merges": n_merges,
+                    "learned": len(merges),
+                    "train_sec": sec,
+                    "driver_sec_over_base": round(sec - base_sec, 3),
+                    "probe_sec": p0,
+                }
+            )
+            print(json.dumps(rows[-1]), flush=True)
+        cov = bpe_coverage(docs, merges).collect()[0].asDict()
+        lo, hi = rows[1], rows[-1]
+        ratio_merges = hi["n_merges"] / max(lo["n_merges"], 1)
+        ratio_driver = max(hi["driver_sec_over_base"], 1e-3) / max(
+            lo["driver_sec_over_base"], 1e-3
+        )
+        print(
+            json.dumps(
+                {
+                    "mode": "bpe_training_scaling",
+                    "n_docs": n_docs,
+                    "levels": rows,
+                    "coverage": cov,
+                    # driver-cost growth vs merge-count growth:
+                    # ~<= ratio_merges means ~linear (sub-quadratic)
+                    "merge_ratio": round(ratio_merges, 1),
+                    "driver_cost_ratio": round(ratio_driver, 2),
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def sinkwide_mode(
     spark, levels: list[int], batch_rows: int, n_measure: int = 4
 ) -> None:
@@ -578,6 +727,22 @@ def main() -> None:
             levels=rest[:-1] or [1_000_000, 4_000_000, 12_000_000],
             batch_rows=rest[-1] if rest else 20_000,
         )
+        return
+    if args and args[0] == "compact":
+        rest = [int(a) for a in args[1:]]
+        spark = get_spark(app_name="scalecheck-compact")
+        spark.sparkContext.setLogLevel("ERROR")
+        compact_mode(
+            spark,
+            n_batches=rest[0] if rest else 64,
+            batch_rows=rest[1] if len(rest) > 1 else 2000,
+        )
+        return
+    if args and args[0] == "bpe":
+        rest = [int(a) for a in args[1:]]
+        spark = get_spark(app_name="scalecheck-bpe")
+        spark.sparkContext.setLogLevel("ERROR")
+        bpe_mode(spark, merge_levels=rest or [1, 16, 64, 256])
         return
     if args and args[0] == "sink":
         rest = [int(a) for a in args[1:]]

@@ -412,3 +412,24 @@ def test_manifest_compaction_too_few_segments_is_noop(spark, tmp_path):
     assert sink.compact("t") is None
     assert sink.snapshots("t") == [0]
     assert {r["k"] for r in sink.read("t").collect()} == {1}
+
+
+def test_manifest_auto_compaction_policy(spark, tmp_path):
+    """auto_compact_segments bounds the LIVE directory count at any
+    micro-batch cadence while every snapshot and the replay contract
+    survive each rewrite."""
+    sink = _sink(spark, tmp_path, "manifest")
+    sink.auto_compact_segments = 3
+    for b in range(8):
+        sink.insert_if_absent("t", _mk(spark, 2 * b, 2 * b + 1))
+        live, _, _ = sink._segments("t")
+        assert len(live) <= 3 + 1  # bound + the just-compacted output
+    assert {r["k"] for r in sink.read("t").collect()} == set(range(16))
+    # historical snapshots all answer (batch commits = snapshots 0..7,
+    # compaction commits interleaved after)
+    snaps = sink.snapshots("t")
+    assert set(range(8)) <= set(snaps)
+    assert {r["k"] for r in sink.read_at("t", 2).collect()} == {0, 1, 2, 3, 4, 5}
+    # replay after several auto-compactions still a no-op
+    sink.insert_if_absent("t", _mk(spark, 0, 1))
+    assert sink.read("t").count() == 16
