@@ -120,18 +120,20 @@ def test_kmeans_groups_obvious_blobs_and_keeps_empty_cells(spark):
         similarity,
     )
 
-    # two tight blobs around (1, 0) and (0, 1); ids 0/1 seed them.
-    # id 2 duplicates id 0 exactly, so cell 2 starts EMPTY (ties break
-    # to the lower centroid id) and must keep its previous centroid
-    # without crashing the update round.
+    # two tight blobs around (1, 0) and (0, 1). md5 seeding picks ids
+    # {6, 3, 2} for k=3 (deterministic: the 3 smallest md5(id||'|seed')
+    # over ids 0-6). id 3 duplicates seed id 2 exactly, so cell 3
+    # starts EMPTY (ties break to the lower centroid id) and must keep
+    # its previous centroid without crashing the update round; seed 6
+    # owns the second blob.
     rows = [
-        (0, [1.0, 0.0]),
-        (1, [0.0, 1.0]),
+        (0, [0.9, 0.1]),
+        (1, [0.1, 0.9]),
         (2, [1.0, 0.0]),
-        (3, [0.9, 0.1]),
+        (3, [1.0, 0.0]),
         (4, [1.1, -0.1]),
-        (5, [0.1, 0.9]),
-        (6, [-0.1, 1.1]),
+        (5, [-0.1, 1.1]),
+        (6, [0.0, 1.0]),
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {
@@ -139,9 +141,9 @@ def test_kmeans_groups_obvious_blobs_and_keeps_empty_cells(spark):
         for r in similarity.kmeans_cells(emb, k=3, iters=2).collect()
     }
     assert len(got) == 7
-    assert got[0] == got[2] == got[3] == got[4] == 0
-    assert got[1] == got[5] == got[6] == 1
-    assert 2 not in set(got.values())  # the emptied cell wins nothing
+    assert got[0] == got[2] == got[3] == got[4] == 2
+    assert got[1] == got[5] == got[6] == 6
+    assert 3 not in set(got.values())  # the emptied cell wins nothing
 
 
 def test_chunk_documents_covers_every_token(spark):
