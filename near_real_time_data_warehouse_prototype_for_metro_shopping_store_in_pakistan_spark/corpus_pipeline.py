@@ -47,13 +47,16 @@ class CorpusPipeline:
     def __init__(
         self, spark: SparkSession, corpus_root: str,
         backend: str = "parquet",
+        auto_compact_segments: int | None = None,
     ) -> None:
         self.spark = spark
         self.root = corpus_root
         self.backend = backend
+        self.auto_compact_segments = auto_compact_segments
         self.warehouse = make_sink(
             spark, corpus_root, keys={CURATED_TABLE: ["text_fp"]},
             backend=backend,
+            auto_compact_segments=auto_compact_segments,
         )
 
     # -- batch ----------------------------------------------------------
@@ -146,7 +149,10 @@ class CorpusPipeline:
         k: int = 3,
         graph: str = "ivf",
         n_centroids: int = 8,
-        n_probe: int = 2,
+        # default probe matches the knn_recall_report curve's chosen
+        # operating point (recall >= 0.8 at 8 cells — see
+        # plans.pipeline_queries.KNN_IVF_PROBE)
+        n_probe: int = 5,
     ) -> DataFrame:
         """Group documents by reciprocal text affinity WITHOUT model
         embeddings: feature-hashed sketches → mutual-kNN edges →
@@ -282,6 +288,7 @@ class CorpusPipeline:
             backend=self.backend,
             lm_docs=lm_docs,
             max_fluency_invp=max_fluency_invp,
+            auto_compact_segments=self.auto_compact_segments,
         )
 
     def run_stream_substr(
@@ -306,6 +313,7 @@ class CorpusPipeline:
             span_tokens=span_tokens,
             max_files_per_trigger=max_files_per_trigger,
             backend=self.backend,
+            auto_compact_segments=self.auto_compact_segments,
         )
 
 
@@ -589,6 +597,14 @@ class DatasetBuilder:
 
     def snapshots(self) -> list[int]:
         return self.sink.snapshots(DATASET_TABLE)
+
+    def compact(self) -> int | None:
+        """Rewrite the dataset table's accumulated build segments into
+        one (ManifestParquetSink.compact): every historical snapshot id
+        keeps answering identically — run it when many builds have
+        accumulated and reads slow down. Returns the compaction's own
+        snapshot id, or None when there is nothing to compact."""
+        return self.sink.compact(DATASET_TABLE)
 
     def read(self, snapshot: int) -> DataFrame:
         got = self.sink.read_at(DATASET_TABLE, snapshot)

@@ -279,10 +279,17 @@ class DeltaWarehouse(WarehouseOps, DeltaMergeSink):
     )
 
 
-def warehouse_for(spark, root: str, backend: str = "parquet"):
+def warehouse_for(
+    spark,
+    root: str,
+    backend: str = "parquet",
+    auto_compact_segments: int | None = None,
+):
     """Construct the star-schema warehouse on the requested sink
     backend: "parquet" (default), "delta", or "auto" (delta when
-    importable)."""
+    importable). ``auto_compact_segments`` applies the manifest
+    backend's inline segment-compaction policy (rejected for other
+    backends — see operators.sinks.ManifestParquetSink)."""
     if backend == "auto":
         backend = "delta" if delta_available() else "parquet"
     try:
@@ -297,4 +304,12 @@ def warehouse_for(spark, root: str, backend: str = "parquet"):
             f"unknown warehouse backend {backend!r}: expected "
             "'parquet', 'manifest', 'delta', 'bloom', or 'auto'"
         ) from None
-    return cls(spark, root)
+    wh = cls(spark, root)
+    if auto_compact_segments is not None:
+        if backend != "manifest":
+            raise ValueError(
+                "auto_compact_segments applies only to the 'manifest' "
+                f"backend (got {backend!r})"
+            )
+        wh.auto_compact_segments = auto_compact_segments
+    return wh

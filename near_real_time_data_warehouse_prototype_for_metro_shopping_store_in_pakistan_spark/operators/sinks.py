@@ -408,12 +408,27 @@ class ManifestParquetSink(MergeSink):
         live, _, _ = self._segments(name)
         if not live:
             return None
-        out = None
-        for _, seg, covers in live:
-            df = self.spark.read.parquet(seg)
-            if covers is not None:
-                df = df.drop("_snapshot")
-            out = df if out is None else out.unionByName(df)
+        plain = [seg for _, seg, covers in live if covers is None]
+        compacted = [seg for _, seg, covers in live if covers is not None]
+        parts = self.partitioning.get(name)
+        dfs = []
+        if plain:
+            if parts and len(plain) > 1:
+                # hive-partitioned segments cannot share one reader
+                # (no valid common basePath: seg_N is not a k=v dir),
+                # so each keeps its own partition discovery
+                dfs.extend(self.spark.read.parquet(p) for p in plain)
+            else:
+                # ONE multi-path reader: this is the per-micro-batch
+                # hot path (the anti-join reads the table every
+                # insert), and N separate readers + N-1 unions cost
+                # O(N) driver plan-building per batch
+                dfs.append(self.spark.read.parquet(*plain))
+        for seg in compacted:
+            dfs.append(self.spark.read.parquet(seg).drop("_snapshot"))
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
         return out
 
     def added_between(
@@ -847,6 +862,7 @@ def make_sink(
     keys: dict[str, list[str]],
     partitioning: dict[str, list[str]] | None = None,
     backend: str = "parquet",
+    auto_compact_segments: int | None = None,
 ) -> MergeSink:
     """Construct the requested sink backend.
 
@@ -854,6 +870,11 @@ def make_sink(
     single-writer), ``"manifest"`` (crash-atomic segment commits,
     works everywhere), ``"delta"`` (transactional MERGE, requires
     delta-spark), or ``"auto"`` (delta when importable, else parquet).
+
+    ``auto_compact_segments`` applies the manifest backend's inline
+    compaction policy (live segment count bound — see
+    ``ManifestParquetSink.auto_compact_segments``); rejected for any
+    other backend, where segment accumulation does not exist.
     """
     if backend == "auto":
         backend = "delta" if delta_available() else "parquet"
@@ -864,4 +885,12 @@ def make_sink(
             f"unknown sink backend {backend!r}: expected one of "
             f"{sorted(BACKENDS)} or 'auto'"
         ) from None
-    return cls(spark, root, keys=keys, partitioning=partitioning or {})
+    sink = cls(spark, root, keys=keys, partitioning=partitioning or {})
+    if auto_compact_segments is not None:
+        if not isinstance(sink, ManifestParquetSink):
+            raise ValueError(
+                "auto_compact_segments applies only to the 'manifest' "
+                f"backend (got {backend!r})"
+            )
+        sink.auto_compact_segments = auto_compact_segments
+    return sink

@@ -170,6 +170,7 @@ def stream_curate(
     backend: str = "parquet",
     lm_docs: DataFrame | None = None,
     max_fluency_invp: int | None = None,
+    auto_compact_segments: int | None = None,
 ) -> StreamingQuery:
     """Stream document files through the curation funnel into an
     idempotent curated-corpus table keyed on the text fingerprint.
@@ -177,10 +178,12 @@ def stream_curate(
     (operators.sinks). ``lm_docs`` + ``max_fluency_invp`` switch on
     the streaming CCNet fluency gate: the held-out n-gram model
     trains ONCE here (like the eval grams) and every micro-batch
-    scores against it."""
+    scores against it. ``auto_compact_segments`` (manifest backend
+    only) bounds the live segment-directory count per table under
+    streaming cadence (operators.sinks.ManifestParquetSink)."""
     warehouse = make_sink(
         spark, corpus_root, keys={CURATED_TABLE: ["text_fp"]},
-        backend=backend,
+        backend=backend, auto_compact_segments=auto_compact_segments,
     )
     # the eval set is static for the stream's lifetime: collect and
     # broadcast it ONCE here, not per trigger
@@ -472,7 +475,10 @@ def admit_span_batch(
 
 
 def substr_warehouse(
-    spark: SparkSession, corpus_root: str, backend: str = "parquet"
+    spark: SparkSession,
+    corpus_root: str,
+    backend: str = "parquet",
+    auto_compact_segments: int | None = None,
 ) -> MergeSink:
     """The ExactSubstr admission state: cleaned docs keyed on doc_id,
     gram claims keyed on the combined rolling hash."""
@@ -484,6 +490,7 @@ def substr_warehouse(
             GRAM_INDEX_TABLE: ["gh"],
         },
         backend=backend,
+        auto_compact_segments=auto_compact_segments,
     )
 
 
@@ -496,13 +503,16 @@ def stream_curate_substr(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     backend: str = "parquet",
+    auto_compact_segments: int | None = None,
 ) -> StreamingQuery:
     """ExactSubstr span removal as a streaming pipeline: each
     micro-batch cuts duplicated spans against itself and all corpus
     history via ``admit_span_batch``. State is plain warehouse tables
     (cleaned docs + gram index) — no streaming state store, replays
-    are no-ops."""
-    warehouse = substr_warehouse(spark, corpus_root, backend)
+    are no-ops. ``auto_compact_segments``: see ``stream_curate``."""
+    warehouse = substr_warehouse(
+        spark, corpus_root, backend, auto_compact_segments
+    )
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -537,6 +547,7 @@ def stream_curate_neardup(
     backend: str = "parquet",
     lm_docs: DataFrame | None = None,
     max_fluency_invp: int | None = None,
+    auto_compact_segments: int | None = None,
 ) -> StreamingQuery:
     """``stream_curate`` upgraded from exact to NEAR-dup cross-batch
     dedup: the same stateless gates per batch (including the optional
@@ -556,6 +567,7 @@ def stream_curate_neardup(
             BAND_INDEX_TABLE: ["band_khash", "owner_doc_id"],
         },
         backend=backend,
+        auto_compact_segments=auto_compact_segments,
     )
     eval_state = broadcast_eval_grams(eval_docs)
     lm_counts = None

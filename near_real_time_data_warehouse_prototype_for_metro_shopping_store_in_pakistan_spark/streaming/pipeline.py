@@ -78,13 +78,19 @@ def stream_etl(
     fact_key: tuple[str, ...] = DEFAULT_FACT_KEY,
     available_now: bool = True,
     backend: str = "parquet",
+    auto_compact_segments: int | None = None,
 ) -> StreamingQuery:
     """Run the streaming ETL; with ``available_now`` it drains pending
     files and stops (test/replay mode), otherwise it runs continuously
     like the reference's ``while(true)`` consumer loop
     (src/Meshjoin.java:144-168). ``backend`` selects the
-    insert-if-absent sink implementation (operators.sinks)."""
-    warehouse = warehouse_for(spark, warehouse_root, backend)
+    insert-if-absent sink implementation (operators.sinks);
+    ``auto_compact_segments`` (manifest backend only) bounds each
+    warehouse table's live segment-directory count under streaming
+    cadence."""
+    warehouse = warehouse_for(
+        spark, warehouse_root, backend, auto_compact_segments
+    )
     stream = read_transaction_stream(spark, tx_dir)
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:

@@ -134,3 +134,51 @@ def test_kmeans_seeding_is_content_spread_not_prefix(spark):
 
     with pytest.raises(ValueError, match="empty vector relation"):
         similarity.kmeans_cells(emb.filter("vec_id < 0"), k=2, iters=1)
+
+
+def test_streaming_facades_thread_auto_compaction(spark, tmp_path):
+    """auto_compact_segments threads from the streaming ETL facade to
+    the manifest warehouse: results identical to the unbounded run,
+    live segment dirs bounded, snapshots/replays intact."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.etl import (
+        warehouse_for,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.pipeline import (
+        stream_etl,
+    )
+
+    tx = tmp_path / "tx"
+    tx.mkdir()
+    for b in range(5):
+        (tx / f"b{b}.csv").write_text(
+            "order_id,order_date_raw,product_id,quantity_ordered_raw,customer_id,time_id\n"
+            + "".join(
+                f"O{b}_{i},2019-01-0{b + 1} 10:00:00,P1,2,C1,T{b}_{i}\n"
+                for i in range(3)
+            )
+        )
+    products = spark.createDataFrame(
+        [("P1", "widget", 5.0, "S1", "sup", "ST1", "store")],
+        "product_id string, product_name string, price double, "
+        "supplier_id string, supplier_name string, store_id string, "
+        "store_name string",
+    )
+    customers = spark.createDataFrame(
+        [("C1", "alice", "F")],
+        "customer_id string, customer_name string, gender string",
+    )
+    wh_root = str(tmp_path / "wh")
+    q = stream_etl(
+        spark, str(tx), wh_root, str(tmp_path / "ckpt"),
+        products, customers, backend="manifest",
+        auto_compact_segments=2,
+    )
+    q.awaitTermination()
+    wh = warehouse_for(spark, wh_root, "manifest")
+    fact = wh.read("sales_fact")
+    assert fact.count() == 15
+    live, _, _ = wh._segments("sales_fact")
+    assert len(live) <= 3  # bound 2 + at most one fresh segment
+    # non-manifest backends refuse the policy
+    with pytest.raises(ValueError, match="manifest"):
+        warehouse_for(spark, wh_root, "parquet", auto_compact_segments=2)
