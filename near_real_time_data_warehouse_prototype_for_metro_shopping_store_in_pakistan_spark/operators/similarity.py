@@ -743,6 +743,7 @@ def knn_graph_ivf(
     id_col: str = "vec_id",
     block_size: int = 2048,
     vec_scale: int = SCALE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate k-NN graph, cell-bounded: k-means partitions the
     space (the ``kmeans_cells`` trained centroids), every vector is a
@@ -772,11 +773,21 @@ def knn_graph_ivf(
     Candidate edges are distinct by construction (members have one
     home cell; a source probes p DISTINCT cells), so the merge window
     needs no dedup.
+
+    ``centroids`` plugs a pre-TRAINED (centroid_id, cq) relation into
+    the same plan in place of the in-call Lloyd training (ignore
+    ``n_centroids``/``iters`` then) — the production shape (train
+    once, build/serve many), and what lets ``knn_recall_report``
+    sweep probe levels without retraining per level.
     """
     v = scaled_vectors(emb, vec_col, id_col, scale=vec_scale).select(
         F.col(id_col).alias("vid"), "q", "norm_sq"
     )
-    cents = _kmeans_iterate(v.select("vid", "q"), n_centroids, iters, "vid")
+    cents = (
+        centroids.select("centroid_id", "cq")
+        if centroids is not None
+        else _kmeans_iterate(v.select("vid", "q"), n_centroids, iters, "vid")
+    )
     members = (
         v.join(
             _kmeans_assign(v.select("vid", "q"), cents, "vid").select(

@@ -524,11 +524,16 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
+    # ONE Lloyd training feeds every probe level (identical centroids
+    # by determinism; retraining per level would 5x the k-means cost)
+    cents = similarity.kmeans_centroids(
+        emb, k=KNN_IVF_CELLS, iters=2
+    ).localCheckpoint(eager=False)
     e = exact.agg(F.count(F.lit(1)).alias("exact_edges"))
     out = None
     for p in KNN_PROBE_GRID:
         approx = similarity.knn_graph_ivf(
-            emb, k=KNN_GRAPH_K, n_centroids=KNN_IVF_CELLS, n_probe=p
+            emb, k=KNN_GRAPH_K, n_probe=p, centroids=cents
         ).select("vec_id", "neighbor_id")
         a = approx.agg(F.count(F.lit(1)).alias("ivf_edges"))
         m = exact.join(approx, ["vec_id", "neighbor_id"]).agg(
