@@ -488,6 +488,9 @@ class ManifestParquetSink(MergeSink):
         import glob
         import json
 
+        # deferred-deletion GC first (see _gc_superseded): dirs a
+        # PREVIOUS batch's auto-compaction superseded can go now
+        self._gc_superseded(name)
         key = self.keys[name]
         incoming = batch.dropDuplicates(key)
         existing = self.read(name)
@@ -519,13 +522,49 @@ class ManifestParquetSink(MergeSink):
         if self.auto_compact_segments is not None:
             live, _, _ = self._segments(name)
             if len(live) > self.auto_compact_segments:
-                self.compact(name)
+                # defer covered-dir deletion to the next batch start:
+                # a caller's lazy plan over the pre-compaction table
+                # must keep its files through this batch
+                self.compact(name, delete_covered=False)
+
+    def _gc_superseded(self, name: str) -> None:
+        """Delete on-disk directories of segments superseded by a
+        committed covering manifest. Runs at the START of the next
+        batch / compaction (the bloom sink's deferred-GC discipline),
+        never inside the compaction that superseded them — so a lazy
+        reader plan built BEFORE a ``delete_covered=False`` compaction
+        keeps its files until the single writer moves again, instead
+        of failing recompute mid-collect."""
+        import json
+        import shutil
+
+        tdir = self._table_dir(name)
+        if not os.path.isdir(tdir):
+            return
+        covered: set[int] = set()
+        present = []
+        for d in os.listdir(tdir):
+            if not (d.startswith("seg_") and d[4:].isdigit()):
+                continue
+            p = os.path.join(tdir, d)
+            present.append((int(d[4:]), p))
+            try:
+                with open(os.path.join(p, "_COMMITTED.json")) as fh:
+                    covers = json.load(fh).get("covers")
+            except (OSError, ValueError):
+                continue
+            if covers:
+                covered.update(covers)
+        for n, p in present:
+            if n in covered:
+                shutil.rmtree(p, ignore_errors=True)
 
     def compact(
         self,
         name: str,
         upto: int | None = None,
         target_partitions: int = 1,
+        delete_covered: bool = True,
     ) -> int | None:
         """Rewrite every live committed segment numbered <= ``upto``
         (default: all of them) into ONE new segment, committed as a
@@ -554,6 +593,14 @@ class ManifestParquetSink(MergeSink):
         partition value when partitioned); size it so compacted files
         land near the 128 MB-1 GB parquet sweet spot at scale.
 
+        ``delete_covered=False`` leaves the superseded directories on
+        disk (readers already skip them — the covering manifest is
+        the commit point) and defers their deletion to the start of
+        the next batch or compaction (``_gc_superseded``): use it
+        when lazy reader plans built before the compaction may still
+        materialize afterwards — deleting under them would fail their
+        recompute. The auto-compaction policy always defers.
+
         Returns the new snapshot number, or None when fewer than two
         live segments fall in range (nothing to compact).
         """
@@ -561,6 +608,10 @@ class ManifestParquetSink(MergeSink):
         import json
         import shutil
 
+        # previously deferred deletions are safe now: the single
+        # writer is moving again, so no plan of an earlier batch can
+        # still reference a dir superseded before this call
+        self._gc_superseded(name)
         live, all_nums, nxt = self._segments(name)
         if upto is None:
             upto = max((n for n, _, _ in live), default=-1)
@@ -611,11 +662,13 @@ class ManifestParquetSink(MergeSink):
         # the covered segments are invisible to every reader
         with open(os.path.join(seg_dir, "_COMMITTED.json"), "w") as fh:
             json.dump({"files": files, "covers": sorted(covers)}, fh)
-        # cleanup, not commit: readers already skip these
-        for _, p, _ in targets:
-            shutil.rmtree(p, ignore_errors=True)
-        for p in empty_dirs:
-            shutil.rmtree(p, ignore_errors=True)
+        # cleanup, not commit: readers already skip these (deferred
+        # to the next batch start when delete_covered=False)
+        if delete_covered:
+            for _, p, _ in targets:
+                shutil.rmtree(p, ignore_errors=True)
+            for p in empty_dirs:
+                shutil.rmtree(p, ignore_errors=True)
         return nxt
 
 

@@ -433,3 +433,25 @@ def test_manifest_auto_compaction_policy(spark, tmp_path):
     # replay after several auto-compactions still a no-op
     sink.insert_if_absent("t", _mk(spark, 0, 1))
     assert sink.read("t").count() == 16
+
+
+def test_auto_compaction_defers_deletion_for_inflight_readers(spark, tmp_path):
+    """Auto-compaction must not delete superseded dirs inside the
+    batch that compacted them: a lazy reader plan built BEFORE the
+    triggering insert still materializes afterwards (its files are
+    kept until the NEXT batch's start-of-batch GC)."""
+    sink = _sink(spark, tmp_path, "manifest")
+    sink.auto_compact_segments = 2
+    sink.insert_if_absent("t", _mk(spark, 0, 1))
+    sink.insert_if_absent("t", _mk(spark, 2, 3))
+    pre = sink.read("t")  # lazy plan over seg_0 + seg_1
+    sink.insert_if_absent("t", _mk(spark, 4))  # triggers compaction
+    # superseded dirs still on disk (deferred), so the old plan works
+    assert {r["k"] for r in pre.collect()} == {0, 1, 2, 3}
+    dirs = {d.name for d in (tmp_path / "t").iterdir()}
+    assert {"seg_0", "seg_1"} <= dirs
+    # next batch GCs them
+    sink.insert_if_absent("t", _mk(spark, 5))
+    dirs = {d.name for d in (tmp_path / "t").iterdir()}
+    assert "seg_0" not in dirs and "seg_1" not in dirs
+    assert {r["k"] for r in sink.read("t").collect()} == {0, 1, 2, 3, 4, 5}
