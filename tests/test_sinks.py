@@ -455,3 +455,17 @@ def test_auto_compaction_defers_deletion_for_inflight_readers(spark, tmp_path):
     dirs = {d.name for d in (tmp_path / "t").iterdir()}
     assert "seg_0" not in dirs and "seg_1" not in dirs
     assert {r["k"] for r in sink.read("t").collect()} == {0, 1, 2, 3, 4, 5}
+
+
+def test_manifest_read_unpartitioned_is_single_scan(spark, tmp_path):
+    """The per-micro-batch hot path: an unpartitioned manifest table
+    with N plain segments must read through ONE multi-path FileScan,
+    not N readers + N-1 unions (O(segments) driver plan-building)."""
+    sink = _sink(spark, tmp_path, "manifest")
+    for b in range(4):
+        sink.insert_if_absent("t", _mk(spark, 2 * b, 2 * b + 1))
+    df = sink.read("t")
+    assert {r["k"] for r in df.collect()} == set(range(8))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert "Union" not in plan
