@@ -19,12 +19,14 @@ Two physical backends implement it:
   append — exactly the caveat the reference shares with its single
   consumer thread.
 - ``ManifestParquetSink``: plain parquet with CRASH-ATOMIC visibility
-  — each batch is an immutable segment directory committed by a
-  single manifest write (the rename-free, object-store-safe protocol
-  of streaming/quantiles.py). Single-writer like the default, but a
-  crashed batch is invisible instead of half-visible. No optional
-  dependency, so the transactional commit semantics are tested in
-  every environment.
+  AND optimistic concurrency — each batch is staged as an immutable
+  segment directory and published by one atomic exclusive rename to
+  its segment number; two concurrent writers serialize without a
+  coordinator (the loser re-reads the now-visible segments, re-runs
+  its anti-join, and retries with the next number), and a crashed
+  batch is an invisible orphan instead of a half-visible table. No
+  optional dependency, so the transactional commit semantics are
+  tested in every environment.
 - ``DeltaMergeSink``: the same contract as one atomic
   ``MERGE ... WHEN NOT MATCHED THEN INSERT`` per batch against a
   Delta table — the transactional form that stays correct under
@@ -261,23 +263,38 @@ class ManifestParquetSink(MergeSink):
     no table-format dependency, testable everywhere (unlike the
     env-gated Delta backend).
 
-    Each batch writes a fresh immutable segment directory
-    ``<table>/seg_<n>/`` (hive-partitioned inside when configured) and
-    then commits it with a single ``_COMMITTED.json`` manifest write —
-    the same rename-free commit protocol the streaming quantile state
-    uses (streaming/quantiles.py): one object PUT is the commit point,
-    atomic on POSIX and on every object store. Readers union ONLY
-    committed segments, so a crash mid-write leaves an invisible
-    orphan directory, never a half-visible table — closing the
+    Each batch is STAGED as a complete immutable directory (data
+    part-files, hive-partitioned when configured, plus its
+    ``_COMMITTED.json`` manifest) under ``<table>/_stage_<token>/``,
+    then PUBLISHED by one atomic exclusive rename to
+    ``<table>/seg_<n>/``. The rename is simultaneously the commit
+    point and the claim on segment number ``n``: it cannot replace an
+    existing ``seg_<n>`` (POSIX rename onto a non-empty directory
+    fails), so exactly one writer wins each number. Readers union ONLY
+    published segments, so a crash mid-write leaves an invisible
+    staging orphan, never a half-visible table — closing the
     plain-append sink's one crash hole (a batch that died between
     writing some part-files and finishing could leak partial rows into
     the next read's anti-join AND into queries).
 
-    Still single-writer, like the anti-join backend: two concurrent
-    writers could both pass the anti-join and commit duplicate keys —
-    cross-WRITER atomicity is what the Delta MERGE backend buys.
-    Segment numbering skips over uncommitted (crashed) directories so
-    a retry never writes into a partial segment.
+    OPTIMISTIC CONCURRENCY across writers: a writer anti-joins against
+    the segments visible at its read, then attempts to publish at
+    ``n = max(visible)+1``. Numbers are only ever attempted at
+    current-max+1, so publishes are dense and strictly ordered — if a
+    writer's rename succeeds, no segment numbered below it committed
+    after the writer's read, hence its anti-join saw every committed
+    key. A loser (rename fails because another writer took ``n``)
+    discards its staged directory, re-reads the now-visible segments,
+    re-runs the anti-join, and retries at the new next number — so two
+    concurrent writers serialize without a coordinator and
+    first-writer-wins still holds per key. On an object store, where
+    rename is not atomic, the equivalent commit primitive is a
+    conditional PUT (If-None-Match) of the manifest object; the
+    protocol is otherwise unchanged.
+
+    Superseded-directory GC (after compaction) assumes a one-batch
+    vacuum horizon, exactly like Delta's VACUUM: a lazy reader plan
+    older than one writer turn may lose its files and must re-read.
 
     ``compact(name)`` bounds the small-file growth streaming cadence
     causes (one immutable segment dir per micro-batch, forever):
@@ -362,6 +379,86 @@ class ManifestParquetSink(MergeSink):
         nxt = max(seen) + 1 if seen else 0
         return live, all_nums, nxt
 
+    def _manifest_min_row(self, seg: str, covers: list[int]) -> int:
+        """Visibility floor of a compacted segment: the smallest
+        first-admission ``_snapshot`` among its rows, recorded in the
+        covering manifest at compaction time (``min_row``). Falls back
+        to ``min(covers)`` for manifests written before the field
+        existed (conservative: may under-floor, never over-floor)."""
+        import json
+
+        try:
+            with open(os.path.join(seg, "_COMMITTED.json")) as fh:
+                meta = json.load(fh)
+            mr = meta.get("min_row")
+            if mr is not None:
+                return int(mr)
+        except (OSError, ValueError):
+            pass
+        return min(covers) if covers else 0
+
+    def _stage_segment(
+        self,
+        name: str,
+        df: DataFrame,
+        covers: set[int] | None = None,
+        min_row: int | None = None,
+    ) -> str:
+        """Write ``df`` (hive-partitioned when configured) plus its
+        complete ``_COMMITTED.json`` manifest into a fresh staging
+        directory and return the staging path. The directory is a
+        fully-formed segment — publishing it is a single rename."""
+        import glob
+        import json
+        import uuid
+
+        tdir = self._table_dir(name)
+        stage = os.path.join(
+            tdir, f"_stage_{os.getpid()}_{uuid.uuid4().hex[:12]}"
+        )
+        writer = df.write.mode("error")
+        parts = self.partitioning.get(name)
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(stage)
+        files = sorted(
+            os.path.relpath(p, stage)
+            for p in glob.glob(
+                os.path.join(stage, "**", "*.parquet"), recursive=True
+            )
+        )
+        meta: dict = {"files": files}
+        if covers is not None:
+            meta["covers"] = sorted(covers)
+            meta["min_row"] = min_row
+        with open(os.path.join(stage, "_COMMITTED.json"), "w") as fh:
+            json.dump(meta, fh)
+        return stage
+
+    @staticmethod
+    def _is_vanished_input(exc: Exception) -> bool:
+        """True when a Spark job died because its input files were
+        removed underneath it — the signature of racing a concurrent
+        compaction's covered-dir cleanup. The OCC loops treat this
+        like a lost rename: discard and redo against a fresh listing."""
+        msg = str(exc)
+        return (
+            "FileNotFoundException" in msg
+            or "PATH_NOT_FOUND" in msg
+            or "does not exist" in msg
+        )
+
+    def _publish(self, name: str, stage: str, num: int) -> bool:
+        """Atomically publish a staged segment as ``seg_<num>`` — the
+        exclusive rename that is both the commit point and the claim
+        on the number. False when another writer already owns it."""
+        seg = os.path.join(self._table_dir(name), f"seg_{num}")
+        try:
+            os.rename(stage, seg)
+            return True
+        except OSError:
+            return False
+
     def snapshots(self, name: str) -> list[int]:
         """Committed segment numbers, ascending — every one is a
         REPRODUCIBLE dataset version: ``read_at(name, s)`` returns the
@@ -379,8 +476,12 @@ class ManifestParquetSink(MergeSink):
         committed non-empty segments numbered <= snapshot, plus — for
         compacted segments — their rows whose first-admission
         ``_snapshot`` is <= snapshot. Identical before and after
-        ``compact`` by construction. None when nothing visible at that
-        point."""
+        ``compact`` by construction, INCLUDING the None case: None
+        when no row is visible at that point (a compacted segment is
+        skipped when its recorded ``min_row`` visibility floor — the
+        smallest first-admission snapshot among its rows — exceeds
+        ``snapshot``, exactly when its pre-compaction constituents
+        were all empty or later)."""
         live, all_nums, _ = self._segments(name)
         if snapshot not in all_nums:
             raise ValueError(
@@ -394,7 +495,7 @@ class ManifestParquetSink(MergeSink):
                     continue
                 df = self.spark.read.parquet(seg)
             else:
-                if covers and min(covers) > snapshot:
+                if self._manifest_min_row(seg, covers) > snapshot:
                     continue
                 df = (
                     self.spark.read.parquet(seg)
@@ -406,6 +507,14 @@ class ManifestParquetSink(MergeSink):
 
     def read(self, name: str) -> DataFrame | None:
         live, _, _ = self._segments(name)
+        return self._read_live(name, live)
+
+    def _read_live(
+        self, name: str, live: list[tuple[int, str, list[int] | None]]
+    ) -> DataFrame | None:
+        """Union of an already-listed live segment set — shared by
+        ``read`` and the insert path's OCC loop (which must anti-join
+        against exactly the listing its commit attempt validates)."""
         if not live:
             return None
         plain = [seg for _, seg, covers in live if covers is None]
@@ -485,40 +594,43 @@ class ManifestParquetSink(MergeSink):
         return out
 
     def insert_if_absent(self, name: str, batch: DataFrame) -> None:
-        import glob
-        import json
+        import shutil
 
         # deferred-deletion GC first (see _gc_superseded): dirs a
         # PREVIOUS batch's auto-compaction superseded can go now
         self._gc_superseded(name)
         key = self.keys[name]
-        incoming = batch.dropDuplicates(key)
-        existing = self.read(name)
-        if existing is not None:
-            seen = existing.select(*key).dropDuplicates(key).select(
-                *[F.col(k).alias(f"__seen_{k}") for k in key]
-            )
-            cond = F.lit(True)
-            for k in key:
-                cond = cond & F.col(k).eqNullSafe(F.col(f"__seen_{k}"))
-            incoming = incoming.join(seen, cond, "left_anti")
-            incoming = incoming.select(*existing.columns)
-        _, _, nxt = self._segments(name)
-        seg_dir = os.path.join(self._table_dir(name), f"seg_{nxt}")
-        writer = incoming.write.mode("error")
-        parts = self.partitioning.get(name)
-        if parts:
-            writer = writer.partitionBy(*parts)
-        writer.parquet(seg_dir)
-        files = sorted(
-            os.path.relpath(p, seg_dir)
-            for p in glob.glob(
-                os.path.join(seg_dir, "**", "*.parquet"), recursive=True
-            )
-        )
-        # the single manifest write IS the commit point
-        with open(os.path.join(seg_dir, "_COMMITTED.json"), "w") as fh:
-            json.dump({"files": files}, fh)
+        base = batch.dropDuplicates(key)
+        while True:
+            # one OCC attempt: anti-join against exactly the segments
+            # of THIS listing, stage, then try to publish at next
+            live, _, nxt = self._segments(name)
+            existing = self._read_live(name, live)
+            incoming = base
+            if existing is not None:
+                seen = existing.select(*key).dropDuplicates(key).select(
+                    *[F.col(k).alias(f"__seen_{k}") for k in key]
+                )
+                cond = F.lit(True)
+                for k in key:
+                    cond = cond & F.col(k).eqNullSafe(F.col(f"__seen_{k}"))
+                incoming = incoming.join(seen, cond, "left_anti")
+                incoming = incoming.select(*existing.columns)
+            try:
+                stage = self._stage_segment(name, incoming)
+            except Exception as exc:
+                if not self._is_vanished_input(exc):
+                    raise
+                # a concurrent compaction deleted segments this
+                # attempt was reading — same as losing the rename
+                continue
+            if self._publish(name, stage, nxt):
+                break
+            # OCC loser: another writer committed seg_<nxt> between
+            # our listing and our rename. Discard the stage (its
+            # anti-join may have missed that writer's keys) and redo
+            # the whole attempt against the now-visible segments.
+            shutil.rmtree(stage, ignore_errors=True)
         if self.auto_compact_segments is not None:
             live, _, _ = self._segments(name)
             if len(live) > self.auto_compact_segments:
@@ -584,10 +696,11 @@ class ManifestParquetSink(MergeSink):
         list, so ``snapshots()`` still returns every historical id and
         ``read_at``/``added_between`` answer identically before and
         after (asserted by tests/test_sinks.py). Crash-atomic like
-        every other commit here: the covering manifest write is the
-        commit point — a crash before it leaves an invisible orphan
-        and the old segments intact; a crash after it (mid-cleanup)
-        leaves covered dirs that every reader already skips.
+        every other commit here: publishing the staged covering
+        segment (one exclusive rename) is the commit point — a crash
+        before it leaves an invisible staging orphan and the old
+        segments intact; a crash after it (mid-cleanup) leaves covered
+        dirs that every reader already skips.
 
         ``target_partitions`` bounds the output file count (per hive
         partition value when partitioned); size it so compacted files
@@ -601,67 +714,82 @@ class ManifestParquetSink(MergeSink):
         materialize afterwards — deleting under them would fail their
         recompute. The auto-compaction policy always defers.
 
+        Concurrency: the covering segment publishes through the same
+        exclusive-rename OCC as ``insert_if_absent``. A compaction
+        racing an ingest writer either wins its number cleanly or
+        loses the rename and redoes the whole round against a fresh
+        listing — which also re-resolves the target set, so two racing
+        compactions can never both cover the same segments (the loser
+        sees its targets already superseded and starts over on what
+        remains, usually returning None).
+
         Returns the new snapshot number, or None when fewer than two
         live segments fall in range (nothing to compact).
         """
-        import glob
-        import json
         import shutil
 
-        # previously deferred deletions are safe now: the single
-        # writer is moving again, so no plan of an earlier batch can
-        # still reference a dir superseded before this call
+        # previously deferred deletions are safe now: any plan built
+        # before the deferring compaction is at least one writer turn
+        # old (the one-batch vacuum horizon in the class contract)
         self._gc_superseded(name)
-        live, all_nums, nxt = self._segments(name)
-        if upto is None:
-            upto = max((n for n, _, _ in live), default=-1)
-        targets = [(n, p, c) for n, p, c in live if n <= upto]
-        if len(targets) < 2:
-            return None
-        # empty committed segments <= upto are covered too (their dirs
-        # hold only a manifest; their snapshot ids live on in covers)
-        covers: set[int] = set()
-        empty_dirs: list[str] = []
-        tdir = self._table_dir(name)
-        live_nums = {n for n, _, _ in live}
-        for s in all_nums:
-            if s <= upto and s not in live_nums:
-                covers.add(s)
-                d = os.path.join(tdir, f"seg_{s}")
-                if os.path.isdir(d):
-                    empty_dirs.append(d)
-        for n, _, c in targets:
-            covers.add(n)
-            if c:
-                covers.update(c)
-        out = None
-        for n, seg, c in sorted(targets):
-            df = self.spark.read.parquet(seg)
-            if c is None:
-                df = df.withColumn("_snapshot", F.lit(n).cast("long"))
-            out = df if out is None else out.unionByName(df)
-        parts = self.partitioning.get(name)
-        if parts:
-            # one task per hive value -> one file per value per
-            # target partition
-            out = out.repartition(target_partitions, *parts)
-        else:
-            out = out.coalesce(target_partitions)
-        seg_dir = os.path.join(tdir, f"seg_{nxt}")
-        writer = out.write.mode("error")
-        if parts:
-            writer = writer.partitionBy(*parts)
-        writer.parquet(seg_dir)
-        files = sorted(
-            os.path.relpath(p, seg_dir)
-            for p in glob.glob(
-                os.path.join(seg_dir, "**", "*.parquet"), recursive=True
-            )
-        )
-        # the covering manifest write IS the commit point: from here
-        # the covered segments are invisible to every reader
-        with open(os.path.join(seg_dir, "_COMMITTED.json"), "w") as fh:
-            json.dump({"files": files, "covers": sorted(covers)}, fh)
+        while True:
+            live, all_nums, nxt = self._segments(name)
+            hi = upto
+            if hi is None:
+                hi = max((n for n, _, _ in live), default=-1)
+            targets = [(n, p, c) for n, p, c in live if n <= hi]
+            if len(targets) < 2:
+                return None
+            # empty committed segments <= hi are covered too (their
+            # dirs hold only a manifest; their snapshot ids live on
+            # in covers)
+            covers: set[int] = set()
+            empty_dirs: list[str] = []
+            tdir = self._table_dir(name)
+            live_nums = {n for n, _, _ in live}
+            for s in all_nums:
+                if s <= hi and s not in live_nums:
+                    covers.add(s)
+                    d = os.path.join(tdir, f"seg_{s}")
+                    if os.path.isdir(d):
+                        empty_dirs.append(d)
+            out = None
+            min_row: int | None = None
+            for n, seg, c in sorted(targets):
+                df = self.spark.read.parquet(seg)
+                if c is None:
+                    df = df.withColumn("_snapshot", F.lit(n).cast("long"))
+                    floor = n
+                else:
+                    floor = self._manifest_min_row(seg, c)
+                min_row = floor if min_row is None else min(min_row, floor)
+                covers.add(n)
+                if c:
+                    covers.update(c)
+                out = df if out is None else out.unionByName(df)
+            parts = self.partitioning.get(name)
+            if parts:
+                # one task per hive value -> one file per value per
+                # target partition
+                out = out.repartition(target_partitions, *parts)
+            else:
+                out = out.coalesce(target_partitions)
+            try:
+                stage = self._stage_segment(
+                    name, out, covers=covers, min_row=min_row
+                )
+            except Exception as exc:
+                if not self._is_vanished_input(exc):
+                    raise
+                # another compaction covered and deleted our targets
+                # mid-read — fresh round resolves what remains
+                continue
+            if self._publish(name, stage, nxt):
+                break
+            # OCC loser: an ingest took our number (redo compacts the
+            # new segment too) or another compaction covered our
+            # targets (redo sees them superseded) — fresh round
+            shutil.rmtree(stage, ignore_errors=True)
         # cleanup, not commit: readers already skip these (deferred
         # to the next batch start when delete_covered=False)
         if delete_covered:
@@ -908,6 +1036,27 @@ BACKENDS = {
     "bloom": BloomedAntiJoinSink,
 }
 
+# Default live-segment bound for streaming facades that auto-compact:
+# read cost stays O(8) directories at any micro-batch cadence, while a
+# fixed bound keeps full-table rewrites to O(accumulated/8) over the
+# table's life (see ManifestParquetSink.auto_compact_segments).
+AUTO_COMPACT_DEFAULT = 8
+
+
+def resolve_auto_compact(
+    backend: str, value: int | None | str
+) -> int | None:
+    """Resolve a facade's ``auto_compact_segments="auto"`` sentinel:
+    the manifest backend gets ``AUTO_COMPACT_DEFAULT`` (bounded
+    segment growth is the right default at micro-batch cadence), every
+    other backend gets None (no segment accumulation exists there).
+    An explicit int/None passes through — including the mismatch case,
+    which ``make_sink`` rejects loudly rather than silently ignoring.
+    """
+    if value == "auto":
+        return AUTO_COMPACT_DEFAULT if backend == "manifest" else None
+    return value  # type: ignore[return-value]
+
 
 def make_sink(
     spark: SparkSession,
@@ -920,9 +1069,10 @@ def make_sink(
     """Construct the requested sink backend.
 
     ``backend``: ``"parquet"`` (default — works everywhere,
-    single-writer), ``"manifest"`` (crash-atomic segment commits,
-    works everywhere), ``"delta"`` (transactional MERGE, requires
-    delta-spark), or ``"auto"`` (delta when importable, else parquet).
+    single-writer), ``"manifest"`` (crash-atomic segment commits with
+    optimistic concurrency across writers, works everywhere),
+    ``"delta"`` (transactional MERGE, requires delta-spark), or
+    ``"auto"`` (delta when importable, else parquet).
 
     ``auto_compact_segments`` applies the manifest backend's inline
     compaction policy (live segment count bound — see

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.sinks import MergeSink, make_sink
+from ..operators.sinks import MergeSink, make_sink, resolve_auto_compact
 from ..operators.similarity import (
     _centroid_array_from,
     _dot,
@@ -58,14 +58,28 @@ EMBEDDINGS_SCHEMA = T.StructType(
 
 
 def index_warehouse(
-    spark: SparkSession, index_root: str, backend: str = "parquet"
+    spark: SparkSession,
+    index_root: str,
+    backend: str = "manifest",
+    auto_compact_segments: int | None | str = "auto",
 ) -> MergeSink:
+    """The IVF index's insert-if-absent store. Default backend is
+    ``manifest`` with inline auto-compaction: the index is the
+    highest-cadence writer in the engine (one segment per micro-batch,
+    one file per TOUCHED CELL per segment), so an unbounded segment
+    count is the small-file death spiral squared — compaction rewrites
+    live segments into one, preserving the cell hive layout the serve
+    path partition-prunes on (``compact`` repartitions by the
+    configured partition columns)."""
     return make_sink(
         spark,
         index_root,
         keys={INDEX_TABLE: ["vec_id"]},
         partitioning={INDEX_TABLE: ["cell"]},
         backend=backend,
+        auto_compact_segments=resolve_auto_compact(
+            backend, auto_compact_segments
+        ),
     )
 
 
@@ -79,11 +93,20 @@ def stream_index_embeddings(
     id_col: str = "vec_id",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
-    backend: str = "parquet",
+    backend: str = "manifest",
+    auto_compact_segments: int | None | str = "auto",
 ) -> StreamingQuery:
     """Micro-batched IVF index ingestion against TRAINED centroids
-    (``kmeans_centroids`` output: centroid_id, cq, cn)."""
-    warehouse = index_warehouse(spark, index_root, backend)
+    (``kmeans_centroids`` output: centroid_id, cq, cn).
+
+    ``auto_compact_segments`` (manifest backend, default "auto" = 8)
+    bounds the live segment count inline, so the persisted index never
+    accumulates one directory per cell per micro-batch — the analogue
+    of the reference's MySQL table (src/Meshjoin.java:612-626) never
+    fragmenting under its storage engine."""
+    warehouse = index_warehouse(
+        spark, index_root, backend, auto_compact_segments
+    )
     # the trained quantizer is static for the stream's lifetime:
     # materialize the k-row relation once, not per trigger
     cent = centroids.localCheckpoint(eager=True)
@@ -128,7 +151,7 @@ def ivf_index_topk(
     centroids: DataFrame,
     k: int = 5,
     n_probe: int = 4,
-    backend: str = "parquet",
+    backend: str = "manifest",
 ) -> DataFrame:
     """Top-k cosine search served from the PERSISTED cell-partitioned
     index: the probe-cell set (metadata-scale) is collected into a
@@ -181,7 +204,10 @@ PQ_INDEX_TABLE = "ivfpq_index"
 
 
 def pq_index_warehouse(
-    spark: SparkSession, index_root: str, backend: str = "parquet"
+    spark: SparkSession,
+    index_root: str,
+    backend: str = "manifest",
+    auto_compact_segments: int | None | str = "auto",
 ) -> MergeSink:
     return make_sink(
         spark,
@@ -189,6 +215,9 @@ def pq_index_warehouse(
         keys={PQ_INDEX_TABLE: ["vec_id"]},
         partitioning={PQ_INDEX_TABLE: ["cell"]},
         backend=backend,
+        auto_compact_segments=resolve_auto_compact(
+            backend, auto_compact_segments
+        ),
     )
 
 
@@ -204,7 +233,8 @@ def stream_index_embeddings_pq(
     id_col: str = "vec_id",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
-    backend: str = "parquet",
+    backend: str = "manifest",
+    auto_compact_segments: int | None | str = "auto",
     by_residual: bool = False,
 ) -> StreamingQuery:
     """IVF-PQ index ingestion: like ``stream_index_embeddings`` but
@@ -224,7 +254,9 @@ def stream_index_embeddings_pq(
         pq_encode_residual,
     )
 
-    warehouse = pq_index_warehouse(spark, index_root, backend)
+    warehouse = pq_index_warehouse(
+        spark, index_root, backend, auto_compact_segments
+    )
     cent = centroids.localCheckpoint(eager=True)
     bks = books.localCheckpoint(eager=True)
     reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
@@ -276,7 +308,7 @@ def ivfpq_index_topk(
     m: int = 4,
     k: int = 5,
     n_probe: int = 4,
-    backend: str = "parquet",
+    backend: str = "manifest",
     by_residual: bool = False,
 ) -> DataFrame:
     """Top-k ADC search served from the PERSISTED cell-partitioned
@@ -466,13 +498,16 @@ def stream_index_embeddings_dedup(
     id_col: str = "vec_id",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
-    backend: str = "parquet",
+    backend: str = "manifest",
+    auto_compact_segments: int | None | str = "auto",
 ) -> StreamingQuery:
     """``stream_index_embeddings`` with cross-batch near-dup
     admission: only vectors no near-dup of which is already indexed
     enter the index (see ``admit_embedding_batch``). State is the
     index itself — no streaming state store, replays are no-ops."""
-    warehouse = index_warehouse(spark, index_root, backend)
+    warehouse = index_warehouse(
+        spark, index_root, backend, auto_compact_segments
+    )
     cent = centroids.localCheckpoint(eager=True)
     reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
     if max_files_per_trigger:

@@ -119,6 +119,103 @@ def test_serve_scan_reads_only_probed_cells(spark, sf_dir, tmp_path):
         assert set(map(int, m.group(1).split(","))) == probe
 
 
+def test_auto_compaction_bounds_live_segments(spark, sf_dir, tmp_path):
+    """10 micro-batches with auto_compact_segments=3: the live segment
+    count stays bounded across multiple compaction rounds, every batch
+    snapshot id survives, serving on the compacted cell layout is
+    identical to the in-flight ``ann_ivf_topk``, the partition-pruning
+    plan guard still holds, and a full replay stays a no-op."""
+    import re
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_centroids(emb, k=K_CELLS, iters=2)
+    src = str(tmp_path / "chunks")
+    chunks = 10
+    # exactly one file per chunk -> exactly 10 micro-batches (hash
+    # repartition can collide buckets and yield fewer files)
+    for i in range(chunks):
+        emb.filter(F.col("vec_id") % chunks == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    root = str(tmp_path / "index")
+    q = stream_index_embeddings(
+        spark,
+        src,
+        root,
+        str(tmp_path / "ckpt"),
+        cents,
+        max_files_per_trigger=1,
+        auto_compact_segments=3,
+    )
+    q.awaitTermination()
+    wh = index_warehouse(spark, root)
+    live, all_nums, _ = wh._segments(INDEX_TABLE)
+    # bound 3 → compact whenever live exceeds it → never ends above 4
+    assert len(live) <= 4
+    assert any(covers is not None for _, _, covers in live)
+    # 10 batch snapshots + 3 compaction snapshots, all preserved
+    assert len(all_nums) == 13
+    assert wh.read(INDEX_TABLE).count() == emb.count()
+    # serve ≡ batch over the compacted layout
+    queries = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = ivf_index_topk(
+        spark, root, queries, cents, k=TOP_K, n_probe=N_PROBE
+    )
+    batch = ann_ivf_topk(
+        emb,
+        num_queries=NUM_QUERIES,
+        k=TOP_K,
+        n_centroids=K_CELLS,
+        n_probe=N_PROBE,
+        centroids=cents,
+    )
+    s = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in served.collect()}
+    b = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in batch.collect()}
+    assert s == b and s
+    # pruning guard on the compacted segment: one query's probe set is
+    # a strict subset of the cells and every index scan carries it
+    one = emb.filter(F.col("vec_id") < 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    probe = {
+        r["cell"]
+        for r in probe_cells_for(one, cents, N_PROBE)
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    assert len(probe) < K_CELLS
+    plan = (
+        ivf_index_topk(spark, root, one, cents, k=TOP_K, n_probe=N_PROBE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "cell#" in ln
+    ]
+    assert scans, "no index FileScan in plan"
+    for ln in scans:
+        m = re.search(r"PartitionFilters: \[[^\]]*IN \(([0-9,]+)\)", ln)
+        assert m, f"index scan without a static cell IN partition filter: {ln}"
+        assert set(map(int, m.group(1).split(","))) == probe
+    # fresh checkpoint, same source: replay through the compacted
+    # table admits nothing (the anti-join sees compacted keys)
+    q = stream_index_embeddings(
+        spark,
+        src,
+        root,
+        str(tmp_path / "ckpt2"),
+        cents,
+        max_files_per_trigger=1,
+        auto_compact_segments=3,
+    )
+    q.awaitTermination()
+    assert wh.read(INDEX_TABLE).count() == emb.count()
+
+
 class TestStreamingEmbeddingDedup:
     @staticmethod
     def _clone_corpus(spark):

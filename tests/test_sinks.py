@@ -294,24 +294,19 @@ def _mk(spark, *ks):
 
 def _hist(sink, name="t"):
     """Full observable history of a manifest table: every snapshot's
-    row set, the current rows, and the full provenance diff."""
+    row set (None preserved verbatim — read_at's 'None when nothing
+    visible' contract must hold identically across compact, so the
+    helper must NOT collapse None and empty), the current rows, and
+    the full provenance diff."""
     snaps = sink.snapshots(name)
-    at = {
-        s: {tuple(r) for r in (sink.read_at(name, s) or _EMPTY).collect()}
-        for s in snaps
-    }
+    at = {}
+    for s in snaps:
+        df = sink.read_at(name, s)
+        at[s] = None if df is None else {tuple(r) for r in df.collect()}
     full = sink.added_between(name, None, snaps[-1])
     prov = {(r["k"], r["_snapshot"]) for r in full.collect()}
     now = {tuple(r) for r in sink.read(name).collect()}
     return snaps, at, prov, now
-
-
-class _Empty:
-    def collect(self):
-        return []
-
-
-_EMPTY = _Empty()
 
 
 def test_manifest_compaction_preserves_history(spark, tmp_path):
@@ -455,6 +450,145 @@ def test_auto_compaction_defers_deletion_for_inflight_readers(spark, tmp_path):
     dirs = {d.name for d in (tmp_path / "t").iterdir()}
     assert "seg_0" not in dirs and "seg_1" not in dirs
     assert {r["k"] for r in sink.read("t").collect()} == {0, 1, 2, 3, 4, 5}
+
+
+def test_manifest_read_at_none_preserved_across_compact(spark, tmp_path):
+    """At a snapshot where only empty segments were visible, read_at
+    returns None — and must STILL return None after compaction (the
+    covering manifest's min_row visibility floor), not an empty
+    DataFrame."""
+    sink = _sink(spark, tmp_path, "manifest")
+    # snapshot 0: a zero-file committed segment, exactly the on-disk
+    # shape a fully-deduplicated replay batch commits (files: [])
+    seg0 = tmp_path / "t" / "seg_0"
+    seg0.mkdir(parents=True)
+    (seg0 / "_COMMITTED.json").write_text('{"files": []}')
+    sink.insert_if_absent("t", _mk(spark, 1))  # snapshot 1
+    sink.insert_if_absent("t", _mk(spark, 2))  # snapshot 2
+    assert sink.read_at("t", 0) is None
+    assert sink.compact("t") == 3
+    assert sink.snapshots("t") == [0, 1, 2, 3]
+    assert sink.read_at("t", 0) is None, (
+        "post-compaction read_at must preserve the None contract"
+    )
+    assert {r["k"] for r in sink.read_at("t", 1).collect()} == {1}
+    assert {r["k"] for r in sink.read_at("t", 2).collect()} == {1, 2}
+    # a second compaction must propagate the floor it recorded
+    sink.insert_if_absent("t", _mk(spark, 5))
+    assert sink.compact("t") == 5
+    assert sink.read_at("t", 0) is None
+    assert {r["k"] for r in sink.read_at("t", 1).collect()} == {1}
+
+
+def test_manifest_publish_is_exclusive(spark, tmp_path):
+    """The rename-publish must refuse a segment number someone else
+    already owns — the OCC primitive two concurrent writers serialize
+    through."""
+    sink = _sink(spark, tmp_path, "manifest")
+    sink.insert_if_absent("t", _mk(spark, 1))
+    stage = sink._stage_segment("t", _mk(spark, 2))
+    # number 0 is taken: publish must lose, not clobber
+    assert sink._publish("t", stage, 0) is False
+    assert {r["k"] for r in sink.read("t").collect()} == {1}
+    # the free number wins
+    assert sink._publish("t", stage, 1) is True
+    assert {r["k"] for r in sink.read("t").collect()} == {1, 2}
+
+
+def test_manifest_concurrent_writers_no_lost_or_duplicate_keys(
+    spark, tmp_path
+):
+    """Two writer handles on ONE table, interleaved from two threads
+    with overlapping key ranges: every key lands exactly once (no
+    losses, no duplicates), snapshots are dense, and a full replay is
+    a no-op. This is the optimistic-concurrency contract — without
+    the rename-claim a racer could pass the anti-join twice and
+    commit the same key twice."""
+    import threading
+
+    root = str(tmp_path)
+    w1 = make_sink(spark, root, keys={"t": ["k"]}, backend="manifest")
+    w2 = make_sink(spark, root, keys={"t": ["k"]}, backend="manifest")
+    # overlapping batches: evens, threes — keys divisible by 6 race
+    batches1 = [list(range(2 * b, 2 * b + 40, 2)) for b in range(4)]
+    batches2 = [list(range(3 * b, 3 * b + 60, 3)) for b in range(4)]
+    errs = []
+    gate = threading.Barrier(2)
+
+    def run(sink, batches):
+        try:
+            gate.wait()
+            for ks in batches:
+                sink.insert_if_absent("t", _mk(spark, *ks))
+        except Exception as e:  # pragma: no cover - failure evidence
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=(w1, batches1))
+    t2 = threading.Thread(target=run, args=(w2, batches2))
+    t1.start(), t2.start()
+    t1.join(), t2.join()
+    assert not errs, errs
+    expect = {k for b in batches1 + batches2 for k in b}
+    rows = w1.read("t").collect()
+    got = [r["k"] for r in rows]
+    assert len(got) == len(set(got)), "duplicate keys committed"
+    assert set(got) == expect, "lost rows"
+    # every committed snapshot id is dense from 0 (ordered publishes)
+    snaps = w1.snapshots("t")
+    assert snaps == list(range(len(snaps)))
+    # full replay through either handle is a no-op
+    for ks in batches1 + batches2:
+        w2.insert_if_absent("t", _mk(spark, *ks))
+    assert w1.read("t").count() == len(expect)
+
+
+def test_manifest_compaction_racing_ingest(spark, tmp_path):
+    """A compaction loop racing an ingest loop: every ingested key
+    survives exactly once, history stays dense, and compactions
+    either win cleanly or retry — never corrupt."""
+    import threading
+
+    root = str(tmp_path)
+    wi = make_sink(spark, root, keys={"t": ["k"]}, backend="manifest")
+    wc = make_sink(spark, root, keys={"t": ["k"]}, backend="manifest")
+    wi.insert_if_absent("t", _mk(spark, -1, -2))
+    wi.insert_if_absent("t", _mk(spark, -3))
+    errs = []
+    gate = threading.Barrier(2)
+
+    def ingest():
+        try:
+            gate.wait()
+            for b in range(5):
+                wi.insert_if_absent(
+                    "t", _mk(spark, *range(10 * b, 10 * b + 10))
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def compactor():
+        try:
+            gate.wait()
+            for _ in range(3):
+                # deferred deletion: the racing ingest writer's lazy
+                # anti-join plans keep their files (vacuum horizon)
+                wc.compact("t", delete_covered=False)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=ingest)
+    t2 = threading.Thread(target=compactor)
+    t1.start(), t2.start()
+    t1.join(), t2.join()
+    assert not errs, errs
+    expect = {-1, -2, -3} | set(range(50))
+    got = [r["k"] for r in wi.read("t").collect()]
+    assert len(got) == len(set(got)) and set(got) == expect
+    snaps = wi.snapshots("t")
+    assert snaps == list(range(len(snaps)))
+    # replay after the race: still a no-op
+    wi.insert_if_absent("t", _mk(spark, *range(0, 50)))
+    assert wi.read("t").count() == len(expect)
 
 
 def test_manifest_read_unpartitioned_is_single_scan(spark, tmp_path):
