@@ -318,16 +318,21 @@ class CorpusPipeline:
 
 
 def _relation_fingerprint(df: DataFrame, id_col: str) -> str:
-    """Order-insensitive content fingerprint of a relation's id set:
-    ``<count>:<bit_xor of xxhash64(id)>``. One constant-size
+    """Order-insensitive content fingerprint of a relation's id
+    MULTISET: ``<count>:<sum of xxhash64(id)>``. One constant-size
     aggregate — usable on a target corpus of any size (nothing is
     collected but two scalars), deterministic across replays and
-    partitionings (xor is commutative/associative and, unlike an
-    integer sum, can never overflow under ANSI arithmetic)."""
+    partitionings (sum is commutative/associative). The sum runs in
+    decimal(38,0), exact under ANSI arithmetic up to ~1e19 rows, and —
+    unlike the earlier bit_xor — is multiplicity-sensitive: duplicate
+    ids self-cancel under xor ({a,a,b} and {c,c,b} xor-collide), so a
+    duplicate-carrying target relation could silently pass the config
+    guard with different content."""
     row = df.select(
         F.count(id_col).alias("n"),
         F.expr(
-            f"bit_xor(xxhash64(cast({id_col} as string)))"
+            f"sum(cast(xxhash64(cast({id_col} as string)) "
+            f"as decimal(38,0)))"
         ).alias("h"),
     ).collect()[0]
     return f"{row['n']}:{row['h']}"

@@ -78,6 +78,30 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized(text))
 
 
+def unicode_normalize_py(s: str) -> str:
+    """CCNet/MassiveText-style Unicode normalization (pure Python, for
+    the Arrow ``mapInPandas`` pass in ``operators.text_profile``):
+    NFKC compatibility fold (full-width forms, ligatures,
+    compatibility digits), accent strip (NFD decompose, drop combining
+    marks), lowercase, whitespace collapse + trim. Without it,
+    visually-identical NFC/NFD variants of the same text fingerprint
+    as distinct and slip through every hash-keyed dedup stage.
+
+    On ASCII input this reduces exactly to ``normalized()``'s
+    lower+collapse (the DuckDB oracle row pins that equivalence over
+    the testdata corpus); the non-ASCII semantics are pinned by unit
+    tests with composed/decomposed twins."""
+    import unicodedata
+
+    s = unicodedata.normalize("NFKC", s)
+    s = "".join(
+        c
+        for c in unicodedata.normalize("NFD", s)
+        if not unicodedata.combining(c)
+    )
+    return " ".join(s.lower().split())
+
+
 ROLL_BASE = 257
 ROLL_MOD = 1_000_000_007  # both engines stay in BIGINT: acc*257+c < 2^39
 

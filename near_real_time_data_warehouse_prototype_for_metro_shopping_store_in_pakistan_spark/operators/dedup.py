@@ -1118,6 +1118,28 @@ def simhash_near_pairs(
     the same retrieve-verify ladder as the MinHash family at a
     fraction of the signature cost (one 64-bit fingerprint vs 128
     mins)."""
+    fp = simhash_fingerprints(docs, bits, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    return hamming_near_pairs(fp, "simhash", bits, bands, max_hamming, id_col)
+
+
+def hamming_near_pairs(
+    fps: DataFrame,
+    fp_col: str,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded hamming retrieval over ANY integer fingerprint column —
+    the shared core of ``simhash_near_pairs`` (text) and
+    ``multimodal.image_dhash_pairs`` (perceptual image hashes): band
+    bucketing, key-bounded bucket self-join, exact ``bit_count``
+    verification. Pairs (doc_a < doc_b) with
+    ``bit_count(fp_a XOR fp_b) <= max_hamming``; full recall for
+    ``max_hamming <= bands - 1`` (pigeonhole — see
+    ``simhash_near_pairs``), precision exact always."""
     if not 0 < bits <= 63:
         raise ValueError(
             f"bits ({bits}) must be in 1..63: at 64 the signed long's "
@@ -1131,24 +1153,21 @@ def simhash_near_pairs(
             "voids the pigeonhole recall guarantee"
         )
     width = bits // bands
-    fp = simhash_fingerprints(docs, bits, text_col, id_col).localCheckpoint(
-        eager=False
-    )
     bcols = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.expr(f"(simhash div {1 << (i * width)}) % {1 << width}").alias(
+                F.expr(f"({fp_col} div {1 << (i * width)}) % {1 << width}").alias(
                     "val"
                 ),
             )
             for i in range(bands)
         ]
     )
-    keys = fp.select(
-        F.col(id_col), F.col("simhash"), F.explode(bcols).alias("b")
+    keys = fps.select(
+        F.col(id_col), F.col(fp_col), F.explode(bcols).alias("b")
     ).select(
-        id_col, "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val")
+        id_col, fp_col, F.col("b.band").alias("band"), F.col("b.val").alias("val")
     )
     a = keys.alias("a")
     b = keys.alias("b")
@@ -1162,8 +1181,8 @@ def simhash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("_fa"),
-            F.col("b.simhash").alias("_fb"),
+            F.col(f"a.{fp_col}").alias("_fa"),
+            F.col(f"b.{fp_col}").alias("_fb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )

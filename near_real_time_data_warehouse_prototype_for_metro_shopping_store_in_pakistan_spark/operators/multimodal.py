@@ -346,6 +346,146 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(resize, schema=MEDIA_SCHEMA)
 
 
+# Perceptual-hash grid: PHASH_ROWS × PHASH_COLS integer "pixels".
+# dHash compares horizontal neighbours -> ROWS × (COLS-1) = 63 bits,
+# deliberately 63 (not the classic 64) so the fingerprint stays a
+# non-negative signed long and the banded hamming retrieval's div/mod
+# band decomposition (dedup.hamming_near_pairs) works unchanged.
+PHASH_ROWS = 7
+PHASH_COLS = 10
+PHASH_BITS = PHASH_ROWS * (PHASH_COLS - 1)  # 63
+
+
+def _fake_pixels(payload: bytes) -> list[int]:
+    """Deterministic codec-free pixel grid: a bag-of-features
+    histogram — the payload splits into space-delimited tokens, each
+    token hashes to one of ROWS×COLS buckets (md5 60-bit prefix mod
+    n_pixels, the same hash family as ``functions.text.md5_long``),
+    and pixel k is the count of tokens in bucket k, mod 256. LOCALITY
+    AND SHIFT-INVARIANCE are the point — editing a few tokens perturbs
+    only their buckets (an avalanche hash of the whole payload flips
+    everything; contiguous-chunk sums break under any insertion that
+    shifts chunk boundaries), so near-identical payloads land at small
+    hamming distance. Exactly reproducible in SQL over ASCII text
+    payloads, which is what gives the dhash rows their DuckDB
+    oracle."""
+    n_px = PHASH_ROWS * PHASH_COLS
+    px = [0] * n_px
+    for tok in payload.split(b" "):
+        b = int(hashlib.md5(tok).hexdigest()[:15], 16) % n_px
+        px[b] = (px[b] + 1) % 256
+    return px
+
+
+def _real_pixels(payload: bytes) -> list[int]:
+    """Real perceptual grid via PIL: decode, grayscale, resize to
+    COLS×ROWS (the canonical dHash pipeline). Env-gated like every
+    real codec path here."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        small = img.convert("L").resize(
+            (PHASH_COLS, PHASH_ROWS), Image.LANCZOS
+        )
+        return list(small.getdata())
+
+
+def _dhash_from_pixels(px: list[int]) -> int:
+    """Row-gradient bits: bit r*(COLS-1)+c set iff px[r][c] > px[r][c+1]."""
+    out = 0
+    for r in range(PHASH_ROWS):
+        for c in range(PHASH_COLS - 1):
+            if px[r * PHASH_COLS + c] > px[r * PHASH_COLS + c + 1]:
+                out |= 1 << (r * (PHASH_COLS - 1) + c)
+    return out
+
+
+def _ahash_from_pixels(px: list[int]) -> int:
+    """Mean bits over the first 63 pixels: bit k set iff
+    px[k] * n_pixels > sum(px) — integer cross-multiplied so the mean
+    comparison is exact in both engines (no float mean)."""
+    total = sum(px)
+    n_px = len(px)
+    out = 0
+    for k in range(PHASH_BITS):
+        if px[k] * n_px > total:
+            out |= 1 << k
+    return out
+
+
+def image_hashes(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Perceptual image hashes for the image rows of a media table:
+    (doc_id, n_bytes, dhash, ahash), 63-bit integers.
+
+    dHash (row-gradient bits) and aHash (above-mean bits) are the
+    standard cheap perceptual fingerprints for image dedup in
+    multimodal training sets — robust to small local edits, unlike
+    the exact payload md5 (``decode_media``'s fp_long), which any
+    single-byte change avalanches. ``fake=True`` (default, the
+    contract surface) derives the pixel grid codec-free from the
+    payload bytes (``_fake_pixels`` — deterministic, oracle-exact);
+    ``fake=False`` decodes via PIL (grayscale + LANCZOS resize, the
+    canonical pipeline), env-gated like ``resize_images``. Non-image
+    rows are filtered out up front so no decode is attempted on them.
+
+    One Arrow ``mapInPandas`` pass, embarrassingly parallel, no
+    shuffle; the hamming-banded pair retrieval composes downstream
+    (``image_dhash_pairs``)."""
+    if not fake:
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real image hashing needs PIL; not available in this "
+                "container — use fake=True"
+            ) from exc
+    px_fn = _fake_pixels if fake else _real_pixels
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = [px_fn(bytes(pl)) for pl in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": pdf["n_bytes"].values,
+                    "dhash": [_dhash_from_pixels(p) for p in px],
+                    "ahash": [_ahash_from_pixels(p) for p in px],
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        hashes,
+        schema="doc_id long, n_bytes int, dhash long, ahash long",
+    )
+
+
+def image_dhash_pairs(
+    media: DataFrame,
+    bands: int = 7,
+    max_hamming: int = 6,
+    fake: bool = True,
+) -> DataFrame:
+    """Perceptual image near-dup pairs: dHash fingerprints, then the
+    SAME banded hamming retrieval the text SimHash path uses
+    (``dedup.hamming_near_pairs``) — band bucketing, key-bounded
+    bucket self-join, exact bit_count verify. Defaults (7 bands of
+    9 bits, max_hamming 6 = bands-1) keep the pigeonhole FULL-recall
+    regime: the banded result is exactly the quadratic
+    ``bit_count(xor) <= 6`` pair set, at bucket-join cost."""
+    from .dedup import hamming_near_pairs
+
+    fps = image_hashes(media, fake=fake).select("doc_id", "dhash")
+    return hamming_near_pairs(
+        fps.localCheckpoint(eager=False),
+        "dhash",
+        PHASH_BITS,
+        bands,
+        max_hamming,
+    )
+
+
 def sample_frame_indices(
     decoded: DataFrame, every_n: int = 30, max_frames: int = 16
 ) -> DataFrame:

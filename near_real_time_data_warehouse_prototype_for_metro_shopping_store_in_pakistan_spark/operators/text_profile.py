@@ -139,6 +139,64 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unicode_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode-normalized content fingerprints: md5 (and its 60-bit
+    integer prefix) of the NFKC + accent-strip + lowercase +
+    whitespace-collapsed text (``functions.text.unicode_normalize_py``
+    — the CCNet/MassiveText normalization). This is the gate that
+    makes exact dedup robust to encoding variants: composed (NFC) and
+    decomposed (NFD) renderings of the same string, full-width forms,
+    and ligatures all collapse to one fingerprint, where the plain
+    ``fingerprints`` (whitespace+lowercase only) keeps them distinct.
+
+    Scale shape: ONE Arrow ``mapInPandas`` pass does the normalization
+    (stdlib ``unicodedata``, no per-row Python UDF); the md5 hashing
+    stays JVM-side in whole-stage codegen over the returned normalized
+    column."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions.text import unicode_normalize_py
+
+    def norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "_unorm": [
+                        unicode_normalize_py(s) for s in pdf[text_col]
+                    ],
+                }
+            )
+
+    normed = docs.select(id_col, text_col).mapInPandas(
+        norm, schema=f"{id_col} long, _unorm string"
+    )
+    return normed.select(
+        id_col,
+        F.md5("_unorm").alias("ufp"),
+        md5_long(F.col("_unorm")).alias("ufp_long"),
+    )
+
+
+def unicode_exact_keepers(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document keeper assignment under unicode-normalized exact
+    dedup: every doc maps to the min id sharing its normalized
+    fingerprint (itself when unique) — the normalized twin of the
+    exact-dedup keeper relation, so NFC/NFD/full-width/ligature
+    variants of one text collapse to one keeper."""
+    fps = unicode_fingerprints(docs, text_col, id_col)
+    keep = fps.groupBy("ufp").agg(F.min(id_col).alias("keeper_doc_id"))
+    return fps.join(keep, "ufp").select(
+        id_col, "ufp", "ufp_long", "keeper_doc_id"
+    )
+
+
 def bottomk_sketch(
     docs: DataFrame,
     n: int = 5,
@@ -704,6 +762,7 @@ def lm_surprisal_stats(
     lm_counts: DataFrame | None = None,
     min_count: int = 1,
     lang_col: str | None = None,
+    model_rows: int | None = None,
 ) -> DataFrame:
     """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020,
     "CCNet: Extracting High Quality Monolingual Datasets"), the
@@ -747,7 +806,11 @@ def lm_surprisal_stats(
     the PRUNED relation, so pruned grams score exactly like OOV grams
     (the Laplace floor) and the model relation is bounded by the grams
     that repeat. Any ``min_count > 1`` therefore makes the score join
-    a left join even when self-trained.
+    a left join even when self-trained. With ``min_count > 1`` the
+    broadcast-vs-shuffle decision for the score joins costs one eager
+    count of the pruned model at plan-build time; pass ``model_rows``
+    (an upper bound the caller already knows) to keep construction
+    fully lazy and decide from the bound instead.
 
     ``lang_col`` keys the WHOLE model by language — one independent LM
     per language, CCNet's actual configuration (Wenzek 2020 trains one
@@ -820,11 +883,17 @@ def lm_surprisal_stats(
         # (≤ corpus_tokens/min_count rows, measured 36-426× cuts at
         # min_count 2-5) — when it fits the broadcast budget the
         # score join should be a broadcast hash join, not a shuffle
-        # of the full per-doc gram relation. One metadata-bounded
-        # count decides (the checkpoint pins the pruned relation so
-        # the decision pass is not recomputed by the join); cost-based
-        # like the fused/iterative component walk.
-        broadcast_model = c2.count() <= LM_BROADCAST_MODEL_ROWS
+        # of the full per-doc gram relation. ``model_rows`` (a
+        # caller-known bound, the similarity.py n_vectors escape
+        # hatch) keeps construction fully lazy; otherwise one
+        # metadata-bounded count decides (the checkpoint pins the
+        # pruned relation so the decision pass is not recomputed by
+        # the join) — cost-based like the fused/iterative component
+        # walk, at the declared price of one eager job at plan-build.
+        if model_rows is not None:
+            broadcast_model = model_rows <= LM_BROADCAST_MODEL_ROWS
+        else:
+            broadcast_model = c2.count() <= LM_BROADCAST_MODEL_ROWS
     c1 = c2.groupBy(*mk, "ctx").agg(F.sum("c2").alias("c1"))
     if broadcast_model:
         c2 = F.broadcast(c2)

@@ -138,20 +138,50 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_keepers(docs, pairs.select("doc_a", "doc_b"))
 
 
-def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+RECALL_SAMPLE_MOD = 2  # 1-in-2 docs -> ~1/4 of the exact GEMM cost
+
+
+def dedup_recall_report(
+    spark: SparkSession,
+    sf_dir: str,
+    sample_mod: int | None = RECALL_SAMPLE_MOD,
+) -> DataFrame:
     """Ladder recall as a pinned measurement (the dedup twin of
     ann_recall_report): pair counts of the production MinHash ladder
-    vs the exact Jaccard ground truth, plus the overlap. Precision is
+    vs an exact-Jaccard ground truth, plus the overlap. Precision is
     exact by construction (both verify the same hash-set Jaccard), so
-    n_hits == n_ladder_pairs and recall = n_hits / n_exact_pairs —
-    the banding's P(miss) made visible, which the per-variant hash
-    gates cannot see."""
+    recall = n_hits / n_exact_pairs — the banding's P(miss) made
+    visible, which the per-variant hash gates cannot see.
+
+    The ground truth is SAMPLED: exact Jaccard over an md5-carved
+    deterministic document subset (1 in ``sample_mod``), i.e. the true
+    pairs whose BOTH endpoints fall in the sample — an unbiased pair
+    subset because Jaccard is pair-local (a pair's similarity does not
+    depend on the rest of the corpus), and the carve is
+    content-independent. This is the one design under which the
+    measurement itself scales: full-corpus exact all-candidate Jaccard
+    is exactly the quadratic the ladder exists to avoid, so a
+    measurement that re-runs it can never follow the operator to
+    100 TB (the ann_recall_report fixed-query-subset precedent).
+    ``sample_mod=None`` restores the exhaustive small-SF mode; at
+    scale, raise ``sample_mod`` so the sampled side stays bounded.
+    The ladder side always runs on the FULL corpus — it is the
+    production operator under measurement."""
     docs = table(spark, sf_dir, "documents")
+    gt_docs = docs
+    if sample_mod is not None:
+        gt_docs = docs.filter(
+            _md5_long(
+                F.concat(F.col("doc_id").cast("string"), F.lit("|recall"))
+            )
+            % sample_mod
+            == 0
+        )
     # Each side feeds two consumers (its own count and the overlap
     # semi-join); the lazy checkpoints materialize the expensive
     # GEMM / ladder pipelines once instead of per consumer.
     exact = (
-        dedup.jaccard_similar_pairs(docs)
+        dedup.jaccard_similar_pairs(gt_docs)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
@@ -215,6 +245,33 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 1).alias("f0"),
         F.element_at("features", 4).alias("f3"),
         F.element_at("features", 8).alias("f7"),
+    )
+
+
+def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashes (dHash row-gradient bits + aHash
+    above-mean bits, 63-bit) over the image rows of the media surface
+    — operators.multimodal.image_hashes on the deterministic fake
+    decode (codec-free, oracle-exact)."""
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    return multimodal.image_hashes(media, fake=True)
+
+
+IMAGE_NEARDUP_MAX_HAMMING = 2  # corpus-calibrated: the synthetic
+# docs share a ~50-word vocabulary, so histograms cluster — 2 bits of
+# 63 picks the genuinely-close tail (~50 pairs at sf0.01) instead of
+# 16% of all pairs at the library default 6. Still well inside the
+# bands-1 pigeonhole, so recall stays exact.
+
+
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs: dHash + the shared banded
+    hamming retrieval (dedup.hamming_near_pairs) in its full-recall
+    regime (7 bands, max_hamming <= bands-1), so the banded result
+    equals the exact quadratic hamming filter the oracle computes."""
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    return multimodal.image_dhash_pairs(
+        media, max_hamming=IMAGE_NEARDUP_MAX_HAMMING
     )
 
 
@@ -575,6 +632,17 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile.fingerprints(table(spark, sf_dir, "documents"))
+
+
+def text_unicode_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalized (NFKC + accent strip + lowercase + collapse)
+    fingerprints with exact-dedup keeper assignment — the CCNet-style
+    normalization gate that collapses NFC/NFD/full-width variants
+    before any hash-keyed dedup (operators.text_profile
+    .unicode_exact_keepers)."""
+    return text_profile.unicode_exact_keepers(
+        table(spark, sf_dir, "documents")
+    )
 
 
 CHUNK_TOKENS = 64
@@ -1444,10 +1512,13 @@ PIPELINE_QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "image_dhash": image_dhash,
+    "image_dhash_neardup": image_dhash_neardup,
     "text_token_stats": text_token_stats,
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
+    "text_unicode_fingerprint": text_unicode_fingerprint,
     "text_repetition": text_repetition,
     "text_bottomk_sketch": text_bottomk_sketch,
     "text_lm_surprisal": text_lm_surprisal,
@@ -2511,6 +2582,86 @@ SELECT doc_id,
             AS INT) AS frame_index
 FROM media WHERE media_type = 'video'
 """
+
+# Perceptual image-hash oracle: the SQL mirror of
+# multimodal._fake_pixels (token-hash histogram) +
+# _dhash/_ahash_from_pixels over ASCII payloads (payload == utf-8
+# text, md5 of a token string == md5 of its bytes — the corpus is
+# pure ASCII, asserted when the rows were pinned).
+def _image_hash_cte() -> str:
+    from ..operators import multimodal as mm
+
+    n_px = mm.PHASH_ROWS * mm.PHASH_COLS
+    return f"""img AS (
+    SELECT doc_id, text,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes
+    FROM documents WHERE doc_id % 3 = 0
+),
+tok AS (
+    SELECT doc_id,
+           {_sql_md5_long("unnest(string_split(text, ' '))")} % {n_px}
+               AS bucket
+    FROM img
+),
+cnt AS (SELECT doc_id, bucket, count(*) % 256 AS p FROM tok GROUP BY 1, 2),
+base AS (
+    SELECT i.doc_id, i.n_bytes, t.k
+    FROM img i CROSS JOIN generate_series(0, {n_px - 1}) t(k)
+),
+px AS (
+    SELECT base.doc_id, base.n_bytes, base.k, coalesce(cnt.p, 0) AS p
+    FROM base LEFT JOIN cnt
+      ON cnt.doc_id = base.doc_id AND cnt.bucket = base.k
+),
+grid AS (
+    SELECT doc_id, any_value(n_bytes) AS n_bytes,
+           list(p ORDER BY k) AS ps, sum(p) AS tot
+    FROM px GROUP BY doc_id
+)"""
+
+
+def _image_dhash_expr() -> str:
+    from ..operators import multimodal as mm
+
+    r_, c_ = mm.PHASH_ROWS, mm.PHASH_COLS
+    return " + ".join(
+        f"CASE WHEN ps[{r * c_ + c + 1}] > ps[{r * c_ + c + 2}] "
+        f"THEN {1 << (r * (c_ - 1) + c)} ELSE 0 END"
+        for r in range(r_)
+        for c in range(c_ - 1)
+    )
+
+
+def _image_hash_oracle() -> str:
+    from ..operators import multimodal as mm
+
+    n_px = mm.PHASH_ROWS * mm.PHASH_COLS
+    ah = " + ".join(
+        f"CASE WHEN ps[{k + 1}] * {n_px} > tot THEN {1 << k} ELSE 0 END"
+        for k in range(mm.PHASH_BITS)
+    )
+    return f"""
+WITH {_image_hash_cte()}
+SELECT doc_id, n_bytes,
+       CAST({_image_dhash_expr()} AS BIGINT) AS dhash,
+       CAST({ah} AS BIGINT) AS ahash
+FROM grid
+"""
+
+
+def _image_neardup_oracle(max_hamming: int = IMAGE_NEARDUP_MAX_HAMMING) -> str:
+    """Exact quadratic hamming filter — equals the banded retrieval by
+    the pigeonhole full-recall guarantee at max_hamming <= bands-1."""
+    return f"""
+WITH {_image_hash_cte()},
+h AS (SELECT doc_id, CAST({_image_dhash_expr()} AS BIGINT) AS dhash
+      FROM grid)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+"""
+
 
 ORACLE_EMBED_NEARDUP = f"""
 WITH {_SCALED_VECS},
@@ -3983,6 +4134,28 @@ SELECT doc_id,
 FROM documents
 """
 
+# The DuckDB mirror of functions.text.unicode_normalize_py: NFC +
+# accent strip + lowercase + whitespace collapse. DuckDB exposes NFC
+# (nfc_normalize) but not NFKC; on this corpus (pure ASCII — asserted
+# when the row was pinned) every step beyond lower+collapse is the
+# identity in BOTH engines, so the row pins the plumbing hash-exactly
+# while the non-ASCII semantics (where NFKC and NFC differ) are pinned
+# by unit tests with composed/decomposed twins.
+_UNICODE_NORMALIZED = (
+    "trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),"
+    " '\\s+', ' ', 'g'))"
+)
+
+ORACLE_UNICODE_FINGERPRINT = f"""
+WITH nf AS (
+    SELECT doc_id, md5({_UNICODE_NORMALIZED}) AS ufp FROM documents
+)
+SELECT doc_id, ufp,
+       CAST('0x' || substr(ufp, 1, 15) AS BIGINT) AS ufp_long,
+       min(doc_id) OVER (PARTITION BY ufp) AS keeper_doc_id
+FROM nf
+"""
+
 ORACLE_BOTTOMK = f"""
 WITH {_SHINGLES},
 hashed AS (
@@ -4722,13 +4895,24 @@ PIPELINE_ORACLES = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_minhash_verified": ORACLE_DEDUP_MINHASH_VERIFIED,
+    # Sampled ground truth: the oracle filters the SAME md5-carved
+    # pair subset at the pair level (Jaccard is pair-local, so
+    # sampling docs before the GEMM — the Spark side — and filtering
+    # pairs after — the oracle side — are identical by construction).
     "dedup_recall_report": f"""
-SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
+WITH sampled AS (
+    SELECT doc_a, doc_b FROM ({ORACLE_DEDUP_JACCARD})
+    WHERE {_sql_md5_long("CAST(doc_a AS VARCHAR) || '|recall'")}
+              % {RECALL_SAMPLE_MOD} = 0
+      AND {_sql_md5_long("CAST(doc_b AS VARCHAR) || '|recall'")}
+              % {RECALL_SAMPLE_MOD} = 0
+)
+SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
            AS n_exact_pairs,
        CAST((SELECT count(*) FROM ({ORACLE_DEDUP_MINHASH_VERIFIED})) AS BIGINT)
            AS n_ladder_pairs,
        CAST((SELECT count(*)
-             FROM ({ORACLE_DEDUP_JACCARD}) j
+             FROM sampled j
              JOIN ({ORACLE_DEDUP_MINHASH_VERIFIED}) v
              USING (doc_a, doc_b)) AS BIGINT) AS n_hits
 """,
@@ -4761,10 +4945,13 @@ SELECT CAST((SELECT count(*) FROM ({ORACLE_DEDUP_JACCARD})) AS BIGINT)
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAMES,
+    "image_dhash": _image_hash_oracle(),
+    "image_dhash_neardup": _image_neardup_oracle(),
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_langid": _langid_oracle(),
     "text_quality": _quality_oracle(),
     "text_fingerprint": ORACLE_FINGERPRINT,
+    "text_unicode_fingerprint": ORACLE_UNICODE_FINGERPRINT,
     "text_repetition": _repetition_oracle(),
     "text_bottomk_sketch": ORACLE_BOTTOMK,
     "text_lm_surprisal": ORACLE_LM_SURPRISAL,

@@ -457,7 +457,11 @@ def bpe_mode(spark, merge_levels: list[int], n_docs: int = 20000) -> None:
             )
             print(json.dumps(rows[-1]), flush=True)
         cov = bpe_coverage(docs, merges).collect()[0].asDict()
-        lo, hi = rows[1], rows[-1]
+        # rows[0] is the base level (its over-base cost is 0 by
+        # construction); compare from rows[1] when it exists, else
+        # degrade to rows[0] so a single-level invocation still
+        # prints its summary instead of dying on IndexError
+        lo, hi = rows[1] if len(rows) >= 2 else rows[0], rows[-1]
         ratio_merges = hi["n_merges"] / max(lo["n_merges"], 1)
         ratio_driver = max(hi["driver_sec_over_base"], 1e-3) / max(
             lo["driver_sec_over_base"], 1e-3

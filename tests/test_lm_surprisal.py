@@ -181,6 +181,31 @@ def test_min_count_prunes_to_laplace_floor(spark):
     assert rows[2]["mean_invp_scaled"] > base[2]["mean_invp_scaled"]
 
 
+def test_model_rows_bound_keeps_lazy_and_matches(spark):
+    """model_rows (a caller-known model-size bound) replaces the
+    plan-build count: construction stays fully lazy and the scores are
+    identical whichever side of the broadcast threshold the bound
+    lands on."""
+    from unittest.mock import patch
+
+    base = sorted(
+        map(
+            tuple,
+            lm_surprisal_stats(_docs(spark), min_count=2).collect(),
+        )
+    )
+    with patch(
+        "pyspark.sql.DataFrame.count",
+        side_effect=AssertionError("eager count at plan-build"),
+    ):
+        lo = lm_surprisal_stats(_docs(spark), min_count=2, model_rows=2)
+        hi = lm_surprisal_stats(
+            _docs(spark), min_count=2, model_rows=10**9
+        )
+    assert sorted(map(tuple, lo.collect())) == base
+    assert sorted(map(tuple, hi.collect())) == base
+
+
 def test_min_count_one_is_identity_and_validates(spark):
     import pytest as _pytest
 

@@ -1,0 +1,204 @@
+"""Round-10 additions: Unicode normalization gate (NFKC + accent
+strip) ahead of fingerprint-keyed dedup, the sampled dedup-recall
+ground truth, and the multiset-safe relation fingerprint."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.functions.text import (
+    unicode_normalize_py,
+)
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+    text_profile,
+)
+
+
+class TestUnicodeNormalize:
+    def test_nfc_nfd_twins_collapse(self, spark):
+        # 'café' composed (U+00E9) vs decomposed (e + U+0301): byte
+        # distinct, visually identical — must share one fingerprint
+        # and one keeper
+        docs = spark.createDataFrame(
+            [
+                (1, "café menu"),
+                (2, "café menu"),
+                (3, "unrelated text"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in text_profile.unicode_exact_keepers(docs).collect()
+        }
+        assert out[1]["ufp"] == out[2]["ufp"]
+        assert out[1]["keeper_doc_id"] == 1 and out[2]["keeper_doc_id"] == 1
+        assert out[3]["keeper_doc_id"] == 3
+        assert out[3]["ufp"] != out[1]["ufp"]
+        # the plain (non-unicode) fingerprints keep the twins DISTINCT
+        # — the gap this gate closes
+        plain = {
+            r["doc_id"]: r["fp"]
+            for r in text_profile.fingerprints(docs).collect()
+        }
+        assert plain[1] != plain[2]
+
+    def test_normalizer_semantics(self):
+        # NFKC compatibility folds: full-width latin, ligature, NBSP
+        assert unicode_normalize_py("ＨＥＬＬO") == "hello"
+        assert unicode_normalize_py("oﬃce") == "office"
+        assert unicode_normalize_py("a b") == "a b"
+        # accent strip after decomposition
+        assert unicode_normalize_py("Crème BRÛLÉE") == "creme brulee"
+        # whitespace collapse + trim, ascii lowercase
+        assert unicode_normalize_py("  A\t\nB  ") == "a b"
+        # ascii text reduces to lower+collapse (the oracle equivalence)
+        assert unicode_normalize_py("Plain ASCII  text") == "plain ascii text"
+
+    def test_ufp_long_matches_md5_prefix(self, spark):
+        docs = spark.createDataFrame(
+            [(7, "Some Text")], "doc_id long, text string"
+        )
+        r = text_profile.unicode_fingerprints(docs).collect()[0]
+        assert r["ufp_long"] == int(r["ufp"][:15], 16)
+
+
+class TestSampledDedupRecall:
+    def test_full_mode_supersets_sampled(self, spark, sf_dir):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.plans import (
+            pipeline_queries as pq,
+        )
+
+        sampled = pq.dedup_recall_report(spark, sf_dir).collect()[0]
+        full = pq.dedup_recall_report(
+            spark, sf_dir, sample_mod=None
+        ).collect()[0]
+        # the ladder side is identical (full corpus in both modes);
+        # the sampled ground truth is a subset of the full one
+        assert sampled["n_ladder_pairs"] == full["n_ladder_pairs"]
+        assert sampled["n_exact_pairs"] <= full["n_exact_pairs"]
+        assert sampled["n_hits"] <= sampled["n_exact_pairs"]
+        # precision is exact by construction in both modes: every
+        # sampled true pair the ladder found is a ladder pair
+        assert full["n_hits"] <= full["n_ladder_pairs"]
+
+
+class TestImageDhash:
+    @staticmethod
+    def _media(spark, texts):
+        rows = [
+            (i, "image", t.encode(), len(t.encode()))
+            for i, t in enumerate(texts)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, media_type string, payload binary, n_bytes int"
+        )
+
+    def test_locality_and_discrimination(self, spark):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+            multimodal,
+        )
+
+        base = " ".join(f"tok{i}" for i in range(60))
+        edited = base.replace("tok7", "zzz", 1)  # one token swapped
+        other = " ".join(f"other{i}" for i in range(60))
+        media = self._media(spark, [base, edited, other])
+        h = {
+            r["doc_id"]: r["dhash"]
+            for r in multimodal.image_hashes(media).collect()
+        }
+        ham = lambda a, b: bin(h[a] ^ h[b]).count("1")
+        # one token edit perturbs <= 2 histogram buckets -> <= 4
+        # gradient bits (possibly 0: a count bump that does not flip
+        # any adjacent > relation); an unrelated doc lands much farther
+        assert ham(0, 1) <= 4
+        assert ham(0, 2) > 4
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in multimodal.image_dhash_pairs(
+                media, max_hamming=4
+            ).collect()
+        }
+        assert (0, 1) in pairs and (0, 2) not in pairs
+
+    def test_banded_equals_bruteforce(self, spark, sf_dir):
+        """Full-recall regime (max_hamming <= bands-1): the banded
+        retrieval must return EXACTLY the quadratic hamming pair set —
+        recall 1.0 and precision 1.0 against brute force."""
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+            multimodal,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        media = multimodal.documents_as_media(docs)
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in multimodal.image_dhash_pairs(
+                media, max_hamming=2
+            ).collect()
+        }
+        fps = sorted(
+            (r["doc_id"], r["dhash"])
+            for r in multimodal.image_hashes(media).collect()
+        )
+        brute = {
+            (a_id, b_id, bin(a_h ^ b_h).count("1"))
+            for i, (a_id, a_h) in enumerate(fps)
+            for b_id, b_h in fps[i + 1 :]
+            if bin(a_h ^ b_h).count("1") <= 2
+        }
+        assert got == brute and brute
+
+    def test_hash_range_and_media_filter(self, spark):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+            multimodal,
+        )
+
+        rows = [
+            (0, "image", b"a b c", 5),
+            (1, "audio", b"a b c", 5),  # filtered out
+        ]
+        media = spark.createDataFrame(
+            rows, "doc_id long, media_type string, payload binary, n_bytes int"
+        )
+        out = multimodal.image_hashes(media).collect()
+        assert [r["doc_id"] for r in out] == [0]
+        assert 0 <= out[0]["dhash"] < (1 << 63)
+        assert 0 <= out[0]["ahash"] < (1 << 63)
+
+    def test_real_path_env_gated(self, spark):
+        import pytest
+
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+            multimodal,
+        )
+
+        try:
+            import PIL  # noqa: F401
+
+            pytest.skip("PIL present: real path exercised elsewhere")
+        except ImportError:
+            pass
+        media = self._media(spark, ["some text"])
+        with pytest.raises(NotImplementedError, match="PIL"):
+            multimodal.image_hashes(media, fake=False)
+
+
+def test_relation_fingerprint_multiset_sensitive(spark):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.corpus_pipeline import (
+        _relation_fingerprint,
+    )
+
+    mk = lambda ids: spark.createDataFrame(
+        [(i,) for i in ids], "doc_id long"
+    )
+    # xor self-cancellation classes: {a,a,b} vs {c,c,b} share count
+    # and xor; {a,a,b} vs {a,b,b} share count, distinct-count and
+    # set-xor — the sum-based fingerprint separates all of them
+    a = _relation_fingerprint(mk([1, 1, 2]), "doc_id")
+    b = _relation_fingerprint(mk([3, 3, 2]), "doc_id")
+    c = _relation_fingerprint(mk([1, 2, 2]), "doc_id")
+    assert len({a, b, c}) == 3
+    # order/partitioning insensitive
+    d = _relation_fingerprint(mk([2, 1, 1]).repartition(7), "doc_id")
+    assert d == a
