@@ -173,7 +173,11 @@ def bench_streaming_curation(
         )
         q.awaitTermination()
         dt = time.perf_counter() - t0
-        kept = spark.read.parquet(f"{root}/corpus/curated_docs").count()
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.sinks import (
+            read_table,
+        )
+
+        kept = read_table(spark, f"{root}/corpus", "curated_docs").count()
         return {
             "docs": n_docs,
             "kept": kept,
@@ -231,6 +235,20 @@ CALM_THRESHOLD_SEC = 0.15
 CALM_WAIT_SEC = 3.0
 CALM_PER_QUERY_TRIES = 8
 CALM_TOTAL_BUDGET_SEC = 420.0
+# Throttle retry (round-10 verdict #8): queries whose recorded probe
+# exceeded the threshold get ONE re-run at the end of the suite (the
+# host has often calmed by then); the pinned timing is the best of
+# the two samples, with both recorded in the artifact. The retry
+# phase has its own small calm budget so a permanently-throttled
+# host still terminates.
+RETRY_CALM_BUDGET_SEC = 120.0
+
+# Queries that read the shared _jaccard_pairs memo
+# (plans.pipeline_queries): the alphabetically-first of them PAYS the
+# materialization in the main pass, so its retry must clear the memo
+# to measure the same work — retrying it against a warm memo would
+# pin a cache-hit as the query's cost.
+PAIRS_MEMO_CONSUMERS = frozenset({"dedup_clusters", "dedup_ngram_jaccard"})
 
 
 def _calm_probe(budget: list[float], enabled: bool) -> tuple[float, float]:
@@ -367,6 +385,47 @@ def main() -> None:
             flush=True,
         )
 
+    # Throttle retry pass: one re-run per throttled query, best-of
+    # pinned, both samples recorded. Runs AFTER the whole suite so a
+    # transient host-throttling episode has had time to pass.
+    retries: dict[str, dict] = {}
+    if calm_enabled:
+        retry_budget = [RETRY_CALM_BUDGET_SEC]
+        throttled = sorted(
+            k for k, p in probes.items() if p > CALM_THRESHOLD_SEC
+        )
+        pairs_payer = min(
+            (k for k in suite if k in PAIRS_MEMO_CONSUMERS), default=None
+        )
+        for name in throttled:
+            if name == pairs_payer:
+                from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.plans.pipeline_queries import (
+                    clear_pairs_cache,
+                )
+
+                clear_pairs_cache()
+            probe2, waited = _calm_probe(retry_budget, True)
+            total_waited += waited
+            t0 = time.perf_counter()
+            _force(suite[name](spark, sf_dir))
+            sec2 = round(time.perf_counter() - t0, 3)
+            retries[name] = {
+                "first_sec": timings[name],
+                "retry_sec": sec2,
+                "first_probe": probes[name],
+                "retry_probe": probe2,
+            }
+            if sec2 < timings[name]:
+                timings[name] = sec2
+                probes[name] = probe2
+            print(
+                f"retry {name}: {sec2}s (probe {probe2}s, "
+                f"first {retries[name]['first_sec']}s @ "
+                f"{retries[name]['first_probe']}s)",
+                file=sys.stderr,
+                flush=True,
+            )
+
     streaming = bench_streaming(spark, sf_dir)
     print(f"streaming_etl: {streaming}", file=sys.stderr, flush=True)
     curation = bench_streaming_curation(spark, sf_dir)
@@ -412,10 +471,14 @@ def main() -> None:
             "waited_sec": round(total_waited, 3),
             "budget_left_sec": round(calm_budget[0], 3),
             "max_query_probe": max(probes.values()) if probes else None,
+            # throttled AFTER best-of: a query counts only if both its
+            # samples ran on a throttled host
             "n_throttled_queries": sum(
                 1 for v in probes.values() if v > CALM_THRESHOLD_SEC
             ),
+            "n_retried": len(retries),
         },
+        "throttle_retries": retries,
         "sf": sf,
         "n_queries": len(timings),
     }
@@ -458,6 +521,7 @@ def main() -> None:
                     "waited_sec",
                     "max_query_probe",
                     "n_throttled_queries",
+                    "n_retried",
                 )
             },
             "sf": sf,

@@ -30,6 +30,7 @@ from pyspark.sql.streaming import StreamingQuery
 from .operators import dedup as _dedup
 from .operators import packing as _packing
 from .operators import text_profile as _text
+from .operators.bpe import merges_fingerprint as _bpe_fingerprint
 from .operators.sinks import make_sink
 from .streaming.corpus import (
     CURATED_TABLE,
@@ -419,6 +420,51 @@ class DatasetBuilder:
         with open(path, "w") as fh:
             fh.write(fingerprint)
 
+    # -- tokenizer artifacts --------------------------------------------
+    def tokenizer_path(self, merges: list[str]) -> str:
+        import os
+
+        return os.path.join(
+            self.pipeline.root, "_tokenizer", _bpe_fingerprint(merges)
+        )
+
+    def _persist_tokenizer(self, merges: list[str]) -> str:
+        """Write the merge table as an immutable parquet artifact keyed
+        by its fingerprint. Idempotent: a replayed build finds the
+        directory already present (same fingerprint = bit-identical
+        content, so nothing to compare) and skips the write."""
+        import os
+
+        from .operators.bpe import save_merges
+
+        path = self.tokenizer_path(merges)
+        if not os.path.isdir(path):
+            save_merges(self.pipeline.spark, merges, path)
+        return path
+
+    def load_tokenizer(self, fingerprint: str) -> list[str]:
+        """Load a persisted tokenizer by the fingerprint recorded in
+        an epoch's config (the ``bpe:<fingerprint>`` value) — the
+        re-load path that makes 'we trained on snapshot N' fully
+        reproducible INCLUDING the token denomination."""
+        import os
+
+        from .operators.bpe import load_merges, merges_fingerprint
+
+        path = os.path.join(
+            self.pipeline.root, "_tokenizer", fingerprint.removeprefix("bpe:")
+        )
+        merges = load_merges(self.pipeline.spark, path)
+        if "bpe:" + merges_fingerprint(merges) != (
+            fingerprint if fingerprint.startswith("bpe:")
+            else "bpe:" + fingerprint
+        ):
+            raise ValueError(
+                f"tokenizer artifact at {path} does not hash to its "
+                "directory name — artifact corrupted or tampered"
+            )
+        return merges
+
     def build(
         self,
         docs: DataFrame,
@@ -431,6 +477,7 @@ class DatasetBuilder:
         dedup_method: str = "ladder",
         fluency_keep_pct: int | None = None,
         dsir_target: DataFrame | None = None,
+        tokenizer_merges: list[str] | None = None,
     ) -> int:
         """Run the chain and commit one snapshot; returns its id.
 
@@ -455,6 +502,7 @@ class DatasetBuilder:
             dedup_method=dedup_method,
             fluency_keep_pct=fluency_keep_pct,
             dsir_target=dsir_target,
+            tokenizer_merges=tokenizer_merges,
         )
 
     def _select(
@@ -468,6 +516,7 @@ class DatasetBuilder:
         dedup_method: str,
         fluency_keep_pct: int | None,
         dsir_target: DataFrame | None,
+        tokenizer_merges: list[str] | None = None,
     ) -> DataFrame:
         """The epoch-independent selection chain: curate → dedup →
         (optional) fluency prune → budget draw → shards. The budget
@@ -515,10 +564,23 @@ class DatasetBuilder:
             mixed = sel.filter(F.col("selected"))
         else:
             mixed = _part.temperature_mix_plan(kept, budget_docs)
-        rows = kept.join(mixed.select("doc_id"), "doc_id").select(
-            "doc_id", F.length("text").alias("n_chars")
+        sized = kept.join(mixed.select("doc_id"), "doc_id")
+        rows = sized.select("doc_id", F.length("text").alias("n_chars"))
+        if tokenizer_merges is None:
+            return _part.shard_assignments(rows, n_shards, "n_chars")
+        # tokenizer-denominated builds: shards balance on the LEARNED
+        # subword counts (what a trainer actually consumes), not raw
+        # chars — which is why the tokenizer artifact belongs in the
+        # epoch config guard: a different merge table re-weights the
+        # shard assignment, so rebuilding under it must refuse
+        from .operators import bpe as _bpe
+
+        counts = _bpe.bpe_token_counts(sized, tokenizer_merges).select(
+            "doc_id", "n_bpe_tokens"
         )
-        return _part.shard_assignments(rows, n_shards, "n_chars")
+        return _part.shard_assignments(
+            rows.join(counts, "doc_id"), n_shards, "n_bpe_tokens"
+        ).drop("n_bpe_tokens")
 
     def build_epochs(
         self,
@@ -533,6 +595,7 @@ class DatasetBuilder:
         dedup_method: str = "ladder",
         fluency_keep_pct: int | None = None,
         dsir_target: DataFrame | None = None,
+        tokenizer_merges: list[str] | None = None,
     ) -> int:
         """A whole training run's worth of epochs in ONE commit: the
         selection chain runs once, then every epoch in
@@ -571,10 +634,25 @@ class DatasetBuilder:
                 if dsir_target is None
                 else "dsir:" + _relation_fingerprint(dsir_target, "doc_id")
             ),
+            # the tokenizer that denominated the build is part of the
+            # dataset's identity (it re-weights shard assignment and
+            # is what a trainer consumes alongside the rows): its
+            # order-sensitive fingerprint goes in the guard, and the
+            # merge table itself is persisted as an immutable parquet
+            # artifact next to the dataset (the dsir_target precedent,
+            # but with the full artifact — a tokenizer must be
+            # re-LOADABLE, not just re-checkable)
+            "tokenizer": (
+                None
+                if tokenizer_merges is None
+                else "bpe:" + _bpe_fingerprint(tokenizer_merges)
+            ),
         }
         epochs = range(int(first_epoch), int(first_epoch) + int(n_epochs))
         for e in epochs:
             self._guard_epoch_config(e, params)
+        if tokenizer_merges is not None:
+            self._persist_tokenizer(tokenizer_merges)
         sharded = self._select(
             docs,
             eval_docs,
@@ -585,6 +663,7 @@ class DatasetBuilder:
             dedup_method,
             fluency_keep_pct,
             dsir_target,
+            tokenizer_merges,
         )
         # one physical pass of the (expensive) selection chain feeds
         # every epoch's order; the lazy checkpoint pins it so N epochs

@@ -176,6 +176,48 @@ def train_merges(
     return merges
 
 
+def save_merges(spark, merges: list[str], path: str) -> None:
+    """Persist a learned merge table as a parquet relation
+    (rank int, pair string) — the tokenizer ARTIFACT. The merge list
+    is the tokenizer: rank order is semantic (application always
+    merges the lowest-rank present pair first), so the relation
+    carries explicit ranks rather than relying on row order. Write
+    mode is ``error``: artifacts are immutable once written (the same
+    versioning discipline as the dataset snapshots they denominate)."""
+    rows = [(i, p) for i, p in enumerate(merges)]
+    spark.createDataFrame(rows, "rank int, pair string").coalesce(
+        1
+    ).write.mode("error").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[str]:
+    """Load a persisted merge table back into the list form every
+    operator here consumes. Validates rank density so a corrupted or
+    partially-written artifact fails loudly instead of silently
+    reordering the tokenizer."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    ranks = [r["rank"] for r in rows]
+    if ranks != list(range(len(rows))):
+        raise ValueError(
+            f"corrupt merge table at {path}: ranks {ranks[:8]}... are "
+            f"not dense from 0 (n={len(rows)})"
+        )
+    return [r["pair"] for r in rows]
+
+
+def merges_fingerprint(merges: list[str]) -> str:
+    """Order-SENSITIVE content fingerprint of a merge table,
+    ``<n>_<md5 prefix>`` — rank order changes segmentation, so unlike
+    the dataset-relation fingerprints this one must NOT be
+    permutation-invariant. Used by DatasetBuilder's epoch config
+    guard (a rebuild under a different tokenizer must refuse) and as
+    the artifact directory name."""
+    import hashlib
+
+    h = hashlib.md5("\x02".join(merges).encode()).hexdigest()[:16]
+    return f"{len(merges)}_{h}"
+
+
 def segment_len(word: str, merges: list[str]) -> int:
     """Subword count of one word under the merge table: repeatedly
     merge the leftmost occurrence of the lowest-rank present pair.

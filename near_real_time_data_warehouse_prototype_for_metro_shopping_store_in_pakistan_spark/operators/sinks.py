@@ -1058,6 +1058,17 @@ def resolve_auto_compact(
     return value  # type: ignore[return-value]
 
 
+def read_table(
+    spark: SparkSession, root: str, name: str, backend: str = "manifest"
+) -> DataFrame | None:
+    """Read one table of a sink warehouse without knowing its key or
+    partition configuration — the reader-side convenience for
+    consuming a streaming facade's output (reads never touch keys).
+    Default backend matches the streaming facades' manifest default;
+    pass ``"parquet"`` for tables written by the plain backend."""
+    return BACKENDS[backend](spark, root).read(name)
+
+
 def make_sink(
     spark: SparkSession,
     root: str,

@@ -35,7 +35,7 @@ from ..operators.dedup import (
     ngram_decontaminate,
     shingle_hash_sets,
 )
-from ..operators.sinks import MergeSink, make_sink
+from ..operators.sinks import MergeSink, make_sink, resolve_auto_compact
 from ..operators.text_profile import curation_flags
 
 DOCUMENTS_SCHEMA = T.StructType(
@@ -167,10 +167,10 @@ def stream_curate(
     available_now: bool = True,
     redact_pii: bool = False,
     min_classifier_score: int | None = None,
-    backend: str = "parquet",
+    backend: str = "manifest",
     lm_docs: DataFrame | None = None,
     max_fluency_invp: int | None = None,
-    auto_compact_segments: int | None = None,
+    auto_compact_segments: int | None | str = "auto",
 ) -> StreamingQuery:
     """Stream document files through the curation funnel into an
     idempotent curated-corpus table keyed on the text fingerprint.
@@ -183,7 +183,9 @@ def stream_curate(
     streaming cadence (operators.sinks.ManifestParquetSink)."""
     warehouse = make_sink(
         spark, corpus_root, keys={CURATED_TABLE: ["text_fp"]},
-        backend=backend, auto_compact_segments=auto_compact_segments,
+        backend=backend, auto_compact_segments=resolve_auto_compact(
+            backend, auto_compact_segments
+        ),
     )
     # the eval set is static for the stream's lifetime: collect and
     # broadcast it ONCE here, not per trigger
@@ -477,8 +479,8 @@ def admit_span_batch(
 def substr_warehouse(
     spark: SparkSession,
     corpus_root: str,
-    backend: str = "parquet",
-    auto_compact_segments: int | None = None,
+    backend: str = "manifest",
+    auto_compact_segments: int | None | str = "auto",
 ) -> MergeSink:
     """The ExactSubstr admission state: cleaned docs keyed on doc_id,
     gram claims keyed on the combined rolling hash."""
@@ -490,7 +492,9 @@ def substr_warehouse(
             GRAM_INDEX_TABLE: ["gh"],
         },
         backend=backend,
-        auto_compact_segments=auto_compact_segments,
+        auto_compact_segments=resolve_auto_compact(
+            backend, auto_compact_segments
+        ),
     )
 
 
@@ -502,8 +506,8 @@ def stream_curate_substr(
     span_tokens: int = SUBSTR_SPAN_TOKENS,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
-    backend: str = "parquet",
-    auto_compact_segments: int | None = None,
+    backend: str = "manifest",
+    auto_compact_segments: int | None | str = "auto",
 ) -> StreamingQuery:
     """ExactSubstr span removal as a streaming pipeline: each
     micro-batch cuts duplicated spans against itself and all corpus
@@ -544,10 +548,10 @@ def stream_curate_neardup(
     available_now: bool = True,
     redact_pii: bool = False,
     min_classifier_score: int | None = None,
-    backend: str = "parquet",
+    backend: str = "manifest",
     lm_docs: DataFrame | None = None,
     max_fluency_invp: int | None = None,
-    auto_compact_segments: int | None = None,
+    auto_compact_segments: int | None | str = "auto",
 ) -> StreamingQuery:
     """``stream_curate`` upgraded from exact to NEAR-dup cross-batch
     dedup: the same stateless gates per batch (including the optional
@@ -567,7 +571,9 @@ def stream_curate_neardup(
             BAND_INDEX_TABLE: ["band_khash", "owner_doc_id"],
         },
         backend=backend,
-        auto_compact_segments=auto_compact_segments,
+        auto_compact_segments=resolve_auto_compact(
+            backend, auto_compact_segments
+        ),
     )
     eval_state = broadcast_eval_grams(eval_docs)
     lm_counts = None

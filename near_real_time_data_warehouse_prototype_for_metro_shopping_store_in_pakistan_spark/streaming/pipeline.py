@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.etl import DEFAULT_FACT_KEY, warehouse_for
+from ..operators.sinks import resolve_auto_compact
 from ..sources.csv_inputs import TRANSACTIONS_SCHEMA
 from ..functions.time import ORDER_DATE_FORMAT
 
@@ -77,19 +78,25 @@ def stream_etl(
     customers_master: DataFrame,
     fact_key: tuple[str, ...] = DEFAULT_FACT_KEY,
     available_now: bool = True,
-    backend: str = "parquet",
-    auto_compact_segments: int | None = None,
+    backend: str = "manifest",
+    auto_compact_segments: int | None | str = "auto",
 ) -> StreamingQuery:
     """Run the streaming ETL; with ``available_now`` it drains pending
     files and stops (test/replay mode), otherwise it runs continuously
     like the reference's ``while(true)`` consumer loop
     (src/Meshjoin.java:144-168). ``backend`` selects the
-    insert-if-absent sink implementation (operators.sinks);
-    ``auto_compact_segments`` (manifest backend only) bounds each
-    warehouse table's live segment-directory count under streaming
-    cadence."""
+    insert-if-absent sink implementation (operators.sinks); the
+    DEFAULT is the manifest backend with inline auto-compaction
+    (``"auto"`` = 8 live segments) — at micro-batch cadence the plain
+    parquet backend's per-batch file growth is unbounded, so
+    crash-atomic bounded-segment commits are the right default for
+    every foreachBatch facade, while plain parquet remains the batch-
+    warehouse default (operators.etl.warehouse_for)."""
     warehouse = warehouse_for(
-        spark, warehouse_root, backend, auto_compact_segments
+        spark,
+        warehouse_root,
+        backend,
+        resolve_auto_compact(backend, auto_compact_segments),
     )
     stream = read_transaction_stream(spark, tx_dir)
 

@@ -414,6 +414,76 @@ def compact_mode(spark, n_batches: int, batch_rows: int) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def index_compact_mode(
+    spark, n_batches: int = 32, batch_vecs: int = 2000
+) -> None:
+    """Streaming-index small-file growth and the auto-compaction
+    answer (round-10 #1): the cell-partitioned IVF index accumulates
+    one segment (one file PER TOUCHED CELL) per micro-batch, so the
+    partition-pruned serve read unions O(batches) directories. Ingest
+    the same vectors twice — unbounded vs ``auto_compact_segments=8``
+    — and report live segment counts and serve-path seconds for
+    both, plus serve ≡ results across the two layouts."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.similarity import (
+        ivf_assignments,
+        kmeans_centroids,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.ann_index import (
+        INDEX_TABLE,
+        index_warehouse,
+        ivf_index_topk,
+    )
+
+    root = tempfile.mkdtemp(prefix="scalecheck_idx_")
+    try:
+        make_embeddings(spark, n_batches * batch_vecs, f"{root}/emb")
+        emb = spark.read.parquet(f"{root}/emb")
+        cents = kmeans_centroids(emb, k=16, iters=2).localCheckpoint(
+            eager=True
+        )
+        queries = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ).localCheckpoint(eager=True)
+        out = {"mode": "index_compaction", "n_batches": n_batches,
+               "batch_vecs": batch_vecs, "variants": {}}
+        served = {}
+        for name, ac in (("unbounded", None), ("auto_compact_8", 8)):
+            wroot = f"{root}/idx_{name}"
+            wh = index_warehouse(spark, wroot, auto_compact_segments=ac)
+            t0 = time.time()
+            for b in range(n_batches):
+                assigned = ivf_assignments(
+                    emb.filter(F.col("vec_id") % n_batches == b),
+                    centroids=cents,
+                ).select("vec_id", "q", "norm_sq", "cell")
+                wh.insert_if_absent(INDEX_TABLE, assigned)
+            ingest_sec = round(time.time() - t0, 3)
+            live = len(wh._segments(INDEX_TABLE)[0])
+            t0 = time.time()
+            res = ivf_index_topk(
+                spark, wroot, queries, cents, k=5, n_probe=4
+            ).collect()
+            serve_sec = round(time.time() - t0, 3)
+            served[name] = {
+                (r.query_id, r.rank): r.neighbor_id for r in res
+            }
+            out["variants"][name] = {
+                "ingest_sec": ingest_sec,
+                "live_segments": live,
+                "serve_sec": serve_sec,
+                "probe_sec": _probe(),
+            }
+        assert served["unbounded"] == served["auto_compact_8"]
+        u, a = out["variants"]["unbounded"], out["variants"]["auto_compact_8"]
+        out["serve_speedup"] = round(
+            u["serve_sec"] / max(a["serve_sec"], 1e-9), 2
+        )
+        out["segment_cut"] = f"{u['live_segments']}->{a['live_segments']}"
+        print(json.dumps(out), flush=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bpe_mode(spark, merge_levels: list[int], n_docs: int = 20000) -> None:
     """BPE trainer scaling in n_merges: the incremental pair-count
     trainer touches only the words containing each picked pair, so

@@ -184,6 +184,102 @@ class TestImageDhash:
             multimodal.image_hashes(media, fake=False)
 
 
+class TestBpeArtifact:
+    @staticmethod
+    def _docs(spark):
+        rows = [
+            (i, "the banana band banded bandana " * 3 + f"tail{i}", "en",
+             "s", 0)
+            for i in range(20)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "quality int"
+        )
+
+    def test_save_load_roundtrip_identical_segmentation(
+        self, spark, tmp_path
+    ):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+            bpe,
+        )
+
+        merges = bpe.train_merges(self._docs(spark), n_merges=12)
+        assert merges
+        path = str(tmp_path / "tok")
+        bpe.save_merges(spark, merges, path)
+        loaded = bpe.load_merges(spark, path)
+        assert loaded == merges
+        for w in ("banana", "banded", "bandana", "unseen"):
+            assert bpe.segment_len(w, loaded) == bpe.segment_len(w, merges)
+        assert bpe.merges_fingerprint(loaded) == bpe.merges_fingerprint(
+            merges
+        )
+        # rank order is semantic: a reordered table is a DIFFERENT
+        # tokenizer and must fingerprint differently
+        assert bpe.merges_fingerprint(
+            list(reversed(merges))
+        ) != bpe.merges_fingerprint(merges)
+
+    def test_load_rejects_corrupt_ranks(self, spark, tmp_path):
+        import pytest
+
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+            bpe,
+        )
+
+        path = str(tmp_path / "tok_bad")
+        spark.createDataFrame(
+            [(0, "a\x01b"), (2, "c\x01d")], "rank int, pair string"
+        ).write.parquet(path)
+        with pytest.raises(ValueError, match="not dense"):
+            bpe.load_merges(spark, path)
+
+    def test_builder_guard_refuses_changed_tokenizer(self, spark, tmp_path):
+        import pytest
+
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.corpus_pipeline import (
+            CorpusPipeline,
+            DatasetBuilder,
+        )
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+            bpe,
+            partitioning,
+        )
+
+        docs = self._docs(spark)
+        eval_docs = partitioning.hash_sample(docs, "doc_id", 0.05, salt="e")
+        merges = bpe.train_merges(docs, n_merges=8)
+        builder = DatasetBuilder(CorpusPipeline(spark, str(tmp_path / "c")))
+        snap = builder.build(
+            docs, eval_docs, budget_docs=10, epoch=0,
+            quality_min=0, min_overlap=10**6, tokenizer_merges=merges,
+        )
+        assert builder.read(snap).count() > 0
+        # the artifact is on disk and loads back to the same tokenizer
+        fp = bpe.merges_fingerprint(merges)
+        assert builder.load_tokenizer("bpe:" + fp) == merges
+        # identical rebuild = legitimate replay (no-op commit)
+        builder.build(
+            docs, eval_docs, budget_docs=10, epoch=0,
+            quality_min=0, min_overlap=10**6, tokenizer_merges=merges,
+        )
+        # a DIFFERENT tokenizer on the same epoch must refuse
+        other = bpe.train_merges(docs, n_merges=3)
+        assert other != merges
+        with pytest.raises(ValueError, match="different config"):
+            builder.build(
+                docs, eval_docs, budget_docs=10, epoch=0,
+                quality_min=0, min_overlap=10**6, tokenizer_merges=other,
+            )
+        # ...and so must dropping the tokenizer entirely
+        with pytest.raises(ValueError, match="different config"):
+            builder.build(
+                docs, eval_docs, budget_docs=10, epoch=0,
+                quality_min=0, min_overlap=10**6,
+            )
+
+
 def test_relation_fingerprint_multiset_sensitive(spark):
     from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.corpus_pipeline import (
         _relation_fingerprint,

@@ -38,8 +38,15 @@ def stream_env(tmp_path_factory):
 
 
 def _fact_rows(spark, root):
-    wh = ParquetWarehouse(spark, root)
-    df = wh.read("sales_fact")
+    # stream warehouses default to the manifest backend; batch
+    # ParquetWarehouse roots fall back to the plain layout
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.etl import (
+        warehouse_for,
+    )
+
+    df = warehouse_for(spark, root, "manifest").read("sales_fact")
+    if df is None:
+        df = ParquetWarehouse(spark, root).read("sales_fact")
     return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
 
 

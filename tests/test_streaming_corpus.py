@@ -13,6 +13,9 @@ from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakista
 from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.sources.testdata import (
     table,
 )
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.sinks import (
+    read_table,
+)
 from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming import (
     corpus as sc,
 )
@@ -43,7 +46,7 @@ def test_stream_curation_equals_batch(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
 
-    curated = spark.read.parquet(f"{root}/{sc.CURATED_TABLE}")
+    curated = read_table(spark, root, sc.CURATED_TABLE)
     batch_kept = sc.curate_batch(docs, eval_docs, min_overlap=min_overlap)
     want_fps = {r.text_fp for r in batch_kept.select("text_fp").distinct().collect()}
     got_fps = {r.text_fp for r in curated.select("text_fp").collect()}
@@ -65,7 +68,7 @@ def test_stream_curation_equals_batch(spark, sf_dir, tmp_path):
         max_files_per_trigger=1,
     )
     q2.awaitTermination()
-    assert spark.read.parquet(f"{root}/{sc.CURATED_TABLE}").count() == n_before
+    assert read_table(spark, root, sc.CURATED_TABLE).count() == n_before
 
 
 def test_curate_batch_gates(spark):
@@ -151,7 +154,7 @@ def test_stream_neardup_admission(spark, tmp_path):
     )
     q.awaitTermination()
 
-    curated = spark.read.parquet(f"{root}/{sc.CURATED_TABLE}")
+    curated = read_table(spark, root, sc.CURATED_TABLE)
     admitted = {r.doc_id for r in curated.select("doc_id").collect()}
     all_ids = {d for d, _, _ in rows}
     rejected = all_ids - admitted
@@ -170,15 +173,15 @@ def test_stream_neardup_admission(spark, tmp_path):
 
     # replay on the same checkpoint: no growth in either table
     n_cur = curated.count()
-    n_idx = spark.read.parquet(f"{root}/{sc.BAND_INDEX_TABLE}").count()
+    n_idx = read_table(spark, root, sc.BAND_INDEX_TABLE).count()
     q2 = sc.stream_curate_neardup(
         spark, src, root, str(tmp_path / "ckpt"), eval_docs,
         max_files_per_trigger=1,
     )
     q2.awaitTermination()
-    assert spark.read.parquet(f"{root}/{sc.CURATED_TABLE}").count() == n_cur
+    assert read_table(spark, root, sc.CURATED_TABLE).count() == n_cur
     assert (
-        spark.read.parquet(f"{root}/{sc.BAND_INDEX_TABLE}").count() == n_idx
+        read_table(spark, root, sc.BAND_INDEX_TABLE).count() == n_idx
     )
 
 
@@ -207,13 +210,13 @@ def test_admit_neardup_batch_is_replay_idempotent(spark, tmp_path):
     )
     first = {r.doc_id for r in sc.admit_neardup_batch(wh, batch).collect()}
     assert first == {1, 3}  # clone pair collapses to min id
-    n_cur = spark.read.parquet(wh.path(sc.CURATED_TABLE)).count()
-    n_idx = spark.read.parquet(wh.path(sc.BAND_INDEX_TABLE)).count()
+    n_cur = wh.read(sc.CURATED_TABLE).count()
+    n_idx = wh.read(sc.BAND_INDEX_TABLE).count()
     # exact replay of the same batch: same admissions, no table growth
     again = {r.doc_id for r in sc.admit_neardup_batch(wh, batch).collect()}
     assert again == first
-    assert spark.read.parquet(wh.path(sc.CURATED_TABLE)).count() == n_cur
-    assert spark.read.parquet(wh.path(sc.BAND_INDEX_TABLE)).count() == n_idx
+    assert wh.read(sc.CURATED_TABLE).count() == n_cur
+    assert wh.read(sc.BAND_INDEX_TABLE).count() == n_idx
     # a later batch: near-dup of doc 1 vetoed by the index, novel doc admitted
     nxt = spark.createDataFrame(
         [
@@ -309,15 +312,15 @@ def test_admit_span_batch_cuts_cross_batch_and_replays_noop(spark, tmp_path):
     assert got1[1].n_removed == 0
     assert got1[2].n_removed == 20
     assert got1[2].clean_text == uniq2
-    n_cur = spark.read.parquet(wh.path(sc.SUBSTR_CURATED_TABLE)).count()
-    n_idx = spark.read.parquet(wh.path(sc.GRAM_INDEX_TABLE)).count()
+    n_cur = wh.read(sc.SUBSTR_CURATED_TABLE).count()
+    n_idx = wh.read(sc.GRAM_INDEX_TABLE).count()
     # exact replay: identical cuts, no table growth
     again = {r.doc_id: r for r in sc.admit_span_batch(wh, b1).collect()}
     assert {k: (v.clean_text, v.n_removed) for k, v in again.items()} == {
         k: (v.clean_text, v.n_removed) for k, v in got1.items()
     }
-    assert spark.read.parquet(wh.path(sc.SUBSTR_CURATED_TABLE)).count() == n_cur
-    assert spark.read.parquet(wh.path(sc.GRAM_INDEX_TABLE)).count() == n_idx
+    assert wh.read(sc.SUBSTR_CURATED_TABLE).count() == n_cur
+    assert wh.read(sc.GRAM_INDEX_TABLE).count() == n_idx
     # later batch: the shared span is claimed by batch 1 -> cut whole,
     # even its (batch-locally canonical) first occurrence; novel doc
     # passes through untouched
@@ -355,7 +358,7 @@ def test_stream_curate_substr_equals_sequential_batches(spark, tmp_path):
     q.awaitTermination()
     got = {
         (r.doc_id, r.clean_text, r.n_removed)
-        for r in spark.read.parquet(f"{root}/{sc.SUBSTR_CURATED_TABLE}").collect()
+        for r in read_table(spark, root, sc.SUBSTR_CURATED_TABLE).collect()
     }
     assert len(got) == 12
     # every doc carrying the shared paragraph except ONE canonical
@@ -410,7 +413,7 @@ def test_streaming_fluency_gate_equals_batch(spark, tmp_path):
     q.awaitTermination()
     got = {
         r["doc_id"]
-        for r in spark.read.parquet(f"{root}/{sc.CURATED_TABLE}").collect()
+        for r in read_table(spark, root, sc.CURATED_TABLE).collect()
     }
     # batch reference cut
     flu = lm_surprisal_stats(docs, lm_counts=bigram_lm_counts(lm))
@@ -432,5 +435,5 @@ def test_streaming_fluency_gate_equals_batch(spark, tmp_path):
     )
     q2.awaitTermination()
     assert (
-        spark.read.parquet(f"{root}/{sc.CURATED_TABLE}").count() == len(got)
+        read_table(spark, root, sc.CURATED_TABLE).count() == len(got)
     )
