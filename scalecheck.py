@@ -812,6 +812,16 @@ def main() -> None:
             batch_rows=rest[1] if len(rest) > 1 else 2000,
         )
         return
+    if args and args[0] == "indexcompact":
+        rest = [int(a) for a in args[1:]]
+        spark = get_spark(app_name="scalecheck-indexcompact")
+        spark.sparkContext.setLogLevel("ERROR")
+        index_compact_mode(
+            spark,
+            n_batches=rest[0] if rest else 32,
+            batch_vecs=rest[1] if len(rest) > 1 else 2000,
+        )
+        return
     if args and args[0] == "bpe":
         rest = [int(a) for a in args[1:]]
         spark = get_spark(app_name="scalecheck-bpe")
