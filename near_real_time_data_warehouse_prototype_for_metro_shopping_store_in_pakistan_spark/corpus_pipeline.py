@@ -71,10 +71,13 @@ class CorpusPipeline:
         max_top_bigram_frac: float | None = None,
         redact_pii: bool = False,
         min_classifier_score: int | None = None,
+        unicode_normalize: bool = False,
     ) -> DataFrame:
         """Language + quality gates, n-gram decontamination, and the
         optional Gopher-style repetition cuts, PII redaction (scrubs
-        before any fingerprint/signal), and hashed-classifier cut."""
+        before any fingerprint/signal), hashed-classifier cut, and
+        opt-in CCNet-style Unicode normalization (canonicalizes text
+        before every fingerprint/signal — see curate_batch)."""
         return curate_batch(
             docs,
             eval_docs,
@@ -84,6 +87,7 @@ class CorpusPipeline:
             max_top_bigram_frac=max_top_bigram_frac,
             redact_pii=redact_pii,
             min_classifier_score=min_classifier_score,
+            unicode_normalize=unicode_normalize,
         )
 
     def dedup(

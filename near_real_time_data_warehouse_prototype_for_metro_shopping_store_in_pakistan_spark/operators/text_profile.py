@@ -182,6 +182,32 @@ def unicode_fingerprints(
     )
 
 
+def with_unicode_normalized_text(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Rewrite ``text_col`` in place to its unicode-normalized form
+    (``functions.text.unicode_normalize_py``: NFKC + accent strip +
+    lowercase + collapse) in ONE Arrow pass over the existing schema —
+    the composable front gate that makes every downstream fingerprint,
+    dedup signature, and signal see canonical text. Same position in
+    the funnel as PII redaction: transform FIRST, so nothing ever
+    hashes or stores the un-normalized variant."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions.text import unicode_normalize_py
+
+    schema = docs.schema
+
+    def norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[text_col] = [unicode_normalize_py(s) for s in pdf[text_col]]
+            yield pdf
+
+    return docs.mapInPandas(norm, schema=schema)
+
+
 def unicode_exact_keepers(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

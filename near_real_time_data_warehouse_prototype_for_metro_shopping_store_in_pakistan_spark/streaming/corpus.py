@@ -64,6 +64,7 @@ def curate_batch(
     min_classifier_score: int | None = None,
     lm_counts: "DataFrame | None" = None,
     max_fluency_invp: int | None = None,
+    unicode_normalize: bool = False,
 ) -> DataFrame:
     """One batch through the gates (language, quality, decontamination,
     optional repetition / PII / classifier / LM fluency) — everything except the
@@ -91,11 +92,22 @@ def curate_batch(
     model (``text_profile.bigram_lm_counts``, materialized once for
     the stream's lifetime — the Wikipedia-LM configuration), kept when
     ``mean_invp_scaled <= max_fluency_invp``. Docs with nothing to
-    score (< n tokens) are unscorable, not bad — they pass."""
+    score (< n tokens) are unscorable, not bad — they pass.
+
+    ``unicode_normalize`` applies the CCNet-style NFKC + accent-strip
+    + lowercase + collapse normalization FIRST (after PII redaction,
+    before every signal): fingerprints, dedup signatures, and the
+    stored curated text all see the canonical form, so NFC/NFD/
+    full-width variants of one document dedup as one. Opt-in — the
+    default keeps byte-exact fingerprints."""
     if redact_pii:
         from ..operators.pii import redact
 
         docs = docs.withColumn("text", redact("text"))
+    if unicode_normalize:
+        from ..operators.text_profile import with_unicode_normalized_text
+
+        docs = with_unicode_normalized_text(docs)
     flags = curation_flags(docs).filter(
         F.col("lang_ok") & (F.col("quality_score") >= quality_min)
     )
@@ -171,6 +183,7 @@ def stream_curate(
     lm_docs: DataFrame | None = None,
     max_fluency_invp: int | None = None,
     auto_compact_segments: int | None | str = "auto",
+    unicode_normalize: bool = False,
 ) -> StreamingQuery:
     """Stream document files through the curation funnel into an
     idempotent curated-corpus table keyed on the text fingerprint.
@@ -214,6 +227,7 @@ def stream_curate(
             min_classifier_score=min_classifier_score,
             lm_counts=lm_counts,
             max_fluency_invp=max_fluency_invp,
+            unicode_normalize=unicode_normalize,
         )
         # in-batch first-arrival (min doc_id) per fingerprint; the
         # sink's anti-join handles every earlier batch and replays
@@ -552,6 +566,7 @@ def stream_curate_neardup(
     lm_docs: DataFrame | None = None,
     max_fluency_invp: int | None = None,
     auto_compact_segments: int | None | str = "auto",
+    unicode_normalize: bool = False,
 ) -> StreamingQuery:
     """``stream_curate`` upgraded from exact to NEAR-dup cross-batch
     dedup: the same stateless gates per batch (including the optional
@@ -598,6 +613,7 @@ def stream_curate_neardup(
             min_classifier_score=min_classifier_score,
             lm_counts=lm_counts,
             max_fluency_invp=max_fluency_invp,
+            unicode_normalize=unicode_normalize,
         )
         from pyspark.sql import Window
 

@@ -184,6 +184,44 @@ class TestImageDhash:
             multimodal.image_hashes(media, fake=False)
 
 
+class TestCurateUnicodeNormalize:
+    def test_funnel_twins_collapse_only_when_opted_in(self, spark):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.corpus import (
+            curate_batch,
+        )
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and then the "
+            "café door closed"
+        )
+        import unicodedata
+
+        nfd = unicodedata.normalize("NFD", base)
+        assert nfd != base  # genuinely byte-distinct decomposed twin
+        rows = [
+            (1, base, "en", "a", 0),
+            (2, nfd, "en", "a", 0),  # NFD twin of doc 1
+            (3, "the quick brown fox naps under the old oak tree near "
+                "the river", "en", "a", 0),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "quality int"
+        )
+        eval_docs = docs.filter("doc_id < 0")  # empty eval set
+        plain = curate_batch(docs, eval_docs, min_overlap=10**6)
+        fps = {r["doc_id"]: r["text_fp"] for r in plain.collect()}
+        assert fps[1] != fps[2], "byte-distinct twins stay distinct by default"
+        normed = curate_batch(
+            docs, eval_docs, min_overlap=10**6, unicode_normalize=True
+        )
+        nfps = {r["doc_id"]: r for r in normed.collect()}
+        assert nfps[1]["text_fp"] == nfps[2]["text_fp"]
+        # the stored curated text is the canonical form
+        assert nfps[1]["text"] == nfps[2]["text"]
+        assert nfps[3]["text_fp"] != nfps[1]["text_fp"]
+
+
 class TestBpeArtifact:
     @staticmethod
     def _docs(spark):
