@@ -207,6 +207,28 @@ class CorpusPipeline:
         ``run_stream_substr``."""
         return _dedup.remove_duplicate_spans(docs, span_tokens=span_tokens)
 
+    def remove_boilerplate(
+        self,
+        docs: DataFrame,
+        min_docs: int = 2,
+        segmenter: str = "lines",
+        words_per_segment: int = 8,
+    ) -> DataFrame:
+        """Line/segment-level boilerplate removal (RefinedWeb
+        line-wise corrections): a segment occurring verbatim in
+        >= ``min_docs`` distinct docs is cut from EVERY doc — no
+        keeper copy, unlike ``cut_spans``' canonical-occurrence rule
+        (navigation bars and cookie banners are noise in each copy).
+        ``segmenter="words"`` (fixed ``words_per_segment`` windows)
+        serves corpora without newlines. Returns (doc_id, clean_text,
+        n_segments, n_removed)."""
+        return _dedup.line_dedup(
+            docs,
+            min_docs=min_docs,
+            segmenter=segmenter,
+            words_per_segment=words_per_segment,
+        )
+
     def score_fluency(
         self, docs: DataFrame, lm_docs: DataFrame | None = None
     ) -> DataFrame:

@@ -1546,3 +1546,128 @@ def cut_spans_and_reassemble(
             ),
         )
     )
+
+
+def segment_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segmenter: str = "lines",
+    words_per_segment: int = 8,
+) -> DataFrame:
+    """(id, seg_idx, seg): one row per non-empty segment of each doc.
+
+    Two segmenters, both pure column expressions (no Python, no
+    shuffle — segments are derived per input row and only then
+    exploded):
+
+    - ``"lines"``: split on newlines, drop blank lines — the unit
+      line-level dedup operates on in web-corpus curation (RefinedWeb
+      §"line-wise corrections"; CCNet's paragraph hashing).
+    - ``"words"``: fixed windows of ``words_per_segment`` whitespace
+      tokens — the surrogate unit for corpora whose documents carry no
+      newlines (this repo's testdata), and the frame unit the video
+      perceptual-hash path reuses (each window = one "frame" of the
+      payload).
+    """
+    if segmenter == "lines":
+        segs = F.filter(
+            F.split(F.col(text_col), "\n"), lambda s: F.trim(s) != ""
+        )
+    elif segmenter == "words":
+        k = words_per_segment
+        if k < 1:
+            raise ValueError(f"words_per_segment ({k}) must be >= 1")
+        w = tokens(F.col(text_col))
+        nseg = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
+        segs = F.when(
+            F.size(w) > 0,
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        raise ValueError(
+            f"unknown segmenter {segmenter!r}: expected 'lines' or 'words'"
+        )
+    return docs.select(
+        id_col, F.posexplode(segs).alias("seg_idx", "seg")
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    segmenter: str = "lines",
+    words_per_segment: int = 8,
+) -> DataFrame:
+    """Line/segment-level deduplication (boilerplate removal): cut
+    every segment whose exact text occurs in >= ``min_docs`` DISTINCT
+    documents, keeping NO copy — the RefinedWeb/CCNet treatment of
+    navigation bars, cookie banners and license headers, which repeat
+    across unrelated pages and survive document-level dedup untouched.
+    (Contrast ``remove_duplicate_spans``, which keeps one canonical
+    copy of within-corpus duplicated spans; boilerplate is noise in
+    every copy.)
+
+    Plan shape (scales to 100 TB):
+    - segmentation is a narrow per-row expression (``segment_documents``)
+      — the explode multiplies rows but never shuffles;
+    - the doc-frequency relation is ONE groupBy on the 60-bit segment
+      hash (map-side combinable count-distinct);
+    - only fingerprints with doc_freq >= min_docs survive the filter —
+      the boilerplate relation is the heavy-tailed HEAD of the segment
+      distribution, orders of magnitude smaller than the corpus, and
+      joins back as a LEFT ANTI on the uniform hash key (skew-free);
+    - reassembly is one groupBy(doc) ordered-struct rejoin — the same
+      kernel ``cut_spans_and_reassemble`` uses.
+
+    Returns (id, clean_text, n_segments, n_removed) for EVERY input
+    doc; a doc whose segments were all boilerplate comes back with
+    clean_text '' (downstream length gates drop it).
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs ({min_docs}) must be >= 2")
+    sep = "\n" if segmenter == "lines" else " "
+    segs = segment_documents(
+        docs, text_col, id_col, segmenter, words_per_segment
+    ).withColumn("_fp", md5_long(F.col("seg")))
+    boiler = (
+        segs.groupBy("_fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("_n_docs"))
+        .filter(F.col("_n_docs") >= min_docs)
+        .select("_fp")
+    )
+    kept = segs.join(boiler, "_fp", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = segs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_segments")
+    )
+    return (
+        docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("_n_segments", F.lit(0)).cast("long").alias(
+                "n_segments"
+            ),
+            (
+                F.coalesce("_n_segments", F.lit(0))
+                - F.coalesce("_n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )

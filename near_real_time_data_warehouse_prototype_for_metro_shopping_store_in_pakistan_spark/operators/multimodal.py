@@ -486,6 +486,130 @@ def image_dhash_pairs(
     )
 
 
+# Audio fingerprint grid: AHASH_WINDOWS sequential energy windows;
+# the fingerprint is the 63 time-delta sign bits between adjacent
+# windows — a Chromaprint-style sign-of-derivative code, and exactly
+# the dHash construction over a 1×64 grid (kept 63-bit for the same
+# signed-long / banded-hamming reasons as PHASH_BITS).
+AUDIO_WINDOWS = 64
+AUDIO_BITS = AUDIO_WINDOWS - 1  # 63
+
+
+def _fake_audio_energies(payload: bytes) -> list[int]:
+    """Deterministic codec-free energy profile: tokens of the payload
+    hash to one of AUDIO_WINDOWS sequential windows (md5 60-bit prefix
+    mod windows, salted so the audio surface is independent of the
+    image pixel grid), window energy = token count mod 256. Same
+    locality/shift-invariance argument as ``_fake_pixels``: a small
+    payload edit perturbs few windows, so near-identical payloads land
+    at small hamming distance. Exactly reproducible in SQL over ASCII
+    payloads (the audio rows' DuckDB oracle)."""
+    en = [0] * AUDIO_WINDOWS
+    for tok in payload.split(b" "):
+        b = int(
+            hashlib.md5(tok + b"|aud").hexdigest()[:15], 16
+        ) % AUDIO_WINDOWS
+        en[b] = (en[b] + 1) % 256
+    return en
+
+
+def _real_audio_energies(payload: bytes) -> list[int]:
+    """Real energy profile via soundfile: decode, split samples into
+    AUDIO_WINDOWS equal windows, mean |amplitude| per window quantized
+    to 0..255. Env-gated like every real codec path here."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real audio fingerprinting needs the optional 'soundfile' "
+            "package; not available — use fake=True"
+        ) from exc
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    data, _rate = sf.read(io.BytesIO(payload), always_2d=True)
+    mono = np.abs(data).mean(axis=1)
+    if mono.size == 0:
+        return [0] * AUDIO_WINDOWS
+    chunks = np.array_split(mono, AUDIO_WINDOWS)
+    return [
+        int(min(255, round(float(c.mean() if c.size else 0.0) * 255)))
+        for c in chunks
+    ]
+
+
+def _audio_fp_from_energies(en: list[int]) -> int:
+    """Sign-of-delta bits: bit w set iff en[w] > en[w+1]."""
+    out = 0
+    for w in range(AUDIO_BITS):
+        if en[w] > en[w + 1]:
+            out |= 1 << w
+    return out
+
+
+def audio_fingerprints(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Perceptual audio fingerprints for the audio rows of a media
+    table: (doc_id, n_bytes, afp) with afp a 63-bit sign-of-delta
+    energy code (the Chromaprint/shazam-family shape: robust to gain
+    and small local edits, unlike the payload md5 which any one-byte
+    change avalanches). ``fake=True`` (default, the contract surface)
+    derives the energy windows codec-free (``_fake_audio_energies``,
+    oracle-exact); ``fake=False`` decodes via soundfile, env-gated.
+    One Arrow ``mapInPandas`` pass, no shuffle; pairs compose through
+    ``audio_fingerprint_pairs``."""
+    if not fake:
+        try:
+            import soundfile  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real audio fingerprinting needs the optional "
+                "'soundfile' package; not available — use fake=True"
+            ) from exc
+    en_fn = _fake_audio_energies if fake else _real_audio_energies
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": pdf["n_bytes"].values,
+                    "afp": [
+                        _audio_fp_from_energies(en_fn(bytes(pl)))
+                        for pl in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        fps, schema="doc_id long, n_bytes int, afp long"
+    )
+
+
+def audio_fingerprint_pairs(
+    media: DataFrame,
+    bands: int = 7,
+    max_hamming: int = 6,
+    fake: bool = True,
+) -> DataFrame:
+    """Perceptual audio near-dup pairs: sign-of-delta fingerprints
+    through the SAME banded hamming retrieval as the image/simhash
+    paths (``dedup.hamming_near_pairs``). Defaults stay in the
+    pigeonhole full-recall regime (max_hamming <= bands-1), so the
+    banded result equals the exact quadratic hamming filter."""
+    from .dedup import hamming_near_pairs
+
+    fps = audio_fingerprints(media, fake=fake).select("doc_id", "afp")
+    return hamming_near_pairs(
+        fps.localCheckpoint(eager=False),
+        "afp",
+        AUDIO_BITS,
+        bands,
+        max_hamming,
+    )
+
+
 def sample_frame_indices(
     decoded: DataFrame, every_n: int = 30, max_frames: int = 16
 ) -> DataFrame:

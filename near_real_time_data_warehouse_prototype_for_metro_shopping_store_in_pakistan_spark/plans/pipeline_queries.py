@@ -60,6 +60,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicate_groups(table(spark, sf_dir, "documents"))
 
 
+LINE_DEDUP_WORDS = 8  # words-per-segment surrogate "line" (testdata
+# docs carry no newlines); at sf0.01 this cuts 328 of 3609 segments
+# across 93 docs at min_docs=2 — non-degenerate without gutting docs.
+
+
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line/segment-level boilerplate removal (dedup.line_dedup):
+    segments occurring verbatim in >= 2 distinct docs are cut from
+    every doc (RefinedWeb line-wise corrections; no keeper copy —
+    contrast exact-substr's canonical-occurrence rule). Word-window
+    segmenter (the corpus has no newlines), 8 words per segment."""
+    return dedup.line_dedup(
+        table(spark, sf_dir, "documents"),
+        min_docs=2,
+        segmenter="words",
+        words_per_segment=LINE_DEDUP_WORDS,
+    )
+
+
 # Memoized materialized near-dup pairs per (application, sf_dir) — the
 # same shared-intermediate discipline as plans.star._FACT_CACHE: the
 # exact-Jaccard pair relation feeds BOTH the pair listing
@@ -272,6 +291,32 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
     return multimodal.image_dhash_pairs(
         media, max_hamming=IMAGE_NEARDUP_MAX_HAMMING
+    )
+
+
+AUDIO_NEARDUP_MAX_HAMMING = 1  # corpus-calibrated like
+# IMAGE_NEARDUP_MAX_HAMMING: the shared ~50-word vocabulary clusters
+# energy profiles, so 1 bit of 63 picks the genuinely-close tail
+# (~217 pairs at sf0.01) instead of the loose middle of the
+# distribution. Inside the bands-1 pigeonhole -> recall stays exact.
+
+
+def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio fingerprints (63 sign-of-delta energy bits,
+    Chromaprint-style) over the audio rows of the media surface —
+    operators.multimodal.audio_fingerprints on the deterministic
+    codec-free energy profile (oracle-exact)."""
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    return multimodal.audio_fingerprints(media, fake=True)
+
+
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-dup pairs: sign-of-delta fingerprints +
+    the shared banded hamming retrieval in its full-recall regime, so
+    the banded result equals the oracle's exact quadratic filter."""
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    return multimodal.audio_fingerprint_pairs(
+        media, max_hamming=AUDIO_NEARDUP_MAX_HAMMING
     )
 
 
@@ -1476,6 +1521,7 @@ def text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_lines": dedup_lines,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_verified": dedup_minhash_verified,
@@ -1514,6 +1560,8 @@ PIPELINE_QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "image_dhash": image_dhash,
     "image_dhash_neardup": image_dhash_neardup,
+    "audio_fingerprint": audio_fingerprint,
+    "audio_fingerprint_neardup": audio_fingerprint_neardup,
     "text_token_stats": text_token_stats,
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -1617,6 +1665,43 @@ ORACLE_DEDUP_EXACT = """
 SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text)
 """
+
+def _oracle_dedup_lines() -> str:
+    """Mirror of dedup.line_dedup with the words segmenter: fixed
+    8-word windows, md5_long fingerprints, boilerplate = fingerprint
+    in >= 2 distinct docs, space-rejoined survivors in segment
+    order."""
+    k = LINE_DEDUP_WORDS
+    return f"""
+WITH words AS (
+  SELECT doc_id, {_sql_tokens("text")} AS ws FROM documents),
+segs0 AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) > 0 THEN list_transform(
+              range(0, CAST(ceil(len(ws) / {k}.0) AS INT)),
+              i -> array_to_string(list_slice(ws, i*{k}+1, i*{k}+{k}), ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS segs
+  FROM words),
+seg AS (SELECT doc_id, unnest(segs) AS seg,
+               CAST(unnest(range(len(segs))) AS INT) AS seg_idx
+        FROM segs0),
+boiler AS (SELECT {_sql_md5_long("seg")} AS fp FROM seg GROUP BY 1
+           HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT s.* FROM seg s
+         WHERE {_sql_md5_long("s.seg")} NOT IN (SELECT fp FROM boiler)),
+agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+               count(*) AS n_kept FROM kept GROUP BY 1),
+totals AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(t.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(coalesce(t.n_segments, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+           AS n_removed
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
 
 ORACLE_SPLIT_PLAN = f"""
 SELECT doc_id,
@@ -2660,6 +2745,67 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
 FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+"""
+
+
+def _audio_fp_cte() -> str:
+    """Mirror of multimodal._fake_audio_energies +
+    _audio_fp_from_energies over the audio rows (doc_id % 3 = 1):
+    salted token-bucket energy windows, 63 sign-of-delta bits."""
+    from ..operators import multimodal as mm
+
+    n_w = mm.AUDIO_WINDOWS
+    fp = " + ".join(
+        f"CASE WHEN es[{w + 1}] > es[{w + 2}] THEN {1 << w} ELSE 0 END"
+        for w in range(mm.AUDIO_BITS)
+    )
+    return f"""aud AS (
+    SELECT doc_id, text,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes
+    FROM documents WHERE doc_id % 3 = 1
+),
+atok AS (
+    SELECT doc_id,
+           {_sql_md5_long("unnest(string_split(text, ' ')) || '|aud'")}
+               % {n_w} AS w
+    FROM aud
+),
+acnt AS (SELECT doc_id, w, count(*) % 256 AS e FROM atok GROUP BY 1, 2),
+abase AS (
+    SELECT a.doc_id, a.n_bytes, t.k
+    FROM aud a CROSS JOIN generate_series(0, {n_w - 1}) t(k)
+),
+aen AS (
+    SELECT abase.doc_id, abase.n_bytes, abase.k, coalesce(acnt.e, 0) AS e
+    FROM abase LEFT JOIN acnt
+      ON acnt.doc_id = abase.doc_id AND acnt.w = abase.k
+),
+agrid AS (
+    SELECT doc_id, any_value(n_bytes) AS n_bytes,
+           list(e ORDER BY k) AS es
+    FROM aen GROUP BY doc_id
+),
+afp AS (SELECT doc_id, n_bytes, CAST({fp} AS BIGINT) AS afp FROM agrid)"""
+
+
+def _audio_fp_oracle() -> str:
+    return f"""
+WITH {_audio_fp_cte()}
+SELECT doc_id, n_bytes, afp FROM afp
+"""
+
+
+def _audio_neardup_oracle(
+    max_hamming: int = AUDIO_NEARDUP_MAX_HAMMING,
+) -> str:
+    """Exact quadratic hamming filter — equals the banded retrieval by
+    the pigeonhole full-recall guarantee at max_hamming <= bands-1."""
+    return f"""
+WITH {_audio_fp_cte()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= {max_hamming}
 """
 
 
@@ -4892,6 +5038,7 @@ JOIN (
 
 PIPELINE_ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_lines": _oracle_dedup_lines(),
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_minhash_verified": ORACLE_DEDUP_MINHASH_VERIFIED,
@@ -4947,6 +5094,8 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
     "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAMES,
     "image_dhash": _image_hash_oracle(),
     "image_dhash_neardup": _image_neardup_oracle(),
+    "audio_fingerprint": _audio_fp_oracle(),
+    "audio_fingerprint_neardup": _audio_neardup_oracle(),
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_langid": _langid_oracle(),
     "text_quality": _quality_oracle(),

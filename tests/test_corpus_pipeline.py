@@ -325,3 +325,20 @@ def test_cluster_groups_text_families_without_embeddings(spark):
         assert got[ids[0]] == ids[0]  # min member id labels it
     # the three families and the loner stay apart
     assert len(set(got.values())) == 4
+
+
+def test_remove_boilerplate_facade_cuts_shared_lines(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "follow us on social media\nreal article body one"),
+            (2, "follow us on social media\nreal article body two"),
+            (3, "standalone content"),
+        ],
+        "doc_id long, text string",
+    )
+    cp = CorpusPipeline(spark, "/tmp/unused_corpus_root")
+    out = {r.doc_id: r for r in cp.remove_boilerplate(docs).collect()}
+    assert out[1].clean_text == "real article body one"
+    assert out[2].clean_text == "real article body two"
+    assert out[3].clean_text == "standalone content"
+    assert out[1].n_removed == 1 and out[3].n_removed == 0

@@ -1,0 +1,153 @@
+"""Line/segment-level dedup (boilerplate removal): dedup.line_dedup.
+
+Semantics under test (RefinedWeb line-wise corrections):
+- a segment occurring verbatim in >= min_docs DISTINCT docs is cut
+  from EVERY doc (no keeper copy — boilerplate is noise in each);
+- within-doc repetition alone never triggers a cut (doc-frequency,
+  not occurrence-frequency);
+- unique content passes through byte-identical;
+- both segmenters (newline lines / fixed word windows) feed the same
+  cut/reassemble kernel.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+    dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestSegmentDocuments:
+    def test_lines_segmenter_drops_blank_lines(self, spark):
+        docs = _docs(spark, [(1, "alpha beta\n\n  \ngamma")])
+        segs = dedup.segment_documents(docs, segmenter="lines").collect()
+        assert [(r.seg_idx, r.seg) for r in segs] == [
+            (0, "alpha beta"),
+            (1, "gamma"),
+        ]
+
+    def test_words_segmenter_fixed_windows_with_tail(self, spark):
+        docs = _docs(spark, [(1, "a b c d e")])
+        segs = dedup.segment_documents(
+            docs, segmenter="words", words_per_segment=2
+        ).collect()
+        assert [(r.seg_idx, r.seg) for r in sorted(segs)] == [
+            (0, "a b"),
+            (1, "c d"),
+            (2, "e"),
+        ]
+
+    def test_empty_text_yields_no_segments(self, spark):
+        docs = _docs(spark, [(1, ""), (2, "   ")])
+        for seg in ("lines", "words"):
+            assert (
+                dedup.segment_documents(docs, segmenter=seg).count() == 0
+            )
+
+    def test_unknown_segmenter_raises(self, spark):
+        docs = _docs(spark, [(1, "x")])
+        with pytest.raises(ValueError, match="segmenter"):
+            dedup.segment_documents(docs, segmenter="chars")
+
+
+class TestLineDedup:
+    def test_shared_line_cut_from_every_doc_no_keeper(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, "subscribe to our newsletter\nunique one"),
+                (2, "subscribe to our newsletter\nunique two"),
+                (3, "all original here"),
+            ],
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup.line_dedup(docs, segmenter="lines").collect()
+        }
+        assert out[1].clean_text == "unique one"
+        assert out[2].clean_text == "unique two"
+        assert out[3].clean_text == "all original here"
+        assert (out[1].n_removed, out[2].n_removed) == (1, 1)
+
+    def test_within_doc_repetition_is_not_boilerplate(self, spark):
+        docs = _docs(
+            spark,
+            [(1, "echo line\necho line\nbody"), (2, "other text")],
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup.line_dedup(docs, segmenter="lines").collect()
+        }
+        # doc-frequency of "echo line" is 1 — both copies survive.
+        assert out[1].clean_text == "echo line\necho line\nbody"
+        assert out[1].n_removed == 0
+
+    def test_fully_boilerplate_doc_comes_back_empty(self, spark):
+        docs = _docs(
+            spark,
+            [(1, "cookie banner"), (2, "cookie banner"), (3, "real")],
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup.line_dedup(docs, segmenter="lines").collect()
+        }
+        assert out[1].clean_text == "" and out[2].clean_text == ""
+        assert out[1].n_segments == 1 and out[1].n_removed == 1
+        assert out[3].clean_text == "real"
+
+    def test_min_docs_threshold(self, spark):
+        docs = _docs(
+            spark,
+            [(1, "shared\na"), (2, "shared\nb"), (3, "shared\nc")],
+        )
+        out2 = {
+            r.doc_id: r.n_removed
+            for r in dedup.line_dedup(
+                docs, segmenter="lines", min_docs=2
+            ).collect()
+        }
+        out4 = {
+            r.doc_id: r.n_removed
+            for r in dedup.line_dedup(
+                docs, segmenter="lines", min_docs=4
+            ).collect()
+        }
+        assert out2 == {1: 1, 2: 1, 3: 1}
+        assert out4 == {1: 0, 2: 0, 3: 0}
+
+    def test_words_segmenter_cuts_shared_window(self, spark):
+        # 2-word windows: docs 1 and 2 share the window "x y" at
+        # DIFFERENT positions — position-independent boilerplate.
+        docs = _docs(
+            spark,
+            [(1, "x y a b"), (2, "c d x y"), (3, "e f g h")],
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup.line_dedup(
+                docs, segmenter="words", words_per_segment=2
+            ).collect()
+        }
+        assert out[1].clean_text == "a b"
+        assert out[2].clean_text == "c d"
+        assert out[3].clean_text == "e f g h"
+
+    def test_every_input_doc_present_including_empty(self, spark):
+        docs = _docs(spark, [(1, ""), (2, "solo")])
+        out = {
+            r.doc_id: r
+            for r in dedup.line_dedup(docs, segmenter="lines").collect()
+        }
+        assert set(out) == {1, 2}
+        assert out[1].clean_text == "" and out[1].n_segments == 0
+
+    def test_min_docs_below_two_raises(self, spark):
+        docs = _docs(spark, [(1, "x")])
+        with pytest.raises(ValueError, match="min_docs"):
+            dedup.line_dedup(docs, min_docs=1)
