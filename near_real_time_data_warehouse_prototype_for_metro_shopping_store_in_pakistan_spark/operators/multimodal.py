@@ -610,6 +610,153 @@ def audio_fingerprint_pairs(
     )
 
 
+# Video fingerprint unit: consecutive VIDEO_FRAME_TOKENS-token windows
+# of the payload stand in for decoded frames (fake path); each window
+# hashes to one 60-bit frame id. Videos compare as SETS of frame ids
+# (order-free Jaccard — robust to re-cuts and trims, the standard
+# video-dedup shape: per-frame perceptual hash, set overlap).
+VIDEO_FRAME_TOKENS = 8
+
+
+def video_frame_hashes(
+    media: DataFrame, frame_tokens: int = VIDEO_FRAME_TOKENS,
+    fake: bool = True,
+) -> DataFrame:
+    """(doc_id, frame_idx, frame_hash) for the video rows of a media
+    table — one 60-bit perceptual id per frame. ``fake=True``
+    (default, the contract surface): frames are consecutive
+    ``frame_tokens``-token windows of the payload, frame id =
+    md5_long(window || '|vid') — LOCAL (editing one region of the
+    payload changes only its frames) and exactly reproducible in SQL.
+    ``fake=False`` decodes via PyAV and dHashes each frame
+    (grayscale + LANCZOS to the PHASH grid), env-gated like every
+    real codec path. One Arrow ``mapInPandas`` pass, no shuffle."""
+    if not fake:
+        try:
+            import av  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real video frame hashing needs the optional 'av' "
+                "(PyAV) package; not available — use fake=True"
+            ) from exc
+    if frame_tokens < 1:
+        raise ValueError(f"frame_tokens ({frame_tokens}) must be >= 1")
+
+    def fake_rows(pl: bytes) -> list[int]:
+        toks = pl.split(b" ") if pl.strip() else []
+        return [
+            _md5_long_bytes(
+                b" ".join(toks[i : i + frame_tokens]), "|vid"
+            )
+            for i in range(0, len(toks), frame_tokens)
+        ]
+
+    def real_rows(pl: bytes) -> list[int]:  # pragma: no cover - env-gated
+        import io
+
+        import av as _av
+        from PIL import Image
+
+        out = []
+        with _av.open(io.BytesIO(pl)) as container:
+            for frame in container.decode(video=0):
+                img = frame.to_image().convert("L").resize(
+                    (PHASH_COLS, PHASH_ROWS), Image.LANCZOS
+                )
+                out.append(_dhash_from_pixels(list(img.getdata())))
+        return out
+
+    row_fn = fake_rows if fake else real_rows
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, fhs = [], [], []
+            for did, pl in zip(pdf["doc_id"], pdf["payload"]):
+                for i, fh in enumerate(row_fn(bytes(pl))):
+                    ids.append(did)
+                    idxs.append(i)
+                    fhs.append(fh)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_hash": fhs},
+                columns=["doc_id", "frame_idx", "frame_hash"],
+            ).astype(
+                {"doc_id": "int64", "frame_idx": "int32",
+                 "frame_hash": "int64"}
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        hashes, schema="doc_id long, frame_idx int, frame_hash long"
+    )
+
+
+def video_framehash_pairs(
+    media: DataFrame,
+    frame_tokens: int = VIDEO_FRAME_TOKENS,
+    threshold: float = 0.5,
+    fake: bool = True,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Video near-dup pairs: Jaccard over each video's SET of frame
+    hashes (doc_a < doc_b, jaccard >= threshold). Candidates come from
+    the inverted frame-hash index (one self-equi-join on the 60-bit
+    id) — only videos sharing at least one frame are ever compared,
+    never all pairs; set sizes attach as two broadcast-sized joins.
+
+    ``max_doc_freq``: at corpus scale a degenerate frame (black/intro
+    card) shared by millions of videos would square the candidate
+    list; dropping frame ids with doc_freq > max_doc_freq bounds the
+    join fan-out. Dropped frames shrink INTERSECTIONS only — both
+    sides' set sizes keep counting them — so reported jaccard is a
+    LOWER bound (recall dial, precision intact). None (default) is
+    the exact small-SF mode the oracle pins."""
+    fh = (
+        video_frame_hashes(media, frame_tokens, fake)
+        .select("doc_id", "frame_hash")
+        .distinct()
+    )
+    fh = fh.localCheckpoint(eager=False)
+    sizes = fh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    joinable = fh
+    if max_doc_freq is not None:
+        hot = (
+            fh.groupBy("frame_hash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("frame_hash")
+        )
+        joinable = fh.join(hot, "frame_hash", "left_anti")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.frame_hash") == F.col("b.frame_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        F.col("n_shared")
+        / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
+    ).cast("double")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def sample_frame_indices(
     decoded: DataFrame, every_n: int = 30, max_frames: int = 16
 ) -> DataFrame:

@@ -320,6 +320,30 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VIDEO_NEARDUP_THRESHOLD = 0.5  # frame-set Jaccard: at sf0.01 the
+# video third of the corpus yields 7 candidate pairs, 3 at >= 0.5 —
+# the re-cut/trim tail, not the loose middle.
+
+
+def video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame perceptual ids for the video rows of the media
+    surface — multimodal.video_frame_hashes on the deterministic
+    fake frame decomposition (8-token windows, oracle-exact)."""
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    return multimodal.video_frame_hashes(media, fake=True)
+
+
+def video_framehash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs: Jaccard over frame-hash SETS via the
+    inverted frame index (only videos sharing a frame are compared);
+    exact mode (no hot-frame cap) so the oracle's quadratic set
+    Jaccard is reproduced bit-for-bit."""
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    return multimodal.video_framehash_pairs(
+        media, threshold=VIDEO_NEARDUP_THRESHOLD
+    )
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
     decoded = multimodal.decode_media(media, fake=True)
@@ -1562,6 +1586,8 @@ PIPELINE_QUERIES = {
     "image_dhash_neardup": image_dhash_neardup,
     "audio_fingerprint": audio_fingerprint,
     "audio_fingerprint_neardup": audio_fingerprint_neardup,
+    "video_framehash": video_framehash,
+    "video_framehash_neardup": video_framehash_neardup,
     "text_token_stats": text_token_stats,
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -2806,6 +2832,63 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
 FROM afp a JOIN afp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.afp, b.afp)) <= {max_hamming}
+"""
+
+
+def _video_fh_cte() -> str:
+    """Mirror of multimodal.video_frame_hashes' fake path over the
+    video rows (doc_id % 3 = 2): consecutive 8-token windows,
+    md5_long(window || '|vid')."""
+    from ..operators import multimodal as mm
+
+    k = mm.VIDEO_FRAME_TOKENS
+    return f"""vid AS (
+    SELECT doc_id, {_sql_tokens("text")} AS ws
+    FROM documents WHERE doc_id % 3 = 2
+),
+vfr AS (
+    SELECT doc_id,
+           CASE WHEN len(ws) > 0 THEN list_transform(
+                range(0, CAST(ceil(len(ws) / {k}.0) AS INT)),
+                i -> array_to_string(list_slice(ws, i*{k}+1, i*{k}+{k}), ' '))
+           ELSE CAST([] AS VARCHAR[]) END AS frames
+    FROM vid
+),
+vfh AS (
+    SELECT doc_id,
+           CAST(unnest(range(len(frames))) AS INT) AS frame_idx,
+           {_sql_md5_long("unnest(frames) || '|vid'")} AS frame_hash
+    FROM vfr
+)"""
+
+
+def _video_fh_oracle() -> str:
+    return f"""
+WITH {_video_fh_cte()}
+SELECT doc_id, frame_idx, frame_hash FROM vfh
+"""
+
+
+def _video_neardup_oracle(
+    threshold: float = VIDEO_NEARDUP_THRESHOLD,
+) -> str:
+    return f"""
+WITH {_video_fh_cte()},
+vset AS (SELECT DISTINCT doc_id, frame_hash FROM vfh),
+vsizes AS (SELECT doc_id, count(*) AS n FROM vset GROUP BY 1),
+vinter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM vset a JOIN vset b
+      ON a.frame_hash = b.frame_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+FROM vinter
+JOIN vsizes sa ON doc_a = sa.doc_id
+JOIN vsizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared)
+      >= {threshold}
 """
 
 
@@ -5096,6 +5179,8 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
     "image_dhash_neardup": _image_neardup_oracle(),
     "audio_fingerprint": _audio_fp_oracle(),
     "audio_fingerprint_neardup": _audio_neardup_oracle(),
+    "video_framehash": _video_fh_oracle(),
+    "video_framehash_neardup": _video_neardup_oracle(),
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_langid": _langid_oracle(),
     "text_quality": _quality_oracle(),
