@@ -96,9 +96,16 @@ class CorpusPipeline:
         threshold: float = 0.5,
         method: str = "ladder",
         semantic_cells: int = 8,
+        keeper_score: str | None = None,
     ) -> DataFrame:
         """Keep one representative per near-dup group (pairs →
-        connected components → min-id keeper). ``method``:
+        connected components → keeper). The keeper is the min id by
+        default; pass ``keeper_score=<column>`` to keep each group's
+        highest-scoring member instead (ties → min id) — the
+        "keep the best copy" policy (longest text, classifier score;
+        ``neardup_keepers_by_score``). Applies to the pair-based
+        methods; ``"semantic"`` keeps its own farthest-from-centroid
+        rule. ``method``:
 
         - ``"ladder"`` (default): ``minhash_verified_pairs`` (128
           hashes, 32×4 bands, exact verification) — the 100 TB path
@@ -126,6 +133,11 @@ class CorpusPipeline:
         elif method == "semantic":
             from .operators import similarity as _sim
 
+            if keeper_score is not None:
+                raise ValueError(
+                    "keeper_score applies to the pair-based methods; "
+                    "method='semantic' keeps farthest-from-centroid"
+                )
             vecs = _text.hashed_embedding_vectors(docs, id_col="doc_id")
             marks = _sim.semdedup(
                 vecs,
@@ -140,7 +152,12 @@ class CorpusPipeline:
             )
         else:
             raise ValueError(f"unknown dedup method {method!r}")
-        keepers = _dedup.neardup_keepers(docs, pairs)
+        if keeper_score is not None:
+            keepers = _dedup.neardup_keepers_by_score(
+                docs, pairs, keeper_score
+            )
+        else:
+            keepers = _dedup.neardup_keepers(docs, pairs)
         return docs.join(
             keepers.filter(
                 F.col("doc_id") == F.col("keeper_doc_id")

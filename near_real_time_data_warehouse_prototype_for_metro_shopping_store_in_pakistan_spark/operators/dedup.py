@@ -1047,6 +1047,53 @@ def neardup_keepers(
     )
 
 
+def neardup_keepers_by_score(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keeper assignment with a QUALITY policy: within each near-dup
+    component the keeper is the member with the highest ``score_col``
+    (ties -> minimum id), instead of ``neardup_keepers``' arbitrary
+    min-id. This is the "keep the best copy" rule production curation
+    uses — the longest duplicate, the highest quality-classifier
+    score, the lowest perplexity — so dedup stops deleting the good
+    copy of a pair whose ids happen to be ordered badly.
+
+    ``score_col`` must be non-null (coalesce a default upstream).
+    Plan shape: the component walk is shared ``connected_components``
+    machinery; the argmax is ONE max-of-struct aggregate per component
+    ((score, -id) lexicographic max = score desc, id asc — no window,
+    no sort) plus a component-keyed join back. Returns
+    (id, keeper_doc_id); unpaired docs keep themselves."""
+    cc = connected_components(pairs, max_iterations=20)
+    member = (
+        docs.select(id_col, score_col)
+        .join(cc.withColumnRenamed("vertex", id_col), id_col, "left")
+        .withColumn(
+            "component", F.coalesce(F.col("component"), F.col(id_col))
+        )
+        .localCheckpoint(eager=False)
+    )
+    best = (
+        member.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("s"),
+                    (-F.col(id_col)).cast("long").alias("nid"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "component",
+            (-F.col("_b.nid")).cast("long").alias("keeper_doc_id"),
+        )
+    )
+    return member.join(best, "component").select(id_col, "keeper_doc_id")
+
+
 def simhash_fingerprints(
     docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1632,9 +1679,16 @@ def line_dedup(
     if min_docs < 2:
         raise ValueError(f"min_docs ({min_docs}) must be >= 2")
     sep = "\n" if segmenter == "lines" else " "
-    segs = segment_documents(
-        docs, text_col, id_col, segmenter, words_per_segment
-    ).withColumn("_fp", md5_long(F.col("seg")))
+    # The fingerprinted segment relation feeds THREE consumers (the
+    # doc-frequency aggregate, the anti-join left side, the per-doc
+    # totals); the lazy checkpoint materializes the explode once
+    # instead of re-scanning and re-exploding the corpus per consumer
+    # (the image_dhash_pairs discipline).
+    segs = (
+        segment_documents(docs, text_col, id_col, segmenter, words_per_segment)
+        .withColumn("_fp", md5_long(F.col("seg")))
+        .localCheckpoint(eager=False)
+    )
     boiler = (
         segs.groupBy("_fp")
         .agg(F.count_distinct(F.col(id_col)).alias("_n_docs"))

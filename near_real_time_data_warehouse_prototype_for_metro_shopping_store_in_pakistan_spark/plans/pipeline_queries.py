@@ -157,6 +157,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_keepers(docs, pairs.select("doc_a", "doc_b"))
 
 
+def dedup_clusters_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-policy keeper assignment: the same near-dup components
+    as dedup_clusters, but each component keeps its LONGEST member
+    (n_chars desc, id asc) instead of the min id — the "keep the best
+    copy" rule (dedup.neardup_keepers_by_score). Reuses the shared
+    _jaccard_pairs materialization."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(spark, sf_dir)
+    return dedup.neardup_keepers_by_score(
+        docs, pairs.select("doc_a", "doc_b"), "n_chars"
+    )
+
+
 RECALL_SAMPLE_MOD = 2  # 1-in-2 docs -> ~1/4 of the exact GEMM cost
 
 
@@ -1552,6 +1565,7 @@ PIPELINE_QUERIES = {
     "dedup_recall_report": dedup_recall_report,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_best": dedup_clusters_best,
     "corpus_hash_sample": corpus_hash_sample,
     "corpus_split_plan": corpus_split_plan,
     "corpus_shard_plan": corpus_shard_plan,
@@ -1994,6 +2008,53 @@ WHERE nc / (sa.n + sb.n - nc) >= {JACCARD_THRESHOLD}
 ORACLE_DEDUP_MINHASH = _minhash_oracle()
 ORACLE_DEDUP_MINHASH_VERIFIED = _minhash_verified_oracle()
 ORACLE_DEDUP_CLUSTERS = _clusters_oracle()
+
+
+def _clusters_best_oracle() -> str:
+    """Same transitive closure as _clusters_oracle; keeper = longest
+    member (n_chars desc, doc_id asc) per component."""
+    return f"""
+WITH RECURSIVE {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS v, doc_b AS w FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+walk(v, m) AS (
+    SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+    UNION
+    SELECT e.w, walk.m FROM walk JOIN edges e ON walk.v = e.v
+),
+comp AS (SELECT v, MIN(m) AS component FROM walk GROUP BY v),
+member AS (
+    SELECT d.doc_id, d.n_chars,
+           COALESCE(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+),
+best AS (
+    SELECT component, doc_id AS keeper_doc_id FROM (
+        SELECT component, doc_id,
+               row_number() OVER (
+                   PARTITION BY component
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM member) WHERE rn = 1
+)
+SELECT m.doc_id, b.keeper_doc_id
+FROM member m JOIN best b ON m.component = b.component
+"""
 
 
 def _stream_neardup_admission_oracle(
@@ -5148,6 +5209,7 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
 """,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "dedup_clusters_best": _clusters_best_oracle(),
     "corpus_hash_sample": ORACLE_HASH_SAMPLE,
     "corpus_split_plan": ORACLE_SPLIT_PLAN,
     "corpus_shard_plan": ORACLE_SHARD_PLAN,

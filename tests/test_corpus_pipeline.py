@@ -342,3 +342,40 @@ def test_remove_boilerplate_facade_cuts_shared_lines(spark):
     assert out[2].clean_text == "real article body two"
     assert out[3].clean_text == "standalone content"
     assert out[1].n_removed == 1 and out[3].n_removed == 0
+
+
+def test_dedup_keeper_score_keeps_longest_copy(spark):
+    # a clone pair where the LONGER copy has the HIGHER id — min-id
+    # keeps the short one, keeper_score="n_chars" must keep the long
+    base = " ".join(f"w{j}" for j in range(20))
+    longer = base + " extra tail words here"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, longer, "en", "s", len(longer)),
+        (3, "totally different content", "en", "s", 25),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    cp = CorpusPipeline(spark, "/tmp/unused_corpus_root")
+    kept_min = {r.doc_id for r in cp.dedup(docs, method="exact").collect()}
+    kept_best = {
+        r.doc_id
+        for r in cp.dedup(
+            docs, method="exact", keeper_score="n_chars"
+        ).collect()
+    }
+    assert kept_min == {1, 3}
+    assert kept_best == {2, 3}
+
+
+def test_dedup_keeper_score_rejected_for_semantic(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    cp = CorpusPipeline(spark, "/tmp/unused_corpus_root")
+    with pytest.raises(ValueError, match="keeper_score"):
+        cp.dedup(docs, method="semantic", keeper_score="n_chars")

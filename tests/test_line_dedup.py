@@ -151,3 +151,41 @@ class TestLineDedup:
         docs = _docs(spark, [(1, "x")])
         with pytest.raises(ValueError, match="min_docs"):
             dedup.line_dedup(docs, min_docs=1)
+
+
+class TestKeepersByScore:
+    def _run(self, spark, docs_rows, pair_rows):
+        docs = spark.createDataFrame(docs_rows, "doc_id long, score long")
+        pairs = spark.createDataFrame(
+            pair_rows or [], "doc_a long, doc_b long"
+        )
+        return {
+            r.doc_id: r.keeper_doc_id
+            for r in dedup.neardup_keepers_by_score(
+                docs, pairs, "score"
+            ).collect()
+        }
+
+    def test_highest_score_wins_regardless_of_id_order(self, spark):
+        got = self._run(
+            spark,
+            [(1, 10), (2, 99), (3, 5), (9, 0)],
+            [(1, 2), (2, 3)],
+        )
+        assert got == {1: 2, 2: 2, 3: 2, 9: 9}
+
+    def test_tie_breaks_to_min_id(self, spark):
+        got = self._run(spark, [(4, 7), (8, 7)], [(4, 8)])
+        assert got == {4: 4, 8: 4}
+
+    def test_unpaired_docs_keep_themselves(self, spark):
+        got = self._run(spark, [(1, 1), (2, 2)], [])
+        assert got == {1: 1, 2: 2}
+
+    def test_transitive_component_shares_one_keeper(self, spark):
+        got = self._run(
+            spark,
+            [(1, 1), (2, 2), (3, 3), (4, 4)],
+            [(1, 2), (3, 4), (2, 3)],
+        )
+        assert set(got.values()) == {4}
