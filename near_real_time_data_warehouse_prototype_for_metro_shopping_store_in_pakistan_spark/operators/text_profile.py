@@ -95,6 +95,54 @@ def quality_scores(
     )
 
 
+def adaptive_quality_keep(
+    scored: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    keep_fraction: float = 0.9,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group ADAPTIVE quality gate: within each ``group_col``
+    value (source / crawl dump / language), drop the bottom
+    ``floor(n · (1 - keep_fraction))`` docs by ``score_col`` and keep
+    the rest — a distribution-free threshold that adapts to each
+    group's own score distribution (a fixed global cutoff under-prunes
+    clean sources and guts noisy ones; FineWeb-style per-dump
+    filtering). Deterministic: rank = row_number over (score asc,
+    id asc), so ties at the cut line resolve by id and both engines
+    agree exactly — no float quantile interpolation anywhere.
+
+    Returns the KEPT rows of ``scored`` plus ``group_rank`` (1-based
+    ascending rank within the group) and ``group_n``. Plan shape: one
+    window over (group, score, id) — a single shuffle on the group
+    key; at 100 TB partition counts follow the number of groups ×
+    AQE splits, and a heavily-skewed single group degrades to one
+    sorted partition (the standard window trade-off; pre-aggregate
+    score histograms if a group outgrows an executor).
+
+    ``keep_fraction`` resolves to PERMILLE (round(1000·(1-kf))) and
+    the drop count is the exact integer (n · drop_permille) div 1000
+    — floating 1.0-0.8 is 0.19999…96, and flooring n times THAT
+    drops zero of five where "20% of 5" means one.
+    """
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(
+            f"keep_fraction ({keep_fraction}) must be in (0, 1]"
+        )
+    drop_permille = int(round((1.0 - keep_fraction) * 1000))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    ranked = scored.withColumn(
+        "group_rank", F.row_number().over(w)
+    ).withColumn("group_n", F.count(F.lit(1)).over(wn))
+    n_drop = F.expr(f"(group_n * {drop_permille}) div 1000")
+    return ranked.filter(F.col("group_rank") > n_drop)
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: md5 of whitespace-normalized lowercase
     text, its 60-bit integer prefix (bucketable), and a Rabin-Karp

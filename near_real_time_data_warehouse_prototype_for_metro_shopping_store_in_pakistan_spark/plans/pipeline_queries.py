@@ -157,6 +157,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_keepers(docs, pairs.select("doc_a", "doc_b"))
 
 
+ADAPTIVE_KEEP_FRACTION = 0.8
+
+
+def corpus_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source adaptive quality gate: each source drops its own
+    bottom 20% by heuristic quality score (rank-based, no float
+    quantiles — text_profile.adaptive_quality_keep), so a noisy
+    source is pruned against ITS distribution instead of a global
+    cutoff that under-prunes clean sources."""
+    docs = table(spark, sf_dir, "documents")
+    scored = (
+        text_profile.quality_scores(docs)
+        .select("doc_id", "quality_score")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    return text_profile.adaptive_quality_keep(
+        scored, "quality_score", keep_fraction=ADAPTIVE_KEEP_FRACTION
+    ).select("doc_id", "source", "quality_score", "group_rank", "group_n")
+
+
 def dedup_clusters_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-policy keeper assignment: the same near-dup components
     as dedup_clusters, but each component keeps its LONGEST member
@@ -1566,6 +1586,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_best": dedup_clusters_best,
+    "corpus_adaptive_quality": corpus_adaptive_quality,
     "corpus_hash_sample": corpus_hash_sample,
     "corpus_split_plan": corpus_split_plan,
     "corpus_shard_plan": corpus_shard_plan,
@@ -3855,6 +3876,49 @@ SELECT *, {case_sql} AS lang_pred FROM h
 """
 
 
+def _adaptive_quality_oracle() -> str:
+    """Mirror of corpus_adaptive_quality: the quality-score CTE, one
+    rank window per source, drop (n · drop_permille) div 1000 from
+    the bottom — the same exact integer arithmetic as the operator
+    (no IEEE fraction anywhere)."""
+    stops = _sql_in_list(ENGLISH_STOPWORDS)
+    drop = int(round((1.0 - ADAPTIVE_KEEP_FRACTION) * 1000))
+    return f"""
+WITH t AS (
+    SELECT doc_id, text, source, {_sql_tokens("lower(text)")} AS toks
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           {_PUNCT} AS n_punct,
+           CAST(len(list_filter(toks, x -> x IN ({stops}))) AS INT)
+               AS stop_hits
+    FROM t
+),
+q AS (
+    SELECT doc_id, source,
+       CAST((CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 40 ELSE 0 END)
+          + (CASE WHEN n_punct / greatest(n_chars, 1) <= 0.1 THEN 30 ELSE 0 END)
+          + (CASE WHEN stop_hits / greatest(n_tokens, 1) >= 0.02 THEN 30 ELSE 0 END)
+         AS INT) AS quality_score
+    FROM c
+),
+ranked AS (
+    SELECT doc_id, source, quality_score,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY quality_score ASC, doc_id ASC)
+               AS group_rank,
+           count(*) OVER (PARTITION BY source) AS group_n
+    FROM q
+)
+SELECT doc_id, source, quality_score, group_rank, group_n
+FROM ranked
+WHERE group_rank > (group_n * {drop}) // 1000
+"""
+
+
 def _quality_oracle() -> str:
     stops = _sql_in_list(ENGLISH_STOPWORDS)
     return f"""
@@ -5210,6 +5274,7 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_clusters_best": _clusters_best_oracle(),
+    "corpus_adaptive_quality": _adaptive_quality_oracle(),
     "corpus_hash_sample": ORACLE_HASH_SAMPLE,
     "corpus_split_plan": ORACLE_SPLIT_PLAN,
     "corpus_shard_plan": ORACLE_SHARD_PLAN,

@@ -336,3 +336,47 @@ def test_relation_fingerprint_multiset_sensitive(spark):
     # order/partitioning insensitive
     d = _relation_fingerprint(mk([2, 1, 1]).repartition(7), "doc_id")
     assert d == a
+
+
+class TestAdaptiveQualityKeep:
+    def _run(self, spark, rows, keep):
+        scored = spark.createDataFrame(
+            rows, "doc_id long, source string, score long"
+        )
+        return text_profile.adaptive_quality_keep(
+            scored, "score", keep_fraction=keep
+        )
+
+    def test_per_group_thresholds_differ(self, spark):
+        # src A scores 10..14, src B scores 90..94: a global cutoff
+        # at the corpus p20 would gut A and keep all of B; the
+        # adaptive gate drops exactly one (bottom 20%) from EACH
+        rows = [(i, "A", 10 + i) for i in range(5)] + [
+            (10 + i, "B", 90 + i) for i in range(5)
+        ]
+        kept = {r.doc_id for r in self._run(spark, rows, 0.8).collect()}
+        assert kept == {1, 2, 3, 4, 11, 12, 13, 14}
+
+    def test_tie_at_cut_resolves_by_id(self, spark):
+        # all-equal scores: rank orders by id, so the LOWEST ids drop
+        rows = [(i, "A", 7) for i in range(4)]
+        kept = {r.doc_id for r in self._run(spark, rows, 0.5).collect()}
+        assert kept == {2, 3}
+
+    def test_keep_fraction_one_keeps_all(self, spark):
+        rows = [(i, "A", i) for i in range(3)]
+        assert self._run(spark, rows, 1.0).count() == 3
+
+    def test_small_group_drops_nothing_below_one(self, spark):
+        # n=3, drop = floor(3*0.2) = 0 -> nothing dropped
+        rows = [(i, "A", i) for i in range(3)]
+        assert self._run(spark, rows, 0.8).count() == 3
+
+    def test_bad_fraction_raises(self, spark):
+        import pytest
+
+        rows = [(1, "A", 1)]
+        with pytest.raises(ValueError, match="keep_fraction"):
+            self._run(spark, rows, 0.0)
+        with pytest.raises(ValueError, match="keep_fraction"):
+            self._run(spark, rows, 1.5)
