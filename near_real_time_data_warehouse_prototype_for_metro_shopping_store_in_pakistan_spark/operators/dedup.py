@@ -1696,6 +1696,22 @@ def line_dedup(
         .select("_fp")
     )
     kept = segs.join(boiler, "_fp", "left_anti")
+    return reassemble_kept_segments(docs.select(id_col), segs, kept, sep, id_col)
+
+
+def reassemble_kept_segments(
+    base: DataFrame,
+    segs: DataFrame,
+    kept: DataFrame,
+    sep: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, clean_text, n_segments, n_removed) for EVERY id in
+    ``base`` given the full and surviving segment relations — the
+    segment-granular sibling of ``cut_spans_and_reassemble``, shared
+    by batch ``line_dedup`` and the streaming admission twin so their
+    reassembly cannot drift. Docs with no surviving (or no) segments
+    come back with clean_text ''."""
     agg = kept.groupBy(id_col).agg(
         F.concat_ws(
             sep,
@@ -1710,8 +1726,7 @@ def line_dedup(
         F.count(F.lit(1)).alias("_n_segments")
     )
     return (
-        docs.select(id_col)
-        .join(totals, id_col, "left")
+        base.join(totals, id_col, "left")
         .join(agg, id_col, "left")
         .select(
             id_col,

@@ -1468,6 +1468,47 @@ def stream_substr_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def stream_lines_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch line-level boilerplate admission
+    (streaming.corpus.admit_lines_batch) over a fixed 3-batch replay:
+    each batch cuts segments whose cumulative distinct-doc count
+    (history + batch) reaches 2, then claims its own (fp, doc) pairs;
+    decisions are non-retroactive (admitted docs keep their text).
+    Words segmenter, 8-word windows — the dedup_lines configuration."""
+    import shutil
+    import tempfile
+
+    from ..streaming.corpus import (
+        LINES_CURATED_TABLE,
+        admit_lines_batch,
+        lines_warehouse,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % STREAM_ADMIT_DOC_STRIDE == 0)
+        .select("doc_id", "text")
+    )
+    root = tempfile.mkdtemp(prefix="drv_lines_admit_")
+    try:
+        wh = lines_warehouse(spark, root)
+        for b in range(STREAM_ADMIT_BATCHES):
+            admit_lines_batch(
+                wh,
+                docs.filter(F.col("doc_id") % STREAM_ADMIT_BATCHES == b),
+                min_docs=2,
+                segmenter="words",
+                words_per_segment=LINE_DEDUP_WORDS,
+            )
+        return (
+            wh.read(LINES_CURATED_TABLE)
+            .select("doc_id", "clean_text", "n_segments", "n_removed")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means cells confine the near-dup pair search, each
     component keeps its farthest-from-centroid member (similarity.
@@ -1665,6 +1706,7 @@ PIPELINE_QUERIES = {
     "stream_neardup_admission": stream_neardup_admission,
     "stream_embed_admission": stream_embed_admission,
     "stream_substr_admission": stream_substr_admission,
+    "stream_lines_admission": stream_lines_admission,
     "corpus_interdoc_dup": corpus_interdoc_dup,
     "corpus_semantic_dedup": corpus_semantic_dedup,
     "embed_semdedup": embed_semdedup,
@@ -3919,6 +3961,57 @@ WHERE group_rank > (group_n * {drop}) // 1000
 """
 
 
+def _stream_lines_admission_oracle(
+    num_batches: int = STREAM_ADMIT_BATCHES,
+    stride: int = STREAM_ADMIT_DOC_STRIDE,
+    min_docs: int = 2,
+) -> str:
+    """Mirror of the 3-batch admit_lines_batch replay: a segment is
+    cut from batch b's docs iff its cumulative distinct-doc count over
+    batches 0..b reaches min_docs (non-retroactive — earlier batches'
+    stored text is final); reassembly identical to dedup_lines'."""
+    k = LINE_DEDUP_WORDS
+    return f"""
+WITH sdocs AS (
+  SELECT doc_id, {_sql_tokens("text")} AS ws, doc_id % {num_batches} AS b
+  FROM documents WHERE doc_id % {stride} = 0),
+segs0 AS (
+  SELECT doc_id, b,
+         CASE WHEN len(ws) > 0 THEN list_transform(
+              range(0, CAST(ceil(len(ws) / {k}.0) AS INT)),
+              i -> array_to_string(list_slice(ws, i*{k}+1, i*{k}+{k}), ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS segs
+  FROM sdocs),
+seg AS (SELECT doc_id, b, unnest(segs) AS seg,
+               CAST(unnest(range(len(segs))) AS INT) AS seg_idx
+        FROM segs0),
+segfp AS (SELECT doc_id, b, seg, seg_idx,
+                 {_sql_md5_long("seg")} AS fp FROM seg),
+segdoc AS (SELECT DISTINCT fp, doc_id, b FROM segfp),
+cum AS (
+    SELECT fb.fp, fb.b, count(DISTINCT s2.doc_id) AS n
+    FROM (SELECT DISTINCT fp, b FROM segdoc) fb
+    JOIN segdoc s2 ON fb.fp = s2.fp AND s2.b <= fb.b
+    GROUP BY 1, 2),
+boil AS (SELECT fp, b FROM cum WHERE n >= {min_docs}),
+kept AS (
+    SELECT s.* FROM segfp s LEFT JOIN boil
+      ON s.fp = boil.fp AND s.b = boil.b
+    WHERE boil.fp IS NULL),
+agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+               count(*) AS n_kept FROM kept GROUP BY 1),
+totals AS (SELECT doc_id, count(*) AS n_segments FROM segfp GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(t.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(coalesce(t.n_segments, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+           AS n_removed
+FROM sdocs d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _quality_oracle() -> str:
     stops = _sql_in_list(ENGLISH_STOPWORDS)
     return f"""
@@ -5353,6 +5446,7 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
     "stream_neardup_admission": _stream_neardup_admission_oracle(),
     "stream_embed_admission": _stream_embed_admission_oracle(),
     "stream_substr_admission": _stream_substr_admission_oracle(),
+    "stream_lines_admission": _stream_lines_admission_oracle(),
     "corpus_interdoc_dup": _interdoc_oracle(),
     "corpus_semantic_dedup": _semantic_dedup_oracle(),
     "embed_semdedup": _semdedup_oracle(),

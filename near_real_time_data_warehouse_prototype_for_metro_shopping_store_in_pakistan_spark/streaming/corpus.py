@@ -490,6 +490,163 @@ def admit_span_batch(
     return cleaned
 
 
+LINES_CURATED_TABLE = "lines_curated"
+LINE_INDEX_TABLE = "line_index"
+
+
+def admit_lines_batch(
+    warehouse: MergeSink,
+    batch: DataFrame,
+    min_docs: int = 2,
+    segmenter: str = "lines",
+    words_per_segment: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-batch LINE-LEVEL boilerplate removal for one micro-batch:
+    cut every segment whose cumulative distinct-doc count — corpus
+    history plus this batch — reaches ``min_docs``, store the cleaned
+    docs, and claim the batch's (segment fingerprint, doc) pairs in
+    the persisted line index. The streaming twin of
+    ``dedup.line_dedup``, completing the admission family
+    (``admit_neardup_batch`` / ``admit_span_batch`` /
+    ``admit_embedding_batch``).
+
+    Semantics (sequential, non-retroactive, replay-idempotent):
+
+    - a segment is boilerplate AT ADMISSION TIME iff distinct docs
+      carrying it in batches 0..B (B = this batch) >= ``min_docs`` —
+      earlier-admitted docs keep their stored text even if their
+      segments later turn boilerplate (the admission doctrine: a
+      decision is made once, when the doc enters the corpus);
+    - the index stores one row per (fp, owner doc) — insert-if-absent
+      on the compound key, so counts never inflate across replays or
+      re-sent docs;
+    - cleaned docs write FIRST, then claims: a replay after both
+      writes sees its own claims, but claims whose owner is IN the
+      batch are exempted from the history count, so cuts are
+      identical and both writes no-op (the admit_span_batch replay
+      argument, verbatim).
+
+    Plan shape: the history probe is a keyed join on the uniform
+    60-bit fingerprint (semi-join scoped to the batch's fingerprints
+    — nothing re-reads history beyond the keyed probe); at cluster
+    scale the index would be bucketed by fp so probe and claim
+    co-locate.
+
+    Returns the cleaned batch relation
+    (id, clean_text, n_segments, n_removed).
+    """
+    from ..functions.text import md5_long
+    from ..operators.dedup import (
+        reassemble_kept_segments,
+        segment_documents,
+    )
+
+    sep = "\n" if segmenter == "lines" else " "
+    segs = (
+        segment_documents(batch, text_col, id_col, segmenter, words_per_segment)
+        .withColumn("_fp", md5_long(F.col("seg")))
+        .localCheckpoint(eager=False)
+    )
+    fp_docs = segs.select("_fp", id_col).distinct().localCheckpoint(
+        eager=False
+    )
+    batch_n = fp_docs.groupBy("_fp").agg(F.count(F.lit(1)).alias("_bn"))
+    idx = warehouse.read(LINE_INDEX_TABLE)
+    if idx is not None:
+        batch_ids = batch.select(
+            F.col(id_col).alias("owner_doc_id")
+        ).distinct()
+        hist = (
+            idx.withColumnRenamed("fp", "_fp")
+            # own claims = replay artifacts; exempt them so a replay
+            # counts exactly what the original run counted
+            .join(batch_ids, "owner_doc_id", "left_anti")
+            .join(batch_n.select("_fp"), "_fp", "left_semi")
+            .groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("_hn"))
+        )
+        totals = batch_n.join(hist, "_fp", "left").select(
+            "_fp",
+            (F.col("_bn") + F.coalesce("_hn", F.lit(0))).alias("_tot"),
+        )
+    else:
+        totals = batch_n.select("_fp", F.col("_bn").alias("_tot"))
+    boiler = totals.filter(F.col("_tot") >= min_docs).select("_fp")
+    kept = segs.join(boiler, "_fp", "left_anti")
+    cleaned = reassemble_kept_segments(
+        batch.select(id_col), segs, kept, sep, id_col
+    )
+    warehouse.insert_if_absent(LINES_CURATED_TABLE, cleaned)
+    claims = fp_docs.select(
+        F.col("_fp").alias("fp"), F.col(id_col).alias("owner_doc_id")
+    )
+    warehouse.insert_if_absent(LINE_INDEX_TABLE, claims)
+    return cleaned
+
+
+def lines_warehouse(
+    spark: SparkSession,
+    corpus_root: str,
+    backend: str = "manifest",
+    auto_compact_segments: int | None | str = "auto",
+) -> MergeSink:
+    """The line-dedup admission state: cleaned docs keyed on doc_id,
+    line claims keyed on (fingerprint, owner doc)."""
+    return make_sink(
+        spark,
+        corpus_root,
+        keys={
+            LINES_CURATED_TABLE: ["doc_id"],
+            LINE_INDEX_TABLE: ["fp", "owner_doc_id"],
+        },
+        backend=backend,
+        auto_compact_segments=resolve_auto_compact(
+            backend, auto_compact_segments
+        ),
+    )
+
+
+def stream_curate_lines(
+    spark: SparkSession,
+    docs_dir: str,
+    corpus_root: str,
+    checkpoint_dir: str,
+    min_docs: int = 2,
+    segmenter: str = "lines",
+    words_per_segment: int = 8,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    backend: str = "manifest",
+    auto_compact_segments: int | None | str = "auto",
+) -> StreamingQuery:
+    """Line-level boilerplate removal as a streaming pipeline: each
+    micro-batch cuts segments that reached ``min_docs`` distinct docs
+    across itself and all corpus history via ``admit_lines_batch``.
+    State is plain warehouse tables (cleaned docs + line index) — no
+    streaming state store, replays are no-ops."""
+    warehouse = lines_warehouse(
+        spark, corpus_root, backend, auto_compact_segments
+    )
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(docs_dir)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        admit_lines_batch(
+            warehouse, batch, min_docs, segmenter, words_per_segment
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def substr_warehouse(
     spark: SparkSession,
     corpus_root: str,

@@ -437,3 +437,94 @@ def test_streaming_fluency_gate_equals_batch(spark, tmp_path):
     assert (
         read_table(spark, root, sc.CURATED_TABLE).count() == len(got)
     )
+
+
+def test_admit_lines_batch_cross_batch_counts_and_replay(spark, tmp_path):
+    wh = sc.lines_warehouse(spark, str(tmp_path / "lwh"))
+    boiler = "subscribe to our newsletter"
+    b1 = spark.createDataFrame(
+        [(1, f"{boiler}\nunique one"), (2, "all original here")],
+        "doc_id long, text string",
+    )
+    got1 = {r.doc_id: r for r in sc.admit_lines_batch(wh, b1).collect()}
+    # only one doc carries the line so far -> nothing cut
+    assert got1[1].n_removed == 0 and got1[2].n_removed == 0
+    n_cur = wh.read(sc.LINES_CURATED_TABLE).count()
+    n_idx = wh.read(sc.LINE_INDEX_TABLE).count()
+    # exact replay: identical results, no table growth
+    again = {r.doc_id: r for r in sc.admit_lines_batch(wh, b1).collect()}
+    assert {k: (v.clean_text, v.n_removed) for k, v in again.items()} == {
+        k: (v.clean_text, v.n_removed) for k, v in got1.items()
+    }
+    assert wh.read(sc.LINES_CURATED_TABLE).count() == n_cur
+    assert wh.read(sc.LINE_INDEX_TABLE).count() == n_idx
+    # batch 2: a second distinct doc carries the line -> cumulative
+    # count reaches 2, the NEW doc loses it; doc 1's stored text is
+    # final (non-retroactive)
+    b2 = spark.createDataFrame(
+        [(9, f"{boiler}\nunique nine")], "doc_id long, text string"
+    )
+    got2 = {r.doc_id: r for r in sc.admit_lines_batch(wh, b2).collect()}
+    assert got2[9].clean_text == "unique nine"
+    assert got2[9].n_removed == 1
+    stored = {
+        r.doc_id: r.clean_text
+        for r in wh.read(sc.LINES_CURATED_TABLE).collect()
+    }
+    assert stored[1] == f"{boiler}\nunique one"  # unchanged
+    # batch 3: the line is now corpus-boilerplate for every arrival
+    b3 = spark.createDataFrame(
+        [(20, boiler)], "doc_id long, text string"
+    )
+    got3 = sc.admit_lines_batch(wh, b3).collect()[0]
+    assert got3.clean_text == "" and got3.n_removed == 1
+
+
+def test_admit_lines_batch_within_batch_threshold(spark, tmp_path):
+    # two docs in ONE batch sharing a line -> cut from both at once
+    wh = sc.lines_warehouse(spark, str(tmp_path / "lwh2"))
+    b = spark.createDataFrame(
+        [(1, "shared line\nalpha"), (2, "shared line\nbeta")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in sc.admit_lines_batch(wh, b).collect()}
+    assert got[1].clean_text == "alpha" and got[2].clean_text == "beta"
+
+
+def test_stream_curate_lines_equals_sequential_batches(spark, tmp_path):
+    boiler = "follow us on social media"
+    rows = []
+    for i in range(9):
+        uniq = f"article body number {i} with words"
+        text = f"{boiler}\n{uniq}" if i % 2 == 0 else uniq
+        rows.append((i, text, "en", "s", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    src = str(tmp_path / "ldocs")
+    docs.withColumn("_b", F.col("doc_id") % 3).repartition(3, "_b").drop(
+        "_b"
+    ).write.parquet(src)
+    q = sc.stream_curate_lines(
+        spark, src, str(tmp_path / "lines_wh"),
+        str(tmp_path / "ckpt_lines"), max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id: r
+        for r in read_table(
+            spark, str(tmp_path / "lines_wh"), sc.LINES_CURATED_TABLE
+        ).collect()
+    }
+    assert len(got) == 9
+    carriers = [i for i in range(9) if i % 2 == 0]  # 0,2,4,6,8
+    removed = {i: got[i].n_removed for i in carriers}
+    # exactly one carrier (whichever streamed first, alone in its
+    # batch before any other carrier) may keep the line; once two
+    # distinct carriers have been seen, every later carrier loses it
+    keepers = [i for i, n in removed.items() if n == 0]
+    assert len(keepers) <= 1
+    assert sum(removed.values()) >= len(carriers) - 1
+    for i in range(9):
+        if i not in carriers:
+            assert got[i].n_removed == 0
