@@ -143,6 +143,99 @@ def adaptive_quality_keep(
     return ranked.filter(F.col("group_rank") > n_drop)
 
 
+# Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", appendix A.1.1 — the MassiveText document-quality
+# rules). Word-count bounds are parameters (the paper's 50..100k fits
+# web pages, not every corpus); the ratio rules are fixed as
+# published: mean word length in [3, 10], symbol-to-word <= 0.1,
+# >= 80% of words alphabetic, < 90% bullet lines, < 30% ellipsis
+# lines, >= 2 distinct required stop words.
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_BULLET_PREFIXES = ("- ", "* ", "• ")
+
+
+def gopher_gates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    required_words: list[str] | None = None,
+    min_required: int = 2,
+) -> DataFrame:
+    """The Gopher/MassiveText document-quality rules as ONE projection
+    over one scan — every rule an integer-exact column expression
+    (ratio thresholds cross-multiplied, no float division), so the
+    gate runs at 100 TB as a narrow map and has an exact SQL oracle.
+
+    Returns (id, n_words, plus one boolean per rule, gopher_ok =
+    conjunction). Line rules (bullets/ellipsis) evaluate over newline
+    lines and PASS vacuously for single-line docs (0 lines counted ->
+    0 <= threshold), matching the paper's web-page framing.
+    ``required_words`` defaults to the paper's 8-word English set —
+    a corpus in another language (or a synthetic vocabulary) passes
+    its own list, as the word-count bounds already parameterize."""
+    if required_words is None:
+        required_words = GOPHER_REQUIRED_WORDS
+    t = F.col(text_col)
+    toks = tokens(F.lower(t))
+    n_words = F.size(toks)
+    word_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(r"(\.\.\.)"), 1))
+    lines = F.filter(
+        F.split(t, "\n"), lambda s: F.trim(s) != ""
+    )
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda s: s.startswith(GOPHER_BULLET_PREFIXES[0])
+            | s.startswith(GOPHER_BULLET_PREFIXES[1])
+            | s.startswith(GOPHER_BULLET_PREFIXES[2]),
+        )
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda s: s.endswith("...")))
+    req = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in required_words]),
+        )
+    )
+    symbols = n_hash + n_ellipsis
+    out = docs.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        ((n_words >= min_words) & (n_words <= max_words)).alias("words_ok"),
+        # 3 <= mean word length <= 10, cross-multiplied
+        (
+            (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
+        ).alias("mean_len_ok"),
+        # symbol-to-word ratio <= 0.1
+        (10 * symbols <= n_words).alias("symbol_ok"),
+        # >= 80% of words contain an alphabetic character
+        (5 * alpha_words >= 4 * n_words).alias("alpha_ok"),
+        # <= 90% of lines start with a bullet (vacuous at 0 lines)
+        (10 * bullet_lines <= 9 * n_lines).alias("bullet_ok"),
+        # <= 30% of lines end with an ellipsis
+        (10 * ellipsis_lines <= 3 * n_lines).alias("ellipsis_ok"),
+        (req >= min_required).alias("required_words_ok"),
+    )
+    gates = [
+        "words_ok", "mean_len_ok", "symbol_ok", "alpha_ok",
+        "bullet_ok", "ellipsis_ok", "required_words_ok",
+    ]
+    ok = F.lit(True)
+    for g in gates:
+        ok = ok & F.col(g)
+    return out.withColumn("gopher_ok", ok)
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: md5 of whitespace-normalized lowercase
     text, its 60-bit integer prefix (bucketable), and a Rabin-Karp

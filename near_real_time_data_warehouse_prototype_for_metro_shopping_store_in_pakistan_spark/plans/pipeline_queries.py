@@ -157,6 +157,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_keepers(docs, pairs.select("doc_a", "doc_b"))
 
 
+GOPHER_MIN_WORDS = 10   # corpus-calibrated (the paper's 50..100k is
+GOPHER_MAX_WORDS = 1000  # web-page-sized; these docs run 8..100 words)
+GOPHER_ROW_REQUIRED = ["the", "a"]  # corpus-calibrated: the synthetic
+# ~50-word vocabulary contains exactly these two of the paper's
+# English stop set; the published 8-word default would constant-fail
+# every doc and pin a vacuous flag.
+
+
+def text_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText document-quality rule set
+    (text_profile.gopher_gates): one integer-exact projection per doc
+    — word-count band, mean word length, symbol ratio, alphabetic
+    ratio, bullet/ellipsis line ratios, required stop words."""
+    return text_profile.gopher_gates(
+        table(spark, sf_dir, "documents"),
+        min_words=GOPHER_MIN_WORDS,
+        max_words=GOPHER_MAX_WORDS,
+        required_words=GOPHER_ROW_REQUIRED,
+    )
+
+
 ADAPTIVE_KEEP_FRACTION = 0.8
 
 
@@ -1628,6 +1649,7 @@ PIPELINE_QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_best": dedup_clusters_best,
     "corpus_adaptive_quality": corpus_adaptive_quality,
+    "text_gopher_gates": text_gopher_gates,
     "corpus_hash_sample": corpus_hash_sample,
     "corpus_split_plan": corpus_split_plan,
     "corpus_shard_plan": corpus_shard_plan,
@@ -3918,6 +3940,62 @@ SELECT *, {case_sql} AS lang_pred FROM h
 """
 
 
+def _gopher_gates_oracle() -> str:
+    """Mirror of text_profile.gopher_gates: same integer cross-
+    multiplied rules; list_sum coalesced (DuckDB sums [] to NULL
+    where Spark's aggregate init 0 gives 0)."""
+    req = _sql_in_list(GOPHER_ROW_REQUIRED)
+    return f"""
+WITH t AS (
+    SELECT doc_id, text, {_sql_tokens("lower(text)")} AS toks
+    FROM documents
+),
+c AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+               AS word_chars,
+           len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               AS alpha_words,
+           length(text) - length(replace(text, '#', '')) AS n_hash,
+           len(regexp_extract_all(text, '(\\.\\.\\.)')) AS n_ellipsis,
+           list_filter(string_split(text, chr(10)), s -> trim(s) != '')
+               AS lines,
+           len(list_intersect(list_distinct(toks), [{req}])) AS req
+    FROM t
+),
+g AS (
+    SELECT doc_id, n_words, word_chars, alpha_words,
+           n_hash + n_ellipsis AS symbols, req,
+           len(lines) AS n_lines,
+           len(list_filter(lines, s -> starts_with(s, '- ')
+               OR starts_with(s, '* ') OR starts_with(s, '• ')))
+               AS bullet_lines,
+           len(list_filter(lines, s -> ends_with(s, '...')))
+               AS ellipsis_lines
+    FROM c
+)
+SELECT doc_id, n_words,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+           AS words_ok,
+       (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+           AS mean_len_ok,
+       (10 * symbols <= n_words) AS symbol_ok,
+       (5 * alpha_words >= 4 * n_words) AS alpha_ok,
+       (10 * bullet_lines <= 9 * n_lines) AS bullet_ok,
+       (10 * ellipsis_lines <= 3 * n_lines) AS ellipsis_ok,
+       (req >= 2) AS required_words_ok,
+       ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+        AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+        AND (10 * symbols <= n_words)
+        AND (5 * alpha_words >= 4 * n_words)
+        AND (10 * bullet_lines <= 9 * n_lines)
+        AND (10 * ellipsis_lines <= 3 * n_lines)
+        AND (req >= 2)) AS gopher_ok
+FROM g
+"""
+
+
 def _adaptive_quality_oracle() -> str:
     """Mirror of corpus_adaptive_quality: the quality-score CTE, one
     rank window per source, drop (n · drop_permille) div 1000 from
@@ -5368,6 +5446,7 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_clusters_best": _clusters_best_oracle(),
     "corpus_adaptive_quality": _adaptive_quality_oracle(),
+    "text_gopher_gates": _gopher_gates_oracle(),
     "corpus_hash_sample": ORACLE_HASH_SAMPLE,
     "corpus_split_plan": ORACLE_SPLIT_PLAN,
     "corpus_shard_plan": ORACLE_SHARD_PLAN,

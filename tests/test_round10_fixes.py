@@ -380,3 +380,65 @@ class TestAdaptiveQualityKeep:
             self._run(spark, rows, 0.0)
         with pytest.raises(ValueError, match="keep_fraction"):
             self._run(spark, rows, 1.5)
+
+
+class TestGopherGates:
+    def _gate(self, spark, texts, **kw):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        return {
+            r.doc_id: r
+            for r in text_profile.gopher_gates(docs, **kw).collect()
+        }
+
+    def test_clean_doc_passes_all(self, spark):
+        text = "the cat and the dog have fun with all of that stuff " * 5
+        got = self._gate(spark, [text])[0]
+        assert got.gopher_ok and got.words_ok and got.required_words_ok
+
+    def test_word_count_band(self, spark):
+        short = "the of and that have with be to"  # 8 words < 50
+        got = self._gate(spark, [short])[0]
+        assert not got.words_ok and not got.gopher_ok
+
+    def test_mean_word_length_rules(self, spark):
+        # single-char words -> mean 1 < 3; 12-char words -> mean > 10
+        tiny = " ".join(["a"] * 60)
+        huge = " ".join(["extravagance"] * 60)
+        got = self._gate(spark, [tiny, huge])
+        assert not got[0].mean_len_ok and not got[1].mean_len_ok
+
+    def test_symbol_ratio(self, spark):
+        # 60 words but 10 hashes + ellipses -> 12 symbols > 6 = 10%
+        base = "the cat and dog have fun with some of that " * 6
+        noisy = base + "##########" + "... " * 2
+        got = self._gate(spark, [noisy])[0]
+        assert not got.symbol_ok
+
+    def test_alpha_ratio(self, spark):
+        # 30 numeric tokens of 60 -> 50% alphabetic < 80%
+        words = ("the word " * 15) + ("12345 67890 " * 15)
+        got = self._gate(spark, [words])[0]
+        assert not got.alpha_ok
+
+    def test_bullet_and_ellipsis_lines(self, spark):
+        body = "the cat and the dog have fun with all of that " * 5
+        bullets = "\n".join(f"- item {i}" for i in range(10)) + "\n" + body
+        dots = "\n".join(f"line {i} trails..." for i in range(9)) + "\n" + body
+        got = self._gate(spark, [bullets, dots])
+        assert not got[0].bullet_ok
+        assert not got[1].ellipsis_ok
+        # the single-line doc passes both vacuously
+        got1 = self._gate(spark, [body])[0]
+        assert got1.bullet_ok and got1.ellipsis_ok
+
+    def test_required_words_parameterized(self, spark):
+        text = "alpha beta gamma delta " * 20
+        default = self._gate(spark, [text])[0]
+        custom = self._gate(
+            spark, [text], required_words=["alpha", "beta"]
+        )[0]
+        assert not default.required_words_ok
+        assert custom.required_words_ok
