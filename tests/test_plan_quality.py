@@ -537,3 +537,80 @@ def test_pruned_lm_model_join_is_broadcast(spark, sf_dir):
     # the only shuffle join left is the final docs ⟕ per_doc attach,
     # whose BOTH sides are corpus-sized (legitimate)
     assert plan.count("SortMergeJoin") == 2
+
+
+def test_line_dedup_plan_shape(spark, sf_dir):
+    """line_dedup: no cartesian product anywhere; the segment explode
+    is a Generate (narrow map) and the boilerplate anti-join is keyed
+    on the fingerprint (never a broadcast nested loop over segments)."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.dedup import (
+        line_dedup,
+    )
+
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.dedup import (
+        segment_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(
+        line_dedup(docs, segmenter="words", words_per_segment=8)
+    )
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan  # keyed anti-join against boilerplate
+    # the exploded segment relation enters as the CHECKPOINTED scan
+    # (materialized once for its three consumers), not three re-runs
+    # of the explode
+    assert "Scan ExistingRDD" in plan
+    assert "Generate" not in plan
+    # the explode itself is a narrow map (Generate, no exchange below)
+    seg_plan = plan_of(segment_documents(docs, segmenter="words"))
+    assert "Generate" in seg_plan
+    assert n_hash_exchanges(seg_plan) == 0
+
+
+def test_video_framehash_pairs_plan_keyed(spark, sf_dir):
+    """The inverted frame-index self-join must be an equi-join on
+    frame_hash (hash or sort-merge), never a cross product; size
+    attaches stay broadcastable at this SF."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        multimodal,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.documents_as_media(docs)
+    plan = plan_of(multimodal.video_framehash_pairs(media))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_adaptive_quality_single_group_shuffle(spark, sf_dir):
+    """adaptive_quality_keep is ONE window pass: exactly one
+    corpus-moving hash shuffle (the group key); no join, no second
+    exchange."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.text_profile import (
+        adaptive_quality_keep,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.col("n_chars").alias("score")
+    )
+    plan = plan_of(adaptive_quality_keep(docs, "score"))
+    assert n_hash_exchanges(plan) == 1
+    assert "Join" not in plan
+
+
+def test_gopher_gates_is_one_scan_no_shuffle(spark, sf_dir):
+    """gopher_gates is a pure projection: zero exchanges, zero joins
+    — the shape that runs at 100 TB as a narrow map."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.text_profile import (
+        gopher_gates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(gopher_gates(docs))
+    assert n_hash_exchanges(plan) == 0
+    assert "Join" not in plan
+    # formatted explain prints each node once in the tree and once in
+    # the detail section: 2 occurrences == exactly ONE scan
+    assert plan.count("Scan parquet") == 2
