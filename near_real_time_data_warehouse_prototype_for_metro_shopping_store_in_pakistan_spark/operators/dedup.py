@@ -1595,6 +1595,70 @@ def cut_spans_and_reassemble(
     )
 
 
+def split_leakage_report(
+    docs: DataFrame,
+    split_plan: DataFrame,
+    span_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_label: str = "train",
+) -> DataFrame:
+    """Train/eval SPLIT-LEAKAGE measurement: for every non-train
+    split, how many of its docs share at least one ``span_tokens``
+    consecutive-token gram with ANY train doc. Internal-split
+    contamination is the blind spot of external-benchmark
+    decontamination (``ngram_decontaminate`` guards against a known
+    eval SET; a val split carved from a near-dup-laden corpus leaks
+    against its own train half) — this is the report that says
+    whether the split is trustworthy BEFORE training.
+
+    Plan shape: gram ids from the shared Rabin-Karp kernel
+    (``span_gram_occurrences`` — O(text bytes), no per-window
+    hashing); the train-gram relation is DISTINCT gram ids only
+    (bounded by corpus grams); leakage is one semi-join on the
+    uniform 60-bit combined hash + one distinct + one count per
+    split. No all-pairs anywhere; leak rate is an exact integer
+    permille.
+
+    Returns (split, n_docs, n_leaky_docs, leak_permille), one row per
+    non-train split in ``split_plan`` (docs too short to have any
+    gram count in n_docs and cannot leak).
+    """
+    tk = docs.select(id_col, tokens(F.col(text_col)).alias("_tk"))
+    occ = (
+        span_gram_occurrences(tk, span_tokens, id_col)
+        .select(id_col, "gh")
+        .join(split_plan, id_col)
+        .localCheckpoint(eager=False)
+    )
+    train_grams = (
+        occ.filter(F.col("split") == train_label).select("gh").distinct()
+    )
+    leaky = (
+        occ.filter(F.col("split") != train_label)
+        .join(train_grams, "gh", "left_semi")
+        .select(id_col, "split")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_leaky_docs"))
+    )
+    totals = (
+        split_plan.filter(F.col("split") != train_label)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return totals.join(leaky, "split", "left").select(
+        "split",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.coalesce("n_leaky_docs", F.lit(0)).cast("long").alias(
+            "n_leaky_docs"
+        ),
+        F.expr(
+            "(coalesce(n_leaky_docs, 0) * 1000) div n_docs"
+        ).cast("long").alias("leak_permille"),
+    )
+
+
 def segment_documents(
     docs: DataFrame,
     text_col: str = "text",

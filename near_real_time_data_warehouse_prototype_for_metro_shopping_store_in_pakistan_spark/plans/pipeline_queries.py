@@ -157,6 +157,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_keepers(docs, pairs.select("doc_a", "doc_b"))
 
 
+LEAKAGE_SPAN = 8  # 8-token grams: long enough that shared spans mean
+# real duplication (the corpus's ~50-word vocabulary makes shorter
+# grams collide by chance), short enough to catch partial clones.
+
+
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split-leakage report (dedup.split_leakage_report):
+    per non-train split, docs sharing >= 1 8-token gram with any
+    train doc — internal-split contamination, the blind spot of
+    external-benchmark decontamination. Uses the corpus' own
+    deterministic split assignment (corpus_split_plan)."""
+    docs = table(spark, sf_dir, "documents")
+    plan = partitioning.split_plan(
+        docs.select("doc_id"), "doc_id", SPLIT_VAL_RATE, SPLIT_TEST_RATE
+    )
+    return dedup.split_leakage_report(docs, plan, span_tokens=LEAKAGE_SPAN)
+
+
 GOPHER_MIN_WORDS = 10   # corpus-calibrated (the paper's 50..100k is
 GOPHER_MAX_WORDS = 1000  # web-page-sized; these docs run 8..100 words)
 GOPHER_ROW_REQUIRED = ["the", "a"]  # corpus-calibrated: the synthetic
@@ -1650,6 +1668,7 @@ PIPELINE_QUERIES = {
     "dedup_clusters_best": dedup_clusters_best,
     "corpus_adaptive_quality": corpus_adaptive_quality,
     "text_gopher_gates": text_gopher_gates,
+    "corpus_split_leakage": corpus_split_leakage,
     "corpus_hash_sample": corpus_hash_sample,
     "corpus_split_plan": corpus_split_plan,
     "corpus_shard_plan": corpus_shard_plan,
@@ -3940,6 +3959,64 @@ SELECT *, {case_sql} AS lang_pred FROM h
 """
 
 
+def _split_leakage_oracle(span: int = LEAKAGE_SPAN) -> str:
+    """Mirror of corpus_split_leakage: the split-plan window CASE,
+    the double-modulus Rabin-Karp gram ids, one semi-join per
+    non-train split, integer-permille leak rate."""
+    from ..functions.text import ROLL_BASE, ROLL_MOD
+    from ..operators.dedup import SPAN_HASH_MOD2
+
+    win = f"ti[i:i + {span - 1}]"
+    fold = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {win}), "
+        f"(acc, c) -> (acc * {ROLL_BASE} + c) % {{M}})"
+    )
+    gram = (
+        f"{fold.format(M=ROLL_MOD)} * {SPAN_HASH_MOD2} "
+        f"+ {fold.format(M=SPAN_HASH_MOD2)}"
+    )
+    v = int(SPLIT_VAL_RATE * partitioning.SAMPLE_DENOM)
+    return f"""
+WITH sp AS (
+    SELECT doc_id,
+           CASE WHEN {_sql_md5_long("CAST(doc_id AS VARCHAR) || '|split'")}
+                     % {partitioning.SAMPLE_DENOM} < {v}
+                THEN 'val'
+                WHEN {_sql_md5_long("CAST(doc_id AS VARCHAR) || '|split'")}
+                     % {partitioning.SAMPLE_DENOM} < {2 * v}
+                THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+),
+toks AS (SELECT doc_id, {_sql_tokens("text")} AS tk FROM documents),
+occ AS (
+    SELECT doc_id, {gram} AS gh FROM (
+        SELECT doc_id,
+               list_transform(tk, t -> {_sql_md5_long("t")}) AS ti,
+               unnest(generate_series(1, len(tk) - {span - 1})) AS i
+        FROM toks
+    )
+),
+lab AS (SELECT occ.doc_id, occ.gh, sp.split FROM occ JOIN sp USING (doc_id)),
+tg AS (SELECT DISTINCT gh FROM lab WHERE split = 'train'),
+leaky AS (
+    SELECT split, count(DISTINCT doc_id) AS n_leaky_docs
+    FROM lab WHERE split <> 'train' AND gh IN (SELECT gh FROM tg)
+    GROUP BY 1
+),
+totals AS (
+    SELECT split, count(*) AS n_docs FROM sp WHERE split <> 'train'
+    GROUP BY 1
+)
+SELECT t.split,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(l.n_leaky_docs, 0) AS BIGINT) AS n_leaky_docs,
+       CAST(coalesce(l.n_leaky_docs, 0) * 1000 // t.n_docs AS BIGINT)
+           AS leak_permille
+FROM totals t LEFT JOIN leaky l USING (split)
+"""
+
+
 def _gopher_gates_oracle() -> str:
     """Mirror of text_profile.gopher_gates: same integer cross-
     multiplied rules; list_sum coalesced (DuckDB sums [] to NULL
@@ -5447,6 +5524,7 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
     "dedup_clusters_best": _clusters_best_oracle(),
     "corpus_adaptive_quality": _adaptive_quality_oracle(),
     "text_gopher_gates": _gopher_gates_oracle(),
+    "corpus_split_leakage": _split_leakage_oracle(),
     "corpus_hash_sample": ORACLE_HASH_SAMPLE,
     "corpus_split_plan": ORACLE_SPLIT_PLAN,
     "corpus_shard_plan": ORACLE_SHARD_PLAN,

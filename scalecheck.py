@@ -129,6 +129,10 @@ def operators(spark, docs):
         "hashed_embedding": lambda: text_profile.hashed_embedding_vectors(
             docs, id_col="doc_id"
         ),
+        "line_dedup": lambda: dedup.line_dedup(
+            docs, segmenter="words", words_per_segment=8
+        ),
+        "gopher_gates": lambda: text_profile.gopher_gates(docs),
     }
 
 

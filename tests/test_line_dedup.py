@@ -189,3 +189,45 @@ class TestKeepersByScore:
             [(1, 2), (3, 4), (2, 3)],
         )
         assert set(got.values()) == {4}
+
+
+class TestSplitLeakage:
+    def _report(self, spark, docs_rows, split_rows, span=4):
+        docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+        plan = spark.createDataFrame(split_rows, "doc_id long, split string")
+        return {
+            r.split: r
+            for r in dedup.split_leakage_report(
+                docs, plan, span_tokens=span
+            ).collect()
+        }
+
+    def test_shared_gram_marks_leaky(self, spark):
+        shared = "alpha beta gamma delta"
+        rows = [
+            (1, f"{shared} train tail words"),
+            (2, f"val head {shared}"),          # leaks via the 4-gram
+            (3, "completely different val doc content"),
+            (4, "yet another test doc body here"),
+        ]
+        split = [(1, "train"), (2, "val"), (3, "val"), (4, "test")]
+        got = self._report(spark, rows, split)
+        assert got["val"].n_docs == 2 and got["val"].n_leaky_docs == 1
+        assert got["val"].leak_permille == 500
+        assert got["test"].n_leaky_docs == 0
+        assert got["test"].leak_permille == 0
+
+    def test_short_doc_counts_but_cannot_leak(self, spark):
+        rows = [(1, "a b c d e f"), (2, "a b")]  # doc 2 < span tokens
+        split = [(1, "train"), (2, "val")]
+        got = self._report(spark, rows, split)
+        assert got["val"].n_docs == 1 and got["val"].n_leaky_docs == 0
+
+    def test_val_val_overlap_is_not_leakage(self, spark):
+        # two val docs sharing a gram absent from train: no leak
+        shared = "p q r s"
+        rows = [(1, "train only text here now"),
+                (2, f"{shared} one"), (3, f"{shared} two")]
+        split = [(1, "train"), (2, "val"), (3, "val")]
+        got = self._report(spark, rows, split)
+        assert got["val"].n_leaky_docs == 0
