@@ -44,6 +44,9 @@ MEASUREMENT_QUERIES = frozenset(
         "stream_embed_admission",
         "stream_neardup_admission",
         "stream_substr_admission",
+        # replays three sequential sink-backed admission batches at
+        # query time, like its siblings above
+        "stream_lines_admission",
         # replays three sequential manifest-sink commits at query
         # time to exercise the snapshot-diff surface — sink
         # round-trips, not operator throughput
