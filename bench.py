@@ -44,9 +44,10 @@ MEASUREMENT_QUERIES = frozenset(
         "stream_embed_admission",
         "stream_neardup_admission",
         "stream_substr_admission",
-        # replays three sequential sink-backed admission batches at
-        # query time, like its siblings above
+        # replay three sequential sink-backed admission batches at
+        # query time, like their siblings above
         "stream_lines_admission",
+        "stream_adaptive_admission",
         # replays three sequential manifest-sink commits at query
         # time to exercise the snapshot-diff surface — sink
         # round-trips, not operator throughput

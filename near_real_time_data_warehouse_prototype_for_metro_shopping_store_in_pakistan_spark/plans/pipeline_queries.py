@@ -1548,6 +1548,51 @@ def stream_lines_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+ADAPTIVE_DROP_PERMILLE = 200
+
+
+def stream_adaptive_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch per-source adaptive quality admission
+    (streaming.corpus.admit_adaptive_quality_batch) over a fixed
+    3-batch replay: each batch admits docs clearing their source's
+    value-threshold over the cumulative observed score distribution
+    (drop_permille=200); state is per-batch score HISTOGRAMS, not raw
+    docs. Returns the admitted relation."""
+    import shutil
+    import tempfile
+
+    from ..streaming.corpus import (
+        ADAPTIVE_CURATED_TABLE,
+        adaptive_warehouse,
+        admit_adaptive_quality_batch,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % STREAM_ADMIT_DOC_STRIDE == 0
+    )
+    scored = (
+        text_profile.quality_scores(docs)
+        .select("doc_id", "quality_score")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    root = tempfile.mkdtemp(prefix="drv_adaptive_admit_")
+    try:
+        wh = adaptive_warehouse(spark, root)
+        for b in range(STREAM_ADMIT_BATCHES):
+            admit_adaptive_quality_batch(
+                wh,
+                scored.filter(F.col("doc_id") % STREAM_ADMIT_BATCHES == b),
+                drop_permille=ADAPTIVE_DROP_PERMILLE,
+            )
+        return (
+            wh.read(ADAPTIVE_CURATED_TABLE)
+            .select("doc_id", "source", "quality_score")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means cells confine the near-dup pair search, each
     component keeps its farthest-from-centroid member (similarity.
@@ -1748,6 +1793,7 @@ PIPELINE_QUERIES = {
     "stream_embed_admission": stream_embed_admission,
     "stream_substr_admission": stream_substr_admission,
     "stream_lines_admission": stream_lines_admission,
+    "stream_adaptive_admission": stream_adaptive_admission,
     "corpus_interdoc_dup": corpus_interdoc_dup,
     "corpus_semantic_dedup": corpus_semantic_dedup,
     "embed_semdedup": embed_semdedup,
@@ -4116,6 +4162,66 @@ WHERE group_rank > (group_n * {drop}) // 1000
 """
 
 
+def _stream_adaptive_admission_oracle(
+    num_batches: int = STREAM_ADMIT_BATCHES,
+    stride: int = STREAM_ADMIT_DOC_STRIDE,
+    drop_permille: int = ADAPTIVE_DROP_PERMILLE,
+) -> str:
+    """Mirror of the 3-batch admit_adaptive_quality_batch replay:
+    per (source, batch), the cumulative score histogram over batches
+    0..b, the value threshold = min score whose cumulative count
+    exceeds (total · drop) div 1000, admitted = batch-b docs at or
+    above it."""
+    stops = _sql_in_list(ENGLISH_STOPWORDS)
+    return f"""
+WITH t AS (
+    SELECT doc_id, text, source, doc_id % {num_batches} AS b,
+           {_sql_tokens("lower(text)")} AS toks
+    FROM documents WHERE doc_id % {stride} = 0
+),
+c AS (
+    SELECT doc_id, source, b,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           {_PUNCT} AS n_punct,
+           CAST(len(list_filter(toks, x -> x IN ({stops}))) AS INT)
+               AS stop_hits
+    FROM t
+),
+q AS (
+    SELECT doc_id, source, b,
+       CAST((CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 40 ELSE 0 END)
+          + (CASE WHEN n_punct / greatest(n_chars, 1) <= 0.1 THEN 30 ELSE 0 END)
+          + (CASE WHEN stop_hits / greatest(n_tokens, 1) >= 0.02 THEN 30 ELSE 0 END)
+         AS INT) AS quality_score
+    FROM c
+),
+cnt AS (
+    SELECT source, quality_score, b, count(*) AS n FROM q GROUP BY 1, 2, 3
+),
+dist AS (
+    SELECT c.source, e.b_eval, c.quality_score, sum(c.n) AS n
+    FROM cnt c JOIN (SELECT DISTINCT b AS b_eval FROM q) e ON c.b <= e.b_eval
+    GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT source, b_eval, quality_score, n,
+           sum(n) OVER (PARTITION BY source, b_eval
+                        ORDER BY quality_score ASC) AS cum,
+           sum(n) OVER (PARTITION BY source, b_eval) AS tot
+    FROM dist
+),
+thr AS (
+    SELECT source, b_eval, min(quality_score) AS thr
+    FROM ranked WHERE cum > (tot * {drop_permille}) // 1000
+    GROUP BY 1, 2
+)
+SELECT q.doc_id, q.source, q.quality_score
+FROM q JOIN thr ON q.source = thr.source AND q.b = thr.b_eval
+WHERE q.quality_score >= thr.thr
+"""
+
+
 def _stream_lines_admission_oracle(
     num_batches: int = STREAM_ADMIT_BATCHES,
     stride: int = STREAM_ADMIT_DOC_STRIDE,
@@ -5604,6 +5710,7 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
     "stream_embed_admission": _stream_embed_admission_oracle(),
     "stream_substr_admission": _stream_substr_admission_oracle(),
     "stream_lines_admission": _stream_lines_admission_oracle(),
+    "stream_adaptive_admission": _stream_adaptive_admission_oracle(),
     "corpus_interdoc_dup": _interdoc_oracle(),
     "corpus_semantic_dedup": _semantic_dedup_oracle(),
     "embed_semdedup": _semdedup_oracle(),

@@ -490,6 +490,156 @@ def admit_span_batch(
     return cleaned
 
 
+ADAPTIVE_CURATED_TABLE = "adaptive_curated"
+ADAPTIVE_STATS_TABLE = "adaptive_stats"
+
+
+def admit_adaptive_quality_batch(
+    warehouse: MergeSink,
+    batch_scored: DataFrame,
+    drop_permille: int = 200,
+    score_col: str = "quality_score",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-batch PER-GROUP adaptive quality admission for one
+    micro-batch: a doc is kept iff its integer score clears its
+    group's adaptive threshold computed over ALL scored docs seen so
+    far (history + this batch) — the streaming twin of
+    ``text_profile.adaptive_quality_keep`` (FineWeb-style per-dump
+    thresholds that a fixed global cutoff cannot give).
+
+    Semantics (sequential, non-retroactive, replay-idempotent):
+
+    - threshold(group) = the smallest score value whose cumulative
+      count exceeds n_drop = (n_total · drop_permille) div 1000 over
+      the group's full observed score distribution; docs with
+      score >= threshold are admitted. VALUE-thresholded — the whole
+      boundary score survives — where the batch operator is
+      rank-exact with id tie-breaks; ranking by id across history
+      would mean re-sorting all of history every batch, and the
+      boundary-score difference is immaterial at corpus scale
+      (declared, tested);
+    - already-admitted docs are never revisited when later batches
+      move the threshold (admission doctrine);
+    - EVERY scored doc (kept or dropped) joins the distribution —
+      the threshold tracks what was observed, not what survived.
+
+    State design (the 100 TB point): the stats table stores one row
+    per (batch fingerprint, group, score) — the batch's AGGREGATED
+    score histogram, not raw docs — so per-batch state grows by
+    groups × distinct-scores rows and the threshold computation reads
+    O(batches · groups · scores), never re-scanning corpus history.
+    The batch fingerprint is the content-derived sum of xxhash64(id)
+    (the DatasetBuilder _relation_fingerprint trick): a replayed
+    batch maps to the SAME fingerprint, its claim no-ops on the
+    compound key, and its own rows are exempted from the history read
+    so the replay computes identical thresholds. Admitted docs write
+    FIRST (keyed on id), then the histogram claim — both orders of a
+    crash replay converge, as in every admission surface here.
+
+    ``batch_scored``: (id, group, score, ...) — caller scores, so any
+    scorer (heuristic, classifier, LM) plugs in. Returns the admitted
+    rows of ``batch_scored``.
+    """
+    if not 0 <= drop_permille < 1000:
+        raise ValueError(
+            f"drop_permille ({drop_permille}) must be in [0, 1000)"
+        )
+    from pyspark.sql import Window
+
+    batch_scored = batch_scored.localCheckpoint(eager=False)
+    # single-row content fingerprint of the batch (no collect — a
+    # 1-row broadcast attach, exact decimal sum like
+    # corpus_pipeline._relation_fingerprint)
+    fprel = batch_scored.agg(
+        F.concat(
+            F.count(F.lit(1)).cast("string"),
+            F.lit(":"),
+            F.coalesce(
+                F.sum(F.xxhash64(F.col(id_col)).cast("decimal(38,0)"))
+                .cast("string"),
+                F.lit("0"),
+            ),
+        ).alias("batch_fp")
+    )
+    batch_counts = (
+        batch_scored.groupBy(group_col, score_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(fprel))
+    ).localCheckpoint(eager=False)
+    hist = warehouse.read(ADAPTIVE_STATS_TABLE)
+    if hist is not None:
+        own = fprel.withColumnRenamed("batch_fp", "_own_fp")
+        hist_counts = (
+            hist.join(
+                F.broadcast(own),
+                F.col("batch_fp") == F.col("_own_fp"),
+                "left_anti",
+            )
+            .select(group_col, score_col, "n")
+        )
+        all_counts = hist_counts.unionByName(
+            batch_counts.select(group_col, score_col, "n")
+        )
+    else:
+        all_counts = batch_counts.select(group_col, score_col, "n")
+    dist = all_counts.groupBy(group_col, score_col).agg(
+        F.sum("n").alias("n")
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(group_col)
+    ranked = dist.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "tot", F.sum("n").over(w_tot)
+    )
+    thresholds = (
+        ranked.filter(
+            F.col("cum") > F.expr(f"(tot * {drop_permille}) div 1000")
+        )
+        .groupBy(group_col)
+        .agg(F.min(score_col).alias("_threshold"))
+    )
+    admitted = (
+        batch_scored.join(F.broadcast(thresholds), group_col)
+        .filter(F.col(score_col) >= F.col("_threshold"))
+        .drop("_threshold")
+    )
+    warehouse.insert_if_absent(ADAPTIVE_CURATED_TABLE, admitted)
+    warehouse.insert_if_absent(ADAPTIVE_STATS_TABLE, batch_counts)
+    return admitted
+
+
+def adaptive_warehouse(
+    spark: SparkSession,
+    corpus_root: str,
+    backend: str = "manifest",
+    auto_compact_segments: int | None | str = "auto",
+    group_col: str = "source",
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> MergeSink:
+    """The adaptive-quality admission state: admitted docs keyed on
+    the id, per-batch score histograms keyed on (batch fingerprint,
+    group, score) — column names must match what
+    ``admit_adaptive_quality_batch`` is called with."""
+    return make_sink(
+        spark,
+        corpus_root,
+        keys={
+            ADAPTIVE_CURATED_TABLE: [id_col],
+            ADAPTIVE_STATS_TABLE: ["batch_fp", group_col, score_col],
+        },
+        backend=backend,
+        auto_compact_segments=resolve_auto_compact(
+            backend, auto_compact_segments
+        ),
+    )
+
+
 LINES_CURATED_TABLE = "lines_curated"
 LINE_INDEX_TABLE = "line_index"
 

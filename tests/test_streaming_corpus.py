@@ -528,3 +528,93 @@ def test_stream_curate_lines_equals_sequential_batches(spark, tmp_path):
     for i in range(9):
         if i not in carriers:
             assert got[i].n_removed == 0
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, quality_score int"
+    )
+
+
+def test_admit_adaptive_threshold_moves_with_history(spark, tmp_path):
+    wh = sc.adaptive_warehouse(spark, str(tmp_path / "awh"))
+    # batch 1: scores 10,20,30,40,50 -> n=5, drop 1 -> threshold 20
+    b1 = _scored(spark, [(i, "A", 10 * (i + 1)) for i in range(5)])
+    a1 = {r.doc_id for r in sc.admit_adaptive_quality_batch(wh, b1).collect()}
+    assert a1 == {1, 2, 3, 4}  # doc 0 (score 10) dropped
+    # batch 2: five strong docs (60..100) -> cumulative n=10, drop 2,
+    # threshold rises to 30: the new batch's weakest (none below 30)
+    # all clear it, but a replayed score-20 doc would now fail
+    b2 = _scored(spark, [(10 + i, "A", 60 + 10 * i) for i in range(5)])
+    a2 = {r.doc_id for r in sc.admit_adaptive_quality_batch(wh, b2).collect()}
+    assert a2 == {10, 11, 12, 13, 14}
+    # batch 3: a score-15 doc arrives late -> cumulative n=12, drop 2;
+    # cum(10)=1, cum(15)=2 (not > 2), cum(20)=4 -> threshold 20: the
+    # score that would have PASSED batch 1's threshold now fails
+    b3 = _scored(spark, [(20, "A", 15), (21, "A", 95)])
+    a3 = {r.doc_id for r in sc.admit_adaptive_quality_batch(wh, b3).collect()}
+    assert a3 == {21}
+    # stored admissions are final: doc 1 (score 20, admitted in b1)
+    # remains in the curated table even though 20 no longer clears
+    stored = {
+        r.doc_id
+        for r in wh.read(sc.ADAPTIVE_CURATED_TABLE).collect()
+    }
+    assert 1 in stored and 20 not in stored
+
+
+def test_admit_adaptive_replay_noop_and_histogram_state(spark, tmp_path):
+    wh = sc.adaptive_warehouse(spark, str(tmp_path / "awh2"))
+    b1 = _scored(spark, [(i, "A", 10 * (i + 1)) for i in range(5)])
+    first = {r.doc_id for r in sc.admit_adaptive_quality_batch(wh, b1).collect()}
+    n_cur = wh.read(sc.ADAPTIVE_CURATED_TABLE).count()
+    n_stats = wh.read(sc.ADAPTIVE_STATS_TABLE).count()
+    again = {r.doc_id for r in sc.admit_adaptive_quality_batch(wh, b1).collect()}
+    assert again == first
+    assert wh.read(sc.ADAPTIVE_CURATED_TABLE).count() == n_cur
+    assert wh.read(sc.ADAPTIVE_STATS_TABLE).count() == n_stats
+    # state is histograms: 5 distinct scores -> 5 rows, not raw docs
+    assert n_stats == 5
+
+
+def test_admit_adaptive_rejected_docs_still_shape_distribution(spark, tmp_path):
+    wh = sc.adaptive_warehouse(spark, str(tmp_path / "awh3"))
+    # batch 1: ten zeros and two 50s -> drop 2 -> threshold 0 stays
+    # (cum(0)=10 > 2 -> threshold 0) -> all admitted
+    b1 = _scored(
+        spark,
+        [(i, "A", 0) for i in range(10)] + [(20, "A", 50), (21, "A", 50)],
+    )
+    a1 = sc.admit_adaptive_quality_batch(wh, b1).count()
+    assert a1 == 12
+    # batch 2: two 100s -> cumulative n=14, drop 2, cum(0)=10 > 2 ->
+    # threshold STILL 0 (value semantics: the whole boundary score
+    # block survives)
+    b2 = _scored(spark, [(30, "A", 100), (31, "A", 100)])
+    assert sc.admit_adaptive_quality_batch(wh, b2).count() == 2
+
+
+def test_admit_adaptive_groups_are_independent(spark, tmp_path):
+    wh = sc.adaptive_warehouse(spark, str(tmp_path / "awh4"))
+    # source A: scores 1..10 (drop 2 -> threshold 3); source B: all 90
+    rows = [(i, "A", i + 1) for i in range(10)] + [
+        (100 + i, "B", 90) for i in range(5)
+    ]
+    got = {
+        r.doc_id
+        for r in sc.admit_adaptive_quality_batch(
+            wh, _scored(spark, rows)
+        ).collect()
+    }
+    assert {100, 101, 102, 103, 104} <= got
+    assert 0 not in got and 1 not in got and 2 in got
+
+
+def test_admit_adaptive_bad_permille_raises(spark, tmp_path):
+    import pytest
+
+    wh = sc.adaptive_warehouse(spark, str(tmp_path / "awh5"))
+    with pytest.raises(ValueError, match="drop_permille"):
+        sc.admit_adaptive_quality_batch(
+            wh, _scored(spark, [(1, "A", 1)]), drop_permille=1000
+        )
