@@ -757,6 +757,44 @@ def video_framehash_pairs(
     )
 
 
+def media_neardup_keepers(
+    media: DataFrame,
+    image_max_hamming: int = 6,
+    audio_max_hamming: int = 6,
+    video_threshold: float = 0.5,
+    fake: bool = True,
+) -> DataFrame:
+    """One keeper assignment across the WHOLE media table: each
+    modality's perceptual near-dup pairs (image dHash hamming, audio
+    sign-of-delta hamming, video frame-set Jaccard) union into one
+    edge relation, connected components assign one keeper per
+    near-dup group, rows in no pair keep themselves — the media-table
+    twin of the text pipeline's ``dedup.neardup_keepers``, and the
+    dedup pass a multimodal training set runs before packing.
+
+    Modalities never cross-pair (each retrieval is scoped to its
+    media_type rows), so components stay within a modality by
+    construction. Returns (doc_id, media_type, keeper_doc_id)."""
+    from .dedup import neardup_keepers
+
+    pairs = (
+        image_dhash_pairs(media, max_hamming=image_max_hamming, fake=fake)
+        .select("doc_a", "doc_b")
+        .unionByName(
+            audio_fingerprint_pairs(
+                media, max_hamming=audio_max_hamming, fake=fake
+            ).select("doc_a", "doc_b")
+        )
+        .unionByName(
+            video_framehash_pairs(
+                media, threshold=video_threshold, fake=fake
+            ).select("doc_a", "doc_b")
+        )
+    )
+    keepers = neardup_keepers(media.select("doc_id"), pairs)
+    return media.select("doc_id", "media_type").join(keepers, "doc_id")
+
+
 def sample_frame_indices(
     decoded: DataFrame, every_n: int = 30, max_frames: int = 16
 ) -> DataFrame:

@@ -416,6 +416,21 @@ def video_framehash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-media-table keeper assignment: the three modality
+    perceptual retrievals (image hamming, audio hamming, video
+    frame-set jaccard) union into one edge relation -> connected
+    components -> one keeper per group
+    (multimodal.media_neardup_keepers)."""
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    return multimodal.media_neardup_keepers(
+        media,
+        image_max_hamming=IMAGE_NEARDUP_MAX_HAMMING,
+        audio_max_hamming=AUDIO_NEARDUP_MAX_HAMMING,
+        video_threshold=VIDEO_NEARDUP_THRESHOLD,
+    )
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
     decoded = multimodal.decode_media(media, fake=True)
@@ -1750,6 +1765,7 @@ PIPELINE_QUERIES = {
     "audio_fingerprint_neardup": audio_fingerprint_neardup,
     "video_framehash": video_framehash,
     "video_framehash_neardup": video_framehash_neardup,
+    "media_dedup_keepers": media_dedup_keepers,
     "text_token_stats": text_token_stats,
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -3100,6 +3116,63 @@ JOIN vsizes sa ON doc_a = sa.doc_id
 JOIN vsizes sb ON doc_b = sb.doc_id
 WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared)
       >= {threshold}
+"""
+
+
+def _media_dedup_keepers_oracle() -> str:
+    """Union of the three modality pair sets (same CTEs as their
+    standalone oracles) -> recursive min-label walk -> keeper per
+    media row (itself when unpaired)."""
+    return f"""
+WITH RECURSIVE {_image_hash_cte()},
+{_audio_fp_cte()},
+{_video_fh_cte()},
+ih AS (SELECT doc_id, CAST({_image_dhash_expr()} AS BIGINT) AS dhash
+       FROM grid),
+ipairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ih a JOIN ih b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= {IMAGE_NEARDUP_MAX_HAMMING}
+),
+apairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= {AUDIO_NEARDUP_MAX_HAMMING}
+),
+vset AS (SELECT DISTINCT doc_id, frame_hash FROM vfh),
+vsizes AS (SELECT doc_id, count(*) AS n FROM vset GROUP BY 1),
+vinter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM vset a JOIN vset b
+      ON a.frame_hash = b.frame_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+vpairs AS (
+    SELECT doc_a, doc_b FROM vinter
+    JOIN vsizes sa ON doc_a = sa.doc_id
+    JOIN vsizes sb ON doc_b = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c)
+          >= {VIDEO_NEARDUP_THRESHOLD}
+),
+allpairs AS (
+    SELECT * FROM ipairs UNION SELECT * FROM apairs
+    UNION SELECT * FROM vpairs
+),
+edges AS (
+    SELECT doc_a AS v, doc_b AS w FROM allpairs
+    UNION SELECT doc_b, doc_a FROM allpairs
+),
+walk(v, m) AS (
+    SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+    UNION
+    SELECT e.w, walk.m FROM walk JOIN edges e ON walk.v = e.v
+),
+comp AS (SELECT v, MIN(m) AS component FROM walk GROUP BY v)
+SELECT d.doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       COALESCE(c.component, d.doc_id) AS keeper_doc_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
 """
 
 
@@ -5664,6 +5737,7 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
     "audio_fingerprint_neardup": _audio_neardup_oracle(),
     "video_framehash": _video_fh_oracle(),
     "video_framehash_neardup": _video_neardup_oracle(),
+    "media_dedup_keepers": _media_dedup_keepers_oracle(),
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_langid": _langid_oracle(),
     "text_quality": _quality_oracle(),

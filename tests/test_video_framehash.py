@@ -151,3 +151,29 @@ class TestVideoFramehashPairs:
         media = _media(spark, ["some text"])
         with pytest.raises(NotImplementedError, match="av"):
             multimodal.video_frame_hashes(media, fake=False)
+
+
+class TestMediaDedupKeepers:
+    def test_components_stay_within_modality(self, spark):
+        text_a = " ".join(f"w{i}" for i in range(40))
+        rows = [
+            (0, "image", text_a.encode(), 1),
+            (3, "image", text_a.encode(), 1),   # image clone of 0
+            (1, "audio", text_a.encode(), 1),
+            (4, "audio", text_a.encode(), 1),   # audio clone of 1
+            (2, "video", text_a.encode(), 1),   # no video partner
+        ]
+        media = spark.createDataFrame(
+            rows, "doc_id long, media_type string, payload binary, n_bytes int"
+        )
+        got = {
+            r.doc_id: (r.media_type, r.keeper_doc_id)
+            for r in multimodal.media_neardup_keepers(media).collect()
+        }
+        # identical payloads pair within image and within audio; the
+        # modality scoping keeps the groups separate even though the
+        # payload bytes are identical across them
+        assert got[0] == ("image", 0) and got[3] == ("image", 0)
+        assert got[1] == ("audio", 1) and got[4] == ("audio", 1)
+        assert got[2] == ("video", 2)  # unpaired keeps itself
+        assert len(got) == 5
