@@ -1,0 +1,131 @@
+"""Property tests for the round-10 wave-2 operators: randomized
+inputs checked against pure-Python brute force (the unit tests pin
+crafted cases; these sweep the input space)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+    dedup,
+    multimodal,
+    text_profile,
+)
+
+# tiny alphabet -> segment collisions across docs, where the
+# doc-frequency and reassembly logic actually get exercised
+WORDS = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12
+)
+CORPUS = st.lists(WORDS, min_size=1, max_size=6)
+
+
+def _brute_line_dedup(texts, k, min_docs):
+    segs = {
+        i: [" ".join(ws[j : j + k]) for j in range(0, len(ws), k)]
+        for i, ws in enumerate(texts)
+    }
+    df = {}
+    for i, ss in segs.items():
+        for s in set(ss):
+            df[s] = df.get(s, 0) + 1
+    boiler = {s for s, n in df.items() if n >= min_docs}
+    out = {}
+    for i, ss in segs.items():
+        kept = [s for s in ss if s not in boiler]
+        out[i] = (" ".join(kept), len(ss), len(ss) - len(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(CORPUS, st.integers(min_value=1, max_value=4),
+       st.integers(min_value=2, max_value=3))
+def test_line_dedup_matches_brute_force(spark, word_lists, k, min_docs):
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(word_lists)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_segments, r.n_removed)
+        for r in dedup.line_dedup(
+            docs, min_docs=min_docs, segmenter="words",
+            words_per_segment=k,
+        ).collect()
+    }
+    assert got == _brute_line_dedup(word_lists, k, min_docs)
+
+
+@settings(max_examples=10, deadline=None)
+@given(CORPUS, st.integers(min_value=1, max_value=4))
+def test_segment_join_roundtrips_tokens(spark, word_lists, k):
+    """array_join of a doc's word-window segments in order is exactly
+    the whitespace-normalized token stream — segmentation loses
+    nothing."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(word_lists)],
+        "doc_id long, text string",
+    )
+    segs = dedup.segment_documents(
+        docs, segmenter="words", words_per_segment=k
+    ).collect()
+    by_doc: dict[int, list[tuple[int, str]]] = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append((r.seg_idx, r.seg))
+    for i, ws in enumerate(word_lists):
+        joined = " ".join(s for _, s in sorted(by_doc.get(i, [])))
+        assert joined == " ".join(ws)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(WORDS, min_size=2, max_size=5),
+       st.integers(min_value=1, max_value=3))
+def test_video_jaccard_matches_brute_force(spark, word_lists, k):
+    texts = [" ".join(ws) for ws in word_lists]
+    rows = [
+        (i, "video", t.encode(), len(t.encode()))
+        for i, t in enumerate(texts)
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary, n_bytes int"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.jaccard)
+        for r in multimodal.video_framehash_pairs(
+            media, frame_tokens=k, threshold=0.0
+        ).collect()
+    }
+    frames = {
+        i: {
+            " ".join(ws[j : j + k])
+            for j in range(0, len(ws), k)
+        }
+        for i, ws in enumerate(word_lists)
+    }
+    brute = {}
+    ids = sorted(frames)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            inter = len(frames[ids[x]] & frames[ids[y]])
+            if inter:
+                union = len(frames[ids[x]] | frames[ids[y]])
+                brute[(ids[x], ids[y])] = (inter, inter / union)
+    assert got == brute
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=100),
+                min_size=1, max_size=25),
+       st.sampled_from([100, 200, 500]))
+def test_adaptive_keep_count_is_exact(spark, scores, drop_permille):
+    """The kept count per group is EXACTLY n - (n*drop) div 1000, for
+    any score multiset (ties included)."""
+    rows = [(i, "G", s) for i, s in enumerate(scores)]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, source string, score long"
+    )
+    kept = text_profile.adaptive_quality_keep(
+        scored, "score", keep_fraction=1.0 - drop_permille / 1000
+    ).count()
+    n = len(scores)
+    assert kept == n - (n * drop_permille) // 1000
