@@ -246,6 +246,13 @@ class CorpusPipeline:
             words_per_segment=words_per_segment,
         )
 
+    def health_report(self, docs: DataFrame) -> DataFrame:
+        """Per-source corpus health profile (one aggregate pass):
+        docs, tokens, centi-mean quality, Gopher pass count,
+        exact-dup surplus — the dashboard a curation run reads before
+        deciding which sources need which gates."""
+        return _text.corpus_health(docs)
+
     def score_fluency(
         self, docs: DataFrame, lm_docs: DataFrame | None = None
     ) -> DataFrame:

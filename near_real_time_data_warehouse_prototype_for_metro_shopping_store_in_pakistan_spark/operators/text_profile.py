@@ -236,6 +236,67 @@ def gopher_gates(
     return out.withColumn("gopher_ok", ok)
 
 
+def corpus_health(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    gopher_kwargs: dict | None = None,
+) -> DataFrame:
+    """Per-source corpus health profile in ONE aggregate pass: doc and
+    token counts, integer centi-mean quality, Gopher pass count, and
+    the exact-duplicate surplus (docs minus distinct fingerprints) —
+    the first dashboard a curation run reads before deciding which
+    sources need which gates. Everything integer-exact: the mean is
+    (sum·100) div n, dedup surplus counts distinct md5s, so the report
+    hashes identically on any engine.
+
+    Plan shape: one narrow projection (quality + gopher + fingerprint
+    are column expressions) into one groupBy(source) with
+    count-distinct — a single shuffle on the group key; at 100 TB the
+    report costs one pass over the corpus."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col).cast("int")
+    n_punct = punct_count(F.col(text_col)).cast("int")
+    stop_hits = _hits(toks, ENGLISH_STOPWORDS)
+    quality = (
+        F.when((n_tokens >= 10) & (n_tokens <= 1000), 40).otherwise(0)
+        + F.when(n_punct / F.greatest(n_chars, F.lit(1)) <= 0.1, 30)
+        .otherwise(0)
+        + F.when(stop_hits / F.greatest(n_tokens, F.lit(1)) >= 0.02, 30)
+        .otherwise(0)
+    )
+    g = gopher_gates(docs, text_col, id_col, **(gopher_kwargs or {}))
+    base = docs.select(
+        id_col,
+        group_col,
+        n_tokens.alias("_nt"),
+        quality.cast("int").alias("_q"),
+        F.md5(F.col(text_col)).alias("_fp"),
+    ).join(g.select(id_col, "gopher_ok"), id_col)
+    return (
+        base.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.expr("(sum(_q) * 100) div count(1)").cast("long").alias(
+                "mean_quality_centi"
+            ),
+            F.sum(F.col("gopher_ok").cast("int")).cast("long").alias(
+                "n_gopher_pass"
+            ),
+            (F.count(F.lit(1)) - F.count_distinct(F.col("_fp")))
+            .cast("long")
+            .alias("n_exact_dup_surplus"),
+        )
+        .select(
+            group_col, "n_docs", "n_tokens", "mean_quality_centi",
+            "n_gopher_pass", "n_exact_dup_surplus",
+        )
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: md5 of whitespace-normalized lowercase
     text, its 60-bit integer prefix (bucketable), and a Rabin-Karp

@@ -196,6 +196,20 @@ def text_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health profile (text_profile.corpus_health):
+    docs, tokens, centi-mean quality, Gopher pass count, exact-dup
+    surplus — one aggregate pass, one shuffle."""
+    return text_profile.corpus_health(
+        table(spark, sf_dir, "documents"),
+        gopher_kwargs=dict(
+            min_words=GOPHER_MIN_WORDS,
+            max_words=GOPHER_MAX_WORDS,
+            required_words=GOPHER_ROW_REQUIRED,
+        ),
+    )
+
+
 ADAPTIVE_KEEP_FRACTION = 0.8
 
 
@@ -1729,6 +1743,7 @@ PIPELINE_QUERIES = {
     "corpus_adaptive_quality": corpus_adaptive_quality,
     "text_gopher_gates": text_gopher_gates,
     "corpus_split_leakage": corpus_split_leakage,
+    "corpus_health_report": corpus_health_report,
     "corpus_hash_sample": corpus_hash_sample,
     "corpus_split_plan": corpus_split_plan,
     "corpus_shard_plan": corpus_shard_plan,
@@ -4192,6 +4207,67 @@ FROM g
 """
 
 
+def _corpus_health_oracle() -> str:
+    """Mirror of corpus_health over the gopher-gates CTE: same
+    integer arithmetic (centi-mean = sum·100 div n), count-distinct
+    md5 for the dup surplus."""
+    stops = _sql_in_list(ENGLISH_STOPWORDS)
+    req = _sql_in_list(GOPHER_ROW_REQUIRED)
+    return f"""
+WITH t AS (
+    SELECT doc_id, text, source, {_sql_tokens("lower(text)")} AS toks
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, text,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+               AS word_chars,
+           len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               AS alpha_words,
+           length(text) - length(replace(text, '#', '')) AS n_hash,
+           len(regexp_extract_all(text, '(\\.\\.\\.)')) AS n_ellipsis,
+           list_filter(string_split(text, chr(10)), s -> trim(s) != '')
+               AS lines,
+           len(list_intersect(list_distinct(toks), [{req}])) AS req,
+           CAST(length(text) AS INT) AS n_chars,
+           {_PUNCT} AS n_punct,
+           CAST(len(list_filter(toks, x -> x IN ({stops}))) AS INT)
+               AS stop_hits
+    FROM t
+),
+g AS (
+    SELECT doc_id, source, text, n_words,
+           ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+            AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+            AND (10 * (n_hash + n_ellipsis) <= n_words)
+            AND (5 * alpha_words >= 4 * n_words)
+            AND (10 * len(list_filter(lines, s -> starts_with(s, '- ')
+                 OR starts_with(s, '* ') OR starts_with(s, '• ')))
+                 <= 9 * len(lines))
+            AND (10 * len(list_filter(lines, s -> ends_with(s, '...')))
+                 <= 3 * len(lines))
+            AND (req >= 2)) AS gopher_ok,
+           CAST((CASE WHEN n_words >= 10 AND n_words <= 1000
+                      THEN 40 ELSE 0 END)
+              + (CASE WHEN n_punct / greatest(n_chars, 1) <= 0.1
+                      THEN 30 ELSE 0 END)
+              + (CASE WHEN stop_hits / greatest(n_words, 1) >= 0.02
+                      THEN 30 ELSE 0 END) AS INT) AS q
+    FROM c
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       CAST(sum(q) * 100 // count(*) AS BIGINT) AS mean_quality_centi,
+       CAST(sum(CASE WHEN gopher_ok THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gopher_pass,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+           AS n_exact_dup_surplus
+FROM g GROUP BY source
+"""
+
+
 def _adaptive_quality_oracle() -> str:
     """Mirror of corpus_adaptive_quality: the quality-score CTE, one
     rank window per source, drop (n · drop_permille) div 1000 from
@@ -5704,6 +5780,7 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
     "corpus_adaptive_quality": _adaptive_quality_oracle(),
     "text_gopher_gates": _gopher_gates_oracle(),
     "corpus_split_leakage": _split_leakage_oracle(),
+    "corpus_health_report": _corpus_health_oracle(),
     "corpus_hash_sample": ORACLE_HASH_SAMPLE,
     "corpus_split_plan": ORACLE_SPLIT_PLAN,
     "corpus_shard_plan": ORACLE_SHARD_PLAN,

@@ -442,3 +442,48 @@ class TestGopherGates:
         )[0]
         assert not default.required_words_ok
         assert custom.required_words_ok
+
+
+class TestCorpusHealth:
+    def test_report_values(self, spark):
+        clone = "the cat and a dog have fun with all of that stuff today"
+        rows = [
+            (1, clone, "en", "sA", 0),
+            (2, clone, "en", "sA", 0),                 # exact dup
+            (3, "a b", "en", "sA", 0),                 # short, low quality
+            (4, "the quick brown fox jumps over a lazy dog again and again ok", "en", "sB", 0),
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        got = {
+            r.source: r
+            for r in text_profile.corpus_health(
+                docs,
+                gopher_kwargs=dict(
+                    min_words=10, max_words=1000,
+                    required_words=["the", "a"],
+                ),
+            ).collect()
+        }
+        a = got["sA"]
+        assert a.n_docs == 3
+        assert a.n_exact_dup_surplus == 1  # the clone pair
+        assert a.n_tokens == 13 + 13 + 2
+        b = got["sB"]
+        assert b.n_docs == 1 and b.n_gopher_pass == 1
+        # centi-mean is exact integer: doc 4 scores 100 -> 10000
+        assert b.mean_quality_centi == 10000
+
+    def test_facade_hook(self, spark):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.corpus_pipeline import (
+            CorpusPipeline,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "the cat sat", "en", "s", 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        cp = CorpusPipeline(spark, "/tmp/unused_corpus_root")
+        assert cp.health_report(docs).count() == 1

@@ -603,3 +603,46 @@ def test_manifest_read_unpartitioned_is_single_scan(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
     assert "Union" not in plan
+
+
+def test_manifest_concurrent_writers_compound_key(spark, tmp_path):
+    """The OCC contract on a COMPOUND key (the line-index /
+    adaptive-stats shape): two writers racing overlapping (fp, owner)
+    pairs commit each pair exactly once; replays no-op."""
+    import threading
+
+    def mk(pairs):
+        return spark.createDataFrame(
+            [(a, b) for a, b in pairs], "fp long, owner long"
+        )
+
+    root = str(tmp_path)
+    keys = {"idx": ["fp", "owner"]}
+    w1 = make_sink(spark, root, keys=keys, backend="manifest")
+    w2 = make_sink(spark, root, keys=keys, backend="manifest")
+    # overlap: both writers carry the (k, k) diagonal
+    b1 = [[(k, k) for k in range(b, b + 12)] + [(b, 99)] for b in range(3)]
+    b2 = [[(k, k) for k in range(b + 6, b + 18)] + [(b, 77)] for b in range(3)]
+    errs = []
+    gate = threading.Barrier(2)
+
+    def run(sink, batches):
+        try:
+            gate.wait()
+            for ps in batches:
+                sink.insert_if_absent("idx", mk(ps))
+        except Exception as e:  # pragma: no cover - failure evidence
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=(w1, b1))
+    t2 = threading.Thread(target=run, args=(w2, b2))
+    t1.start(), t2.start()
+    t1.join(), t2.join()
+    assert not errs, errs
+    expect = {p for bs in b1 + b2 for p in bs}
+    got = [(r["fp"], r["owner"]) for r in w1.read("idx").collect()]
+    assert len(got) == len(set(got)), "duplicate compound keys"
+    assert set(got) == expect, "lost pairs"
+    for ps in b1 + b2:
+        w2.insert_if_absent("idx", mk(ps))
+    assert w1.read("idx").count() == len(expect)
