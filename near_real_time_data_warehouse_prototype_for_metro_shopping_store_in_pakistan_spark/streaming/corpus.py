@@ -65,6 +65,7 @@ def curate_batch(
     lm_counts: "DataFrame | None" = None,
     max_fluency_invp: int | None = None,
     unicode_normalize: bool = False,
+    gopher_kwargs: dict | None = None,
 ) -> DataFrame:
     """One batch through the gates (language, quality, decontamination,
     optional repetition / PII / classifier / LM fluency) — everything except the
@@ -94,6 +95,12 @@ def curate_batch(
     ``mean_invp_scaled <= max_fluency_invp``. Docs with nothing to
     score (< n tokens) are unscorable, not bad — they pass.
 
+    ``gopher_kwargs`` (a dict, or ``{}`` for the published defaults)
+    switches on the Gopher/MassiveText document-rule gate
+    (``text_profile.gopher_gates`` — a pure projection, stream-ready
+    like every per-row gate here): only docs with ``gopher_ok``
+    survive. None (default) leaves the rules off.
+
     ``unicode_normalize`` applies the CCNet-style NFKC + accent-strip
     + lowercase + collapse normalization FIRST (after PII redaction,
     before every signal): fingerprints, dedup signatures, and the
@@ -122,6 +129,15 @@ def curate_batch(
             cond = cond & (F.col("top_bigram_frac") <= max_top_bigram_frac)
         flags = flags.join(
             rep.filter(cond).select("doc_id"), "doc_id", "left_semi"
+        )
+    if gopher_kwargs is not None:
+        from ..operators.text_profile import gopher_gates
+
+        g = gopher_gates(docs, **gopher_kwargs)
+        flags = flags.join(
+            g.filter(F.col("gopher_ok")).select("doc_id"),
+            "doc_id",
+            "left_semi",
         )
     if min_classifier_score is not None:
         from ..operators.classify import hashed_linear_score

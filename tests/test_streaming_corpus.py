@@ -618,3 +618,25 @@ def test_admit_adaptive_bad_permille_raises(spark, tmp_path):
         sc.admit_adaptive_quality_batch(
             wh, _scored(spark, [(1, "A", 1)]), drop_permille=1000
         )
+
+
+def test_curate_batch_gopher_gate_opt_in(spark):
+    ev = spark.createDataFrame([(900, "zz yy xx ww vv uu")],
+                               "doc_id long, text string")
+    good = ("the cat and the dog have fun with all of that stuff "
+            "and more of the same here")
+    symbols = good + " " + "#" * 30
+    docs = spark.createDataFrame(
+        [(1, good, "en", "s", 0), (2, symbols, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # gates off: both survive the base funnel
+    base = {r.doc_id for r in sc.curate_batch(
+        docs, ev, quality_min=0, min_overlap=10**6).collect()}
+    assert base == {1, 2}
+    # gopher rules on: the symbol-heavy doc dies on symbol_ok
+    gated = {r.doc_id for r in sc.curate_batch(
+        docs, ev, quality_min=0, min_overlap=10**6,
+        gopher_kwargs=dict(min_words=10, max_words=1000),
+    ).collect()}
+    assert gated == {1}
