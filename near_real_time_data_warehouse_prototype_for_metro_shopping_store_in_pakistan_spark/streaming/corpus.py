@@ -656,6 +656,50 @@ def adaptive_warehouse(
     )
 
 
+def stream_curate_adaptive(
+    spark: SparkSession,
+    docs_dir: str,
+    corpus_root: str,
+    checkpoint_dir: str,
+    drop_permille: int = 200,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    backend: str = "manifest",
+    auto_compact_segments: int | None | str = "auto",
+) -> StreamingQuery:
+    """Per-source adaptive quality admission as a streaming pipeline:
+    each micro-batch is scored (heuristic quality), admitted against
+    its source's cumulative value threshold via
+    ``admit_adaptive_quality_batch``, and recorded in histogram
+    state. State is plain warehouse tables, replays are no-ops."""
+    from ..operators.text_profile import quality_scores
+
+    warehouse = adaptive_warehouse(
+        spark, corpus_root, backend, auto_compact_segments
+    )
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(docs_dir)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        scored = (
+            quality_scores(batch)
+            .select("doc_id", "quality_score")
+            .join(batch.select("doc_id", "source"), "doc_id")
+        )
+        admit_adaptive_quality_batch(
+            warehouse, scored, drop_permille=drop_permille
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 LINES_CURATED_TABLE = "lines_curated"
 LINE_INDEX_TABLE = "line_index"
 

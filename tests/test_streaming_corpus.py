@@ -640,3 +640,38 @@ def test_curate_batch_gopher_gate_opt_in(spark):
         gopher_kwargs=dict(min_words=10, max_words=1000),
     ).collect()}
     assert gated == {1}
+
+
+def test_stream_curate_adaptive_runs_and_admits(spark, tmp_path):
+    rows = []
+    for i in range(12):
+        # stronger docs at higher ids; all one source
+        text = " ".join(["the cat and a dog have fun with all of that"] * (1 + i % 3))
+        rows.append((i, text, "en", "sA", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    src = str(tmp_path / "adocs")
+    docs.withColumn("_b", F.col("doc_id") % 3).repartition(3, "_b").drop(
+        "_b"
+    ).write.parquet(src)
+    q = sc.stream_curate_adaptive(
+        spark, src, str(tmp_path / "awh"),
+        str(tmp_path / "ckpt_a"), max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    cur = read_table(spark, str(tmp_path / "awh"), sc.ADAPTIVE_CURATED_TABLE)
+    stats = read_table(spark, str(tmp_path / "awh"), sc.ADAPTIVE_STATS_TABLE)
+    assert 0 < cur.count() <= 12
+    # one histogram row per (batch, score value) — bounded state
+    assert stats.count() <= 3 * 3
+    # replay: no growth
+    n = cur.count()
+    q2 = sc.stream_curate_adaptive(
+        spark, src, str(tmp_path / "awh"),
+        str(tmp_path / "ckpt_a"), max_files_per_trigger=1,
+    )
+    q2.awaitTermination()
+    assert read_table(
+        spark, str(tmp_path / "awh"), sc.ADAPTIVE_CURATED_TABLE
+    ).count() == n
