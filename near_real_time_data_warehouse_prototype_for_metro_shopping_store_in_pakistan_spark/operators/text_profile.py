@@ -69,6 +69,21 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", _lang_argmax_case())
 
 
+def _quality_expr(n_tokens: Column, n_chars: Column, n_punct: Column,
+                  stop_hits: Column) -> Column:
+    """THE heuristic quality score (length band 40 + punct ratio 30 +
+    stopword density 30) — single definition shared by
+    ``quality_scores``, ``curation_flags`` and ``corpus_health`` so
+    the three surfaces cannot drift."""
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    return (
+        F.when((n_tokens >= 10) & (n_tokens <= 1000), 40).otherwise(0)
+        + F.when(punct_ratio <= 0.1, 30).otherwise(0)
+        + F.when(stop_ratio >= 0.02, 30).otherwise(0)
+    )
+
+
 def quality_scores(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -81,11 +96,7 @@ def quality_scores(
     stop_hits = _hits(toks, ENGLISH_STOPWORDS)
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
     stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
-    score = (
-        F.when((n_tokens >= 10) & (n_tokens <= 1000), 40).otherwise(0)
-        + F.when(punct_ratio <= 0.1, 30).otherwise(0)
-        + F.when(stop_ratio >= 0.02, 30).otherwise(0)
-    )
+    score = _quality_expr(n_tokens, n_chars, n_punct, stop_hits)
     return docs.select(
         id_col,
         n_tokens.alias("n_tokens"),
@@ -260,13 +271,7 @@ def corpus_health(
     n_chars = F.length(text_col).cast("int")
     n_punct = punct_count(F.col(text_col)).cast("int")
     stop_hits = _hits(toks, ENGLISH_STOPWORDS)
-    quality = (
-        F.when((n_tokens >= 10) & (n_tokens <= 1000), 40).otherwise(0)
-        + F.when(n_punct / F.greatest(n_chars, F.lit(1)) <= 0.1, 30)
-        .otherwise(0)
-        + F.when(stop_hits / F.greatest(n_tokens, F.lit(1)) >= 0.02, 30)
-        .otherwise(0)
-    )
+    quality = _quality_expr(n_tokens, n_chars, n_punct, stop_hits)
     g = gopher_gates(docs, text_col, id_col, **(gopher_kwargs or {}))
     base = docs.select(
         id_col,
@@ -566,13 +571,9 @@ def curation_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
         _hits(toks, ENGLISH_STOPWORDS).alias("stop_hits"),
         F.md5(F.col(text_col)).alias("text_fp"),
     )
-    punct_ratio = F.col("n_punct") / F.greatest(F.col("n_chars"), F.lit(1))
-    stop_ratio = F.col("stop_hits") / F.greatest(F.col("n_tokens"), F.lit(1))
-    score = (
-        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000), 40)
-        .otherwise(0)
-        + F.when(punct_ratio <= 0.1, 30).otherwise(0)
-        + F.when(stop_ratio >= 0.02, 30).otherwise(0)
+    score = _quality_expr(
+        F.col("n_tokens"), F.col("n_chars"), F.col("n_punct"),
+        F.col("stop_hits"),
     )
     return counted.select(
         "doc_id",
