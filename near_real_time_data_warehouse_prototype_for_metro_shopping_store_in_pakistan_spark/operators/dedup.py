@@ -32,7 +32,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_long, tokens
@@ -1681,29 +1681,38 @@ def segment_documents(
       perceptual-hash path reuses (each window = one "frame" of the
       payload).
     """
+    segs = segment_array(F.col(text_col), segmenter, words_per_segment)
+    return docs.select(
+        id_col, F.posexplode(segs).alias("seg_idx", "seg")
+    )
+
+
+def segment_array(
+    text: Column,
+    segmenter: str = "lines",
+    words_per_segment: int = 8,
+) -> Column:
+    """The per-row segment array both segmenters compile to — a pure
+    column expression (no explode, no shuffle) shared by
+    ``segment_documents`` and the operators that filter segments in
+    place without ever leaving the row (``text_profile.c4_clean``)."""
     if segmenter == "lines":
-        segs = F.filter(
-            F.split(F.col(text_col), "\n"), lambda s: F.trim(s) != ""
-        )
-    elif segmenter == "words":
+        return F.filter(F.split(text, "\n"), lambda s: F.trim(s) != "")
+    if segmenter == "words":
         k = words_per_segment
         if k < 1:
             raise ValueError(f"words_per_segment ({k}) must be >= 1")
-        w = tokens(F.col(text_col))
+        w = tokens(text)
         nseg = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
-        segs = F.when(
+        return F.when(
             F.size(w) > 0,
             F.transform(
                 F.sequence(F.lit(0), nseg - 1),
                 lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
             ),
         ).otherwise(F.array().cast("array<string>"))
-    else:
-        raise ValueError(
-            f"unknown segmenter {segmenter!r}: expected 'lines' or 'words'"
-        )
-    return docs.select(
-        id_col, F.posexplode(segs).alias("seg_idx", "seg")
+    raise ValueError(
+        f"unknown segmenter {segmenter!r}: expected 'lines' or 'words'"
     )
 
 
@@ -1803,4 +1812,84 @@ def reassemble_kept_segments(
                 - F.coalesce("_n_kept", F.lit(0))
             ).cast("long").alias("n_removed"),
         )
+    )
+
+
+def intradoc_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segmenter: str = "lines",
+    words_per_segment: int = 8,
+) -> DataFrame:
+    """WITHIN-document repeated-segment removal: every segment keeps
+    only its FIRST occurrence inside its own document (min seg_idx per
+    (doc, fingerprint)); later repeats are cut. This is the per-page
+    duplicate-paragraph correction web curation applies BEFORE any
+    cross-doc dedup (CCNet dedups paragraphs; Gopher's repetition
+    RULES gate on the same signal but drop whole docs — this operator
+    repairs the doc instead). Orthogonal to ``line_dedup``: that cuts
+    cross-doc boilerplate with NO keeper copy; this keeps one canonical
+    copy per doc and never looks outside the doc.
+
+    Plan shape: segmentation is the shared per-row expression; the
+    keep-first rule is ONE map-side-combinable min-of-struct aggregate
+    on (id, 60-bit segment hash) — uniform keys, skew-free, no window,
+    no sort; reassembly is the shared ordered-struct kernel. Per-doc
+    state never exceeds the doc's own segment count, so the operator
+    runs at 100 TB as two hash aggregates.
+
+    Returns (id, clean_text, n_segments, n_removed) for EVERY input
+    doc (reference parity note: the reference has no sub-document
+    operators at all — this extends SURVEY §2.12's gap list on the
+    Spark surface)."""
+    sep = "\n" if segmenter == "lines" else " "
+    segs = segment_documents(
+        docs, text_col, id_col, segmenter, words_per_segment
+    )
+    first = (
+        segs.groupBy(id_col, md5_long(F.col("seg")).alias("_fp"))
+        .agg(F.min(F.struct("seg_idx", "seg")).alias("_m"))
+        .select(
+            id_col,
+            F.col("_m.seg_idx").alias("seg_idx"),
+            F.col("_m.seg").alias("seg"),
+        )
+    )
+    return reassemble_kept_segments(
+        docs.select(id_col), segs, first, sep, id_col
+    )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, assign
+    every document a training weight inversely proportional to its
+    near-dup multiplicity — weight = scale div component_size in exact
+    integer arithmetic (SoftDedup: down-weighting repeated content
+    preserves coverage while removing the over-sampling bias; a
+    singleton keeps full weight ``scale``, a 4-clone family carries
+    ``scale`` total across its members up to integer floor).
+
+    Built on the same connected components as ``neardup_keepers`` plus
+    ONE count aggregate on the keeper id and one join back — both on
+    uniform id keys. Returns (id, keeper_doc_id, group_size,
+    weight_permille) for EVERY doc."""
+    if scale < 1:
+        raise ValueError(f"scale ({scale}) must be >= 1")
+    keepers = neardup_keepers(docs, pairs, id_col)
+    sizes = keepers.groupBy("keeper_doc_id").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return keepers.join(sizes, "keeper_doc_id").select(
+        id_col,
+        "keeper_doc_id",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.expr(f"CAST({scale} div group_size AS BIGINT)").alias(
+            "weight_permille"
+        ),
     )

@@ -247,6 +247,96 @@ def gopher_gates(
     return out.withColumn("gopher_ok", ok)
 
 
+C4_TERMINAL_CHARS = (".", "!", "?", '"', "'")
+C4_LOREM_MARKER = "lorem ipsum"
+
+
+def c4_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segmenter: str = "lines",
+    words_per_segment: int = 8,
+    min_words_per_line: int = 3,
+    min_lines: int = 3,
+    require_terminal: bool = False,
+    blocklist: list[str] | None = None,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel 2020 §2.2) as ONE projection —
+    line-level corrections plus document gates, zero shuffles, so the
+    pass runs at 100 TB as a narrow map over one scan:
+
+    - LINE corrections (C4 keeps only "sentences": lines with >= 3
+      words, optionally ending in terminal punctuation): a line/window
+      survives iff it has >= ``min_words_per_line`` whitespace words
+      and (when ``require_terminal``) ends in one of
+      ``C4_TERMINAL_CHARS``. The segment unit is the shared
+      ``dedup.segment_array`` expression — newline lines for web text,
+      fixed word windows for corpora without newlines — and the filter
+      runs INSIDE the array (no explode): the cleaned doc never leaves
+      its row.
+    - DOC gates: >= ``min_lines`` surviving lines (C4's "at least 3
+      sentences"), no ``{`` (the code/markup proxy), no "lorem ipsum",
+      and no token from ``blocklist`` (C4's policy word list —
+      parameterized; default empty = vacuous, callers supply their
+      policy).
+
+    Returns (id, n_lines, n_kept_lines, lines_ok, brace_ok, lorem_ok,
+    blocklist_ok, c4_ok, clean_text) for EVERY doc; a consumer keeps
+    ``filter(c4_ok).select(id, clean_text)``. Gates report
+    independently (a gated doc still shows its cleaned text) so the
+    report doubles as the audit trail for what each rule would cut."""
+    from .dedup import segment_array
+
+    if min_words_per_line < 1:
+        raise ValueError(
+            f"min_words_per_line ({min_words_per_line}) must be >= 1"
+        )
+    blocklist = list(blocklist or [])
+    t = F.col(text_col)
+    sep = "\n" if segmenter == "lines" else " "
+    lines = segment_array(t, segmenter, words_per_segment)
+
+    def _line_ok(s: Column) -> Column:
+        ok = F.size(tokens(s)) >= min_words_per_line
+        if require_terminal:
+            term = F.lit(False)
+            for ch in C4_TERMINAL_CHARS:
+                term = term | s.endswith(ch)
+            ok = ok & term
+        return ok
+
+    kept = F.filter(lines, _line_ok)
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    low = F.lower(t)
+    if blocklist:
+        block_hits = F.size(
+            F.array_intersect(
+                F.array_distinct(tokens(low)),
+                F.array(*[F.lit(w.lower()) for w in blocklist]),
+            )
+        )
+        blocklist_ok = block_hits == 0
+    else:
+        blocklist_ok = F.lit(True)
+    out = docs.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        (n_kept >= min_lines).alias("lines_ok"),
+        (~low.contains("{")).alias("brace_ok"),
+        (~low.contains(C4_LOREM_MARKER)).alias("lorem_ok"),
+        blocklist_ok.alias("blocklist_ok"),
+        F.array_join(kept, sep).alias("clean_text"),
+    )
+    return out.withColumn(
+        "c4_ok",
+        F.col("lines_ok") & F.col("brace_ok") & F.col("lorem_ok")
+        & F.col("blocklist_ok"),
+    )
+
+
 def corpus_health(
     docs: DataFrame,
     text_col: str = "text",

@@ -243,6 +243,62 @@ def dedup_clusters_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTRADOC_WORDS = 2  # corpus-calibrated: the synthetic docs repeat
+# 2-word windows within themselves (~250 repeated (doc, window) groups
+# at both gate SFs) but almost never 3-word ones — the smallest unit
+# where the keep-first repair is visible without shredding the text.
+
+
+def dedup_intradoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated-segment removal (dedup.intradoc_dedup):
+    each 2-word window keeps only its first occurrence inside its own
+    document — the per-page duplicate-paragraph repair that runs
+    before any cross-doc dedup. Two hash aggregates, no window."""
+    return dedup.intradoc_dedup(
+        table(spark, sf_dir, "documents"),
+        segmenter="words",
+        words_per_segment=INTRADOC_WORDS,
+    )
+
+
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (dedup.soft_dedup_weights): every doc weighted
+    1000 div near-dup-component-size instead of dropped — coverage
+    preserved, over-sampling bias removed. Components come from the
+    shared _jaccard_pairs materialization (same as dedup_clusters)."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(spark, sf_dir)
+    return dedup.soft_dedup_weights(docs, pairs.select("doc_a", "doc_b"))
+
+
+C4_WINDOW_WORDS = 8      # C4's "line" surrogate on a newline-free corpus
+C4_MIN_WORDS_PER_LINE = 3  # the paper's >= 3-words-per-line rule
+C4_MIN_LINES = 3           # the paper's >= 3-sentences-per-page rule
+# require_terminal stays off: the synthetic corpus carries no
+# punctuation, so the terminal-punctuation rule would cut every line
+# (its semantics are pinned by unit tests on constructed docs, the
+# blocklist/lorem/brace gates by the same tests — this row pins the
+# line-filter + min-lines plumbing non-degenerately: the <3-word tail
+# window of ~110 docs is cut and short docs fail lines_ok).
+
+
+C4_LOREM_SQL = text_profile.C4_LOREM_MARKER  # quote-free, SQL-literal-safe
+
+
+def text_c4_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rules (text_profile.c4_clean): line-level
+    corrections (>= 3 words per line) + document gates (>= 3 surviving
+    lines, no brace, no lorem-ipsum, policy blocklist) in ONE
+    zero-shuffle projection."""
+    return text_profile.c4_clean(
+        table(spark, sf_dir, "documents"),
+        segmenter="words",
+        words_per_segment=C4_WINDOW_WORDS,
+        min_words_per_line=C4_MIN_WORDS_PER_LINE,
+        min_lines=C4_MIN_LINES,
+    )
+
+
 RECALL_SAMPLE_MOD = 2  # 1-in-2 docs -> ~1/4 of the exact GEMM cost
 
 
@@ -1733,6 +1789,9 @@ def text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_lines": dedup_lines,
+    "dedup_intradoc": dedup_intradoc,
+    "dedup_soft_weights": dedup_soft_weights,
+    "text_c4_gates": text_c4_gates,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_verified": dedup_minhash_verified,
@@ -1921,6 +1980,120 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN totals t USING (doc_id)
 LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _oracle_dedup_intradoc() -> str:
+    """Mirror of dedup.intradoc_dedup: 2-word windows, keep-first per
+    (doc, 60-bit fingerprint), space-rejoined survivors in segment
+    order."""
+    k = INTRADOC_WORDS
+    return f"""
+WITH words AS (
+  SELECT doc_id, {_sql_tokens("text")} AS ws FROM documents),
+segs0 AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) > 0 THEN list_transform(
+              range(0, CAST(ceil(len(ws) / {k}.0) AS INT)),
+              i -> array_to_string(list_slice(ws, i*{k}+1, i*{k}+{k}), ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS segs
+  FROM words),
+seg AS (SELECT doc_id, unnest(segs) AS seg,
+               CAST(unnest(range(len(segs))) AS INT) AS seg_idx
+        FROM segs0),
+first AS (SELECT doc_id, {_sql_md5_long("seg")} AS fp,
+                 min(seg_idx) AS seg_idx
+          FROM seg GROUP BY 1, 2),
+kept AS (SELECT s.doc_id, s.seg_idx, s.seg FROM seg s
+         JOIN first f ON s.doc_id = f.doc_id AND s.seg_idx = f.seg_idx),
+agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+               count(*) AS n_kept FROM kept GROUP BY 1),
+totals AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(t.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(coalesce(t.n_segments, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+           AS n_removed
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _oracle_text_c4_gates() -> str:
+    """Mirror of text_profile.c4_clean (words segmenter, no terminal
+    rule, empty blocklist): 8-word windows, >= 3 words per kept
+    window, doc gates on survivors/brace/lorem."""
+    k = C4_WINDOW_WORDS
+    m = C4_MIN_WORDS_PER_LINE
+    n = C4_MIN_LINES
+    return f"""
+WITH words AS (
+  SELECT doc_id, text, {_sql_tokens("text")} AS ws FROM documents),
+segs0 AS (
+  SELECT doc_id, text,
+         CASE WHEN len(ws) > 0 THEN list_transform(
+              range(0, CAST(ceil(len(ws) / {k}.0) AS INT)),
+              i -> array_to_string(list_slice(ws, i*{k}+1, i*{k}+{k}), ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS segs
+  FROM words),
+gated AS (
+  SELECT doc_id, text, segs,
+         list_filter(segs, s -> len({_sql_tokens("s")}) >= {m}) AS kept
+  FROM segs0)
+SELECT doc_id,
+       CAST(len(segs) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       (len(kept) >= {n}) AS lines_ok,
+       (NOT contains(lower(text), '{{')) AS brace_ok,
+       (NOT contains(lower(text), '{C4_LOREM_SQL}')) AS lorem_ok,
+       TRUE AS blocklist_ok,
+       array_to_string(kept, ' ') AS clean_text,
+       ((len(kept) >= {n})
+        AND NOT contains(lower(text), '{{')
+        AND NOT contains(lower(text), '{C4_LOREM_SQL}')) AS c4_ok
+FROM gated
+"""
+
+
+def _soft_weights_oracle() -> str:
+    """Same transitive closure as _clusters_oracle, then component
+    sizes and integer 1000 div size weights."""
+    return f"""
+WITH RECURSIVE {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS v, doc_b AS w FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+walk(v, m) AS (
+    SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+    UNION
+    SELECT e.w, walk.m FROM walk JOIN edges e ON walk.v = e.v
+),
+comp AS (SELECT v, MIN(m) AS component FROM walk GROUP BY v),
+member AS (
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS keeper_doc_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+),
+gs AS (SELECT keeper_doc_id, count(*) AS group_size FROM member GROUP BY 1)
+SELECT m.doc_id, m.keeper_doc_id,
+       CAST(g.group_size AS BIGINT) AS group_size,
+       CAST(1000 // g.group_size AS BIGINT) AS weight_permille
+FROM member m JOIN gs g USING (keeper_doc_id)
 """
 
 
@@ -5750,6 +5923,9 @@ JOIN (
 PIPELINE_ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_lines": _oracle_dedup_lines(),
+    "dedup_intradoc": _oracle_dedup_intradoc(),
+    "dedup_soft_weights": _soft_weights_oracle(),
+    "text_c4_gates": _oracle_text_c4_gates(),
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_minhash_verified": ORACLE_DEDUP_MINHASH_VERIFIED,
