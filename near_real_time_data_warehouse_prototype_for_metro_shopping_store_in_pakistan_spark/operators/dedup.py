@@ -1878,7 +1878,8 @@ def soft_dedup_weights(
     Built on the same connected components as ``neardup_keepers`` plus
     ONE count aggregate on the keeper id and one join back — both on
     uniform id keys. Returns (id, keeper_doc_id, group_size,
-    weight_permille) for EVERY doc."""
+    weight_permille) for EVERY doc; the column keeps its permille name
+    for the contract even when a caller rescales ``scale``."""
     if scale < 1:
         raise ValueError(f"scale ({scale}) must be >= 1")
     keepers = neardup_keepers(docs, pairs, id_col)

@@ -319,6 +319,35 @@ class ManifestParquetSink(MergeSink):
     # ``compact()`` on an operator schedule instead.
     auto_compact_segments: int | None = None
 
+    # Zone maps: table name -> columns whose per-segment [min, max]
+    # is recorded in the committing manifest, harvested from the
+    # parquet FOOTERS of the staged files (metadata-only — no extra
+    # scan of the data; the writers already wrote the statistics).
+    # ``scan(name, ranges)`` then skips whole segments whose recorded
+    # range cannot intersect the predicate — Iceberg/Delta file
+    # skipping at segment granularity. On an event-time-keyed stream
+    # (each micro-batch covers a narrow timestamp/id band) a range
+    # query reads O(matching segments) instead of O(all segments).
+    # Columns with non-JSON-native footer stats (timestamps, nested)
+    # and hive-partition columns (their values live in directory
+    # names, not footers) record no stats and are simply never pruned
+    # on — conservative, never incorrect.
+    stats_cols: dict[str, list[str]] = field(default_factory=dict)
+
+    # Schema evolution (ADD-column only, the Delta/Iceberg default):
+    # when False (default) a batch whose column set differs from the
+    # table's raises a loud ValueError naming the exact difference —
+    # a typo'd column should fail, not silently fork the schema. When
+    # True, a batch may carry NEW columns (old segments backfill NULL
+    # at read) and may omit existing non-key columns (filled with
+    # typed NULLs at write). Readers always return the table's
+    # CURRENT unified schema — including ``read_at`` time travel
+    # (declared deviation from Delta, which replays the historical
+    # schema: one schema per table keeps every union/anti-join in
+    # this sink single-shaped). Key columns can never evolve away
+    # (the anti-join requires them in every segment).
+    allow_schema_evolution: bool = False
+
     def _table_dir(self, name: str) -> str:
         return self.path(name)
 
@@ -359,7 +388,7 @@ class ManifestParquetSink(MergeSink):
                     nonempty = bool(meta["files"])
             except (OSError, ValueError, KeyError):
                 continue  # uncommitted / crashed — invisible
-            covers = meta.get("covers")
+            covers = self._parse_covers(meta)
             if covers is not None:
                 superseded.update(covers)
             committed.append((n, p, covers, nonempty))
@@ -379,7 +408,23 @@ class ManifestParquetSink(MergeSink):
         nxt = max(seen) + 1 if seen else 0
         return live, all_nums, nxt
 
-    def _manifest_min_row(self, seg: str, covers: list[int]) -> int:
+    @staticmethod
+    def _parse_covers(meta: dict):
+        """The superseded snapshot numbers of a committed manifest as
+        an ASCENDING sequence, or None for a plain segment. Committed
+        numbers are dense (each publish claims current-max+1), so a
+        compaction's covers set is contiguous and is stored as
+        ``covers_range: [lo, hi]`` — O(1) manifest bytes instead of a
+        list that grows with every micro-batch ever ingested (at 1M
+        batches a list manifest is ~8 MB, re-written per compaction
+        and re-parsed per listing). Decoded to a lazy ``range``;
+        legacy ``covers`` lists are still read."""
+        cr = meta.get("covers_range")
+        if cr is not None:
+            return range(int(cr[0]), int(cr[1]) + 1)
+        return meta.get("covers")
+
+    def _manifest_min_row(self, seg: str, covers) -> int:
         """Visibility floor of a compacted segment: the smallest
         first-admission ``_snapshot`` among its rows, recorded in the
         covering manifest at compaction time (``min_row``). Falls back
@@ -395,7 +440,7 @@ class ManifestParquetSink(MergeSink):
                 return int(mr)
         except (OSError, ValueError):
             pass
-        return min(covers) if covers else 0
+        return covers[0] if covers else 0  # ascending by invariant
 
     def _stage_segment(
         self,
@@ -429,11 +474,247 @@ class ManifestParquetSink(MergeSink):
         )
         meta: dict = {"files": files}
         if covers is not None:
-            meta["covers"] = sorted(covers)
+            cs = sorted(covers)
+            if cs and cs[-1] - cs[0] + 1 == len(cs):
+                meta["covers_range"] = [cs[0], cs[-1]]  # contiguous
+            else:
+                meta["covers"] = cs
             meta["min_row"] = min_row
+        stat_cols = self.stats_cols.get(name)
+        if stat_cols:
+            seg_stats, file_stats = self._footer_stats(
+                stage, files, stat_cols
+            )
+            meta["stats"] = seg_stats
+            meta["file_stats"] = file_stats
         with open(os.path.join(stage, "_COMMITTED.json"), "w") as fh:
             json.dump(meta, fh)
         return stage
+
+    @staticmethod
+    def _footer_stats(
+        stage: str, files: list[str], cols: list[str]
+    ) -> tuple[dict[str, list | None], dict[str, dict[str, list | None]]]:
+        """(segment-level, per-FILE) [min, max] per column over every
+        row group, read from the parquet FOOTERS (pyarrow metadata —
+        no data scan). A column records None — and is then never
+        pruned on — when any row group with non-null values lacks
+        usable min/max (missing column, non-JSON-native type,
+        suppressed stats); all-null row groups are SKIPPED, not
+        disqualifying: a NULL never satisfies a range predicate, so
+        non-null bounds stay sufficient for pruning. The per-file map
+        is what makes CLUSTERED compaction pay off: one sorted
+        range-partitioned segment with disjoint per-file bands prunes
+        to O(matching files) on the clustered column."""
+        import pyarrow.parquet as papq
+
+        per_file: dict[str, dict[str, list | None]] = {}
+        for rel in files:
+            md = papq.ParquetFile(os.path.join(stage, rel)).metadata
+            names = {
+                md.schema.column(i).path: i for i in range(md.num_columns)
+            }
+            entry: dict[str, list | None] = {}
+            for c in cols:
+                i = names.get(c)
+                if i is None:
+                    entry[c] = None
+                    continue
+                ok, lo, hi = True, None, None
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(i)
+                    st = col.statistics
+                    if st is not None and st.null_count == col.num_values:
+                        continue  # all-null row group: unprunable rows
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or not isinstance(st.min, (int, float, str, bool))
+                        or not isinstance(st.max, (int, float, str, bool))
+                    ):
+                        ok = False
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                # [] = the file holds NO non-null value for c (every
+                # row is NULL there — prunable by any bounded range);
+                # None = stats unusable (never pruned)
+                if not ok:
+                    entry[c] = None
+                elif lo is None:
+                    entry[c] = []
+                else:
+                    entry[c] = [lo, hi]
+            per_file[rel] = entry
+        seg: dict[str, list | None] = {}
+        for c in cols:
+            vals = [per_file[f][c] for f in files]
+            if any(v is None for v in vals):
+                seg[c] = None  # one unusable file blinds the segment
+                continue
+            bounded = [v for v in vals if v]
+            if bounded:
+                seg[c] = [
+                    min(v[0] for v in bounded),
+                    max(v[1] for v in bounded),
+                ]
+            else:
+                seg[c] = [] if vals else None  # all-null (or no files)
+        return seg, per_file
+
+    def _manifest_meta(self, seg: str) -> dict:
+        import json
+
+        try:
+            with open(os.path.join(seg, "_COMMITTED.json")) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {}
+
+    def _segment_stats(self, seg: str) -> dict[str, list | None]:
+        """The committed manifest's zone-map entry ({} when the
+        segment predates ``stats_cols`` or records none)."""
+        return self._manifest_meta(seg).get("stats") or {}
+
+    @staticmethod
+    def _may_match(
+        stats: dict[str, list | None],
+        ranges: dict[str, tuple],
+    ) -> bool:
+        """False only when some predicate column's recorded [min, max]
+        is PROVABLY disjoint from its queried range — unknown stats
+        (None) always scan (conservative, never incorrect). A recorded
+        ``[]`` means the unit holds no non-null value for the column:
+        prunable by any BOUNDED range (NULL never satisfies one), read
+        for a degenerate unbounded one."""
+        for c, (qlo, qhi) in ranges.items():
+            rec = stats.get(c)
+            if rec is None:
+                continue
+            if not rec:
+                if qlo is not None or qhi is not None:
+                    return False
+                continue
+            mn, mx = rec
+            if qlo is not None and mx < qlo:
+                return False
+            if qhi is not None and mn > qhi:
+                return False
+        return True
+
+    def scan(
+        self,
+        name: str,
+        ranges: dict[str, tuple] | None = None,
+    ) -> DataFrame | None:
+        """Predicate-pruned read: like ``read`` but skips every live
+        segment whose zone maps prove it cannot contain a row matching
+        ``ranges`` ({col: (lo, hi)}, either bound None = unbounded),
+        then applies the SAME predicate as a real filter on the
+        survivors — pruning is an access-path optimization, never a
+        semantic change (``scan(name, r)`` ≡ ``read(name).filter(r)``,
+        asserted by the contract tests). None when no segment survives
+        (provably-empty result without touching one data file)."""
+        live, _, _ = self._segments(name)
+        if ranges:
+            live = [
+                t for t in live
+                if self._may_match(self._segment_stats(t[1]), ranges)
+            ]
+        if ranges and not self.partitioning.get(name):
+            df = self._read_pruned_files(name, live, ranges)
+        else:
+            # hive-partitioned tables keep per-segment directory reads
+            # (partition pruning handles the partition columns; direct
+            # file paths would lose partition-value discovery)
+            df = self._read_live(name, live)
+        if df is None or not ranges:
+            return df
+        for c, (qlo, qhi) in ranges.items():
+            if qlo is not None:
+                df = df.filter(F.col(c) >= F.lit(qlo))
+            if qhi is not None:
+                df = df.filter(F.col(c) <= F.lit(qhi))
+        return df
+
+    def _pruned_paths(
+        self,
+        live: list[tuple[int, str, list[int] | None]],
+        ranges: dict[str, tuple],
+    ) -> tuple[list[str], list[str], int]:
+        """(surviving plain file paths, surviving compacted file
+        paths, total live files): within each surviving segment, drop
+        every data file whose per-file zone maps prove it disjoint
+        from ``ranges`` (the clustered-compaction payoff — a sorted
+        range-partitioned segment has disjoint per-file bands);
+        segments without per-file stats keep all their files."""
+        plain: list[str] = []
+        compacted: list[str] = []
+        total = 0
+        for _, seg, covers in live:
+            meta = self._manifest_meta(seg)
+            files = meta.get("files") or []
+            total += len(files)
+            fstats = meta.get("file_stats") or {}
+            keep = [
+                f for f in files
+                if self._may_match(fstats.get(f) or {}, ranges)
+            ]
+            (plain if covers is None else compacted).extend(
+                os.path.join(seg, f) for f in keep
+            )
+        return plain, compacted, total
+
+    def _read_pruned_files(
+        self,
+        name: str,
+        live: list[tuple[int, str, list[int] | None]],
+        ranges: dict[str, tuple],
+    ) -> DataFrame | None:
+        plain, compacted, _ = self._pruned_paths(live, ranges)
+        reader = self.spark.read
+        if self.allow_schema_evolution:
+            reader = reader.option("mergeSchema", "true")
+        dfs = []
+        if plain:
+            dfs.append(reader.parquet(*plain))
+        if compacted:
+            dfs.append(reader.parquet(*compacted).drop("_snapshot"))
+        if not dfs:
+            return None
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = self._union(out, df)
+        return out
+
+    def prune_report(
+        self, name: str, ranges: dict[str, tuple]
+    ) -> tuple[int, int]:
+        """(live segments, segments a ``scan`` with ``ranges`` would
+        read) — the zone-map effectiveness evidence scalecheck pins."""
+        live, _, _ = self._segments(name)
+        kept = [
+            t for t in live
+            if self._may_match(self._segment_stats(t[1]), ranges)
+        ]
+        return len(live), len(kept)
+
+    def prune_files_report(
+        self, name: str, ranges: dict[str, tuple]
+    ) -> tuple[int, int]:
+        """(live data files, files a ``scan`` with ``ranges`` would
+        open) — the FILE-granular twin of ``prune_report``, the number
+        a clustered compaction drives toward O(matching bands)."""
+        live, _, _ = self._segments(name)
+        live = [
+            t for t in live
+            if self._may_match(self._segment_stats(t[1]), ranges)
+        ]
+        plain, compacted, _ = self._pruned_paths(live, ranges)
+        total = 0
+        for _, seg, _c in self._segments(name)[0]:
+            total += len(self._manifest_meta(seg).get("files") or [])
+        return total, len(plain) + len(compacted)
 
     @staticmethod
     def _is_vanished_input(exc: Exception) -> bool:
@@ -502,12 +783,48 @@ class ManifestParquetSink(MergeSink):
                     .filter(F.col("_snapshot") <= F.lit(snapshot))
                     .drop("_snapshot")
                 )
-            out = df if out is None else out.unionByName(df)
+            out = df if out is None else self._union(out, df)
         return out
 
     def read(self, name: str) -> DataFrame | None:
         live, _, _ = self._segments(name)
         return self._read_live(name, live)
+
+    def _align_schema(
+        self, name: str, incoming: DataFrame, existing: DataFrame
+    ) -> DataFrame:
+        """Reconcile a batch's columns with the table's: identical
+        sets are re-ordered to the table's order; differing sets
+        either fail loudly (default) or — under
+        ``allow_schema_evolution`` — fill omitted non-key columns with
+        typed NULLs and append new columns (sorted, for a stable
+        staged layout)."""
+        inc, exi = set(incoming.columns), set(existing.columns)
+        if inc == exi:
+            return incoming.select(*existing.columns)
+        if not self.allow_schema_evolution:
+            raise ValueError(
+                f"schema mismatch for table {name!r}: batch adds "
+                f"{sorted(inc - exi)}, omits {sorted(exi - inc)}; "
+                "construct the sink with allow_schema_evolution=True "
+                "to add columns"
+            )
+        missing_keys = set(self.keys[name]) - inc
+        if missing_keys:
+            raise ValueError(
+                f"batch for table {name!r} omits key columns "
+                f"{sorted(missing_keys)} — keys cannot evolve away"
+            )
+        for c in exi - inc:
+            incoming = incoming.withColumn(
+                c, F.lit(None).cast(existing.schema[c].dataType)
+            )
+        return incoming.select(*existing.columns, *sorted(inc - exi))
+
+    def _union(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.unionByName(
+            b, allowMissingColumns=self.allow_schema_evolution
+        )
 
     def _read_live(
         self, name: str, live: list[tuple[int, str, list[int] | None]]
@@ -520,24 +837,28 @@ class ManifestParquetSink(MergeSink):
         plain = [seg for _, seg, covers in live if covers is None]
         compacted = [seg for _, seg, covers in live if covers is not None]
         parts = self.partitioning.get(name)
+        reader = self.spark.read
+        if self.allow_schema_evolution:
+            # evolved segments differ in columns; footer merge unifies
+            reader = reader.option("mergeSchema", "true")
         dfs = []
         if plain:
             if parts and len(plain) > 1:
                 # hive-partitioned segments cannot share one reader
                 # (no valid common basePath: seg_N is not a k=v dir),
                 # so each keeps its own partition discovery
-                dfs.extend(self.spark.read.parquet(p) for p in plain)
+                dfs.extend(reader.parquet(p) for p in plain)
             else:
                 # ONE multi-path reader: this is the per-micro-batch
                 # hot path (the anti-join reads the table every
                 # insert), and N separate readers + N-1 unions cost
                 # O(N) driver plan-building per batch
-                dfs.append(self.spark.read.parquet(*plain))
+                dfs.append(reader.parquet(*plain))
         for seg in compacted:
-            dfs.append(self.spark.read.parquet(seg).drop("_snapshot"))
+            dfs.append(reader.parquet(seg).drop("_snapshot"))
         out = dfs[0]
         for df in dfs[1:]:
-            out = out.unionByName(df)
+            out = self._union(out, df)
         return out
 
     def added_between(
@@ -584,13 +905,13 @@ class ManifestParquetSink(MergeSink):
                     "_snapshot", F.lit(n).cast("long")
                 )
             else:
-                if covers and (min(covers) > until or max(covers) <= lo):
+                if covers and (covers[0] > until or covers[-1] <= lo):
                     continue
                 df = self.spark.read.parquet(seg).filter(
                     (F.col("_snapshot") > F.lit(lo))
                     & (F.col("_snapshot") <= F.lit(until))
                 )
-            out = df if out is None else out.unionByName(df)
+            out = df if out is None else self._union(out, df)
         return out
 
     def insert_if_absent(self, name: str, batch: DataFrame) -> None:
@@ -600,6 +921,12 @@ class ManifestParquetSink(MergeSink):
         # PREVIOUS batch's auto-compaction superseded can go now
         self._gc_superseded(name)
         key = self.keys[name]
+        missing_keys = [k for k in key if k not in batch.columns]
+        if missing_keys:
+            raise ValueError(
+                f"batch for table {name!r} omits key columns "
+                f"{missing_keys} — keys cannot evolve away"
+            )
         base = batch.dropDuplicates(key)
         while True:
             # one OCC attempt: anti-join against exactly the segments
@@ -615,7 +942,7 @@ class ManifestParquetSink(MergeSink):
                 for k in key:
                     cond = cond & F.col(k).eqNullSafe(F.col(f"__seen_{k}"))
                 incoming = incoming.join(seen, cond, "left_anti")
-                incoming = incoming.select(*existing.columns)
+                incoming = self._align_schema(name, incoming, existing)
             try:
                 stage = self._stage_segment(name, incoming)
             except Exception as exc:
@@ -662,7 +989,7 @@ class ManifestParquetSink(MergeSink):
             present.append((int(d[4:]), p))
             try:
                 with open(os.path.join(p, "_COMMITTED.json")) as fh:
-                    covers = json.load(fh).get("covers")
+                    covers = self._parse_covers(json.load(fh))
             except (OSError, ValueError):
                 continue
             if covers:
@@ -677,6 +1004,7 @@ class ManifestParquetSink(MergeSink):
         upto: int | None = None,
         target_partitions: int = 1,
         delete_covered: bool = True,
+        cluster_by: list[str] | None = None,
     ) -> int | None:
         """Rewrite every live committed segment numbered <= ``upto``
         (default: all of them) into ONE new segment, committed as a
@@ -705,6 +1033,12 @@ class ManifestParquetSink(MergeSink):
         ``target_partitions`` bounds the output file count (per hive
         partition value when partitioned); size it so compacted files
         land near the 128 MB-1 GB parquet sweet spot at scale.
+
+        ``cluster_by`` (unpartitioned tables) range-partitions and
+        sorts the rewrite on the given columns so each output file
+        owns a disjoint band — with ``stats_cols`` zone maps, a later
+        range ``scan`` opens O(matching files) of the compacted
+        segment (Delta OPTIMIZE ZORDER's 1-D analog).
 
         ``delete_covered=False`` leaves the superseded directories on
         disk (readers already skip them — the covering manifest is
@@ -766,9 +1100,25 @@ class ManifestParquetSink(MergeSink):
                 covers.add(n)
                 if c:
                     covers.update(c)
-                out = df if out is None else out.unionByName(df)
+                out = df if out is None else self._union(out, df)
             parts = self.partitioning.get(name)
-            if parts:
+            if cluster_by:
+                if parts:
+                    raise ValueError(
+                        "cluster_by applies to unpartitioned tables "
+                        f"(table {name!r} is hive-partitioned on "
+                        f"{parts}; partition pruning already covers "
+                        "those columns)"
+                    )
+                # Delta OPTIMIZE-ZORDER's 1-D analog: range-partition
+                # + sort so each output file owns a DISJOINT band of
+                # the clustered column — the per-file zone maps then
+                # prune a range scan to O(matching bands) even though
+                # the covering segment is a single directory
+                out = out.repartitionByRange(
+                    target_partitions, *cluster_by
+                ).sortWithinPartitions(*cluster_by)
+            elif parts:
                 # one task per hive value -> one file per value per
                 # target partition
                 out = out.repartition(target_partitions, *parts)
@@ -1076,6 +1426,8 @@ def make_sink(
     partitioning: dict[str, list[str]] | None = None,
     backend: str = "parquet",
     auto_compact_segments: int | None = None,
+    stats_cols: dict[str, list[str]] | None = None,
+    allow_schema_evolution: bool = False,
 ) -> MergeSink:
     """Construct the requested sink backend.
 
@@ -1089,6 +1441,11 @@ def make_sink(
     compaction policy (live segment count bound — see
     ``ManifestParquetSink.auto_compact_segments``); rejected for any
     other backend, where segment accumulation does not exist.
+
+    ``stats_cols`` (manifest backend only, same rejection rule)
+    enables zone maps: table name -> columns whose per-segment
+    [min, max] is harvested from parquet footers at commit and used
+    by ``scan(name, ranges)`` to skip provably-disjoint segments.
     """
     if backend == "auto":
         backend = "delta" if delta_available() else "parquet"
@@ -1107,4 +1464,18 @@ def make_sink(
                 f"backend (got {backend!r})"
             )
         sink.auto_compact_segments = auto_compact_segments
+    if stats_cols:
+        if not isinstance(sink, ManifestParquetSink):
+            raise ValueError(
+                "stats_cols (zone maps) applies only to the 'manifest' "
+                f"backend (got {backend!r})"
+            )
+        sink.stats_cols = dict(stats_cols)
+    if allow_schema_evolution:
+        if not isinstance(sink, ManifestParquetSink):
+            raise ValueError(
+                "allow_schema_evolution applies only to the 'manifest' "
+                f"backend (got {backend!r})"
+            )
+        sink.allow_schema_evolution = True
     return sink

@@ -279,7 +279,9 @@ def c4_clean(
       sentences"), no ``{`` (the code/markup proxy), no "lorem ipsum",
       and no token from ``blocklist`` (C4's policy word list —
       parameterized; default empty = vacuous, callers supply their
-      policy).
+      policy; matching is case-folded on WHITESPACE tokens, so a
+      listed word fused to punctuation is a declared miss — extend
+      the list with punctuated variants where that matters).
 
     Returns (id, n_lines, n_kept_lines, lines_ok, brace_ok, lorem_ok,
     blocklist_ok, c4_ok, clean_text) for EVERY doc; a consumer keeps

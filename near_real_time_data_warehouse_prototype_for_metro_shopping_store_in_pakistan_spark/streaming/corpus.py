@@ -66,6 +66,7 @@ def curate_batch(
     max_fluency_invp: int | None = None,
     unicode_normalize: bool = False,
     gopher_kwargs: dict | None = None,
+    c4_kwargs: dict | None = None,
 ) -> DataFrame:
     """One batch through the gates (language, quality, decontamination,
     optional repetition / PII / classifier / LM fluency) — everything except the
@@ -106,7 +107,12 @@ def curate_batch(
     before every signal): fingerprints, dedup signatures, and the
     stored curated text all see the canonical form, so NFC/NFD/
     full-width variants of one document dedup as one. Opt-in — the
-    default keeps byte-exact fingerprints."""
+    default keeps byte-exact fingerprints.
+
+    ``c4_kwargs`` (a dict, or ``{}`` for defaults) switches on the C4
+    line corrections + document gates (text_profile.c4_clean): the
+    batch's text is REWRITTEN to the surviving lines and docs failing
+    the C4 gates are dropped, before any other signal runs."""
     if redact_pii:
         from ..operators.pii import redact
 
@@ -115,6 +121,20 @@ def curate_batch(
         from ..operators.text_profile import with_unicode_normalized_text
 
         docs = with_unicode_normalized_text(docs)
+    if c4_kwargs is not None:
+        # C4 line corrections REWRITE the text (like redact_pii) and
+        # gate the doc — applied on the canonical form so every later
+        # signal, fingerprint, and the stored corpus see the cleaned
+        # lines; a pure per-row projection, stream-ready by shape
+        from ..operators.text_profile import c4_clean
+
+        c4 = c4_clean(docs, **c4_kwargs)
+        docs = docs.drop("text").join(
+            c4.filter(F.col("c4_ok")).select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        )
     flags = curation_flags(docs).filter(
         F.col("lang_ok") & (F.col("quality_score") >= quality_min)
     )

@@ -788,8 +788,108 @@ def lm_mode(spark, sizes: list[int]) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def zonemap_mode(spark, n_batches: int, batch_rows: int) -> None:
+    """Zone-map segment pruning: each micro-batch covers a disjoint
+    key band (the event-time-keyed stream shape); a narrow range
+    query over the full table must read O(matching segments), not
+    O(all segments). Reports full-read vs pruned-scan seconds and the
+    prune_report segment counts at increasing batch counts."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.sinks import (
+        make_sink,
+    )
+
+    def batch(b: int):
+        return spark.range(b * batch_rows, (b + 1) * batch_rows).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("v"),
+        )
+
+    root = tempfile.mkdtemp(prefix="scalecheck_zonemap_")
+    try:
+        sink = make_sink(
+            spark,
+            root,
+            keys={"t": ["k"]},
+            backend="manifest",
+            stats_cols={"t": ["k"]},
+        )
+        levels = sorted({n_batches // 4, n_batches // 2, n_batches})
+        rows = []
+        b = 0
+        for level in levels:
+            while b < level:
+                sink.insert_if_absent("t", batch(b))
+                b += 1
+            # one-band probe in the middle of the ingested key space
+            lo = (level // 2) * batch_rows + 5
+            hi = lo + batch_rows // 10
+            t0 = time.time()
+            full = sink.read("t").filter(
+                (F.col("k") >= lo) & (F.col("k") <= hi)
+            ).count()
+            full_sec = round(time.time() - t0, 3)
+            t0 = time.time()
+            pruned = sink.scan("t", {"k": (lo, hi)}).count()
+            scan_sec = round(time.time() - t0, 3)
+            assert pruned == full, (pruned, full)
+            total, kept = sink.prune_report("t", {"k": (lo, hi)})
+            rows.append(
+                {
+                    "n_batches": level,
+                    "segments": total,
+                    "segments_read": kept,
+                    "filter_read_sec": full_sec,
+                    "pruned_scan_sec": scan_sec,
+                }
+            )
+        # clustered compaction: one covering segment, disjoint
+        # per-file key bands -> a range scan opens O(matching files)
+        lo = (n_batches // 2) * batch_rows + 5
+        hi = lo + batch_rows // 10
+        sink.compact("t", target_partitions=16, cluster_by=["k"])
+        files_total, files_opened = sink.prune_files_report(
+            "t", {"k": (lo, hi)}
+        )
+        t0 = time.time()
+        clustered = sink.scan("t", {"k": (lo, hi)}).count()
+        clustered_sec = round(time.time() - t0, 3)
+        assert clustered == hi - lo + 1, clustered
+        print(
+            json.dumps(
+                {
+                    "mode": "zonemap_pruning",
+                    "batch_rows": batch_rows,
+                    "levels": rows,
+                    "speedup_at_max": round(
+                        rows[-1]["filter_read_sec"]
+                        / max(rows[-1]["pruned_scan_sec"], 1e-9),
+                        2,
+                    ),
+                    "clustered_compaction": {
+                        "files_total": files_total,
+                        "files_opened": files_opened,
+                        "pruned_scan_sec": clustered_sec,
+                    },
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
+    if args and args[0] == "zonemap":
+        rest = [int(a) for a in args[1:]]
+        spark = get_spark(app_name="scalecheck-zonemap")
+        spark.sparkContext.setLogLevel("ERROR")
+        zonemap_mode(
+            spark,
+            n_batches=rest[0] if rest else 64,
+            batch_rows=rest[1] if len(rest) > 1 else 20000,
+        )
+        return
     if args and args[0] == "lm":
         sizes = [int(a) for a in args[1:]] or [5000, 80000]
         spark = get_spark(app_name="scalecheck-lm")

@@ -129,3 +129,110 @@ def test_adaptive_keep_count_is_exact(spark, scores, drop_permille):
     ).count()
     n = len(scores)
     assert kept == n - (n * drop_permille) // 1000
+
+
+def _brute_intradoc(texts, k):
+    out = {}
+    for i, ws in enumerate(texts):
+        ss = [" ".join(ws[j : j + k]) for j in range(0, len(ws), k)]
+        seen, kept = set(), []
+        for s in ss:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        out[i] = (" ".join(kept), len(ss), len(ss) - len(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(CORPUS, st.integers(min_value=1, max_value=3))
+def test_intradoc_dedup_matches_brute_force(spark, word_lists, k):
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(word_lists)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_segments, r.n_removed)
+        for r in dedup.intradoc_dedup(
+            docs, segmenter="words", words_per_segment=k
+        ).collect()
+    }
+    assert got == _brute_intradoc(word_lists, k)
+
+
+def _brute_c4(texts, k, min_w, min_lines):
+    out = {}
+    for i, ws in enumerate(texts):
+        ss = [" ".join(ws[j : j + k]) for j in range(0, len(ws), k)]
+        kept = [s for s in ss if len(s.split()) >= min_w]
+        out[i] = (" ".join(kept), len(ss), len(kept), len(kept) >= min_lines)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    CORPUS,
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=3),
+)
+def test_c4_clean_matches_brute_force(spark, word_lists, k, min_w, min_lines):
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(word_lists)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines, r.n_kept_lines, bool(r.c4_ok))
+        for r in text_profile.c4_clean(
+            docs,
+            segmenter="words",
+            words_per_segment=k,
+            min_words_per_line=min_w,
+            min_lines=min_lines,
+        ).collect()
+    }
+    assert got == _brute_c4(word_lists, k, min_w, min_lines)
+
+
+PAIR_GRAPHS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ).filter(lambda p: p[0] != p[1]),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(PAIR_GRAPHS)
+def test_soft_weights_match_union_find(spark, edges):
+    parent = list(range(8))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes = {}
+    for v in range(8):
+        sizes[find(v)] = sizes.get(find(v), 0) + 1
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: (r.keeper_doc_id, r.group_size, r.weight_permille)
+        for r in dedup.soft_dedup_weights(docs, pairs).collect()
+    }
+    want = {
+        v: (find(v), sizes[find(v)], 1000 // sizes[find(v)])
+        for v in range(8)
+    }
+    assert got == want

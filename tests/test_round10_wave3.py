@@ -202,3 +202,24 @@ class TestC4Clean:
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestWave3PlanShape:
+    def test_intradoc_no_window_no_sort(self, spark):
+        # keep-first must compile to hash aggregates (min-of-struct),
+        # never a Window or global Sort — the 100 TB plan shape.
+        df = dedup.intradoc_dedup(
+            _docs(spark, [(1, "a b a b"), (2, "c d")]),
+            segmenter="words",
+            words_per_segment=2,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_soft_weights_no_cartesian(self, spark):
+        docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+        pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+        df = dedup.soft_dedup_weights(docs, pairs)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan

@@ -646,3 +646,306 @@ def test_manifest_concurrent_writers_compound_key(spark, tmp_path):
     for ps in b1 + b2:
         w2.insert_if_absent("idx", mk(ps))
     assert w1.read("idx").count() == len(expect)
+
+
+# ------------------------------------------------------------- zone maps
+
+
+def _range_sink(spark, root):
+    return make_sink(
+        spark,
+        str(root),
+        keys={"t": ["k"]},
+        backend="manifest",
+        stats_cols={"t": ["k", "v"]},
+    )
+
+
+def _band(spark, lo, hi):
+    return spark.createDataFrame(
+        [(k, f"v{k:04d}") for k in range(lo, hi)], "k long, v string"
+    )
+
+
+def test_zone_map_scan_prunes_disjoint_segments(spark, tmp_path):
+    """Each batch covers a disjoint key band (the event-time-keyed
+    stream shape); a range scan must read ONLY the intersecting
+    segments and return exactly read().filter(range)."""
+    sink = _range_sink(spark, tmp_path)
+    for b in range(4):
+        sink.insert_if_absent("t", _band(spark, b * 100, b * 100 + 100))
+    total, kept = sink.prune_report("t", {"k": (150, 160)})
+    assert (total, kept) == (4, 1)
+    got = {r["k"] for r in sink.scan("t", {"k": (150, 160)}).collect()}
+    assert got == set(range(150, 161))
+    # open-ended bounds
+    assert sink.prune_report("t", {"k": (None, 99)}) == (4, 1)
+    assert sink.prune_report("t", {"k": (350, None)}) == (4, 1)
+    # string zone maps prune too
+    assert sink.prune_report("t", {"v": ("v0150", "v0160")}) == (4, 1)
+    # scan ≡ read().filter(...) — pruning is an access path, not a
+    # semantic change
+    want = {
+        r["k"]
+        for r in sink.read("t").filter("k >= 150 and k <= 160").collect()
+    }
+    assert got == want
+
+
+def test_zone_map_scan_empty_result_reads_nothing(spark, tmp_path):
+    sink = _range_sink(spark, tmp_path)
+    sink.insert_if_absent("t", _band(spark, 0, 10))
+    assert sink.prune_report("t", {"k": (500, 600)}) == (1, 0)
+    assert sink.scan("t", {"k": (500, 600)}) is None
+
+
+def test_zone_map_survives_compaction_and_replay(spark, tmp_path):
+    """Compaction recomputes the covering segment's stats from its own
+    footers; replayed rows change nothing; scan stays ≡ filter."""
+    sink = _range_sink(spark, tmp_path)
+    for b in range(3):
+        sink.insert_if_absent("t", _band(spark, b * 100, b * 100 + 100))
+    sink.insert_if_absent("t", _band(spark, 0, 100))  # replay no-op
+    assert sink.compact("t") is not None
+    total, kept = sink.prune_report("t", {"k": (50, 60)})
+    assert (total, kept) == (1, 1)  # one covering segment, still read
+    got = {r["k"] for r in sink.scan("t", {"k": (50, 60)}).collect()}
+    assert got == set(range(50, 61))
+    # a fresh disjoint batch after compaction prunes against the
+    # compacted segment again
+    sink.insert_if_absent("t", _band(spark, 900, 910))
+    assert sink.prune_report("t", {"k": (900, 905)}) == (2, 1)
+
+
+def test_zone_map_unknown_stats_never_prune(spark, tmp_path):
+    """A segment committed WITHOUT stats (pre-zone-map history, or a
+    column whose footer stats were unusable) must always be read."""
+    plain = make_sink(
+        spark, str(tmp_path), keys={"t": ["k"]}, backend="manifest"
+    )
+    plain.insert_if_absent("t", _band(spark, 0, 10))  # no stats recorded
+    sink = _range_sink(spark, tmp_path)
+    sink.insert_if_absent("t", _band(spark, 100, 110))
+    total, kept = sink.prune_report("t", {"k": (105, 106)})
+    assert (total, kept) == (2, 2 - 0)  # stat-less segment never pruned
+    got = {r["k"] for r in sink.scan("t", {"k": (5, 105)}).collect()}
+    assert got == set(range(5, 10)) | set(range(100, 106))
+
+
+def test_zone_map_nulls_stay_prunable(spark, tmp_path):
+    """NULLs in a stat column cannot satisfy a range predicate, so a
+    segment's non-null bounds keep pruning correct — and an all-null
+    segment is prunable by any range."""
+    sink = make_sink(
+        spark,
+        str(tmp_path),
+        keys={"t": ["k"]},
+        backend="manifest",
+        stats_cols={"t": ["v"]},
+    )
+    mixed = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 20)], "k long, v long"
+    )
+    allnull = spark.createDataFrame(
+        [(7, None), (8, None)], "k long, v long"
+    )
+    sink.insert_if_absent("t", mixed)
+    sink.insert_if_absent("t", allnull)
+    got = {r["k"] for r in sink.scan("t", {"v": (15, 25)}).collect()}
+    assert got == {3}
+    # the all-null segment records no bounds -> conservatively read,
+    # but its rows are filtered; the mixed segment's bounds are the
+    # non-null ones
+    stats = sink._segment_stats(str(tmp_path / "t" / "seg_0"))
+    assert stats["v"] == [10, 20]
+
+
+def test_zone_maps_rejected_off_manifest_backend(spark, tmp_path):
+    with pytest.raises(ValueError, match="zone maps"):
+        make_sink(
+            spark,
+            str(tmp_path),
+            keys={"t": ["k"]},
+            backend="parquet",
+            stats_cols={"t": ["k"]},
+        )
+
+
+def test_covers_range_encoding_and_legacy_list(spark, tmp_path):
+    """Compaction manifests store covers as an O(1) [lo, hi] range
+    (committed numbers are dense, so the covered set is contiguous);
+    legacy list manifests still read identically."""
+    import json
+
+    sink = _sink(spark, tmp_path, "manifest")
+    for k in (1, 2, 3):
+        sink.insert_if_absent("t", _mk(spark, k))
+    new = sink.compact("t")
+    with open(tmp_path / "t" / f"seg_{new}" / "_COMMITTED.json") as fh:
+        meta = json.load(fh)
+    assert meta["covers_range"] == [0, 2]
+    assert "covers" not in meta
+    assert sink.snapshots("t") == [0, 1, 2, 3]
+    assert {r["k"] for r in sink.read_at("t", 1).collect()} == {1, 2}
+    # legacy list form: rewrite the manifest the old way — everything
+    # must answer the same
+    meta2 = dict(meta)
+    del meta2["covers_range"]
+    meta2["covers"] = [0, 1, 2]
+    with open(tmp_path / "t" / f"seg_{new}" / "_COMMITTED.json", "w") as fh:
+        json.dump(meta2, fh)
+    assert sink.snapshots("t") == [0, 1, 2, 3]
+    assert {r["k"] for r in sink.read_at("t", 1).collect()} == {1, 2}
+    assert {r["k"] for r in sink.read("t").collect()} == {1, 2, 3}
+
+
+# ------------------------------------------------------- schema evolution
+
+
+def test_schema_mismatch_fails_loudly_by_default(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "manifest")
+    sink.insert_if_absent("t", _mk(spark, 1))
+    evolved = spark.createDataFrame(
+        [(2, "v2", 99)], "k long, v string, extra long"
+    )
+    with pytest.raises(ValueError, match="adds \\['extra'\\]"):
+        sink.insert_if_absent("t", evolved)
+    shrunk = spark.createDataFrame([(3,)], "k long")
+    with pytest.raises(ValueError, match="omits \\['v'\\]"):
+        sink.insert_if_absent("t", shrunk)
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Opt-in evolution: new columns backfill NULL for old rows, a
+    batch omitting a non-key column fills typed NULLs, dedup and
+    replay semantics are unchanged, compaction unifies."""
+    sink = make_sink(
+        spark,
+        str(tmp_path),
+        keys={"t": ["k"]},
+        backend="manifest",
+        allow_schema_evolution=True,
+    )
+    sink.insert_if_absent("t", _mk(spark, 1, 2))
+    evolved = spark.createDataFrame(
+        [(2, "LOSER", 20), (3, "v3", 30)], "k long, v string, extra long"
+    )
+    sink.insert_if_absent("t", evolved)  # k=2 must still lose (dedup)
+    rows = {r["k"]: r for r in sink.read("t").collect()}
+    assert set(sink.read("t").columns) == {"k", "v", "extra"}
+    assert rows[1]["extra"] is None and rows[2]["extra"] is None
+    assert rows[2]["v"] == "v2"  # first writer won
+    assert rows[3]["extra"] == 30
+    # a later batch omitting v gets a typed NULL
+    sink.insert_if_absent(
+        "t", spark.createDataFrame([(4, 40)], "k long, extra long")
+    )
+    rows = {r["k"]: r for r in sink.read("t").collect()}
+    assert rows[4]["v"] is None and rows[4]["extra"] == 40
+    # time travel returns the CURRENT unified schema (declared)
+    at1 = sink.read_at("t", 0)
+    assert {r["k"] for r in at1.collect()} == {1, 2}
+    # compaction unifies the segments into one superset-schema file
+    assert sink.compact("t") is not None
+    rows = {r["k"]: r for r in sink.read("t").collect()}
+    assert len(rows) == 4 and rows[3]["extra"] == 30
+    assert {r["k"] for r in sink.read_at("t", 0).collect()} == {1, 2}
+    assert {r["k"] for r in sink.read_at("t", 1).collect()} == {1, 2, 3}
+
+
+def test_schema_evolution_cannot_drop_keys(spark, tmp_path):
+    sink = make_sink(
+        spark,
+        str(tmp_path),
+        keys={"t": ["k"]},
+        backend="manifest",
+        allow_schema_evolution=True,
+    )
+    sink.insert_if_absent("t", _mk(spark, 1))
+    keyless = spark.createDataFrame([("x", 9)], "v string, extra long")
+    with pytest.raises(ValueError, match="keys cannot evolve away"):
+        sink.insert_if_absent("t", keyless)
+
+
+def test_schema_evolution_rejected_off_manifest_backend(spark, tmp_path):
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        make_sink(
+            spark,
+            str(tmp_path),
+            keys={"t": ["k"]},
+            backend="parquet",
+            allow_schema_evolution=True,
+        )
+
+
+def test_clustered_compaction_prunes_files(spark, tmp_path):
+    """compact(cluster_by=) + per-file zone maps: ingestion order is
+    scrambled across batches, compaction sorts into disjoint per-file
+    key bands, and a narrow range scan opens O(1) files of the single
+    covering segment."""
+    sink = make_sink(
+        spark,
+        str(tmp_path),
+        keys={"t": ["k"]},
+        backend="manifest",
+        stats_cols={"t": ["k"]},
+    )
+    # interleaved bands: every batch spans nearly the whole key space,
+    # so SEGMENT-level pruning alone cannot help
+    for start in range(4):
+        sink.insert_if_absent(
+            "t",
+            spark.createDataFrame(
+                [(k, f"v{k}") for k in range(start, 400, 4)],
+                "k long, v string",
+            ),
+        )
+    assert sink.prune_report("t", {"k": (100, 110)}) == (4, 4)
+    assert sink.compact("t", target_partitions=8, cluster_by=["k"]) is not None
+    total, opened = sink.prune_files_report("t", {"k": (100, 110)})
+    assert total == 8
+    assert opened == 1
+    got = {r["k"] for r in sink.scan("t", {"k": (100, 110)}).collect()}
+    assert got == set(range(100, 111))
+    # history intact across the clustered rewrite
+    assert {r["k"] for r in sink.read_at("t", 0).collect()} == set(
+        range(0, 400, 4)
+    )
+
+
+def test_cluster_by_rejected_on_partitioned_table(spark, tmp_path):
+    sink = make_sink(
+        spark,
+        str(tmp_path),
+        keys={"t": ["k"]},
+        partitioning={"t": ["p"]},
+        backend="manifest",
+    )
+    for i in range(2):
+        sink.insert_if_absent(
+            "t",
+            spark.createDataFrame([(i, i % 2)], "k long, p long"),
+        )
+    with pytest.raises(ValueError, match="cluster_by"):
+        sink.compact("t", cluster_by=["k"])
+
+
+def test_file_pruning_within_unclustered_segments(spark, tmp_path):
+    """Even without compaction, per-file stats prune within a
+    multi-file segment when the writer's partitions happen to be
+    banded (e.g. spark.range output)."""
+    sink = make_sink(
+        spark,
+        str(tmp_path),
+        keys={"t": ["k"]},
+        backend="manifest",
+        stats_cols={"t": ["k"]},
+    )
+    sink.insert_if_absent(
+        "t",
+        spark.range(0, 1000, 1, 10).selectExpr("id as k", "id * 2 as v"),
+    )
+    total, opened = sink.prune_files_report("t", {"k": (250, 260)})
+    assert total == 10 and opened == 1
+    got = {r["k"] for r in sink.scan("t", {"k": (250, 260)}).collect()}
+    assert got == set(range(250, 261))

@@ -675,3 +675,29 @@ def test_stream_curate_adaptive_runs_and_admits(spark, tmp_path):
     assert read_table(
         spark, str(tmp_path / "awh"), sc.ADAPTIVE_CURATED_TABLE
     ).count() == n
+
+
+def test_curate_batch_c4_rewrites_and_gates(spark):
+    ev = spark.createDataFrame([(900, "zz yy xx ww vv uu")],
+                               "doc_id long, text string")
+    multi = ("the cat and the dog have fun here\nok\n"
+             "more of the same good words follow\n"
+             "and a third full line of it too")
+    short = "just two lines of words here\nok"
+    docs = spark.createDataFrame(
+        [(1, multi, "en", "s", 0), (2, short, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # C4 off: both survive the base funnel
+    base = {r.doc_id for r in sc.curate_batch(
+        docs, ev, quality_min=0, min_overlap=10**6).collect()}
+    assert base == {1, 2}
+    # C4 on (lines segmenter): doc 1 keeps its 3 full lines (the
+    # 1-word "ok" line is CUT from the stored text); doc 2 dies on
+    # min_lines after its "ok" line is cut
+    out = {r.doc_id: r for r in sc.curate_batch(
+        docs, ev, quality_min=0, min_overlap=10**6,
+        c4_kwargs=dict(min_words_per_line=3, min_lines=3),
+    ).collect()}
+    assert set(out) == {1}
+    assert "\nok" not in out[1]["text"] and "ok\n" not in out[1]["text"]
