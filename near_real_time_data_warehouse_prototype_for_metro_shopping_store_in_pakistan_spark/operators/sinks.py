@@ -492,6 +492,26 @@ class ManifestParquetSink(MergeSink):
         return stage
 
     @staticmethod
+    def _stat_value(v):
+        """Normalize a footer statistic (or a caller's range bound) to
+        a JSON-native, ORDER-PRESERVING value. Timestamps become
+        fixed-width UTC ISO strings (microseconds always printed, so
+        lexicographic order == chronological order); naive datetimes
+        are taken as already-UTC (Spark's parquet representation).
+        None = unsupported type (the column records no stats)."""
+        import datetime as _dt
+
+        if isinstance(v, bool) or isinstance(v, (int, float, str)):
+            return v
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        if isinstance(v, _dt.date):
+            return v.strftime("%Y-%m-%d")
+        return None
+
+    @staticmethod
     def _footer_stats(
         stage: str, files: list[str], cols: list[str]
     ) -> tuple[dict[str, list | None], dict[str, dict[str, list | None]]]:
@@ -526,16 +546,16 @@ class ManifestParquetSink(MergeSink):
                     st = col.statistics
                     if st is not None and st.null_count == col.num_values:
                         continue  # all-null row group: unprunable rows
-                    if (
-                        st is None
-                        or not st.has_min_max
-                        or not isinstance(st.min, (int, float, str, bool))
-                        or not isinstance(st.max, (int, float, str, bool))
-                    ):
+                    if st is None or not st.has_min_max:
                         ok = False
                         break
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
+                    mn = ManifestParquetSink._stat_value(st.min)
+                    mx = ManifestParquetSink._stat_value(st.max)
+                    if mn is None or mx is None:
+                        ok = False
+                        break
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
                 # [] = the file holds NO non-null value for c (every
                 # row is NULL there — prunable by any bounded range);
                 # None = stats unusable (never pruned)
@@ -587,6 +607,7 @@ class ManifestParquetSink(MergeSink):
         ``[]`` means the unit holds no non-null value for the column:
         prunable by any BOUNDED range (NULL never satisfies one), read
         for a degenerate unbounded one."""
+        norm = ManifestParquetSink._stat_value
         for c, (qlo, qhi) in ranges.items():
             rec = stats.get(c)
             if rec is None:
@@ -596,6 +617,8 @@ class ManifestParquetSink(MergeSink):
                     return False
                 continue
             mn, mx = rec
+            qlo = None if qlo is None else norm(qlo)
+            qhi = None if qhi is None else norm(qhi)
             if qlo is not None and mx < qlo:
                 return False
             if qhi is not None and mn > qhi:

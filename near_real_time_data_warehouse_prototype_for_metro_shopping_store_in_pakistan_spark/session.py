@@ -71,6 +71,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # int64 micros, not legacy INT96: INT96 carries NO parquet
+        # footer min/max statistics, which would blind the manifest
+        # sink's zone maps (operators.sinks stats_cols) on event-time
+        # columns — the dominant range-scan key at scale
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")

@@ -236,3 +236,60 @@ def test_soft_weights_match_union_find(spark, edges):
         for v in range(8)
     }
     assert got == want
+
+
+BANDS = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=4,
+)
+PROBE = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=-60, max_value=60)),
+    st.one_of(st.none(), st.integers(min_value=-60, max_value=60)),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(BANDS, PROBE)
+def test_zone_map_scan_equals_filter(spark, tmp_path_factory, bands, probe):
+    """scan(ranges) must return exactly read().filter(ranges) for ANY
+    batch layout and ANY probe — pruning can only skip units proven
+    disjoint, never change the answer."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.sinks import (
+        make_sink,
+    )
+
+    root = tmp_path_factory.mktemp("zm")
+    sink = make_sink(
+        spark,
+        str(root),
+        keys={"t": ["rid"]},
+        backend="manifest",
+        stats_cols={"t": ["k"]},
+    )
+    expect = {}
+    next_id = 0
+    for lo, width in bands:
+        rows = [(next_id + i, lo + i) for i in range(width + 1)]
+        next_id += len(rows)
+        for rid, k in rows:
+            expect[rid] = k
+        sink.insert_if_absent(
+            "t", spark.createDataFrame(rows, "rid long, k long")
+        )
+    qlo, qhi = probe
+    got_df = sink.scan("t", {"k": (qlo, qhi)})
+    got = (
+        set()
+        if got_df is None
+        else {r["rid"] for r in got_df.collect()}
+    )
+    want = {
+        rid
+        for rid, k in expect.items()
+        if (qlo is None or k >= qlo) and (qhi is None or k <= qhi)
+    }
+    assert got == want

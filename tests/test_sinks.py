@@ -753,11 +753,13 @@ def test_zone_map_nulls_stay_prunable(spark, tmp_path):
     sink.insert_if_absent("t", allnull)
     got = {r["k"] for r in sink.scan("t", {"v": (15, 25)}).collect()}
     assert got == {3}
-    # the all-null segment records no bounds -> conservatively read,
-    # but its rows are filtered; the mixed segment's bounds are the
-    # non-null ones
+    # the mixed segment's bounds are the non-null ones; the all-null
+    # segment records [] (no non-null values), prunable by any
+    # bounded range since NULL never satisfies one
     stats = sink._segment_stats(str(tmp_path / "t" / "seg_0"))
     assert stats["v"] == [10, 20]
+    assert sink._segment_stats(str(tmp_path / "t" / "seg_1"))["v"] == []
+    assert sink.prune_report("t", {"v": (15, 25)}) == (2, 1)
 
 
 def test_zone_maps_rejected_off_manifest_backend(spark, tmp_path):
@@ -949,3 +951,45 @@ def test_file_pruning_within_unclustered_segments(spark, tmp_path):
     assert total == 10 and opened == 1
     got = {r["k"] for r in sink.scan("t", {"k": (250, 260)}).collect()}
     assert got == set(range(250, 261))
+
+
+def test_zone_map_timestamp_pruning(spark, tmp_path):
+    """Event-time zone maps — the dominant 100 TB range pattern: each
+    batch covers a disjoint hour, a datetime-bounded scan opens only
+    the intersecting segment, and scan ≡ read().filter()."""
+    import datetime as dt
+
+    sink = make_sink(
+        spark,
+        str(tmp_path),
+        keys={"t": ["k"]},
+        backend="manifest",
+        stats_cols={"t": ["ts"]},
+    )
+    base = dt.datetime(2019, 3, 1, 0, 0, 0)
+    for h in range(4):
+        rows = [
+            (h * 100 + m, base + dt.timedelta(hours=h, minutes=m))
+            for m in range(60)
+        ]
+        sink.insert_if_absent(
+            "t", spark.createDataFrame(rows, "k long, ts timestamp")
+        )
+    lo = base + dt.timedelta(hours=2, minutes=10)
+    hi = base + dt.timedelta(hours=2, minutes=20)
+    assert sink.prune_report("t", {"ts": (lo, hi)}) == (4, 1)
+    got = {r["k"] for r in sink.scan("t", {"ts": (lo, hi)}).collect()}
+    assert got == {200 + m for m in range(10, 21)}
+    want = {
+        r["k"]
+        for r in sink.read("t")
+        .filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+        .collect()
+    }
+    assert got == want
+    # sub-second boundary: microsecond-precision bounds stay exact
+    lo2 = base + dt.timedelta(hours=3, minutes=59, microseconds=1)
+    assert sink.prune_report("t", {"ts": (lo2, None)}) == (4, 0) or (
+        sink.scan("t", {"ts": (lo2, None)}) is None
+        or sink.scan("t", {"ts": (lo2, None)}).count() == 0
+    )
