@@ -54,6 +54,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def delta_available() -> bool:
@@ -1021,6 +1022,59 @@ class ManifestParquetSink(MergeSink):
             if n in covered:
                 shutil.rmtree(p, ignore_errors=True)
 
+    @staticmethod
+    def _zvalue(df: DataFrame, cols: list[str], bits: int = 16):
+        """Z-order (Morton) key over ``cols`` as a column expression:
+        each column is linearly quantized to a ``bits``-wide rank
+        between its OWN min and max (one tiny agg job), then the rank
+        bits are interleaved. Files laid out along this key get tight
+        per-file bounds on EVERY clustered column at once — the
+        multi-column generalization 1-D range clustering cannot give
+        (its second column is effectively unclustered). Quantization
+        is layout-only: zone-map pruning stays exact regardless, so a
+        skewed column merely prunes less, never wrong. NULL ranks as
+        0 (sorts with the minimum)."""
+        for c in cols:
+            if not isinstance(
+                df.schema[c].dataType,
+                (
+                    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                    T.FloatType, T.DoubleType, T.TimestampType, T.DateType,
+                ),
+            ):
+                raise ValueError(
+                    f"zorder column {c!r} must be numeric/temporal "
+                    f"(got {df.schema[c].dataType.simpleString()})"
+                )
+        row = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        ).first()
+        m = len(cols)
+        z = F.lit(0).cast("long")
+        top = (1 << bits) - 1
+        for j, c in enumerate(cols):
+            mn = row[f"mn_{c}"]
+            mx = row[f"mx_{c}"]
+            if mn is None or mx is None or mx == mn:
+                continue  # constant/all-null column adds no bits
+            rank = F.coalesce(
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(float(mn)))
+                    / F.lit((float(mx) - float(mn)) / top)
+                ).cast("long"),
+                F.lit(0),
+            )
+            rank = F.least(F.greatest(rank, F.lit(0)), F.lit(top))
+            for bit in range(bits):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(rank, bit).bitwiseAND(F.lit(1)),
+                        bit * m + j,
+                    )
+                )
+        return z
+
     def compact(
         self,
         name: str,
@@ -1028,6 +1082,7 @@ class ManifestParquetSink(MergeSink):
         target_partitions: int = 1,
         delete_covered: bool = True,
         cluster_by: list[str] | None = None,
+        cluster_method: str = "range",
     ) -> int | None:
         """Rewrite every live committed segment numbered <= ``upto``
         (default: all of them) into ONE new segment, committed as a
@@ -1125,32 +1180,56 @@ class ManifestParquetSink(MergeSink):
                     covers.update(c)
                 out = df if out is None else self._union(out, df)
             parts = self.partitioning.get(name)
-            if cluster_by:
-                if parts:
-                    raise ValueError(
-                        "cluster_by applies to unpartitioned tables "
-                        f"(table {name!r} is hive-partitioned on "
-                        f"{parts}; partition pruning already covers "
-                        "those columns)"
-                    )
-                # Delta OPTIMIZE-ZORDER's 1-D analog: range-partition
-                # + sort so each output file owns a DISJOINT band of
-                # the clustered column — the per-file zone maps then
-                # prune a range scan to O(matching bands) even though
-                # the covering segment is a single directory
-                out = out.repartitionByRange(
-                    target_partitions, *cluster_by
-                ).sortWithinPartitions(*cluster_by)
-            elif parts:
-                # one task per hive value -> one file per value per
-                # target partition
-                out = out.repartition(target_partitions, *parts)
-            else:
-                out = out.coalesce(target_partitions)
+            if cluster_by and parts:
+                raise ValueError(
+                    "cluster_by applies to unpartitioned tables "
+                    f"(table {name!r} is hive-partitioned on "
+                    f"{parts}; partition pruning already covers "
+                    "those columns)"
+                )
+            if cluster_by and cluster_method not in ("range", "zorder"):
+                raise ValueError(
+                    f"unknown cluster_method {cluster_method!r}: "
+                    "expected 'range' or 'zorder'"
+                )
             try:
+                # the zorder bounds agg and the staging write both
+                # read the live segments, so both live inside the
+                # vanished-input retry (racing a concurrent
+                # compaction's covered-dir cleanup = lost rename)
+                if cluster_by and cluster_method == "range":
+                    # 1-D analog of Delta OPTIMIZE ZORDER: range-
+                    # partition + sort so each output file owns a
+                    # DISJOINT band of the (first) clustered column —
+                    # the per-file zone maps then prune a range scan
+                    # to O(matching bands) even though the covering
+                    # segment is a single directory
+                    out = out.repartitionByRange(
+                        target_partitions, *cluster_by
+                    ).sortWithinPartitions(*cluster_by)
+                elif cluster_by:
+                    # true multi-column ZORDER: lay files along the
+                    # Morton curve so EVERY clustered column gets
+                    # tight per-file bounds (see _zvalue)
+                    out = (
+                        out.withColumn(
+                            "_zorder", self._zvalue(out, cluster_by)
+                        )
+                        .repartitionByRange(target_partitions, "_zorder")
+                        .sortWithinPartitions("_zorder")
+                        .drop("_zorder")
+                    )
+                elif parts:
+                    # one task per hive value -> one file per value
+                    # per target partition
+                    out = out.repartition(target_partitions, *parts)
+                else:
+                    out = out.coalesce(target_partitions)
                 stage = self._stage_segment(
                     name, out, covers=covers, min_row=min_row
                 )
+            except ValueError:
+                raise  # bad cluster args are caller errors, not races
             except Exception as exc:
                 if not self._is_vanished_input(exc):
                     raise

@@ -993,3 +993,82 @@ def test_zone_map_timestamp_pruning(spark, tmp_path):
         sink.scan("t", {"ts": (lo2, None)}) is None
         or sink.scan("t", {"ts": (lo2, None)}).count() == 0
     )
+
+
+def test_zorder_compaction_bounds_both_columns(spark, tmp_path):
+    """Multi-column ZORDER: after clustering on (x, y), a range probe
+    on EITHER column alone opens a strict subset of files — 1-D range
+    clustering on x leaves y fully unclustered (every file spans all
+    of y), which is exactly what the Morton layout fixes."""
+    rows = [
+        (x * 64 + y, x, y) for x in range(64) for y in range(64)
+    ]
+    import random
+
+    random.Random(7).shuffle(rows)
+    third = len(rows) // 3
+
+    def build(root, method):
+        sink = make_sink(
+            spark,
+            str(root),
+            keys={"t": ["rid"]},
+            backend="manifest",
+            stats_cols={"t": ["x", "y"]},
+        )
+        for i in range(0, len(rows), third):
+            sink.insert_if_absent(
+                "t",
+                spark.createDataFrame(
+                    rows[i : i + third], "rid long, x long, y long"
+                ),
+            )
+        assert (
+            sink.compact(
+                "t", target_partitions=16, cluster_by=["x", "y"],
+                cluster_method=method,
+            )
+            is not None
+        )
+        return sink
+
+    zsink = build(tmp_path / "z", "zorder")
+    rsink = build(tmp_path / "r", "range")
+    probe = {"y": (10, 17)}  # the UNprioritized column
+    _, r_opened = rsink.prune_files_report("t", probe)
+    z_total, z_opened = zsink.prune_files_report("t", probe)
+    assert z_total == 16
+    assert z_opened < z_total, "zorder must bound y too"
+    assert z_opened < r_opened or r_opened == 16, (
+        f"zorder {z_opened} vs range {r_opened}"
+    )
+    # correctness identical on both layouts, both probe shapes
+    for sink in (zsink, rsink):
+        got = {
+            r["rid"]
+            for r in sink.scan(
+                "t", {"x": (8, 15), "y": (10, 17)}
+            ).collect()
+        }
+        want = {
+            x * 64 + y for x in range(8, 16) for y in range(10, 18)
+        }
+        assert got == want
+
+
+def test_zorder_rejects_non_numeric_column(spark, tmp_path):
+    sink = make_sink(
+        spark,
+        str(tmp_path),
+        keys={"t": ["k"]},
+        backend="manifest",
+    )
+    for i in range(2):
+        sink.insert_if_absent(
+            "t",
+            spark.createDataFrame([(i, f"s{i}")], "k long, v string"),
+        )
+    with pytest.raises(ValueError, match="must be numeric"):
+        sink.compact("t", cluster_by=["v"], cluster_method="zorder")
+    with pytest.raises(ValueError, match="unknown cluster_method"):
+        sink.compact("t", cluster_by=["k"], cluster_method="hilbert")
