@@ -246,6 +246,72 @@ class CorpusPipeline:
             words_per_segment=words_per_segment,
         )
 
+    def repair_intradoc(
+        self,
+        docs: DataFrame,
+        segmenter: str = "lines",
+        words_per_segment: int = 8,
+    ) -> DataFrame:
+        """WITHIN-doc repeated-segment removal (keep the first
+        occurrence per doc — the per-page duplicate-paragraph repair
+        that runs BEFORE any cross-doc dedup; contrast
+        ``remove_boilerplate``'s cross-doc no-keeper rule). Returns
+        (doc_id, clean_text, n_segments, n_removed)."""
+        return _dedup.intradoc_dedup(
+            docs,
+            segmenter=segmenter,
+            words_per_segment=words_per_segment,
+        )
+
+    def c4(
+        self,
+        docs: DataFrame,
+        keep_only: bool = True,
+        **c4_kwargs,
+    ) -> DataFrame:
+        """The C4 cleaning rules (text_profile.c4_clean): line
+        corrections + doc gates in one zero-shuffle projection. With
+        ``keep_only`` (default) returns the surviving docs with their
+        CLEANED text joined back onto the input columns; pass
+        ``keep_only=False`` for the full per-doc audit report."""
+        report = _text.c4_clean(docs, **c4_kwargs)
+        if not keep_only:
+            return report
+        return docs.drop("text").join(
+            report.filter(F.col("c4_ok")).select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        )
+
+    def soft_dedup(
+        self,
+        docs: DataFrame,
+        threshold: float = 0.5,
+        method: str = "ladder",
+    ) -> DataFrame:
+        """Soft dedup: the input docs with a ``weight_permille``
+        training-weight column (1000 div near-dup-component-size)
+        instead of dropped rows — coverage preserved, over-sampling
+        bias removed. Same pair ladder as ``dedup`` (``"ladder"``
+        default, ``"exact"`` opt-in)."""
+        if method == "exact":
+            pairs = _dedup.jaccard_similar_pairs(docs, threshold=threshold)
+        elif method == "ladder":
+            pairs = _dedup.minhash_verified_pairs(docs, threshold=threshold)
+        else:
+            raise ValueError(
+                f"unknown soft_dedup method {method!r}: expected "
+                "'ladder' or 'exact'"
+            )
+        weights = _dedup.soft_dedup_weights(
+            docs, pairs.select("doc_a", "doc_b")
+        )
+        return docs.join(
+            weights.select("doc_id", "group_size", "weight_permille"),
+            "doc_id",
+        )
+
     def health_report(self, docs: DataFrame) -> DataFrame:
         """Per-source corpus health profile (one aggregate pass):
         docs, tokens, centi-mean quality, Gopher pass count,

@@ -67,6 +67,7 @@ def curate_batch(
     unicode_normalize: bool = False,
     gopher_kwargs: dict | None = None,
     c4_kwargs: dict | None = None,
+    intradoc_kwargs: dict | None = None,
 ) -> DataFrame:
     """One batch through the gates (language, quality, decontamination,
     optional repetition / PII / classifier / LM fluency) — everything except the
@@ -112,7 +113,11 @@ def curate_batch(
     ``c4_kwargs`` (a dict, or ``{}`` for defaults) switches on the C4
     line corrections + document gates (text_profile.c4_clean): the
     batch's text is REWRITTEN to the surviving lines and docs failing
-    the C4 gates are dropped, before any other signal runs."""
+    the C4 gates are dropped, before any other signal runs.
+
+    ``intradoc_kwargs`` (a dict, or ``{}`` for defaults) switches on
+    within-doc repeated-segment repair (dedup.intradoc_dedup) —
+    per-doc and thus batch-local, no cross-batch state."""
     if redact_pii:
         from ..operators.pii import redact
 
@@ -131,6 +136,19 @@ def curate_batch(
         c4 = c4_clean(docs, **c4_kwargs)
         docs = docs.drop("text").join(
             c4.filter(F.col("c4_ok")).select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        )
+    if intradoc_kwargs is not None:
+        # within-doc repeated-segment repair: per-doc and therefore
+        # batch-local by construction — no cross-batch state; rewrites
+        # the text before the signal gates like the other repairs
+        from ..operators.dedup import intradoc_dedup
+
+        repaired = intradoc_dedup(docs, **intradoc_kwargs)
+        docs = docs.drop("text").join(
+            repaired.select(
                 "doc_id", F.col("clean_text").alias("text")
             ),
             "doc_id",

@@ -133,6 +133,12 @@ def operators(spark, docs):
             docs, segmenter="words", words_per_segment=8
         ),
         "gopher_gates": lambda: text_profile.gopher_gates(docs),
+        "intradoc_dedup": lambda: dedup.intradoc_dedup(
+            docs, segmenter="words", words_per_segment=2
+        ),
+        "c4_clean": lambda: text_profile.c4_clean(
+            docs, segmenter="words", words_per_segment=8
+        ),
     }
 
 

@@ -379,3 +379,57 @@ def test_dedup_keeper_score_rejected_for_semantic(spark):
     cp = CorpusPipeline(spark, "/tmp/unused_corpus_root")
     with pytest.raises(ValueError, match="keeper_score"):
         cp.dedup(docs, method="semantic", keeper_score="n_chars")
+
+
+def test_facade_repair_intradoc_and_c4(spark, tmp_path):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.corpus_pipeline import (
+        CorpusPipeline,
+    )
+
+    cp = CorpusPipeline(spark, str(tmp_path / "corpus"))
+    docs = spark.createDataFrame(
+        [
+            (1, "dup line here\nunique middle line\ndup line here", "en", "s", 0),
+            (2, "one good full line.\nok\nanother good full line.", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rep = {r["doc_id"]: r for r in cp.repair_intradoc(docs).collect()}
+    assert rep[1]["clean_text"] == "dup line here\nunique middle line"
+    assert rep[1]["n_removed"] == 1 and rep[2]["n_removed"] == 0
+    # c4 keep_only: doc keeps its input columns with CLEANED text
+    kept = {r["doc_id"]: r for r in cp.c4(
+        docs, min_words_per_line=3, min_lines=2
+    ).collect()}
+    assert set(kept) == {1, 2}
+    assert "\nok" not in kept[2]["text"]
+    assert kept[2]["source"] == "s"  # input columns preserved
+    # full report mode
+    rpt = cp.c4(docs, keep_only=False, min_words_per_line=3, min_lines=2)
+    assert "c4_ok" in rpt.columns and "n_kept_lines" in rpt.columns
+
+
+def test_facade_soft_dedup(spark, tmp_path):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.corpus_pipeline import (
+        CorpusPipeline,
+    )
+
+    cp = CorpusPipeline(spark, str(tmp_path / "corpus"))
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " x"), (3, "a totally different document "
+                                         "about completely other things")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cp.soft_dedup(
+        docs, threshold=0.5, method="exact"
+    ).collect()}
+    assert set(out) == {1, 2, 3}  # nothing dropped
+    assert out[1]["weight_permille"] == 500
+    assert out[2]["weight_permille"] == 500
+    assert out[3]["weight_permille"] == 1000
+    assert out[1]["text"] == base  # input columns preserved
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown soft_dedup method"):
+        cp.soft_dedup(docs, method="bogus")

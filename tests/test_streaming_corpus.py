@@ -701,3 +701,22 @@ def test_curate_batch_c4_rewrites_and_gates(spark):
     ).collect()}
     assert set(out) == {1}
     assert "\nok" not in out[1]["text"] and "ok\n" not in out[1]["text"]
+
+
+def test_curate_batch_intradoc_repair(spark):
+    ev = spark.createDataFrame([(900, "zz yy xx ww vv uu")],
+                               "doc_id long, text string")
+    doc = ("the same good line of words\nthe middle one is unique here\n"
+           "the same good line of words")
+    docs = spark.createDataFrame(
+        [(1, doc, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = sc.curate_batch(
+        docs, ev, quality_min=0, min_overlap=10**6,
+        intradoc_kwargs=dict(segmenter="lines"),
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["text"] == (
+        "the same good line of words\nthe middle one is unique here"
+    )
