@@ -299,6 +299,54 @@ def text_c4_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_dedup_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-funnel planning dashboard in ONE row: how much each
+    deduplication family would remove from this corpus — exact-copy
+    surplus (docs minus distinct md5), cross-doc boilerplate segments
+    (line_dedup, 8-word windows, min_docs=2) with the docs they touch,
+    within-doc repeated segments (intradoc_dedup, 2-word windows), and
+    the near-dup component surplus (docs minus distinct keepers from
+    the shared _jaccard_pairs components). Every number integer-exact,
+    so a curation run budgets its stages from one scan-bounded report
+    (the corpus_health precedent, composed across four operator
+    families)."""
+    docs = table(spark, sf_dir, "documents")
+    exact = dedup.exact_duplicate_groups(docs).agg(
+        (F.sum("n_copies") - F.count(F.lit(1))).cast("bigint").alias(
+            "exact_surplus"
+        )
+    )
+    lines = dedup.line_dedup(
+        docs, min_docs=2, segmenter="words",
+        words_per_segment=LINE_DEDUP_WORDS,
+    ).agg(
+        F.sum("n_removed").cast("bigint").alias("boiler_segments_cut"),
+        F.sum((F.col("n_removed") > 0).cast("int")).cast("bigint").alias(
+            "boiler_docs_touched"
+        ),
+    )
+    intra = dedup.intradoc_dedup(
+        docs, segmenter="words", words_per_segment=INTRADOC_WORDS
+    ).agg(
+        F.sum("n_removed").cast("bigint").alias("intradoc_segments_cut")
+    )
+    keepers = dedup.neardup_keepers(
+        docs, _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    near = keepers.agg(
+        (
+            F.count(F.lit(1)) - F.count_distinct(F.col("keeper_doc_id"))
+        ).cast("bigint").alias("neardup_surplus")
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        total.crossJoin(exact)
+        .crossJoin(lines)
+        .crossJoin(intra)
+        .crossJoin(near)
+    )
+
+
 RECALL_SAMPLE_MOD = 2  # 1-in-2 docs -> ~1/4 of the exact GEMM cost
 
 
@@ -1791,6 +1839,7 @@ PIPELINE_QUERIES = {
     "dedup_lines": dedup_lines,
     "dedup_intradoc": dedup_intradoc,
     "dedup_soft_weights": dedup_soft_weights,
+    "dedup_survival_report": corpus_dedup_survival,
     "text_c4_gates": text_c4_gates,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2053,6 +2102,80 @@ SELECT doc_id,
         AND NOT contains(lower(text), '{{')
         AND NOT contains(lower(text), '{C4_LOREM_SQL}')) AS c4_ok
 FROM gated
+"""
+
+
+def _dedup_survival_oracle() -> str:
+    """One-row funnel mirror: exact surplus, boilerplate cuts (k=8
+    windows, min_docs=2), intra-doc cuts (k=2 windows, keep-first),
+    near-dup component surplus (same transitive closure as
+    _clusters_oracle)."""
+    k8 = LINE_DEDUP_WORDS
+    k2 = INTRADOC_WORDS
+    return f"""
+WITH RECURSIVE {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS v, doc_b AS w FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+walk(v, m) AS (
+    SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+    UNION
+    SELECT e.w, walk.m FROM walk JOIN edges e ON walk.v = e.v
+),
+comp AS (SELECT v, MIN(m) AS component FROM walk GROUP BY v),
+member AS (
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS keeper
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+),
+words AS (SELECT doc_id, {_sql_tokens("text")} AS ws FROM documents),
+seg8 AS (
+  SELECT doc_id, unnest(CASE WHEN len(ws) > 0 THEN list_transform(
+             range(0, CAST(ceil(len(ws) / {k8}.0) AS INT)),
+             i -> array_to_string(list_slice(ws, i*{k8}+1, i*{k8}+{k8}), ' '))
+         ELSE CAST([] AS VARCHAR[]) END) AS seg
+  FROM words),
+boiler AS (SELECT {_sql_md5_long("seg")} AS fp FROM seg8 GROUP BY 1
+           HAVING count(DISTINCT doc_id) >= 2),
+line_cut AS (
+  SELECT doc_id, count(*) AS n_cut FROM seg8
+  WHERE {_sql_md5_long("seg")} IN (SELECT fp FROM boiler)
+  GROUP BY doc_id),
+seg2 AS (
+  SELECT doc_id, unnest(CASE WHEN len(ws) > 0 THEN list_transform(
+             range(0, CAST(ceil(len(ws) / {k2}.0) AS INT)),
+             i -> array_to_string(list_slice(ws, i*{k2}+1, i*{k2}+{k2}), ' '))
+         ELSE CAST([] AS VARCHAR[]) END) AS seg
+  FROM words),
+intra AS (
+  SELECT CAST(count(*) - count(DISTINCT (doc_id, {_sql_md5_long("seg")}))
+         AS BIGINT) AS intradoc_segments_cut
+  FROM seg2)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+  (SELECT CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+   FROM documents) AS exact_surplus,
+  CAST(coalesce((SELECT sum(n_cut) FROM line_cut), 0) AS BIGINT)
+      AS boiler_segments_cut,
+  (SELECT CAST(count(*) AS BIGINT) FROM line_cut)
+      AS boiler_docs_touched,
+  (SELECT intradoc_segments_cut FROM intra) AS intradoc_segments_cut,
+  (SELECT CAST(count(*) - count(DISTINCT keeper) AS BIGINT) FROM member)
+      AS neardup_surplus
 """
 
 
@@ -5925,6 +6048,7 @@ PIPELINE_ORACLES = {
     "dedup_lines": _oracle_dedup_lines(),
     "dedup_intradoc": _oracle_dedup_intradoc(),
     "dedup_soft_weights": _soft_weights_oracle(),
+    "dedup_survival_report": _dedup_survival_oracle(),
     "text_c4_gates": _oracle_text_c4_gates(),
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
