@@ -293,3 +293,77 @@ def test_zone_map_scan_equals_filter(spark, tmp_path_factory, bands, probe):
         if (qlo is None or k >= qlo) and (qhi is None or k <= qhi)
     }
     assert got == want
+
+
+EVOLUTION_BATCHES = st.lists(
+    st.tuples(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),   # key
+                st.integers(min_value=0, max_value=99),  # a-value
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        st.sampled_from(["a", "ab", "b"]),  # optional-column subset
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(EVOLUTION_BATCHES)
+def test_schema_evolution_matches_dict_model(
+    spark, tmp_path_factory, batches
+):
+    """Random add/omit batch sequences against a pure-Python model:
+    first writer of a key wins, columns a batch omitted are NULL on
+    its rows, columns added later are NULL on earlier rows — no batch
+    order or column mix may break the insert-if-absent contract."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.sinks import (
+        make_sink,
+    )
+
+    root = tmp_path_factory.mktemp("sev")
+    sink = make_sink(
+        spark,
+        str(root),
+        keys={"t": ["k"]},
+        backend="manifest",
+        allow_schema_evolution=True,
+    )
+    model: dict[int, dict] = {}
+    for rows, cols in batches:
+        data, schema_parts = [], ["k long"]
+        if "a" in cols:
+            schema_parts.append("a long")
+        if "b" in cols:
+            schema_parts.append("b long")
+        seen_in_batch = set()
+        for key, val in rows:
+            if key in seen_in_batch:
+                continue  # within-batch dedup keeps the first row
+            seen_in_batch.add(key)
+            rec = [key]
+            if "a" in cols:
+                rec.append(val)
+            if "b" in cols:
+                rec.append(val * 2)
+            data.append(tuple(rec))
+            if key not in model:
+                model[key] = {
+                    "a": val if "a" in cols else None,
+                    "b": val * 2 if "b" in cols else None,
+                }
+        sink.insert_if_absent(
+            "t", spark.createDataFrame(data, ", ".join(schema_parts))
+        )
+    got = {}
+    for r in sink.read("t").collect():
+        d = r.asDict()
+        got[d["k"]] = {
+            "a": d.get("a"),
+            "b": d.get("b"),
+        }
+    assert got == model
