@@ -288,23 +288,34 @@ class ManifestParquetSink(MergeSink):
     discards its staged directory, re-reads the now-visible segments,
     re-runs the anti-join, and retries at the new next number — so two
     concurrent writers serialize without a coordinator and
-    first-writer-wins still holds per key. On an object store, where
-    rename is not atomic, the equivalent commit primitive is a
-    conditional PUT (If-None-Match) of the manifest object; the
-    protocol is otherwise unchanged.
+    first-writer-wins still holds per key.
+
+    COMMIT-PRIMITIVE SEAM (``commit_protocol``): ``"rename"``
+    (default) commits by POSIX exclusive directory rename —
+    atomic-exclusive on local/NFS/HDFS filesystems. ``"objectstore"``
+    assumes NO atomic rename (S3/GCS): data is written once at its
+    permanent content-addressed directory and never moved; the commit
+    point is create-if-absent of the ``seg_<n>.json`` manifest OBJECT
+    (``O_CREAT|O_EXCL`` here; on S3 a conditional
+    ``PUT If-None-Match: *``, on GCS ``x-goog-if-generation-match:
+    0``). Everything above the primitive — OCC retry, anti-join
+    visibility, compaction covers — is protocol-independent, and the
+    racing-writers/racing-compaction suite runs against BOTH
+    primitives (tests/test_sinks.py).
 
     Superseded-directory GC (after compaction) assumes a one-batch
     vacuum horizon, exactly like Delta's VACUUM: a lazy reader plan
     older than one writer turn may lose its files and must re-read.
 
-    ``compact(name)`` bounds the small-file growth streaming cadence
-    causes (one immutable segment dir per micro-batch, forever):
-    it rewrites every live segment into ONE new segment whose rows
-    carry their first-admission snapshot number in a ``_snapshot``
-    column and whose manifest lists the ``covers`` snapshot numbers —
-    so all historical ``snapshots()``/``read_at()``/``added_between()``
+    ``compact(name, since=, upto=)`` bounds the small-file growth
+    streaming cadence causes (one immutable segment dir per
+    micro-batch, forever): it rewrites the live segments in
+    ``(since, upto]`` into ONE new segment whose rows carry their
+    first-admission snapshot number in a ``_snapshot`` column and
+    whose manifest lists the ``covers`` snapshot numbers — so all
+    historical ``snapshots()``/``read_at()``/``added_between()``
     answers are preserved bit-for-bit while the read path drops from
-    O(batches) directories to O(compactions). The covering manifest
+    O(batches) directories to O(tiers). The covering manifest
     write is the commit point (covered dirs become invisible the
     instant it lands, deleted afterwards as cleanup), keeping the
     crash-atomicity story intact.
@@ -314,11 +325,36 @@ class ManifestParquetSink(MergeSink):
     # the LIVE segment count exceeds this bound — the streaming-sink
     # policy knob that keeps the read path O(bound) directories at
     # any micro-batch cadence without an external maintenance job.
-    # Each compaction rewrites the whole table, so a fixed bound
-    # costs O(accumulated/bound) full rewrites over the table's life:
-    # size it to the write rate, or leave None (default) and run
-    # ``compact()`` on an operator schedule instead.
+    # The policy is SIZE-TIERED (LSM-style): only the newest run of
+    # comparably-sized segments merges (see _tier_since); a large
+    # previously-compacted segment is rewritten only when the
+    # accumulated newer data grows to within ``tier_factor`` of it,
+    # so cumulative compaction writes are O(N log N) bytes over N
+    # batches instead of the O(N^2/bound) a full rewrite every
+    # `bound` batches would cost.
     auto_compact_segments: int | None = None
+
+    # Size-tiered merge aggressiveness: a next-older segment joins
+    # the merging tail only while its bytes are <= tier_factor x the
+    # tail's accumulated bytes. 2.0 = classic geometric tiers; larger
+    # values merge deeper (fewer live segments, more rewrite bytes).
+    tier_factor: float = 2.0
+
+    # When True, the auto-compaction rewrite runs on a background
+    # daemon thread instead of inline in the triggering
+    # ``insert_if_absent`` — micro-batch latency stays bounded while
+    # the rewrite proceeds; the OCC publish loop absorbs the
+    # ingest/compaction race (proven by the racing-compaction tests,
+    # which hold for any interleaving). One background compaction per
+    # table at a time; ``wait_for_compactions()`` joins them (tests /
+    # orderly shutdown).
+    compact_async: bool = False
+
+    # Commit primitive: "rename" (POSIX exclusive dir rename) or
+    # "objectstore" (no rename; create-if-absent manifest object =
+    # S3 conditional PUT / GCS generation-match 0). See class
+    # docstring.
+    commit_protocol: str = "rename"
 
     # Zone maps: table name -> columns whose per-segment [min, max]
     # is recorded in the committing manifest, harvested from the
@@ -342,15 +378,83 @@ class ManifestParquetSink(MergeSink):
     # True, a batch may carry NEW columns (old segments backfill NULL
     # at read) and may omit existing non-key columns (filled with
     # typed NULLs at write). Readers always return the table's
-    # CURRENT unified schema — including ``read_at`` time travel
-    # (declared deviation from Delta, which replays the historical
-    # schema: one schema per table keeps every union/anti-join in
-    # this sink single-shaped). Key columns can never evolve away
-    # (the anti-join requires them in every segment).
+    # CURRENT unified schema — including ``read_at`` time travel,
+    # which backfills columns added after the snapshot with typed
+    # NULLs so its column set is STABLE across later adds and
+    # compactions (declared deviation from Delta, which replays the
+    # historical schema: one schema per table keeps every
+    # union/anti-join in this sink single-shaped). Key columns can
+    # never evolve away (the anti-join requires them in every
+    # segment).
     allow_schema_evolution: bool = False
+
+    # name -> running background compaction thread (compact_async)
+    _compact_threads: dict = field(
+        default_factory=dict, repr=False, compare=False
+    )
 
     def _table_dir(self, name: str) -> str:
         return self.path(name)
+
+    def _commit_obj(self, name: str, num: int) -> str:
+        """The objectstore protocol's commit-manifest object path."""
+        return os.path.join(self._table_dir(name), f"seg_{num}.json")
+
+    def _list_committed(
+        self, name: str
+    ) -> tuple[list[tuple[int, str, dict]], set[int]]:
+        """Protocol-aware listing: (committed (number, data_dir,
+        manifest meta) ascending, ALL claimed numbers — committed
+        plus crashed/half-written claims, which must never be
+        re-issued).
+
+        rename protocol: a segment is ``seg_<n>/`` holding its data
+        files and ``_COMMITTED.json``; a dir without a readable
+        manifest is a crashed claim (invisible). objectstore
+        protocol: a segment is the ``seg_<n>.json`` commit object
+        pointing at its immutable content-addressed data directory; a
+        present-but-unparseable object is a crashed claim."""
+        import json
+
+        tdir = self._table_dir(name)
+        committed: list[tuple[int, str, dict]] = []
+        claimed: set[int] = set()
+        if not os.path.isdir(tdir):
+            return committed, claimed
+        if self.commit_protocol == "rename":
+            for d in os.listdir(tdir):
+                if not (d.startswith("seg_") and d[4:].isdigit()):
+                    continue
+                n = int(d[4:])
+                p = os.path.join(tdir, d)
+                claimed.add(n)
+                try:
+                    with open(os.path.join(p, "_COMMITTED.json")) as fh:
+                        meta = json.load(fh)
+                    meta["files"]
+                except (OSError, ValueError, KeyError):
+                    continue  # uncommitted / crashed — invisible
+                committed.append((n, p, meta))
+        else:
+            for d in os.listdir(tdir):
+                if not (
+                    d.startswith("seg_")
+                    and d.endswith(".json")
+                    and d[4:-5].isdigit()
+                ):
+                    continue
+                n = int(d[4:-5])
+                claimed.add(n)
+                try:
+                    with open(os.path.join(tdir, d)) as fh:
+                        meta = json.load(fh)
+                    meta["files"]
+                    p = os.path.join(tdir, meta["dir"])
+                except (OSError, ValueError, KeyError):
+                    continue  # half-written commit object — invisible
+                committed.append((n, p, meta))
+        committed.sort()
+        return committed, claimed
 
     def _segments(
         self, name: str
@@ -370,29 +474,14 @@ class ManifestParquetSink(MergeSink):
         segment — valid (the commit records the batch happened, and it
         is a snapshot id) but skipped by scans, since an empty parquet
         directory has no schema."""
-        import json
-
-        tdir = self._table_dir(name)
-        if not os.path.isdir(tdir):
-            return [], [], 0
-        segs = sorted(
-            (int(d[4:]), os.path.join(tdir, d))
-            for d in os.listdir(tdir)
-            if d.startswith("seg_") and d[4:].isdigit()
-        )
+        rows, claimed = self._list_committed(name)
         committed = []  # (num, dir, covers, nonempty)
         superseded: set[int] = set()
-        for n, p in segs:
-            try:
-                with open(os.path.join(p, "_COMMITTED.json")) as fh:
-                    meta = json.load(fh)
-                    nonempty = bool(meta["files"])
-            except (OSError, ValueError, KeyError):
-                continue  # uncommitted / crashed — invisible
+        for n, p, meta in rows:
             covers = self._parse_covers(meta)
             if covers is not None:
                 superseded.update(covers)
-            committed.append((n, p, covers, nonempty))
+            committed.append((n, p, covers, bool(meta["files"])))
         all_nums = sorted(
             {n for n, _, _, _ in committed} | superseded
         )
@@ -401,11 +490,11 @@ class ManifestParquetSink(MergeSink):
             for n, p, covers, nonempty in committed
             if nonempty and n not in superseded
         ]
-        # next free number clears every number ever seen: present dirs
+        # next free number clears every number ever seen: claimed
         # (committed or crashed) AND covered numbers whose dirs may
         # already be deleted — a reused snapshot id would corrupt
         # time travel
-        seen = {n for n, _ in segs} | superseded
+        seen = claimed | superseded
         nxt = max(seen) + 1 if seen else 0
         return live, all_nums, nxt
 
@@ -453,14 +542,22 @@ class ManifestParquetSink(MergeSink):
         """Write ``df`` (hive-partitioned when configured) plus its
         complete ``_COMMITTED.json`` manifest into a fresh staging
         directory and return the staging path. The directory is a
-        fully-formed segment — publishing it is a single rename."""
+        fully-formed segment — publishing it is a single rename
+        (rename protocol) or a create-if-absent of the commit object
+        (objectstore protocol, where this directory is ALREADY at its
+        permanent content-addressed location and is never moved).
+
+        The manifest records the staged data bytes (``bytes``) so the
+        size-tiered auto-compaction policy reads segment sizes from
+        manifests, never by walking data directories."""
         import glob
         import json
         import uuid
 
         tdir = self._table_dir(name)
+        prefix = "_stage_" if self.commit_protocol == "rename" else "data_"
         stage = os.path.join(
-            tdir, f"_stage_{os.getpid()}_{uuid.uuid4().hex[:12]}"
+            tdir, f"{prefix}{os.getpid()}_{uuid.uuid4().hex[:12]}"
         )
         writer = df.write.mode("error")
         parts = self.partitioning.get(name)
@@ -473,7 +570,18 @@ class ManifestParquetSink(MergeSink):
                 os.path.join(stage, "**", "*.parquet"), recursive=True
             )
         )
-        meta: dict = {"files": files}
+        import pyarrow.parquet as papq
+
+        nbytes = 0
+        nrows = 0
+        for rel in files:
+            fp = os.path.join(stage, rel)
+            try:
+                nbytes += os.path.getsize(fp)
+                nrows += papq.ParquetFile(fp).metadata.num_rows
+            except OSError:
+                pass
+        meta: dict = {"files": files, "bytes": nbytes, "rows": nrows}
         if covers is not None:
             cs = sorted(covers)
             if cs and cs[-1] - cs[0] + 1 == len(cs):
@@ -754,15 +862,55 @@ class ManifestParquetSink(MergeSink):
         )
 
     def _publish(self, name: str, stage: str, num: int) -> bool:
-        """Atomically publish a staged segment as ``seg_<num>`` — the
-        exclusive rename that is both the commit point and the claim
-        on the number. False when another writer already owns it."""
-        seg = os.path.join(self._table_dir(name), f"seg_{num}")
+        """Atomically publish a staged segment as snapshot ``num`` —
+        the commit-primitive seam. False when another writer already
+        owns the number (the OCC loser signal).
+
+        rename protocol: one POSIX exclusive directory rename of the
+        stage to ``seg_<num>`` — simultaneously the commit point and
+        the claim (rename onto an existing non-empty dir fails).
+        objectstore protocol: the data directory never moves; the
+        commit point is create-if-absent of the ``seg_<num>.json``
+        manifest object carrying the staged manifest plus the data
+        directory pointer. ``O_CREAT|O_EXCL`` here is the local
+        simulation of S3 ``PUT If-None-Match: *`` / GCS
+        ``x-goog-if-generation-match: 0`` — the only primitive the
+        protocol needs from a real object store."""
+        import json
+
+        if self.commit_protocol == "rename":
+            seg = os.path.join(self._table_dir(name), f"seg_{num}")
+            try:
+                os.rename(stage, seg)
+                return True
+            except OSError:
+                return False
+        meta = self._manifest_meta(stage)
+        meta["dir"] = os.path.basename(stage)
         try:
-            os.rename(stage, seg)
-            return True
-        except OSError:
+            fd = os.open(
+                self._commit_obj(name, num),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
             return False
+        with os.fdopen(fd, "w") as fh:
+            json.dump(meta, fh)
+        return True
+
+    def _remove_segment(self, name: str, num: int, datadir: str) -> None:
+        """Physically delete a superseded/covered segment: its data
+        directory plus — objectstore protocol — its commit object
+        (the covering manifest already carries the snapshot number in
+        ``covers``, so history survives the delete)."""
+        import shutil
+
+        shutil.rmtree(datadir, ignore_errors=True)
+        if self.commit_protocol != "rename":
+            try:
+                os.remove(self._commit_obj(name, num))
+            except OSError:
+                pass
 
     def snapshots(self, name: str) -> list[int]:
         """Committed segment numbers, ascending — every one is a
@@ -808,6 +956,20 @@ class ManifestParquetSink(MergeSink):
                     .drop("_snapshot")
                 )
             out = df if out is None else self._union(out, df)
+        if out is not None and self.allow_schema_evolution:
+            # project to the table's CURRENT unified schema: columns
+            # added after `snapshot` backfill typed NULLs, so the
+            # column set of read_at(name, s) is stable across later
+            # adds AND across compactions (which otherwise fold later
+            # columns into the covering segment's files)
+            cur = self._read_live(name, live)
+            if cur is not None:
+                for f in cur.schema.fields:
+                    if f.name not in out.columns:
+                        out = out.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
+                out = out.select(*cur.columns)
         return out
 
     def read(self, name: str) -> DataFrame | None:
@@ -983,44 +1145,157 @@ class ManifestParquetSink(MergeSink):
             # the whole attempt against the now-visible segments.
             shutil.rmtree(stage, ignore_errors=True)
         if self.auto_compact_segments is not None:
-            live, _, _ = self._segments(name)
-            if len(live) > self.auto_compact_segments:
-                # defer covered-dir deletion to the next batch start:
-                # a caller's lazy plan over the pre-compaction table
-                # must keep its files through this batch
-                self.compact(name, delete_covered=False)
+            self._maybe_auto_compact(name)
+
+    def _segment_bytes(self, seg: str) -> int:
+        """Committed data bytes of a segment, from its manifest's
+        ``bytes`` field; pre-``bytes`` manifests fall back to one
+        directory walk (metadata-scale, once — the next compaction
+        rewrites them with the field)."""
+        meta = self._manifest_meta(seg)
+        b = meta.get("bytes")
+        if b is not None:
+            return int(b)
+        total = 0
+        for root, _, fs in os.walk(seg):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        return total
+
+    def _segment_rows(self, seg: str) -> int:
+        """Committed row count of a segment, from its manifest's
+        ``rows`` field; pre-``rows`` manifests fall back to one footer
+        walk (metadata-only). Rows — not bytes — are the tiering
+        metric: proportional to rewrite cost at scale, but immune to
+        the per-file parquet metadata overhead that makes every tiny
+        segment look equal-sized in bytes (which would collapse the
+        tiers back into full rewrites exactly where tests can see)."""
+        meta = self._manifest_meta(seg)
+        r = meta.get("rows")
+        if r is not None:
+            return int(r)
+        import pyarrow.parquet as papq
+
+        total = 0
+        for root, _, fs in os.walk(seg):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    try:
+                        total += papq.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata.num_rows
+                    except OSError:
+                        pass
+        return total
+
+    @staticmethod
+    def tier_take(
+        sizes: list[int], bound: int, factor: float
+    ) -> int:
+        """The size-tiered policy as a PURE function — how many of the
+        newest segments (``sizes`` ascending by segment number) merge.
+
+        The merging tail starts as the newest segments that MUST merge
+        to restore the live bound, then extends older while the
+        next-older segment's size is <= ``factor`` x the tail's
+        accumulated size — so a large previously-compacted segment
+        joins a merge only once the data newer than it has grown to
+        comparable size (geometric tiers, the LSM/Lucene policy). Each
+        row is therefore rewritten O(log N) times over the table's
+        life — O(N log N) cumulative compaction volume — versus the
+        O(N^2/bound) of a full-table rewrite every `bound` batches
+        (``factor=inf`` reproduces exactly that r10 behavior), while
+        the bound on LIVE segment count still holds after every merge.
+        Asserted over a 512-batch simulation in tests and scalecheck.
+        """
+        take = max(2, len(sizes) - bound + 1)
+        total = sum(sizes[-take:])
+        while (
+            take < len(sizes)
+            and sizes[-(take + 1)] <= factor * total
+        ):
+            total += sizes[-(take + 1)]
+            take += 1
+        return take
+
+    def _tier_since(
+        self, live: list[tuple[int, str, list[int] | None]]
+    ) -> int | None:
+        """Size-tiered merge-target selection: the exclusive lower
+        bound (a live segment number) for ``compact(since=...)``, or
+        None to merge everything. See ``tier_take``."""
+        sizes = [self._segment_rows(p) for _, p, _ in live]
+        take = self.tier_take(
+            sizes, self.auto_compact_segments or 0, self.tier_factor
+        )
+        if take >= len(live):
+            return None
+        return live[-(take + 1)][0]
+
+    def _maybe_auto_compact(self, name: str) -> None:
+        """The ``auto_compact_segments`` policy body: when the live
+        count exceeds the bound, merge the size-tiered tail — inline,
+        or on a background daemon thread under ``compact_async``
+        (bounded micro-batch latency; the OCC publish loop absorbs
+        the ingest/compaction race). Deletion of covered dirs is
+        always deferred to the next batch start (``_gc_superseded``)
+        so lazy reader plans built before the merge keep their
+        files."""
+        live, _, _ = self._segments(name)
+        if len(live) <= self.auto_compact_segments:
+            return
+        since = self._tier_since(live)
+        if not self.compact_async:
+            self.compact(name, since=since, delete_covered=False)
+            return
+        t = self._compact_threads.get(name)
+        if t is not None and t.is_alive():
+            return  # one background compaction per table at a time
+        import threading
+
+        t = threading.Thread(
+            target=self._compact_quietly,
+            args=(name, since),
+            daemon=True,
+            name=f"sink-compact-{name}",
+        )
+        self._compact_threads[name] = t
+        t.start()
+
+    def _compact_quietly(self, name: str, since: int | None) -> None:
+        try:
+            self.compact(name, since=since, delete_covered=False)
+        except Exception:  # pragma: no cover - background best-effort
+            pass  # the next over-bound batch re-triggers
+
+    def wait_for_compactions(self) -> None:
+        """Join any running background compactions (orderly shutdown
+        / deterministic tests). No-op when none are running."""
+        for t in list(self._compact_threads.values()):
+            t.join()
 
     def _gc_superseded(self, name: str) -> None:
-        """Delete on-disk directories of segments superseded by a
-        committed covering manifest. Runs at the START of the next
-        batch / compaction (the bloom sink's deferred-GC discipline),
-        never inside the compaction that superseded them — so a lazy
-        reader plan built BEFORE a ``delete_covered=False`` compaction
-        keeps its files until the single writer moves again, instead
-        of failing recompute mid-collect."""
-        import json
-        import shutil
-
-        tdir = self._table_dir(name)
-        if not os.path.isdir(tdir):
-            return
+        """Delete on-disk segments superseded by a committed covering
+        manifest (data dirs, plus commit objects on the objectstore
+        protocol). Runs at the START of the next batch / compaction
+        (the bloom sink's deferred-GC discipline), never inside the
+        compaction that superseded them — so a lazy reader plan built
+        BEFORE a ``delete_covered=False`` compaction keeps its files
+        until the single writer moves again, instead of failing
+        recompute mid-collect."""
+        committed, _ = self._list_committed(name)
         covered: set[int] = set()
-        present = []
-        for d in os.listdir(tdir):
-            if not (d.startswith("seg_") and d[4:].isdigit()):
-                continue
-            p = os.path.join(tdir, d)
-            present.append((int(d[4:]), p))
-            try:
-                with open(os.path.join(p, "_COMMITTED.json")) as fh:
-                    covers = self._parse_covers(json.load(fh))
-            except (OSError, ValueError):
-                continue
+        for _, _, meta in committed:
+            covers = self._parse_covers(meta)
             if covers:
                 covered.update(covers)
-        for n, p in present:
+        for n, p, _ in committed:
             if n in covered:
-                shutil.rmtree(p, ignore_errors=True)
+                self._remove_segment(name, n, p)
 
     @staticmethod
     def _zvalue(df: DataFrame, cols: list[str], bits: int = 16):
@@ -1033,7 +1308,18 @@ class ManifestParquetSink(MergeSink):
         (its second column is effectively unclustered). Quantization
         is layout-only: zone-map pruning stays exact regardless, so a
         skewed column merely prunes less, never wrong. NULL ranks as
-        0 (sorts with the minimum)."""
+        0 (sorts with the minimum).
+
+        Bit budget: interleaved positions reach ``bits*len(cols)-1``
+        and must stay below the long's sign bit (position 63) — Spark's
+        ``shiftleft`` wraps shifts mod 64, so an overflowing layout
+        would silently scramble the Morton order (and a sign-bit hit
+        would sort the top band FIRST). ``bits`` is auto-scaled down to
+        ``63 // len(cols)`` when the requested width would overflow —
+        quantization resolution is layout-only, so narrower ranks only
+        coarsen clustering, never correctness."""
+        if bits * len(cols) > 63:
+            bits = 63 // len(cols)
         for c in cols:
             if not isinstance(
                 df.schema[c].dataType,
@@ -1079,14 +1365,27 @@ class ManifestParquetSink(MergeSink):
         self,
         name: str,
         upto: int | None = None,
+        since: int | None = None,
         target_partitions: int = 1,
         delete_covered: bool = True,
         cluster_by: list[str] | None = None,
         cluster_method: str = "range",
     ) -> int | None:
-        """Rewrite every live committed segment numbered <= ``upto``
-        (default: all of them) into ONE new segment, committed as a
-        new snapshot, and delete the superseded directories.
+        """Rewrite every live committed segment numbered in
+        ``(since, upto]`` (defaults: all of them) into ONE new
+        segment, committed as a new snapshot, and delete the
+        superseded directories.
+
+        ``since`` (exclusive lower bound) is what makes SIZE-TIERED
+        merging possible: the auto-compaction policy passes the
+        number of the oldest live segment to LEAVE ALONE, so a large
+        previously-compacted segment is not rewritten every time the
+        newest micro-batches merge. Because streaming appends are
+        numbered in time order, a ``since``-bounded target set is a
+        contiguous SUFFIX of live segments and its covers stay
+        encodable as an O(1) ``covers_range`` (non-contiguous sets —
+        possible only after an OCC retry races another compaction —
+        fall back to the explicit covers list, still correct).
 
         Streaming cadence commits one immutable segment directory per
         micro-batch forever; without compaction the read path unions
@@ -1102,7 +1401,7 @@ class ManifestParquetSink(MergeSink):
         list, so ``snapshots()`` still returns every historical id and
         ``read_at``/``added_between`` answer identically before and
         after (asserted by tests/test_sinks.py). Crash-atomic like
-        every other commit here: publishing the staged covering
+        every other storage commit here: publishing the staged covering
         segment (one exclusive rename) is the commit point — a crash
         before it leaves an invisible staging orphan and the old
         segments intact; a crash after it (mid-cleanup) leaves covered
@@ -1149,22 +1448,25 @@ class ManifestParquetSink(MergeSink):
             hi = upto
             if hi is None:
                 hi = max((n for n, _, _ in live), default=-1)
-            targets = [(n, p, c) for n, p, c in live if n <= hi]
+            lo = -1 if since is None else since
+            targets = [(n, p, c) for n, p, c in live if lo < n <= hi]
             if len(targets) < 2:
                 return None
-            # empty committed segments <= hi are covered too (their
-            # dirs hold only a manifest; their snapshot ids live on
-            # in covers)
+            # empty committed segments in (lo, hi] are covered too
+            # (their dirs hold only a manifest; their snapshot ids
+            # live on in covers)
             covers: set[int] = set()
-            empty_dirs: list[str] = []
-            tdir = self._table_dir(name)
+            empty_segs: list[tuple[int, str]] = []
+            dir_of = {
+                n: p for n, p, _ in self._list_committed(name)[0]
+            }
             live_nums = {n for n, _, _ in live}
             for s in all_nums:
-                if s <= hi and s not in live_nums:
+                if lo < s <= hi and s not in live_nums:
                     covers.add(s)
-                    d = os.path.join(tdir, f"seg_{s}")
-                    if os.path.isdir(d):
-                        empty_dirs.append(d)
+                    d = dir_of.get(s)
+                    if d is not None and os.path.isdir(d):
+                        empty_segs.append((s, d))
             out = None
             min_row: int | None = None
             for n, seg, c in sorted(targets):
@@ -1245,10 +1547,10 @@ class ManifestParquetSink(MergeSink):
         # cleanup, not commit: readers already skip these (deferred
         # to the next batch start when delete_covered=False)
         if delete_covered:
-            for _, p, _ in targets:
-                shutil.rmtree(p, ignore_errors=True)
-            for p in empty_dirs:
-                shutil.rmtree(p, ignore_errors=True)
+            for n, p, _ in targets:
+                self._remove_segment(name, n, p)
+            for n, p in empty_segs:
+                self._remove_segment(name, n, p)
         return nxt
 
 
@@ -1489,9 +1791,10 @@ BACKENDS = {
 }
 
 # Default live-segment bound for streaming facades that auto-compact:
-# read cost stays O(8) directories at any micro-batch cadence, while a
-# fixed bound keeps full-table rewrites to O(accumulated/8) over the
-# table's life (see ManifestParquetSink.auto_compact_segments).
+# read cost stays O(8) directories at any micro-batch cadence, while
+# the size-tiered policy keeps cumulative rewrite volume O(N log N)
+# bytes over the table's life (see
+# ManifestParquetSink.auto_compact_segments/_tier_since).
 AUTO_COMPACT_DEFAULT = 8
 
 
@@ -1530,6 +1833,9 @@ def make_sink(
     auto_compact_segments: int | None = None,
     stats_cols: dict[str, list[str]] | None = None,
     allow_schema_evolution: bool = False,
+    commit_protocol: str | None = None,
+    compact_async: bool = False,
+    tier_factor: float | None = None,
 ) -> MergeSink:
     """Construct the requested sink backend.
 
@@ -1548,6 +1854,11 @@ def make_sink(
     enables zone maps: table name -> columns whose per-segment
     [min, max] is harvested from parquet footers at commit and used
     by ``scan(name, ranges)`` to skip provably-disjoint segments.
+
+    ``commit_protocol`` ("rename" | "objectstore"), ``compact_async``
+    and ``tier_factor`` are manifest-only too: the commit-primitive
+    seam, background auto-compaction, and the size-tiered merge ratio
+    (see ``ManifestParquetSink``).
     """
     if backend == "auto":
         backend = "delta" if delta_available() else "parquet"
@@ -1580,4 +1891,25 @@ def make_sink(
                 f"backend (got {backend!r})"
             )
         sink.allow_schema_evolution = True
+    for label, value in (
+        ("commit_protocol", commit_protocol),
+        ("compact_async", compact_async or None),
+        ("tier_factor", tier_factor),
+    ):
+        if value is None:
+            continue
+        if not isinstance(sink, ManifestParquetSink):
+            raise ValueError(
+                f"{label} applies only to the 'manifest' backend "
+                f"(got {backend!r})"
+            )
+        if label == "commit_protocol" and value not in (
+            "rename",
+            "objectstore",
+        ):
+            raise ValueError(
+                f"unknown commit_protocol {value!r}: expected "
+                "'rename' or 'objectstore'"
+            )
+        setattr(sink, label, value)
     return sink

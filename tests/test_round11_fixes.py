@@ -1,0 +1,414 @@
+"""Round-11 storage-layer fixes:
+
+- size-tiered auto-compaction (no more full-table rewrite every
+  `bound` batches — O(N log N) cumulative rewrite bytes),
+- async (background-thread) auto-compaction with bounded batch path,
+- the pluggable commit protocol: the same OCC/exactly-once contract
+  on a simulated OBJECT STORE (no atomic rename; create-if-absent of
+  the manifest object is the commit point — S3 conditional PUT / GCS
+  generation-match-0),
+- _zvalue bit-budget guard (>=4 z-order columns must not touch the
+  sign bit or wrap shifts mod 64),
+- read_at schema stability under schema evolution + compaction.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.sinks import (
+    ManifestParquetSink,
+    make_sink,
+)
+
+PROTOCOLS = ["rename", "objectstore"]
+
+
+def _mk(spark, *ks):
+    return spark.createDataFrame([(int(k),) for k in ks], "k long")
+
+
+def _sink(spark, root, protocol="rename", **kw):
+    return make_sink(
+        spark,
+        str(root),
+        keys={"t": ["k"]},
+        backend="manifest",
+        commit_protocol=protocol,
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------- #
+# commit-protocol seam: the objectstore primitive                   #
+# ---------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize("protocol", PROTOCOLS)
+def test_protocol_basic_contract(spark, tmp_path, protocol):
+    """insert/replay/read/snapshots/read_at/compact behave
+    identically on both commit primitives."""
+    sink = _sink(spark, tmp_path, protocol)
+    sink.insert_if_absent("t", _mk(spark, 0, 1))
+    sink.insert_if_absent("t", _mk(spark, 1, 2))  # 1 replays
+    sink.insert_if_absent("t", _mk(spark, 3))
+    assert {r["k"] for r in sink.read("t").collect()} == {0, 1, 2, 3}
+    assert sink.snapshots("t") == [0, 1, 2]
+    assert {r["k"] for r in sink.read_at("t", 1).collect()} == {0, 1, 2}
+    n = sink.compact("t")
+    assert n == 3
+    assert sink.snapshots("t") == [0, 1, 2, 3]
+    assert {r["k"] for r in sink.read_at("t", 1).collect()} == {0, 1, 2}
+    assert {r["k"] for r in sink.read("t").collect()} == {0, 1, 2, 3}
+    # replay after compaction: still a no-op
+    sink.insert_if_absent("t", _mk(spark, 0, 1, 2, 3))
+    assert sink.read("t").count() == 4
+
+
+def test_objectstore_layout_never_renames_data(spark, tmp_path):
+    """The objectstore protocol's data directories are written once at
+    their permanent content-addressed location: the commit artifact is
+    the seg_<n>.json object, and no seg_<n> DIRECTORY ever exists."""
+    sink = _sink(spark, tmp_path, "objectstore")
+    sink.insert_if_absent("t", _mk(spark, 0, 1))
+    sink.insert_if_absent("t", _mk(spark, 2))
+    entries = {e.name for e in (tmp_path / "t").iterdir()}
+    assert "seg_0.json" in entries and "seg_1.json" in entries
+    assert not any(
+        e == "seg_0" or e == "seg_1" for e in entries
+    ), "objectstore protocol must not create renamed segment dirs"
+    assert any(e.startswith("data_") for e in entries)
+
+
+def test_objectstore_publish_is_exclusive(spark, tmp_path):
+    """create-if-absent of the commit object refuses a taken number —
+    the conditional-PUT loser signal."""
+    sink = _sink(spark, tmp_path, "objectstore")
+    sink.insert_if_absent("t", _mk(spark, 1))
+    stage = sink._stage_segment("t", _mk(spark, 2))
+    assert sink._publish("t", stage, 0) is False
+    assert {r["k"] for r in sink.read("t").collect()} == {1}
+    assert sink._publish("t", stage, 1) is True
+    assert {r["k"] for r in sink.read("t").collect()} == {1, 2}
+
+
+def test_objectstore_crashed_artifacts_invisible(spark, tmp_path):
+    """An orphan data directory (writer died before commit) is
+    invisible; a half-written commit object is invisible but CLAIMS
+    its number (never re-issued — a reuse would corrupt history)."""
+    sink = _sink(spark, tmp_path, "objectstore")
+    sink.insert_if_absent("t", _mk(spark, 0))
+    # crashed writer: staged data, no commit object
+    orphan = sink._stage_segment("t", _mk(spark, 99))
+    assert orphan  # exists on disk
+    assert {r["k"] for r in sink.read("t").collect()} == {0}
+    # half-written commit object: claims number 1, invisible
+    (tmp_path / "t" / "seg_1.json").write_text("")
+    assert sink.snapshots("t") == [0]
+    sink.insert_if_absent("t", _mk(spark, 2))
+    assert sink.snapshots("t") == [0, 2], "claimed number must be skipped"
+    assert {r["k"] for r in sink.read("t").collect()} == {0, 2}
+
+
+@pytest.mark.parametrize("protocol", PROTOCOLS)
+def test_concurrent_writers_exactly_once(spark, tmp_path, protocol):
+    """The racing-writers exactly-once property holds on BOTH commit
+    primitives (r10 proved it for rename only)."""
+    root = str(tmp_path)
+    w1 = _sink(spark, root, protocol)
+    w2 = _sink(spark, root, protocol)
+    batches1 = [list(range(2 * b, 2 * b + 30, 2)) for b in range(3)]
+    batches2 = [list(range(3 * b, 3 * b + 45, 3)) for b in range(3)]
+    errs = []
+    gate = threading.Barrier(2)
+
+    def run(sink, batches):
+        try:
+            gate.wait()
+            for ks in batches:
+                sink.insert_if_absent("t", _mk(spark, *ks))
+        except Exception as e:  # pragma: no cover - failure evidence
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=(w1, batches1))
+    t2 = threading.Thread(target=run, args=(w2, batches2))
+    t1.start(), t2.start()
+    t1.join(), t2.join()
+    assert not errs, errs
+    expect = {k for b in batches1 + batches2 for k in b}
+    got = [r["k"] for r in w1.read("t").collect()]
+    assert len(got) == len(set(got)), "duplicate keys committed"
+    assert set(got) == expect, "lost rows"
+    snaps = w1.snapshots("t")
+    assert snaps == list(range(len(snaps)))
+
+
+def test_objectstore_compaction_racing_ingest(spark, tmp_path):
+    """Compaction loop racing an ingest loop on the objectstore
+    primitive: exactly-once survives, history stays dense."""
+    root = str(tmp_path)
+    wi = _sink(spark, root, "objectstore")
+    wc = _sink(spark, root, "objectstore")
+    wi.insert_if_absent("t", _mk(spark, -1, -2))
+    wi.insert_if_absent("t", _mk(spark, -3))
+    errs = []
+    gate = threading.Barrier(2)
+
+    def ingest():
+        try:
+            gate.wait()
+            for b in range(4):
+                wi.insert_if_absent(
+                    "t", _mk(spark, *range(10 * b, 10 * b + 10))
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def compactor():
+        try:
+            gate.wait()
+            for _ in range(3):
+                wc.compact("t", delete_covered=False)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=ingest)
+    t2 = threading.Thread(target=compactor)
+    t1.start(), t2.start()
+    t1.join(), t2.join()
+    assert not errs, errs
+    expect = {-1, -2, -3} | set(range(40))
+    got = [r["k"] for r in wi.read("t").collect()]
+    assert len(got) == len(set(got)) and set(got) == expect
+    snaps = wi.snapshots("t")
+    assert snaps == list(range(len(snaps)))
+
+
+def test_objectstore_gc_removes_commit_objects(spark, tmp_path):
+    """Superseded segments on the objectstore protocol lose BOTH the
+    data dir and the commit object at the next batch's start — while
+    their snapshot ids survive in the covering manifest."""
+    sink = _sink(spark, tmp_path, "objectstore")
+    sink.insert_if_absent("t", _mk(spark, 0))
+    sink.insert_if_absent("t", _mk(spark, 1))
+    sink.compact("t", delete_covered=False)
+    assert (tmp_path / "t" / "seg_0.json").exists()
+    sink.insert_if_absent("t", _mk(spark, 2))  # start-of-batch GC
+    assert not (tmp_path / "t" / "seg_0.json").exists()
+    assert not (tmp_path / "t" / "seg_1.json").exists()
+    assert sink.snapshots("t") == [0, 1, 2, 3]
+    assert {r["k"] for r in sink.read_at("t", 1).collect()} == {0, 1}
+
+
+# ---------------------------------------------------------------- #
+# size-tiered auto-compaction                                       #
+# ---------------------------------------------------------------- #
+
+
+def _simulate_policy(n_batches, bound, factor, batch_rows=1):
+    """Drive ManifestParquetSink.tier_take over a synthetic stream:
+    returns (cumulative rows rewritten by compactions, max live
+    segments ever). Mirrors _maybe_auto_compact's trigger exactly."""
+    live = []  # sizes, ascending by segment number
+    rewritten = 0
+    max_live = 0
+    for _ in range(n_batches):
+        live.append(batch_rows)
+        max_live = max(max_live, len(live))
+        if len(live) > bound:
+            take = ManifestParquetSink.tier_take(live, bound, factor)
+            take = min(take, len(live))
+            merged = sum(live[-take:])
+            live = live[:-take] + [merged]
+            rewritten += merged
+    return rewritten, max_live
+
+
+def test_tiered_policy_subquadratic_write_volume():
+    """The O(N log N) claim, asserted at a scale where it is visible:
+    over 512 batches with bound 8, the size-tiered policy rewrites
+    <25% of the rows the full-rewrite policy (tier_factor=inf — r10's
+    behavior) pays, while holding the same live-segment bound."""
+    tiered, live_t = _simulate_policy(512, 8, 2.0)
+    full, live_f = _simulate_policy(512, 8, float("inf"))
+    assert live_t <= 9 and live_f <= 9  # bound + just-published
+    assert tiered < 0.25 * full, (tiered, full)
+    # and the gap widens with N (the quadratic-vs-linearithmic shape)
+    t2, _ = _simulate_policy(2048, 8, 2.0)
+    f2, _ = _simulate_policy(2048, 8, float("inf"))
+    assert t2 / f2 < tiered / full, (t2 / f2, tiered / full)
+
+
+def test_tiered_spark_end_state_matches_full_policy(spark, tmp_path):
+    """Both policies produce the identical logical table, snapshots
+    set, and replay behavior — tiering is purely a write-volume
+    optimization."""
+    reads = {}
+    for label, factor in (("tiered", 2.0), ("full", float("inf"))):
+        sink = _sink(spark, tmp_path / label, auto_compact_segments=3)
+        sink.tier_factor = factor
+        for b in range(10):
+            sink.insert_if_absent("t", _mk(spark, 2 * b, 2 * b + 1))
+        assert set(range(10)) <= set(sink.snapshots("t"))
+        sink.insert_if_absent("t", _mk(spark, 0, 1))  # replay no-op
+        reads[label] = {r["k"] for r in sink.read("t").collect()}
+        # snapshot 3 = the 4th batch (compaction commits claim later
+        # numbers): keys 0..7 under both policies
+        assert {
+            r["k"] for r in sink.read_at("t", 3).collect()
+        } == set(range(8))
+    assert reads["tiered"] == reads["full"] == set(range(20))
+
+
+def test_tiered_compaction_leaves_large_segment_alone(spark, tmp_path):
+    """Steady state: the big previously-compacted segment must NOT be
+    rewritten by tail merges — its directory survives across several
+    auto-compaction rounds until the accumulated tail grows to a
+    comparable size."""
+    sink = _sink(spark, tmp_path, auto_compact_segments=3)
+    # build one big segment: 3 batches x 20 keys, force a full merge
+    for b in range(4):
+        sink.insert_if_absent("t", _mk(spark, *range(20 * b, 20 * b + 20)))
+    live, _, _ = sink._segments("t")
+    big = max(live, key=lambda t: sink._segment_bytes(t[1]))
+    assert big[2] is not None, "expected a compacted big segment"
+    big_num = big[0]
+    # now trickle 1-key batches: tail merges must leave `big` live
+    for b in range(6):
+        sink.insert_if_absent("t", _mk(spark, 1000 + b))
+    live, _, _ = sink._segments("t")
+    assert big_num in {n for n, _, _ in live}, (
+        "tiered policy rewrote the big segment for a tiny tail merge"
+    )
+    # history and replay still exact
+    assert sink.read("t").count() == 86
+    sink.insert_if_absent("t", _mk(spark, 1000, 1001))
+    assert sink.read("t").count() == 86
+
+
+def test_tiered_history_preserved_across_partial_compactions(
+    spark, tmp_path
+):
+    """since-bounded (suffix) compactions preserve every read_at /
+    added_between answer bit-for-bit, like full ones."""
+    sink = _sink(spark, tmp_path)
+    for b in range(6):
+        sink.insert_if_absent("t", _mk(spark, 2 * b, 2 * b + 1))
+    before = {
+        s: sorted(r["k"] for r in sink.read_at("t", s).collect())
+        for s in sink.snapshots("t")
+    }
+    diff_before = sorted(
+        (r["k"], r["_snapshot"])
+        for r in sink.added_between("t", 1, 4).collect()
+    )
+    # partial merge of the newest 3 (since = seg 2), then of the rest
+    assert sink.compact("t", since=2, delete_covered=False) == 6
+    assert sink.compact("t", upto=2) == 7
+    for s, keys in before.items():
+        assert (
+            sorted(r["k"] for r in sink.read_at("t", s).collect()) == keys
+        )
+    diff_after = sorted(
+        (r["k"], r["_snapshot"])
+        for r in sink.added_between("t", 1, 4).collect()
+    )
+    assert diff_after == diff_before
+
+
+def test_async_compaction_keeps_batches_bounded_and_commits(
+    spark, tmp_path
+):
+    """compact_async: the triggering insert returns without paying the
+    rewrite; the background merge commits; correctness and the live
+    bound hold after join."""
+    sink = _sink(
+        spark, tmp_path, auto_compact_segments=3, compact_async=True
+    )
+    for b in range(8):
+        sink.insert_if_absent("t", _mk(spark, 2 * b, 2 * b + 1))
+    sink.wait_for_compactions()
+    live, _, _ = sink._segments("t")
+    assert any(c is not None for _, _, c in live), (
+        "background compaction never committed"
+    )
+    assert {r["k"] for r in sink.read("t").collect()} == set(range(16))
+    # next batch GCs deferred dirs and may re-trigger; state stays exact
+    sink.insert_if_absent("t", _mk(spark, 100))
+    sink.wait_for_compactions()
+    assert sink.read("t").count() == 17
+    snaps = sink.snapshots("t")
+    assert set(range(8)) <= set(snaps)
+    assert {r["k"] for r in sink.read_at("t", 2).collect()} == set(range(6))
+
+
+# ---------------------------------------------------------------- #
+# ADVICE fixes                                                      #
+# ---------------------------------------------------------------- #
+
+
+def test_zvalue_bit_budget_auto_scales(spark):
+    """4+ z-order columns must keep every interleaved bit below the
+    long sign bit: the max-corner row's z-value stays non-negative
+    (the unguarded 16-bit layout put rank bit 15 of column 3 at
+    position 63) and the Morton order still sorts the min corner
+    first."""
+    df = spark.createDataFrame(
+        [(0, 0, 0, 0), (1000, 1000, 1000, 1000), (500, 500, 500, 500)],
+        "a long, b long, c long, d long",
+    )
+    z = ManifestParquetSink._zvalue(df, ["a", "b", "c", "d"])
+    rows = df.withColumn("z", z).orderBy("a").collect()
+    zs = [r["z"] for r in rows]
+    assert all(v >= 0 for v in zs), f"sign bit touched: {zs}"
+    assert zs[0] < zs[1] < zs[2], "Morton order corrupted"
+
+
+def test_read_at_schema_stable_after_evolution_and_compact(
+    spark, tmp_path
+):
+    """Under schema evolution, read_at returns the table's CURRENT
+    unified schema (later-added columns backfilled with typed NULLs),
+    and the column set does not change when a compaction folds the
+    history — the contract the r10 docstring promised."""
+    sink = _sink(spark, tmp_path)
+    sink.allow_schema_evolution = True
+    sink.insert_if_absent(
+        "t", spark.createDataFrame([(0, "a")], "k long, v string")
+    )
+    sink.insert_if_absent(
+        "t",
+        spark.createDataFrame([(1, "b", 7)], "k long, v string, w long"),
+    )
+    at0 = sink.read_at("t", 0)
+    assert set(at0.columns) == {"k", "v", "w"}
+    row = at0.collect()[0]
+    assert (row["k"], row["v"], row["w"]) == (0, "a", None)
+    assert dict(at0.dtypes)["w"] == "bigint"
+    cols_before = at0.columns
+    sink.compact("t")
+    at0c = sink.read_at("t", 0)
+    assert at0c.columns == cols_before
+    row = at0c.collect()[0]
+    assert (row["k"], row["v"], row["w"]) == (0, "a", None)
+
+
+def test_make_sink_rejects_protocol_knobs_off_manifest(spark, tmp_path):
+    with pytest.raises(ValueError, match="commit_protocol"):
+        make_sink(
+            spark, str(tmp_path), keys={"t": ["k"]},
+            backend="parquet", commit_protocol="objectstore",
+        )
+    with pytest.raises(ValueError, match="unknown commit_protocol"):
+        make_sink(
+            spark, str(tmp_path), keys={"t": ["k"]},
+            backend="manifest", commit_protocol="s3",
+        )
+    with pytest.raises(ValueError, match="compact_async"):
+        make_sink(
+            spark, str(tmp_path), keys={"t": ["k"]},
+            backend="parquet", compact_async=True,
+        )
