@@ -30,6 +30,7 @@ from pyspark.sql.streaming import StreamingQuery
 from .operators import dedup as _dedup
 from .operators import packing as _packing
 from .operators import text_profile as _text
+from .operators import artifacts as _artifacts
 from .operators.bpe import merges_fingerprint as _bpe_fingerprint
 from .operators.sinks import make_sink
 from .streaming.corpus import (
@@ -581,6 +582,76 @@ class DatasetBuilder:
             )
         return merges
 
+    # -- ANN artifacts (operators.artifacts discipline) -----------------
+    def ann_artifact_path(self, fingerprint: str) -> str:
+        import os
+
+        return os.path.join(
+            self.pipeline.root, "_ann", fingerprint.replace(":", "_")
+        )
+
+    def persist_centroids(
+        self, cents: DataFrame, fingerprint: str | None = None
+    ) -> str:
+        """Write trained centroids as an immutable artifact keyed by
+        their content fingerprint; idempotent like the tokenizer
+        (same fingerprint = bit-identical content). Returns the
+        path — the value a streaming facade accepts directly
+        (streaming.ann_index centroids=<path>)."""
+        import os
+
+        from .operators import artifacts as _a
+
+        fp = fingerprint or _a.centroids_fingerprint(cents)
+        path = self.ann_artifact_path(fp)
+        if not os.path.isdir(path):
+            _a.save_centroids(cents, path)
+        return path
+
+    def persist_codebooks(
+        self, books: DataFrame, fingerprint: str | None = None
+    ) -> str:
+        import os
+
+        from .operators import artifacts as _a
+
+        fp = fingerprint or _a.codebooks_fingerprint(books)
+        path = self.ann_artifact_path(fp)
+        if not os.path.isdir(path):
+            _a.save_codebooks(books, path)
+        return path
+
+    def load_ann_centroids(self, fingerprint: str) -> DataFrame:
+        """Re-load a build's centroid artifact by the fingerprint
+        recorded in its epoch config, verifying content integrity —
+        the loader twin of load_tokenizer."""
+        from .operators import artifacts as _a
+
+        cents = _a.load_centroids(
+            self.pipeline.spark, self.ann_artifact_path(fingerprint)
+        )
+        if _a.centroids_fingerprint(cents) != fingerprint:
+            raise ValueError(
+                f"centroid artifact at {self.ann_artifact_path(fingerprint)} "
+                "does not hash to its directory name — corrupted or "
+                "tampered"
+            )
+        return cents
+
+    def load_ann_codebooks(self, fingerprint: str) -> DataFrame:
+        from .operators import artifacts as _a
+
+        books = _a.load_codebooks(
+            self.pipeline.spark, self.ann_artifact_path(fingerprint)
+        )
+        if _a.codebooks_fingerprint(books) != fingerprint:
+            raise ValueError(
+                f"codebook artifact at {self.ann_artifact_path(fingerprint)} "
+                "does not hash to its directory name — corrupted or "
+                "tampered"
+            )
+        return books
+
     def build(
         self,
         docs: DataFrame,
@@ -594,6 +665,8 @@ class DatasetBuilder:
         fluency_keep_pct: int | None = None,
         dsir_target: DataFrame | None = None,
         tokenizer_merges: list[str] | None = None,
+        ann_centroids: DataFrame | None = None,
+        pq_books: DataFrame | None = None,
     ) -> int:
         """Run the chain and commit one snapshot; returns its id.
 
@@ -619,6 +692,8 @@ class DatasetBuilder:
             fluency_keep_pct=fluency_keep_pct,
             dsir_target=dsir_target,
             tokenizer_merges=tokenizer_merges,
+            ann_centroids=ann_centroids,
+            pq_books=pq_books,
         )
 
     def _select(
@@ -712,6 +787,8 @@ class DatasetBuilder:
         fluency_keep_pct: int | None = None,
         dsir_target: DataFrame | None = None,
         tokenizer_merges: list[str] | None = None,
+        ann_centroids: DataFrame | None = None,
+        pq_books: DataFrame | None = None,
     ) -> int:
         """A whole training run's worth of epochs in ONE commit: the
         selection chain runs once, then every epoch in
@@ -763,12 +840,34 @@ class DatasetBuilder:
                 if tokenizer_merges is None
                 else "bpe:" + _bpe_fingerprint(tokenizer_merges)
             ),
+            # trained ANN artifacts used alongside the build (the
+            # embedding-space quantizer the served index / semantic
+            # dedup ran under) join the dataset's identity the same
+            # way the tokenizer does: order-insensitive CONTENT
+            # fingerprints in the guard, full artifacts persisted
+            # immutably next to the dataset (operators.artifacts) —
+            # a rebuild against retrained centroids/codebooks must
+            # refuse, not silently merge.
+            "ann_centroids": (
+                None
+                if ann_centroids is None
+                else _artifacts.centroids_fingerprint(ann_centroids)
+            ),
+            "pq_books": (
+                None
+                if pq_books is None
+                else _artifacts.codebooks_fingerprint(pq_books)
+            ),
         }
         epochs = range(int(first_epoch), int(first_epoch) + int(n_epochs))
         for e in epochs:
             self._guard_epoch_config(e, params)
         if tokenizer_merges is not None:
             self._persist_tokenizer(tokenizer_merges)
+        if ann_centroids is not None:
+            self.persist_centroids(ann_centroids, params["ann_centroids"])
+        if pq_books is not None:
+            self.persist_codebooks(pq_books, params["pq_books"])
         sharded = self._select(
             docs,
             eval_docs,

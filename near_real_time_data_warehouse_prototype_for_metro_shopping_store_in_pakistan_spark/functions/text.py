@@ -35,16 +35,78 @@ def normalized(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), WHITESPACE_RE, " ")
 
 
-def tokens(text: Column) -> Column:
-    """Whitespace tokenization; empty/blank text -> empty array."""
+# Scripts written WITHOUT inter-word whitespace: CJK ideographs (+ Ext
+# A, compatibility), kana, CJK symbols/punctuation (incl. U+3000
+# ideographic space, which Java/RE2 \s does NOT match), Thai, Lao,
+# Tibetan, Myanmar, Khmer. Korean Hangul is deliberately absent —
+# Korean uses spaces between words, so whitespace tokenization is
+# already sane there. A character in these ranges is tokenized as its
+# own 1-gram under token_mode="mixed"; everything else still splits on
+# whitespace — so an English doc tokenizes identically in both modes,
+# while a CJK/Thai doc stops collapsing into ~1 giant token (which
+# silently defeats every token-denominated gate: Gopher ratios, LM
+# perplexity normalization, chunking, packing budgets).
+NO_SPACE_SCRIPT_RANGES = (
+    "\u3000-\u303f"  # CJK symbols & punctuation (incl. U+3000)
+    "\u3040-\u309f"  # hiragana
+    "\u30a0-\u30ff"  # katakana
+    "\u3400-\u4dbf"  # CJK ext A
+    "\u4e00-\u9fff"  # CJK unified ideographs
+    "\uf900-\ufaff"  # CJK compatibility ideographs
+    "\u0e00-\u0e7f"  # Thai
+    "\u0e80-\u0eff"  # Lao
+    "\u0f00-\u0fff"  # Tibetan
+    "\u1000-\u109f"  # Myanmar
+    "\u1780-\u17ff"  # Khmer
+)
+
+TOKEN_MODES = ("ws", "mixed", "runs")
+
+
+def space_no_space_scripts(text: Column, runs: bool = False) -> Column:
+    """Surround no-whitespace-script characters (``runs=False``) or
+    maximal runs of them (``runs=True``) with spaces, so a downstream
+    whitespace split yields char-1-gram tokens — or intact run tokens
+    — for those scripts and unchanged word tokens elsewhere. One
+    JVM-side regexp_replace — no Python, no explode; the DuckDB twin
+    is the same replace with RE2 ``\\1`` syntax (see
+    plans.pipeline_queries._sql_tokens_mixed)."""
+    quant = "+" if runs else ""
+    return F.regexp_replace(
+        text, f"([{NO_SPACE_SCRIPT_RANGES}]{quant})", " $1 "
+    )
+
+
+def tokens(text: Column, mode: str = "ws") -> Column:
+    """Tokenization; empty/blank text -> empty array.
+
+    ``mode="ws"`` (default): whitespace split — correct for
+    space-delimited scripts, and what every oracle-pinned r1-r10 row
+    uses. ``mode="mixed"``: whitespace split AFTER isolating
+    no-whitespace-script characters as their own char-1-gram tokens
+    — identical to "ws" on ASCII/Latin text, sane token counts on
+    CJK/Thai/Lao/Khmer/Myanmar/Tibetan text (the right denomination
+    for counting/gating/chunking). ``mode="runs"``: isolate maximal
+    no-whitespace-script RUNS as single tokens instead — the right
+    PRE-tokenization for BPE (merges happen within a word, so a CJK
+    run must stay one word for its chars to merge; char-1-grams could
+    never). Token-denominated operators (language_id, gopher_gates,
+    quality_scores, chunk_documents, BPE word_counts) take a
+    ``token_mode`` parameter and forward it here."""
+    if mode not in TOKEN_MODES:
+        raise ValueError(
+            f"unknown token mode {mode!r}: expected one of {TOKEN_MODES}"
+        )
+    if mode != "ws":
+        text = space_no_space_scripts(text, runs=(mode == "runs"))
     t = F.trim(text)
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, WHITESPACE_RE)
     )
 
 
-def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+def token_count(text: Column, mode: str = "ws") -> Column:
+    return F.size(tokens(text, mode))
 
 
 def bpe_ish_token_count(text: Column) -> Column:

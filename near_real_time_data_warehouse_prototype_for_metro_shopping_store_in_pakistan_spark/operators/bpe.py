@@ -64,13 +64,21 @@ PAIR_SEP = "\x01"
 
 
 def word_counts(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_mode: str = "ws",
 ) -> DataFrame:
-    """(word, wcnt) over lowercased whitespace tokens — ONE map-side
-    combinable aggregate; the input relation of BPE training."""
+    """(word, wcnt) over lowercased tokens — ONE map-side combinable
+    aggregate; the input relation of BPE training. ``token_mode=
+    "mixed"`` pre-tokenizes no-whitespace scripts as char-1-grams
+    (each CJK char a base word BPE can then merge — the standard
+    CJK pre-tokenizer behavior)."""
     return (
         docs.select(
-            F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
+            F.explode(
+                tokens(F.lower(F.col(text_col)), token_mode)
+            ).alias("word")
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcnt"))
@@ -104,13 +112,14 @@ def train_merges(
     n_merges: int = BPE_MERGES,
     top_words: int = BPE_TOP_WORDS,
     text_col: str = "text",
+    token_mode: str = "ws",
 ) -> list[str]:
     """The learned merge table: ≤ ``n_merges`` encoded pairs in
     first-pick order (rank = list position). Deterministic: the top
     dictionary, every pair count, and every tie-break are pure
     functions of the corpus."""
     top = (
-        word_counts(docs, text_col)
+        word_counts(docs, text_col, token_mode=token_mode)
         # a word containing the \x01 pair separator would make encoded
         # pairs ambiguous (best.split would see >2 parts and crash) —
         # exclude such words from the TRAINING dictionary; application
@@ -262,6 +271,7 @@ def bpe_token_counts(
     merges: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
+    token_mode: str = "ws",
 ) -> DataFrame:
     """Per-doc token counts in the learned subword denomination:
     (id, n_ws_tokens, n_bpe_tokens), zero-token docs included with
@@ -270,7 +280,9 @@ def bpe_token_counts(
     equi-join → one map-side-combinable per-doc aggregate."""
     words = docs.select(
         F.col(id_col),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+        F.explode(
+            tokens(F.lower(F.col(text_col)), token_mode)
+        ).alias("word"),
     )
     seg = segment_words(words.select("word").distinct(), merges)
     per_doc = (
@@ -296,6 +308,7 @@ def bpe_coverage(
     docs: DataFrame,
     merges: list[str],
     text_col: str = "text",
+    token_mode: str = "ws",
 ) -> DataFrame:
     """One-row vocabulary-coverage report for a learned merge table —
     the train-time health stat that says whether ``n_merges`` was
@@ -314,7 +327,7 @@ def bpe_coverage(
     vocab-bounded Arrow segmentation pass + a single global
     aggregate — metadata-scale output, corpus-scale input never
     reshuffled."""
-    wc = word_counts(docs, text_col)
+    wc = word_counts(docs, text_col, token_mode=token_mode)
     seg = segment_words(wc.select("word"), merges)
     return (
         wc.join(seg, "word")
@@ -350,6 +363,7 @@ def bpe_chunk_documents(
     overlap: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    token_mode: str = "ws",
 ) -> DataFrame:
     """Sliding-window chunking DENOMINATED IN BPE TOKENS: windows
     cover ``chunk_tokens`` subword tokens with stride
@@ -388,7 +402,9 @@ def bpe_chunk_documents(
         raise ValueError("overlap must be smaller than chunk_tokens")
     words = docs.select(
         F.col(id_col),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+        F.posexplode(
+            tokens(F.col(text_col), token_mode)
+        ).alias("pos", "word"),
     ).withColumn("lword", F.lower(F.col("word")))
     seg = segment_words(
         words.select(F.col("lword").alias("word")).distinct(), merges

@@ -44,13 +44,17 @@ def hashed_linear_score(
     n_buckets: int = N_BUCKETS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    token_mode: str = "ws",
 ) -> DataFrame:
     """Score = Σ over tokens of weight(md5_long(token) % n_buckets),
     integer-exact. Returns (id_col, n_tokens, score_sum, keep) with
     keep = score_sum >= KEEP_THRESHOLD — one row per input doc.
     """
     tok = docs.select(
-        id_col, F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok")
+        id_col,
+        F.explode_outer(
+            tokens(F.lower(F.col(text_col)), token_mode)
+        ).alias("tok"),
     )
     bucket = md5_long(F.col("tok")) % n_buckets
     weight = (

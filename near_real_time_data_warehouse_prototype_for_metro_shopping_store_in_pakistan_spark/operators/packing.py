@@ -46,6 +46,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     token_count_col: str | None = None,
+    token_mode: str = "ws",
 ) -> DataFrame:
     """Assign every doc to a (shard, pack) so that each pack's token
     total stays <= ``capacity`` wherever possible.
@@ -69,7 +70,7 @@ def pack_sequences(
     n_tok = (
         F.col(token_count_col)
         if token_count_col is not None
-        else token_count(F.col(text_col))
+        else token_count(F.col(text_col), token_mode)
     )
     sized = docs.select(
         F.col(id_col).alias("doc_id"),

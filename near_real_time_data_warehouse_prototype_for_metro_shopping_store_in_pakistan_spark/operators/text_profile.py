@@ -28,8 +28,10 @@ def _hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(w, t)))
 
 
-def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    toks = tokens(F.col(text_col))
+def token_stats(
+    docs: DataFrame, text_col: str = "text", token_mode: str = "ws"
+) -> DataFrame:
+    toks = tokens(F.col(text_col), token_mode)
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -54,10 +56,15 @@ def _lang_argmax_case() -> Column:
     return chain.otherwise(LANG_ORDER[0])
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id(
+    docs: DataFrame, text_col: str = "text", token_mode: str = "ws"
+) -> DataFrame:
     """Stopword-hit language ID with a fixed-priority argmax
-    (LANG_ORDER breaks ties) — deterministic and oracle-exact."""
-    toks = tokens(F.lower(F.col(text_col)))
+    (LANG_ORDER breaks ties) — deterministic and oracle-exact.
+    ``token_mode="mixed"`` keeps the stopword hits correct on corpora
+    mixing no-whitespace scripts (a CJK run no longer glues onto an
+    adjacent Latin stopword)."""
+    toks = tokens(F.lower(F.col(text_col)), token_mode)
     out = docs.select(
         "doc_id",
         F.col("lang").alias("lang_true"),
@@ -85,11 +92,16 @@ def _quality_expr(n_tokens: Column, n_chars: Column, n_punct: Column,
 
 
 def quality_scores(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_mode: str = "ws",
 ) -> DataFrame:
     """Heuristic quality: length band + punctuation ratio + stopword
-    density, combined into an integer 0-100 score."""
-    toks = tokens(F.lower(F.col(text_col)))
+    density, combined into an integer 0-100 score. ``token_mode=
+    "mixed"`` makes the length band and densities meaningful on
+    no-whitespace scripts (a 500-char CJK doc is 500 tokens, not 1)."""
+    toks = tokens(F.lower(F.col(text_col)), token_mode)
     n_tokens = F.size(toks)
     n_chars = F.length(text_col).cast("int")
     n_punct = punct_count(F.col(text_col)).cast("int")
@@ -173,6 +185,7 @@ def gopher_gates(
     max_words: int = 100_000,
     required_words: list[str] | None = None,
     min_required: int = 2,
+    token_mode: str = "ws",
 ) -> DataFrame:
     """The Gopher/MassiveText document-quality rules as ONE projection
     over one scan — every rule an integer-exact column expression
@@ -185,18 +198,37 @@ def gopher_gates(
     0 <= threshold), matching the paper's web-page framing.
     ``required_words`` defaults to the paper's 8-word English set —
     a corpus in another language (or a synthetic vocabulary) passes
-    its own list, as the word-count bounds already parameterize."""
+    its own list, as the word-count bounds already parameterize.
+
+    ``token_mode="mixed"`` makes the word-denominated rules sane on
+    no-whitespace scripts (each CJK/Thai char is a word-1-gram, so a
+    CJK page is no longer ~1 giant "word" that fails every bound).
+    Two rules adapt with it (declared deviations, the standard moves
+    when Gopher is applied beyond Latin corpora): the alphabetic rule
+    counts any Unicode letter, not [a-z] (an ideograph IS the word's
+    letter), and the mean-word-length band applies only to words
+    containing a Latin letter — char-1-grams are length 1 by
+    construction, so including them would cut every CJK page; with no
+    Latin words the band passes vacuously (like the line rules at 0
+    lines)."""
     if required_words is None:
         required_words = GOPHER_REQUIRED_WORDS
     t = F.col(text_col)
-    toks = tokens(F.lower(t))
+    toks = tokens(F.lower(t), token_mode)
     n_words = F.size(toks)
+    len_toks = (
+        toks
+        if token_mode == "ws"
+        else F.filter(toks, lambda x: x.rlike("[a-z]"))
+    )
+    n_len_words = F.size(len_toks)
     word_chars = F.aggregate(
-        F.transform(toks, lambda x: F.length(x)),
+        F.transform(len_toks, lambda x: F.length(x)),
         F.lit(0),
         lambda a, x: a + x,
     )
-    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    alpha_re = "[a-z]" if token_mode == "ws" else r"\p{L}"
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike(alpha_re)))
     n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
     n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(r"(\.\.\.)"), 1))
     lines = F.filter(
@@ -223,9 +255,11 @@ def gopher_gates(
         id_col,
         n_words.cast("long").alias("n_words"),
         ((n_words >= min_words) & (n_words <= max_words)).alias("words_ok"),
-        # 3 <= mean word length <= 10, cross-multiplied
+        # 3 <= mean word length <= 10, cross-multiplied (over Latin
+        # words only in mixed mode — see docstring)
         (
-            (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
+            (word_chars >= 3 * n_len_words)
+            & (word_chars <= 10 * n_len_words)
         ).alias("mean_len_ok"),
         # symbol-to-word ratio <= 0.1
         (10 * symbols <= n_words).alias("symbol_ok"),
@@ -302,9 +336,15 @@ def c4_clean(
     def _line_ok(s: Column) -> Column:
         ok = F.size(tokens(s)) >= min_words_per_line
         if require_terminal:
+            # C4 applies the terminal-punctuation rule to STRIPPED
+            # lines; raw web text segments carry trailing \r (CRLF)
+            # or spaces, which would silently cut every line (rtrim
+            # alone only strips 0x20, so strip all trailing
+            # whitespace explicitly)
+            stripped = F.regexp_replace(s, r"\s+$", "")
             term = F.lit(False)
             for ch in C4_TERMINAL_CHARS:
-                term = term | s.endswith(ch)
+                term = term | stripped.endswith(ch)
             ok = ok & term
         return ok
 
@@ -889,11 +929,15 @@ def chunk_documents(
     overlap: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    token_mode: str = "ws",
 ) -> DataFrame:
     """Sliding-window document chunking — the context-window prep step
     of a pretraining/RAG pipeline: overlapping windows of
-    ``chunk_tokens`` whitespace tokens with stride
-    ``chunk_tokens - overlap``.
+    ``chunk_tokens`` tokens with stride ``chunk_tokens - overlap``
+    (``token_mode="mixed"`` windows no-whitespace scripts by
+    char-1-grams instead of treating a CJK doc as one token; the
+    chunk_text re-join is single-space in both modes — declared
+    tokenization normalization).
 
     Chunk count is the standard sliding-window formula
     (1 if n ≤ C else ⌈(n-C)/S⌉ + 1, integer ceil — no float math), so
@@ -908,7 +952,7 @@ def chunk_documents(
     """
     stride = chunk_tokens - overlap
     assert stride > 0, "overlap must be smaller than chunk_tokens"
-    toks = tokens(F.col(text_col))
+    toks = tokens(F.col(text_col), token_mode)
     n = F.size(toks)
     n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
         (n - chunk_tokens + stride - 1).cast("long") / stride + 1
@@ -1010,13 +1054,13 @@ LM_SCALE = 1_000_000
 LM_BROADCAST_MODEL_ROWS = 1_000_000
 
 
-def _gram_array(text_col: str, n: int = 2):
+def _gram_array(text_col: str, n: int = 2, token_mode: str = "ws"):
     """array<struct<ctx,w>> of order-``n`` lowercase token grams:
     ``ctx`` = the n-1 context words space-joined, ``w`` = the
     continuation. Empty for <n-token text (sequence DESCENDS when the
     stop is below the start). For n=2 this is exactly the adjacent
     pair (ctx=w1, w=w2)."""
-    toks = tokens(F.lower(F.col(text_col)))
+    toks = tokens(F.lower(F.col(text_col)), token_mode)
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -1038,6 +1082,7 @@ def bigram_lm_counts(
     n: int = 2,
     min_count: int = 1,
     lang_col: str | None = None,
+    token_mode: str = "ws",
 ) -> DataFrame:
     """The trained n-gram model as its count relation: (ctx, w, c2) —
     plus a leading ``lang_col`` key when ``lang_col`` is given (one model
@@ -1055,7 +1100,7 @@ def bigram_lm_counts(
     materializes past the (map-side combinable) count aggregate."""
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    grams_arr = _gram_array(text_col, n)
+    grams_arr = _gram_array(text_col, n, token_mode)
     keys = ([F.col(lang_col)] if lang_col else []) + [
         F.col("g.ctx").alias("ctx"),
         F.col("g.w").alias("w"),
@@ -1084,6 +1129,7 @@ def lm_surprisal_stats(
     min_count: int = 1,
     lang_col: str | None = None,
     model_rows: int | None = None,
+    token_mode: str = "ws",
 ) -> DataFrame:
     """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020,
     "CCNet: Extracting High Quality Monolingual Datasets"), the
@@ -1152,7 +1198,7 @@ def lm_surprisal_stats(
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     mk = [lang_col] if lang_col else []
-    grams_arr = _gram_array(text_col, n)
+    grams_arr = _gram_array(text_col, n, token_mode)
     # dg feeds multiple consumers (the score join, plus the model
     # relations when self-trained); checkpoint so the tokenize+explode
     # corpus pass runs once, not 4×
@@ -1188,7 +1234,8 @@ def lm_surprisal_stats(
     else:
         # feeds c1, vocab, the join — checkpoint once
         c2 = bigram_lm_counts(
-            lm_docs, text_col, n, lang_col=lang_col
+            lm_docs, text_col, n, lang_col=lang_col,
+            token_mode=token_mode,
         ).localCheckpoint(eager=False)
         how = "left"  # held-out: OOV grams score the Laplace floor
     broadcast_model = False

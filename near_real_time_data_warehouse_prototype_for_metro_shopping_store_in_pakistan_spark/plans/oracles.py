@@ -338,11 +338,27 @@ ORDER BY brand, part_rank
 """
 
 
+Q17 = """
+SELECT o.o_orderdate AS order_date,
+       COUNT(*) AS n_lines,
+       CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty,
+       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+           AS BIGINT)) / 100.0 AS total_revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate BETWEEN TIMESTAMP '1996-06-01 00:00:00'
+                        AND TIMESTAMP '1996-06-07 00:00:00'
+GROUP BY o.o_orderdate
+ORDER BY order_date
+"""
+
+
 OLAP_ORACLES = {
     "q13_latest_year_store_sales": Q13,
     "q14_returned_orders_exists": Q14,
     "q15_customers_without_orders": Q15,
     "q16_top_parts_per_brand": Q16,
+    "q17_week_probe_zonemap": Q17,
     "q00_pricing_summary": Q00,
     "q11_shipping_priority": Q11,
     "q12_local_supplier_volume": Q12,

@@ -15,7 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from ..functions.text import ENGLISH_STOPWORDS, LANG_ORDER, LANG_STOPWORDS
+from ..functions.text import (
+    ENGLISH_STOPWORDS,
+    LANG_ORDER,
+    LANG_STOPWORDS,
+    NO_SPACE_SCRIPT_RANGES,
+    token_count,
+)
 from ..functions.text import md5_long as _md5_long
 from ..operators import (
     asof,
@@ -894,6 +900,36 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile.token_stats(table(spark, sf_dir, "documents"))
+
+
+# In-query CJK/Thai augmentation (the synthetic corpus is ASCII): both
+# engines append the SAME literals to a deterministic doc subset, so
+# the row cross-verifies mixed-mode tokenization on genuine
+# no-whitespace text while the untouched ASCII docs prove the two
+# modes agree exactly there (functions.text.tokens token_mode
+# contract).
+TOKEN_MODE_CJK = "\u6771\u4eac\u90fd\u306e\u5929\u6c17\u306f\u6674\u308c\u3067\u3059\u3002\u660e\u65e5\u3082\u7d9a\u304f"
+TOKEN_MODE_THAI = "\u0e2a\u0e27\u0e31\u0e2a\u0e14\u0e35\u0e04\u0e23\u0e31\u0e1a\u0e27\u0e31\u0e19\u0e19\u0e35\u0e49\u0e2d\u0e32\u0e01\u0e32\u0e28\u0e14\u0e35"
+
+
+def text_token_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs mixed-mode token counts side by side — the
+    no-whitespace-script (CJK/Thai) tokenization fallback's contract
+    row: identical counts on ASCII docs, char-1-gram counts on the
+    augmented CJK/Thai tails (a CJK doc stops being ~1 giant
+    token)."""
+    docs = table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" " + TOKEN_MODE_CJK))
+        .when(F.col("doc_id") % 7 == 3, F.lit(" " + TOKEN_MODE_THAI))
+        .otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        token_count(aug, "ws").cast("long").alias("ws_tokens"),
+        token_count(aug, "mixed").cast("long").alias("mixed_tokens"),
+    )
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1890,6 +1926,7 @@ PIPELINE_QUERIES = {
     "video_framehash_neardup": video_framehash_neardup,
     "media_dedup_keepers": media_dedup_keepers,
     "text_token_stats": text_token_stats,
+    "text_token_modes": text_token_modes,
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
@@ -1958,6 +1995,17 @@ def _sql_tokens(expr: str) -> str:
         f"CASE WHEN {t} = '' THEN CAST([] AS VARCHAR[]) "
         f"ELSE string_split_regex({t}, '\\s+') END"
     )
+
+
+def _sql_tokens_mixed(expr: str) -> str:
+    """Mirror functions.text.tokens(mode="mixed"): surround every
+    no-whitespace-script char with spaces (RE2 \\1 backreference,
+    global), then the standard whitespace split."""
+    spaced = (
+        f"regexp_replace({expr}, "
+        f"'([{NO_SPACE_SCRIPT_RANGES}])', ' \\1 ', 'g')"
+    )
+    return _sql_tokens(spaced)
 
 
 def _sql_in_list(words: list[str]) -> str:
@@ -6169,3 +6217,19 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
     "text_langid_confusion": _langid_confusion_oracle(),
     "corpus_source_rollup": _source_rollup_oracle(),
 }
+
+
+ORACLE_TOKEN_MODES = f"""
+WITH aug AS (
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 7 = 0 THEN ' {TOKEN_MODE_CJK}'
+                        WHEN doc_id % 7 = 3 THEN ' {TOKEN_MODE_THAI}'
+                        ELSE '' END AS t
+    FROM documents)
+SELECT doc_id,
+       CAST(len({_sql_tokens("t")}) AS BIGINT) AS ws_tokens,
+       CAST(len({_sql_tokens_mixed("t")}) AS BIGINT) AS mixed_tokens
+FROM aug
+"""
+
+PIPELINE_ORACLES["text_token_modes"] = ORACLE_TOKEN_MODES

@@ -627,6 +627,26 @@ def q16_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_week_probe_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-bounded revenue probe served from the MANIFEST-BACKED
+    fact store (plans.fact_store): order_date zone maps + range-
+    clustered compaction prune the scan to the files whose date band
+    intersects the probed week — file-level pruning WITHIN months,
+    which the hive-partitioned/memoized fact paths cannot do. Results
+    are hash-exact against the raw lineitem x orders join (the oracle
+    computes the same aggregate without the store)."""
+    import datetime as _dt
+
+    from . import fact_store
+
+    return fact_store.week_probe(
+        spark,
+        sf_dir,
+        _dt.datetime(1996, 6, 1),
+        _dt.datetime(1996, 6, 7),
+    )
+
+
 OLAP_QUERIES = {
     "q00_pricing_summary": q00_pricing_summary,
     "q01_weekend_top_products": q01_weekend_top_products,
@@ -646,4 +666,5 @@ OLAP_QUERIES = {
     "q14_returned_orders_exists": q14_returned_orders_exists,
     "q15_customers_without_orders": q15_customers_without_orders,
     "q16_top_parts_per_brand": q16_top_parts_per_brand,
+    "q17_week_probe_zonemap": q17_week_probe_zonemap,
 }

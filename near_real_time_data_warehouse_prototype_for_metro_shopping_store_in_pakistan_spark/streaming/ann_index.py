@@ -48,6 +48,23 @@ from ..operators.similarity import (
 
 INDEX_TABLE = "ivf_index"
 
+
+def _resolve_artifact(spark: SparkSession, rel, kind: str):
+    """Accept either an in-session relation or a PATH to a persisted
+    artifact (operators.artifacts save_centroids/save_codebooks) —
+    the re-load seam that lets a streaming facade serve a quantizer
+    trained in an earlier session instead of retraining per stream."""
+    if isinstance(rel, str):
+        from ..operators import artifacts
+
+        loader = (
+            artifacts.load_centroids
+            if kind == "centroids"
+            else artifacts.load_codebooks
+        )
+        return loader(spark, rel)
+    return rel
+
 EMBEDDINGS_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType()),
@@ -109,6 +126,7 @@ def stream_index_embeddings(
     )
     # the trained quantizer is static for the stream's lifetime:
     # materialize the k-row relation once, not per trigger
+    centroids = _resolve_artifact(spark, centroids, "centroids")
     cent = centroids.localCheckpoint(eager=True)
     reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
     if max_files_per_trigger:
@@ -167,6 +185,7 @@ def ivf_index_topk(
     # query quantization, centroid scoring, and the caller's entire
     # centroids lineage (a raw kmeans_centroids() argument would
     # re-train per consumer).
+    centroids = _resolve_artifact(spark, centroids, "centroids")
     probes = probe_cells_for(queries, centroids, n_probe).localCheckpoint(
         eager=False
     )
@@ -257,6 +276,8 @@ def stream_index_embeddings_pq(
     warehouse = pq_index_warehouse(
         spark, index_root, backend, auto_compact_segments
     )
+    centroids = _resolve_artifact(spark, centroids, "centroids")
+    books = _resolve_artifact(spark, books, "codebooks")
     cent = centroids.localCheckpoint(eager=True)
     bks = books.localCheckpoint(eager=True)
     reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
@@ -325,6 +346,8 @@ def ivfpq_index_topk(
     expressions — asserted stream ≡ batch in tests)."""
     from ..operators.pq import adc_dot, query_luts
 
+    centroids = _resolve_artifact(spark, centroids, "centroids")
+    books = _resolve_artifact(spark, books, "codebooks")
     probes = probe_cells_for(queries, centroids, n_probe).localCheckpoint(
         eager=False
     )
@@ -508,6 +531,7 @@ def stream_index_embeddings_dedup(
     warehouse = index_warehouse(
         spark, index_root, backend, auto_compact_segments
     )
+    centroids = _resolve_artifact(spark, centroids, "centroids")
     cent = centroids.localCheckpoint(eager=True)
     reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
     if max_files_per_trigger:

@@ -396,6 +396,182 @@ def test_read_at_schema_stable_after_evolution_and_compact(
     assert (row["k"], row["v"], row["w"]) == (0, "a", None)
 
 
+def test_c4_terminal_rule_survives_crlf(spark):
+    """C4's terminal-punctuation rule applies to STRIPPED lines: CRLF
+    web text (every line carries a trailing \\r after the newline
+    split) and trailing spaces must not cut otherwise-terminal
+    lines."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+        text_profile,
+    )
+
+    text = (
+        "a proper sentence ends here.\r\n"
+        "no terminal punctuation line\r\n"
+        "trailing spaces after terminal.   \r\n"
+        "is it a question?\r"
+    )
+    out = text_profile.c4_clean(
+        spark.createDataFrame([(1, text)], "doc_id long, text string"),
+        min_words_per_line=3,
+        min_lines=1,
+        require_terminal=True,
+    ).first()
+    kept = out["clean_text"].split("\n")
+    assert len(kept) == 3, kept
+    assert out["n_kept_lines"] == 3
+
+
+def test_fact_store_week_probe_prunes_files(spark, sf_dir):
+    """The manifest-backed fact store (order_date zone maps + range-
+    clustered compaction): a one-week probe opens <50% of the data
+    files (in practice ~1 band file), and scan ≡ read+filter."""
+    import datetime as dt
+
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.plans import (
+        fact_store as fs,
+    )
+
+    sink = fs.build_fact_store(spark, sf_dir)
+    lo, hi = dt.datetime(1996, 6, 1), dt.datetime(1996, 6, 7)
+    total, opened = sink.prune_files_report(
+        fs.FACT_TABLE, {"order_date": (lo, hi)}
+    )
+    assert total >= fs.CLUSTER_FILES
+    assert opened * 2 < total, (total, opened)
+    scan = sink.scan(fs.FACT_TABLE, {"order_date": (lo, hi)})
+    full = sink.read(fs.FACT_TABLE).filter(
+        (F.col("order_date") >= lo) & (F.col("order_date") <= hi)
+    )
+    assert sorted(r["line_uid"] for r in scan.collect()) == sorted(
+        r["line_uid"] for r in full.collect()
+    )
+    # the store holds exactly the source join's rows
+    assert sink.read(fs.FACT_TABLE).count() == fs.narrow_fact(
+        spark, sf_dir
+    ).count()
+
+
+CJK = "東京都の天気は晴れです"
+THAI = "สวัสดีครับ"
+
+
+class TestTokenModes:
+    """No-whitespace-script tokenization fallback (token_mode=
+    'mixed'): sane counts on CJK/Thai, bit-identical behavior on
+    ASCII."""
+
+    def test_counts(self, spark):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.functions.text import (
+            token_count,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "plain ascii text here"),
+                (2, CJK),
+                (3, THAI),
+                (4, f"mixed {CJK} and latin"),
+                (5, ""),
+            ],
+            "doc_id long, text string",
+        ).select(
+            "doc_id",
+            token_count(F.col("text")).alias("ws"),
+            token_count(F.col("text"), "mixed").alias("mx"),
+        )
+        got = {r["doc_id"]: (r["ws"], r["mx"]) for r in df.collect()}
+        assert got[1] == (4, 4), "ASCII must be identical in both modes"
+        assert got[2] == (1, len(CJK)), "CJK doc = 1 giant ws token"
+        assert got[3] == (1, len(THAI))
+        assert got[4] == (4, 3 + len(CJK))
+        assert got[5] == (0, 0)
+
+    def test_unknown_mode_rejected(self, spark):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.functions.text import (
+            tokens,
+        )
+
+        with pytest.raises(ValueError, match="token mode"):
+            tokens(F.col("x"), "bpe")
+
+    def test_gopher_gates_mixed_mode(self, spark):
+        """A 60-char CJK doc fails every word-denominated Gopher rule
+        under ws mode (1 giant word) and passes under mixed mode with
+        a CJK-appropriate required-word list."""
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+            text_profile,
+        )
+
+        doc = CJK * 5  # 55 ideographs
+        docs = spark.createDataFrame(
+            [(1, doc)], "doc_id long, text string"
+        )
+        ws = text_profile.gopher_gates(
+            docs, min_words=50, required_words=list(CJK[:3]),
+        ).first()
+        assert ws["n_words"] == 1 and not ws["words_ok"]
+        mx = text_profile.gopher_gates(
+            docs,
+            min_words=50,
+            required_words=list(CJK[:3]),
+            token_mode="mixed",
+        ).first()
+        assert mx["n_words"] == 55
+        assert mx["words_ok"] and mx["mean_len_ok"] and mx["alpha_ok"]
+        assert mx["required_words_ok"] and mx["gopher_ok"]
+
+    def test_chunking_mixed_mode(self, spark):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+            text_profile,
+        )
+
+        doc = CJK * 10  # 110 chars -> 2 chunks (64-wide, stride 48)
+        docs = spark.createDataFrame(
+            [(1, doc)], "doc_id long, text string"
+        )
+        ws = text_profile.chunk_documents(docs, 64, 16).collect()
+        assert len(ws) == 1, "ws mode: whole CJK doc is one token"
+        mx = text_profile.chunk_documents(
+            docs, 64, 16, token_mode="mixed"
+        ).collect()
+        assert [r["n_chunk_tokens"] for r in sorted(
+            mx, key=lambda r: r["chunk_id"]
+        )] == [64, 62]
+
+    def test_runs_mode_keeps_cjk_runs_whole(self, spark):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.functions.text import (
+            tokens,
+        )
+
+        df = spark.createDataFrame(
+            [(1, f"latin {CJK} more")], "doc_id long, text string"
+        ).select(tokens(F.col("text"), "runs").alias("tk"))
+        assert df.first()["tk"] == ["latin", CJK, "more"]
+
+    def test_bpe_merges_learn_cjk_pairs(self, spark):
+        """Under 'runs' pre-tokenization a CJK run is one base word,
+        so BPE learns ideograph pair merges within it — under ws mode
+        the run glues to adjacent Latin and under 'mixed' each char is
+        its own word (nothing to merge within)."""
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import (
+            bpe,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"{CJK[:4]} {CJK[:2]}") for i in range(4)],
+            "doc_id long, text string",
+        )
+        merges = bpe.train_merges(
+            docs, n_merges=4, top_words=8, token_mode="runs"
+        )
+        assert merges, "no merges learned from CJK runs"
+        assert any(
+            all(ch in CJK[:4] for ch in m.replace("\x01", ""))
+            for m in merges
+        )
+
+
 def test_make_sink_rejects_protocol_knobs_off_manifest(spark, tmp_path):
     with pytest.raises(ValueError, match="commit_protocol"):
         make_sink(
