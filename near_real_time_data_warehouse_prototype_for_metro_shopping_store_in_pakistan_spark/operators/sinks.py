@@ -1370,11 +1370,24 @@ class ManifestParquetSink(MergeSink):
         delete_covered: bool = True,
         cluster_by: list[str] | None = None,
         cluster_method: str = "range",
+        expire_below: int | None = None,
     ) -> int | None:
         """Rewrite every live committed segment numbered in
         ``(since, upto]`` (defaults: all of them) into ONE new
         segment, committed as a new snapshot, and delete the
         superseded directories.
+
+        ``expire_below`` is RETENTION (Delta VACUUM-with-retention's
+        row-level analog): rows whose first-admission snapshot is <=
+        the bound are DROPPED from the rewrite instead of carried.
+        This bounds an unbounded stream's state (the admission claim
+        tables grow one row per claimed key forever by design) at a
+        documented cost: history below the horizon is destroyed —
+        ``read_at`` at an expired snapshot returns only surviving
+        rows, and an insert-if-absent key whose only copy was expired
+        would be re-admitted (the recall-vs-state trade
+        ``streaming.corpus.expire_claims`` documents). Snapshot IDS
+        all remain valid (covers is unaffected); only rows age out.
 
         ``since`` (exclusive lower bound) is what makes SIZE-TIERED
         merging possible: the auto-compaction policy passes the
@@ -1480,6 +1493,10 @@ class ManifestParquetSink(MergeSink):
                 covers.add(n)
                 if c:
                     covers.update(c)
+                if expire_below is not None:
+                    df = df.filter(
+                        F.col("_snapshot") > F.lit(expire_below)
+                    )
                 out = df if out is None else self._union(out, df)
             parts = self.partitioning.get(name)
             if cluster_by and parts:

@@ -36,12 +36,69 @@ STORE_QUARTERLY_SALES_VIEW = """
 """
 
 
+# Join-key (and grouping) columns per catalog table: the FOR COLUMNS
+# list ANALYZE publishes NDV/min/max for — what the cost-based
+# optimizer uses to estimate join cardinalities and pick build sides.
+ANALYZE_COLUMNS: dict[str, list[str]] = {
+    "sales_fact": ["product_id", "supplier_id", "store_id", "customer_id"],
+    "products": ["product_id"],
+    "suppliers": ["supplier_id", "store_id"],
+    "stores": ["store_id"],
+    "customers_dim": ["customer_id"],
+}
+
+
+def analyze_tables(
+    spark: SparkSession,
+    database: str = "metro",
+    columns: dict[str, list[str]] | None = None,
+) -> None:
+    """Publish row-count/size statistics (the ANALYZE TABLE
+    equivalent) for every table in ``database``, plus column NDV/
+    min/max for the configured join keys.
+
+    Why this matters at scale: without catalog statistics Catalyst
+    estimates a table's size from raw FILE bytes — compressed parquet
+    under-estimates in-memory size ~2-5×, and a dimension that has
+    outgrown ``spark.sql.autoBroadcastJoinThreshold`` (10 MB default)
+    on disk-but-not-logically (or vice versa) gets the wrong join
+    strategy silently. With stats, broadcast decisions and CBO join
+    reordering (``spark.sql.cbo.enabled``) run off true row counts —
+    the knob a 100 TB deployment must turn after every large load,
+    exactly like the reference's MySQL optimizer re-planning off
+    ``ANALYZE TABLE`` statistics. Partitioned tables get per-partition
+    stats too (``PARTITION`` clause unnecessary — Spark's ANALYZE on
+    the table covers the union)."""
+    columns = ANALYZE_COLUMNS if columns is None else columns
+    for row in spark.sql(f"SHOW TABLES IN {database}").collect():
+        if row["isTemporary"]:
+            continue
+        name = row["tableName"]
+        try:
+            spark.sql(
+                f"ANALYZE TABLE {database}.{name} COMPUTE STATISTICS"
+            )
+        except Exception:
+            continue  # views appear in SHOW TABLES on some catalogs
+        cols = columns.get(name)
+        if cols:
+            spark.sql(
+                f"ANALYZE TABLE {database}.{name} COMPUTE STATISTICS "
+                f"FOR COLUMNS {', '.join(cols)}"
+            )
+
+
 def publish_star_schema(
-    spark: SparkSession, sf_dir: str, database: str = "metro"
+    spark: SparkSession,
+    sf_dir: str,
+    database: str = "metro",
+    analyze: bool = True,
 ) -> None:
     """Persist the star schema + STORE_QUARTERLY_SALES into the
     session catalog (durable iff the session has a metastore-backed
-    catalog — see module docstring)."""
+    catalog — see module docstring). ``analyze=True`` (default)
+    publishes table/column statistics afterwards (``analyze_tables``)
+    so later sessions' broadcast/CBO decisions run off true sizes."""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     (
         star.sales_fact(spark, sf_dir)
@@ -59,6 +116,8 @@ def publish_star_schema(
         build(spark, sf_dir).write.mode("overwrite").saveAsTable(
             f"{database}.{name}"
         )
+    if analyze:
+        analyze_tables(spark, database)
     spark.sql(
         f"CREATE OR REPLACE VIEW {database}.store_quarterly_sales AS "
         + STORE_QUARTERLY_SALES_VIEW.format(db=database)

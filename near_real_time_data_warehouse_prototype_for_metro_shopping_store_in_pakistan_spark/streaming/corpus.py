@@ -1037,3 +1037,52 @@ def stream_curate_neardup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def expire_claims(
+    warehouse: MergeSink,
+    table: str,
+    keep_snapshots: int,
+    target_partitions: int = 1,
+) -> int | None:
+    """Retention/TTL for an admission CLAIM table (``band_index`` /
+    ``gram_index`` / ``line_index`` / ``adaptive_stats``): rewrite the
+    table keeping only rows first-admitted within the newest
+    ``keep_snapshots`` snapshots, so an unbounded stream has a BOUNDED
+    state story — without it the (fp, owner) claim relations grow one
+    row per claimed key forever by design.
+
+    The trade is RECALL BELOW THE HORIZON, stated plainly: a claim
+    that ages out is forgotten, so a segment/gram/band whose only
+    occurrences predate the horizon counts from zero again — e.g. a
+    boilerplate line last seen ``keep_snapshots`` batches ago must
+    re-accumulate ``min_docs`` sightings before it is cut again.
+    INSIDE the horizon nothing changes: recent claims keep their
+    owners, replays of recent batches still no-op, and cumulative
+    counts over surviving claims are identical (asserted by tests).
+    This is exactly the windowed-state semantics every production
+    streaming dedup runs with (a watermark over admission time,
+    expressed here in snapshot units — the sink's native clock).
+
+    Run it on an operator schedule (every N batches); it composes
+    with auto-compaction (both are ``compact`` commits under OCC).
+    Only apply it to claim/index tables — expiring a CURATED table
+    would delete admitted documents, not just dedup state.
+
+    Returns the new snapshot id, or None when the table has too few
+    snapshots (or too few live segments) to expire anything.
+    """
+    if keep_snapshots < 1:
+        raise ValueError(
+            f"keep_snapshots must be >= 1, got {keep_snapshots}"
+        )
+    snaps = warehouse.snapshots(table)
+    if len(snaps) <= keep_snapshots:
+        return None
+    horizon = snaps[-(keep_snapshots + 1)]
+    return warehouse.compact(
+        table,
+        target_partitions=target_partitions,
+        expire_below=horizon,
+        delete_covered=False,
+    )

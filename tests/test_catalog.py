@@ -65,3 +65,37 @@ def test_view_survives_into_a_fresh_session(tmp_path):
     ).split()
     assert int(fields[1]) == n_published
     assert float(fields[2]) > 0
+
+
+STATS = """
+import sys; sys.path.insert(0, "/root/repo")
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.session import get_spark
+from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.plans.catalog import publish_star_schema
+spark = get_spark(app_name="catalog-stats", catalog_dir={d!r})
+publish_star_schema(spark, {sf!r})
+# row-count statistics landed in the catalog
+desc = spark.sql("DESCRIBE TABLE EXTENDED metro.products").collect()
+stats = [r for r in desc if r.col_name == "Statistics"]
+assert stats and "rows" in stats[0].data_type, desc
+print("STATS", stats[0].data_type)
+# a dimension join broadcasts WITHOUT a hint: the catalog's size
+# statistics drive the build-side decision (the knob a 100 TB
+# deployment turns so an outgrown dim flips off broadcast correctly)
+plan = spark.sql(
+    "SELECT p.product_name, sum(f.revenue_cents) AS c "
+    "FROM metro.sales_fact f JOIN metro.products p "
+    "ON f.product_id = p.product_id GROUP BY p.product_name"
+)._jdf.queryExecution().executedPlan().toString()
+assert "BroadcastHashJoin" in plan, plan[:3000]
+print("BROADCAST OK")
+spark.stop()
+"""
+
+
+def test_published_stats_drive_broadcast_decision(tmp_path):
+    """publish_star_schema(analyze=True) records row/size stats
+    (ANALYZE TABLE equivalent) and dimension joins on the catalog
+    tables broadcast hint-free off those stats."""
+    out = _run(STATS.format(d=str(tmp_path / "catalog"), sf=SF_DIR))
+    assert "STATS" in out and "rows" in out
+    assert "BROADCAST OK" in out

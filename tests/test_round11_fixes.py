@@ -422,6 +422,85 @@ def test_c4_terminal_rule_survives_crlf(spark):
     assert out["n_kept_lines"] == 3
 
 
+class TestClaimRetention:
+    """expire_claims: bounded admission state under TTL, semantics
+    unchanged inside the horizon, recall loss below it (documented)."""
+
+    SHARED = "shared boiler line alpha beta gamma"
+
+    def _wh(self, spark, root):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.corpus import (
+            lines_warehouse,
+        )
+
+        return lines_warehouse(spark, str(root))
+
+    def _admit(self, wh, spark, doc_id, extra=None):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.corpus import (
+            admit_lines_batch,
+        )
+
+        text = (
+            f"{extra}\nunique line {doc_id} one two"
+            if extra
+            else f"unique line {doc_id} one two\nsecond unique {doc_id}"
+        )
+        batch = spark.createDataFrame(
+            [(doc_id, text)], "doc_id long, text string"
+        )
+        return admit_lines_batch(wh, batch, min_docs=2)
+
+    def test_horizon_semantics(self, spark, tmp_path):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.corpus import (
+            LINE_INDEX_TABLE,
+            LINES_CURATED_TABLE,
+            expire_claims,
+        )
+
+        wh = self._wh(spark, tmp_path)
+        self._admit(wh, spark, 1, self.SHARED)  # first sighting: kept
+        out2 = self._admit(wh, spark, 2, self.SHARED).first()
+        assert out2["n_removed"] == 1, "2nd sighting must cut"
+        self._admit(wh, spark, 3)  # batch without the shared line
+        before = wh.read(LINE_INDEX_TABLE).count()
+        snap = expire_claims(wh, LINE_INDEX_TABLE, keep_snapshots=1)
+        assert snap is not None
+        after = wh.read(LINE_INDEX_TABLE).count()
+        assert after < before
+        # only the newest batch's claims survive
+        assert after == 2  # doc 3's two unique lines
+        # recall loss BELOW the horizon (the documented trade): the
+        # shared line was forgotten, so a new carrier is NOT cut
+        out4 = self._admit(wh, spark, 4, self.SHARED).first()
+        assert out4["n_removed"] == 0
+        # INSIDE the horizon semantics unchanged: next sighting counts
+        # doc 4's surviving claim and cuts again
+        out5 = self._admit(wh, spark, 5, self.SHARED).first()
+        assert out5["n_removed"] == 1
+        # replay of a recent batch still no-ops on the curated table
+        n = wh.read(LINES_CURATED_TABLE).count()
+        self._admit(wh, spark, 5, self.SHARED)
+        assert wh.read(LINES_CURATED_TABLE).count() == n
+
+    def test_bounded_state_under_periodic_expiry(self, spark, tmp_path):
+        from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.corpus import (
+            LINE_INDEX_TABLE,
+            expire_claims,
+        )
+
+        wh = self._wh(spark, tmp_path / "ttl")
+        wh_free = self._wh(spark, tmp_path / "free")
+        sizes = []
+        for b in range(8):
+            self._admit(wh, spark, b)
+            self._admit(wh_free, spark, b)
+            expire_claims(wh, LINE_INDEX_TABLE, keep_snapshots=2)
+            sizes.append(wh.read(LINE_INDEX_TABLE).count())
+        # unbounded twin grows linearly; TTL'd table stays flat
+        assert wh_free.read(LINE_INDEX_TABLE).count() == 16
+        assert max(sizes[3:]) <= 6, sizes
+
+
 def test_fact_store_week_probe_prunes_files(spark, sf_dir):
     """The manifest-backed fact store (order_date zone maps + range-
     clustered compaction): a one-week probe opens <50% of the data
