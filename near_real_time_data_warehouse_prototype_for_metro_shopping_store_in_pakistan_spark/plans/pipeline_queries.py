@@ -202,6 +202,41 @@ def text_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the deterministic in-query CJK/Thai tails (the
+    text_token_modes augmentation) — shared by the mixed-mode rows so
+    the Spark and DuckDB sides append identical text."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" " + TOKEN_MODE_CJK)
+            )
+            .when(F.col("doc_id") % 7 == 3, F.lit(" " + TOKEN_MODE_THAI))
+            .otherwise(F.lit("")),
+        ),
+    )
+
+
+def text_gopher_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher gates under token_mode="mixed" over the CJK/Thai-
+    augmented corpus: word-denominated rules count each no-whitespace-
+    script char as a word 1-gram, the alphabetic rule counts any
+    Unicode letter, and the mean-word-length band applies to Latin
+    words only (the declared mixed-mode adaptations) — the driver-
+    level evidence that the multilingual gate semantics match an
+    independent engine exactly."""
+    return text_profile.gopher_gates(
+        _augmented_docs(spark, sf_dir),
+        min_words=GOPHER_MIN_WORDS,
+        max_words=GOPHER_MAX_WORDS,
+        required_words=GOPHER_ROW_REQUIRED,
+        token_mode="mixed",
+    )
+
+
 def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health profile (text_profile.corpus_health):
     docs, tokens, centi-mean quality, Gopher pass count, exact-dup
@@ -1886,6 +1921,7 @@ PIPELINE_QUERIES = {
     "dedup_clusters_best": dedup_clusters_best,
     "corpus_adaptive_quality": corpus_adaptive_quality,
     "text_gopher_gates": text_gopher_gates,
+    "text_gopher_mixed": text_gopher_mixed,
     "corpus_split_leakage": corpus_split_leakage,
     "corpus_health_report": corpus_health_report,
     "corpus_hash_sample": corpus_hash_sample,
@@ -4551,6 +4587,71 @@ FROM g
 """
 
 
+def _gopher_mixed_oracle() -> str:
+    """Mirror of gopher_gates(token_mode="mixed") over the augmented
+    corpus: mixed tokens (char-1-grams for no-space scripts), alpha =
+    any Unicode letter (RE2 \\p{L} both engines), mean-word-length
+    over Latin-letter words only (vacuously true when none)."""
+    req = _sql_in_list(GOPHER_ROW_REQUIRED)
+    return f"""
+WITH aug AS (
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 7 = 0 THEN ' {TOKEN_MODE_CJK}'
+                        WHEN doc_id % 7 = 3 THEN ' {TOKEN_MODE_THAI}'
+                        ELSE '' END AS text
+    FROM documents),
+t AS (
+    SELECT doc_id, text, {_sql_tokens_mixed("lower(text)")} AS toks
+    FROM aug
+),
+c AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           list_filter(toks, x -> regexp_matches(x, '[a-z]')) AS ltoks,
+           len(list_filter(toks, x -> regexp_matches(x, '\\p{{L}}')))
+               AS alpha_words,
+           length(text) - length(replace(text, '#', '')) AS n_hash,
+           len(regexp_extract_all(text, '(\\.\\.\\.)')) AS n_ellipsis,
+           list_filter(string_split(text, chr(10)), s -> trim(s) != '')
+               AS lines,
+           len(list_intersect(list_distinct(toks), [{req}])) AS req
+    FROM t
+),
+g AS (
+    SELECT doc_id, n_words, alpha_words, req,
+           CAST(len(ltoks) AS BIGINT) AS n_len_words,
+           coalesce(list_sum(list_transform(ltoks, x -> length(x))), 0)
+               AS word_chars,
+           n_hash + n_ellipsis AS symbols,
+           len(lines) AS n_lines,
+           len(list_filter(lines, s -> starts_with(s, '- ')
+               OR starts_with(s, '* ') OR starts_with(s, '• ')))
+               AS bullet_lines,
+           len(list_filter(lines, s -> ends_with(s, '...')))
+               AS ellipsis_lines
+    FROM c
+)
+SELECT doc_id, n_words,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+           AS words_ok,
+       (word_chars >= 3 * n_len_words AND word_chars <= 10 * n_len_words)
+           AS mean_len_ok,
+       (10 * symbols <= n_words) AS symbol_ok,
+       (5 * alpha_words >= 4 * n_words) AS alpha_ok,
+       (10 * bullet_lines <= 9 * n_lines) AS bullet_ok,
+       (10 * ellipsis_lines <= 3 * n_lines) AS ellipsis_ok,
+       (req >= 2) AS required_words_ok,
+       ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+        AND (word_chars >= 3 * n_len_words AND word_chars <= 10 * n_len_words)
+        AND (10 * symbols <= n_words)
+        AND (5 * alpha_words >= 4 * n_words)
+        AND (10 * bullet_lines <= 9 * n_lines)
+        AND (10 * ellipsis_lines <= 3 * n_lines)
+        AND (req >= 2)) AS gopher_ok
+FROM g
+"""
+
+
 def _corpus_health_oracle() -> str:
     """Mirror of corpus_health over the gopher-gates CTE: same
     integer arithmetic (centi-mean = sum·100 div n), count-distinct
@@ -6127,6 +6228,7 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
     "dedup_clusters_best": _clusters_best_oracle(),
     "corpus_adaptive_quality": _adaptive_quality_oracle(),
     "text_gopher_gates": _gopher_gates_oracle(),
+    "text_gopher_mixed": _gopher_mixed_oracle(),
     "corpus_split_leakage": _split_leakage_oracle(),
     "corpus_health_report": _corpus_health_oracle(),
     "corpus_hash_sample": ORACLE_HASH_SAMPLE,

@@ -79,6 +79,7 @@ def index_warehouse(
     index_root: str,
     backend: str = "manifest",
     auto_compact_segments: int | None | str = "auto",
+    sink_kwargs: dict | None = None,
 ) -> MergeSink:
     """The IVF index's insert-if-absent store. Default backend is
     ``manifest`` with inline auto-compaction: the index is the
@@ -87,7 +88,11 @@ def index_warehouse(
     count is the small-file death spiral squared — compaction rewrites
     live segments into one, preserving the cell hive layout the serve
     path partition-prunes on (``compact`` repartitions by the
-    configured partition columns)."""
+    configured partition columns). ``sink_kwargs`` forwards extra
+    ``make_sink`` options (``commit_protocol="objectstore"``,
+    ``compact_async=True``, ``tier_factor``, ``stats_cols``...) so
+    deployments pick the commit primitive and compaction policy
+    without a facade fork."""
     return make_sink(
         spark,
         index_root,
@@ -97,6 +102,7 @@ def index_warehouse(
         auto_compact_segments=resolve_auto_compact(
             backend, auto_compact_segments
         ),
+        **(sink_kwargs or {}),
     )
 
 
@@ -227,6 +233,7 @@ def pq_index_warehouse(
     index_root: str,
     backend: str = "manifest",
     auto_compact_segments: int | None | str = "auto",
+    sink_kwargs: dict | None = None,
 ) -> MergeSink:
     return make_sink(
         spark,
@@ -237,6 +244,7 @@ def pq_index_warehouse(
         auto_compact_segments=resolve_auto_compact(
             backend, auto_compact_segments
         ),
+        **(sink_kwargs or {}),
     )
 
 

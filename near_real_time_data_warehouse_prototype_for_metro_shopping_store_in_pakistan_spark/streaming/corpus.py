@@ -238,6 +238,7 @@ def stream_curate(
     max_fluency_invp: int | None = None,
     auto_compact_segments: int | None | str = "auto",
     unicode_normalize: bool = False,
+    sink_kwargs: dict | None = None,
 ) -> StreamingQuery:
     """Stream document files through the curation funnel into an
     idempotent curated-corpus table keyed on the text fingerprint.
@@ -253,6 +254,7 @@ def stream_curate(
         backend=backend, auto_compact_segments=resolve_auto_compact(
             backend, auto_compact_segments
         ),
+        **(sink_kwargs or {}),
     )
     # the eval set is static for the stream's lifetime: collect and
     # broadcast it ONCE here, not per trigger
@@ -672,6 +674,7 @@ def adaptive_warehouse(
     corpus_root: str,
     backend: str = "manifest",
     auto_compact_segments: int | None | str = "auto",
+    sink_kwargs: dict | None = None,
     group_col: str = "source",
     score_col: str = "quality_score",
     id_col: str = "doc_id",
@@ -691,6 +694,7 @@ def adaptive_warehouse(
         auto_compact_segments=resolve_auto_compact(
             backend, auto_compact_segments
         ),
+        **(sink_kwargs or {}),
     )
 
 
@@ -839,6 +843,7 @@ def lines_warehouse(
     corpus_root: str,
     backend: str = "manifest",
     auto_compact_segments: int | None | str = "auto",
+    sink_kwargs: dict | None = None,
 ) -> MergeSink:
     """The line-dedup admission state: cleaned docs keyed on doc_id,
     line claims keyed on (fingerprint, owner doc)."""
@@ -853,6 +858,7 @@ def lines_warehouse(
         auto_compact_segments=resolve_auto_compact(
             backend, auto_compact_segments
         ),
+        **(sink_kwargs or {}),
     )
 
 
@@ -900,6 +906,7 @@ def substr_warehouse(
     corpus_root: str,
     backend: str = "manifest",
     auto_compact_segments: int | None | str = "auto",
+    sink_kwargs: dict | None = None,
 ) -> MergeSink:
     """The ExactSubstr admission state: cleaned docs keyed on doc_id,
     gram claims keyed on the combined rolling hash."""
@@ -914,6 +921,7 @@ def substr_warehouse(
         auto_compact_segments=resolve_auto_compact(
             backend, auto_compact_segments
         ),
+        **(sink_kwargs or {}),
     )
 
 
@@ -972,6 +980,7 @@ def stream_curate_neardup(
     max_fluency_invp: int | None = None,
     auto_compact_segments: int | None | str = "auto",
     unicode_normalize: bool = False,
+    sink_kwargs: dict | None = None,
 ) -> StreamingQuery:
     """``stream_curate`` upgraded from exact to NEAR-dup cross-batch
     dedup: the same stateless gates per batch (including the optional
@@ -979,7 +988,10 @@ def stream_curate_neardup(
     admission against a persisted band index (see
     ``admit_neardup_batch``). State remains plain warehouse tables —
     no streaming state store, replays are no-ops. ``backend`` selects
-    the insert-if-absent sink implementation (operators.sinks)."""
+    the insert-if-absent sink implementation (operators.sinks);
+    ``sink_kwargs`` forwards extra ``make_sink`` options
+    (``commit_protocol="objectstore"``, ``compact_async=True``,
+    ``tier_factor``...)."""
     warehouse = make_sink(
         spark,
         corpus_root,
@@ -994,6 +1006,7 @@ def stream_curate_neardup(
         auto_compact_segments=resolve_auto_compact(
             backend, auto_compact_segments
         ),
+        **(sink_kwargs or {}),
     )
     eval_state = broadcast_eval_grams(eval_docs)
     lm_counts = None

@@ -884,8 +884,122 @@ def zonemap_mode(spark, n_batches: int, batch_rows: int) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+
+def tiered_mode(spark, n_batches: int = 48, batch_rows: int = 2000) -> None:
+    """Size-tiered vs full-rewrite auto-compaction write volume: run
+    the SAME ingest stream through two manifest sinks — tier_factor=2
+    (the r11 policy) and tier_factor=inf (r10's rewrite-everything
+    behavior) — and report cumulative compaction rows/bytes, max live
+    segments (the bound must hold across >= 32 batches), and identical
+    end state. Also prints the pure-policy simulation at 1024 batches,
+    where the O(N log N)-vs-O(N^2/B) separation is unambiguous."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.sinks import (
+        ManifestParquetSink,
+        make_sink,
+    )
+
+    def batch(b: int):
+        return spark.range(b * batch_rows, (b + 1) * batch_rows).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("v"),
+        )
+
+    def run(factor: float):
+        root = tempfile.mkdtemp(prefix="scalecheck_tiered_")
+        try:
+            sink = make_sink(
+                spark, root, keys={"t": ["k"]}, backend="manifest",
+                auto_compact_segments=8,
+            )
+            sink.tier_factor = factor
+            staged_rows = []
+            staged_bytes = []
+            orig = sink._stage_segment
+
+            def wrapped(name, df, covers=None, min_row=None):
+                stage = orig(name, df, covers=covers, min_row=min_row)
+                if covers is not None:
+                    staged_rows.append(sink._segment_rows(stage))
+                    staged_bytes.append(sink._segment_bytes(stage))
+                return stage
+
+            sink._stage_segment = wrapped
+            max_live = 0
+            t0 = time.time()
+            for b in range(n_batches):
+                sink.insert_if_absent("t", batch(b))
+                live, _, _ = sink._segments("t")
+                max_live = max(max_live, len(live))
+            wall = time.time() - t0
+            n = sink.read("t").count()
+            assert n == n_batches * batch_rows, n
+            return {
+                "compaction_events": len(staged_rows),
+                "rewritten_rows": sum(staged_rows),
+                "rewritten_bytes": sum(staged_bytes),
+                "max_live_segments": max_live,
+                "wall_sec": round(wall, 2),
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    tiered = run(2.0)
+    full = run(float("inf"))
+    assert tiered["max_live_segments"] <= 9, tiered
+
+    def simulate(n, bound, factor):
+        live, rewritten, max_live = [], 0, 0
+        for _ in range(n):
+            live.append(1)
+            max_live = max(max_live, len(live))
+            if len(live) > bound:
+                take = min(
+                    ManifestParquetSink.tier_take(live, bound, factor),
+                    len(live),
+                )
+                merged = sum(live[-take:])
+                live = live[:-take] + [merged]
+                rewritten += merged
+        return rewritten, max_live
+
+    sim_t, live_t = simulate(1024, 8, 2.0)
+    sim_f, live_f = simulate(1024, 8, float("inf"))
+    print(
+        json.dumps(
+            {
+                "mode": "tiered_compaction",
+                "n_batches": n_batches,
+                "batch_rows": batch_rows,
+                "tiered": tiered,
+                "full_rewrite": full,
+                "rows_ratio": round(
+                    tiered["rewritten_rows"] / max(full["rewritten_rows"], 1),
+                    3,
+                ),
+                "sim_1024_batches": {
+                    "tiered_rewritten": sim_t,
+                    "full_rewritten": sim_f,
+                    "ratio": round(sim_t / sim_f, 4),
+                    "max_live": [live_t, live_f],
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
+    if args and args[0] == "tiered":
+        rest = [int(a) for a in args[1:]]
+        spark = get_spark(app_name="scalecheck-tiered")
+        spark.sparkContext.setLogLevel("ERROR")
+        tiered_mode(
+            spark,
+            n_batches=rest[0] if rest else 48,
+            batch_rows=rest[1] if len(rest) > 1 else 2000,
+        )
+        return
     if args and args[0] == "zonemap":
         rest = [int(a) for a in args[1:]]
         spark = get_spark(app_name="scalecheck-zonemap")

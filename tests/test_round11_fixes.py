@@ -501,6 +501,54 @@ class TestClaimRetention:
         assert max(sizes[3:]) <= 6, sizes
 
 
+def test_expire_below_sink_row_semantics(spark, tmp_path):
+    """compact(expire_below=h): rows first-admitted <= h vanish, rows
+    above survive exactly, snapshot ids all remain valid."""
+    sink = _sink(spark, tmp_path)
+    for b in range(5):
+        sink.insert_if_absent("t", _mk(spark, 2 * b, 2 * b + 1))
+    assert sink.compact("t", expire_below=2, delete_covered=False) == 5
+    got = {r["k"] for r in sink.read("t").collect()}
+    assert got == {6, 7, 8, 9}, got  # snapshots 3 and 4 survive
+    assert sink.snapshots("t") == [0, 1, 2, 3, 4, 5]
+    # expired keys re-admit (the documented recall trade) while
+    # surviving keys still dedup
+    sink.insert_if_absent("t", _mk(spark, 0, 6))
+    got = {r["k"] for r in sink.read("t").collect()}
+    assert got == {0, 6, 7, 8, 9}
+    assert sink.read("t").count() == 5
+
+
+def test_facades_accept_objectstore_sink_kwargs(spark, tmp_path):
+    """The streaming warehouse constructors forward make_sink options:
+    an admission warehouse on the objectstore commit protocol behaves
+    identically and produces the objectstore layout."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.corpus import (
+        LINES_CURATED_TABLE,
+        admit_lines_batch,
+        lines_warehouse,
+    )
+
+    wh = lines_warehouse(
+        spark,
+        str(tmp_path),
+        sink_kwargs={"commit_protocol": "objectstore"},
+    )
+    batch = spark.createDataFrame(
+        [(1, "alpha beta\ngamma delta")], "doc_id long, text string"
+    )
+    admit_lines_batch(wh, batch, min_docs=2)
+    admit_lines_batch(wh, batch, min_docs=2)  # replay no-op
+    assert wh.read(LINES_CURATED_TABLE).count() == 1
+    entries = {
+        e.name for e in (tmp_path / LINES_CURATED_TABLE).iterdir()
+    }
+    assert any(e.endswith(".json") for e in entries)
+    assert not any(
+        e.startswith("seg_") and not e.endswith(".json") for e in entries
+    ), "objectstore protocol must not create renamed segment dirs"
+
+
 def test_fact_store_week_probe_prunes_files(spark, sf_dir):
     """The manifest-backed fact store (order_date zone maps + range-
     clustered compaction): a one-week probe opens <50% of the data
