@@ -366,6 +366,19 @@ def main() -> None:
     t0 = time.perf_counter()
     sales_fact(spark, sf_dir).count()
     fact_warmup_sec = round(time.perf_counter() - t0, 3)
+    # Same treatment for the manifest-backed fact STORE (q17's zone-map
+    # path): its one-time batched ingest + clustered compaction is
+    # dataset-build infrastructure (idempotent, disk-cached across
+    # runs), not probe throughput — building it inside q17's timing
+    # would attribute ~N seconds of ingest to a 0.4 s pruned scan.
+    # Recorded separately below, like fact_materialization_sec.
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.plans.fact_store import (
+        build_fact_store,
+    )
+
+    t0 = time.perf_counter()
+    build_fact_store(spark, sf_dir)
+    fact_store_build_sec = round(time.perf_counter() - t0, 3)
 
     calm_enabled = "--no-calm-gate" not in sys.argv
     calm_budget = [CALM_TOTAL_BUDGET_SEC]
@@ -458,6 +471,7 @@ def main() -> None:
         "measurement_sec": measurement_sec,
         "queries": timings,
         "fact_materialization_sec": fact_warmup_sec,
+        "fact_store_build_sec": fact_store_build_sec,
         "streaming_etl": streaming,
         "streaming_curation": curation,
         "cpu_probe_sec": {

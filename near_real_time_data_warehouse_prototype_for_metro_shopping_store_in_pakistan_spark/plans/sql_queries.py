@@ -294,4 +294,20 @@ SQL_QUERIES: dict[str, str] = {
         WHERE rk <= 3
         ORDER BY brand, part_rank
     """,
+    # q17's DataFrame surface reads the manifest-backed zone-map fact
+    # store (plans.fact_store — the access-path optimization under
+    # test); this SQL twin computes the SAME aggregate from the
+    # registered sales_fact view, asserting the store-served answer
+    # equals the view-derived one.
+    "q17_week_probe_zonemap": """
+        SELECT order_date,
+               COUNT(*) AS n_lines,
+               CAST(SUM(quantity_ordered) AS BIGINT) AS total_qty,
+               SUM(revenue_cents) / 100.0D AS total_revenue
+        FROM sales_fact
+        WHERE order_date BETWEEN TIMESTAMP '1996-06-01 00:00:00'
+                             AND TIMESTAMP '1996-06-07 00:00:00'
+        GROUP BY order_date
+        ORDER BY order_date
+    """,
 }
