@@ -1214,11 +1214,16 @@ class ManifestParquetSink(MergeSink):
         """
         take = max(2, len(sizes) - bound + 1)
         total = sum(sizes[-take:])
-        while (
-            take < len(sizes)
-            and sizes[-(take + 1)] <= factor * total
-        ):
-            total += sizes[-(take + 1)]
+        inf = float("inf")
+        while take < len(sizes):
+            nxt = sizes[-(take + 1)]
+            # factor=inf means merge-everything (the pre-tier full
+            # rewrite) unconditionally — spelled out because
+            # inf * 0 is nan, which would silently stop an all-empty
+            # tail from extending
+            if not (factor == inf or nxt <= factor * total):
+                break
+            total += nxt
             take += 1
         return take
 
