@@ -284,12 +284,16 @@ def warehouse_for(
     root: str,
     backend: str = "parquet",
     auto_compact_segments: int | None = None,
+    sink_kwargs: dict | None = None,
 ):
     """Construct the star-schema warehouse on the requested sink
     backend: "parquet" (default), "delta", or "auto" (delta when
     importable). ``auto_compact_segments`` applies the manifest
     backend's inline segment-compaction policy (rejected for other
-    backends — see operators.sinks.ManifestParquetSink)."""
+    backends — see operators.sinks.ManifestParquetSink).
+    ``sink_kwargs`` forwards further manifest-only options
+    (``commit_protocol="objectstore"``, ``compact_async=True``,
+    ``tier_factor``, ``stats_cols``, ``allow_schema_evolution``)."""
     if backend == "auto":
         backend = "delta" if delta_available() else "parquet"
     try:
@@ -312,4 +316,21 @@ def warehouse_for(
                 f"backend (got {backend!r})"
             )
         wh.auto_compact_segments = auto_compact_segments
+    if sink_kwargs:
+        if backend != "manifest":
+            raise ValueError(
+                "sink_kwargs applies only to the 'manifest' backend "
+                f"(got {backend!r})"
+            )
+        for k, v in sink_kwargs.items():
+            if k == "commit_protocol" and v not in (
+                "rename", "objectstore",
+            ):
+                raise ValueError(
+                    f"unknown commit_protocol {v!r}: expected "
+                    "'rename' or 'objectstore'"
+                )
+            if not hasattr(wh, k):
+                raise ValueError(f"unknown sink option {k!r}")
+            setattr(wh, k, v)
     return wh

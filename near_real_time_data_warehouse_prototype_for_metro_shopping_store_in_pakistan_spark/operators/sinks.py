@@ -1562,9 +1562,29 @@ class ManifestParquetSink(MergeSink):
                 continue
             if self._publish(name, stage, nxt):
                 break
-            # OCC loser: an ingest took our number (redo compacts the
-            # new segment too) or another compaction covered our
-            # targets (redo sees them superseded) — fresh round
+            # OCC loser. If only new INGEST segments landed — every
+            # target is still live — the staged covering segment is
+            # still VALID (targets are immutable, covers and min_row
+            # unchanged; new segments are outside the covered range):
+            # only its NUMBER is stale, so retry the publish at the
+            # fresh next number instead of restaging the rewrite.
+            # Without this, a background compaction under sustained
+            # ingest restages a full rewrite per lost race — measured
+            # starvation (live count grew to the whole batch count)
+            # and O(losses) wasted rewrite volume. Only a racing
+            # COMPACTION that covered our targets forces a restage.
+            published = False
+            target_nums = {n for n, _, _ in targets}
+            while True:
+                live2, _, nxt2 = self._segments(name)
+                if not target_nums <= {n for n, _, _ in live2}:
+                    break  # targets superseded — restage from scratch
+                if self._publish(name, stage, nxt2):
+                    nxt = nxt2
+                    published = True
+                    break
+            if published:
+                break
             shutil.rmtree(stage, ignore_errors=True)
         # cleanup, not commit: readers already skip these (deferred
         # to the next batch start when delete_covered=False)

@@ -904,12 +904,12 @@ def tiered_mode(spark, n_batches: int = 48, batch_rows: int = 2000) -> None:
             F.md5(F.col("id").cast("string")).alias("v"),
         )
 
-    def run(factor: float):
+    def run(factor: float, compact_async: bool = False):
         root = tempfile.mkdtemp(prefix="scalecheck_tiered_")
         try:
             sink = make_sink(
                 spark, root, keys={"t": ["k"]}, backend="manifest",
-                auto_compact_segments=8,
+                auto_compact_segments=8, compact_async=compact_async,
             )
             sink.tier_factor = factor
             staged_rows = []
@@ -925,26 +925,34 @@ def tiered_mode(spark, n_batches: int = 48, batch_rows: int = 2000) -> None:
 
             sink._stage_segment = wrapped
             max_live = 0
+            lat = []
             t0 = time.time()
             for b in range(n_batches):
+                tb = time.time()
                 sink.insert_if_absent("t", batch(b))
+                lat.append(time.time() - tb)
                 live, _, _ = sink._segments("t")
                 max_live = max(max_live, len(live))
+            sink.wait_for_compactions()
             wall = time.time() - t0
             n = sink.read("t").count()
             assert n == n_batches * batch_rows, n
+            lat.sort()
             return {
                 "compaction_events": len(staged_rows),
                 "rewritten_rows": sum(staged_rows),
                 "rewritten_bytes": sum(staged_bytes),
                 "max_live_segments": max_live,
                 "wall_sec": round(wall, 2),
+                "batch_latency_p50": round(lat[len(lat) // 2], 2),
+                "batch_latency_max": round(lat[-1], 2),
             }
         finally:
             shutil.rmtree(root, ignore_errors=True)
 
     tiered = run(2.0)
     full = run(float("inf"))
+    tiered_async = run(2.0, compact_async=True)
     assert tiered["max_live_segments"] <= 9, tiered
 
     def simulate(n, bound, factor):
@@ -972,6 +980,11 @@ def tiered_mode(spark, n_batches: int = 48, batch_rows: int = 2000) -> None:
                 "batch_rows": batch_rows,
                 "tiered": tiered,
                 "full_rewrite": full,
+                # compact_async moves the rewrite off the triggering
+                # batch: max batch latency should approach p50 while
+                # the sync policies pay a full rewrite inline on the
+                # unlucky batch
+                "tiered_async": tiered_async,
                 "rows_ratio": round(
                     tiered["rewritten_rows"] / max(full["rewritten_rows"], 1),
                     3,

@@ -289,6 +289,50 @@ def test_tiered_compaction_leaves_large_segment_alone(spark, tmp_path):
     assert sink.read("t").count() == 86
 
 
+def test_compaction_republishes_without_restaging(spark, tmp_path):
+    """A compaction that loses its publish to a RACING INGEST (targets
+    all still live) must re-attempt the publish with the SAME staged
+    covering segment at the fresh number — not restage the whole
+    rewrite (the starvation/write-amplification bug the async
+    scalecheck exposed: one full rewrite per lost race)."""
+    sink = _sink(spark, tmp_path)
+    for b in range(3):
+        sink.insert_if_absent("t", _mk(spark, 2 * b, 2 * b + 1))
+    stage_calls = []
+    orig_stage = sink._stage_segment
+
+    def counting_stage(name, df, covers=None, min_row=None):
+        if covers is not None:
+            stage_calls.append(1)
+        return orig_stage(name, df, covers=covers, min_row=min_row)
+
+    sink._stage_segment = counting_stage
+    orig_publish = sink._publish
+    state = {"intercepted": False}
+
+    def racing_publish(name, stage, num):
+        if not state["intercepted"] and "_stage_" in str(stage):
+            state["intercepted"] = True
+            # a racing ingest claims the number first
+            loser = orig_stage(name, _mk(spark, 100))
+            assert orig_publish(name, loser, num)
+        return orig_publish(name, stage, num)
+
+    sink._publish = racing_publish
+    snap = sink.compact("t", delete_covered=False)
+    assert snap == 4, "covering segment must land at the NEXT number"
+    assert len(stage_calls) == 1, (
+        f"compaction restaged {len(stage_calls)} times for an "
+        "ingest-only race"
+    )
+    assert {r["k"] for r in sink.read("t").collect()} == set(range(6)) | {
+        100
+    }
+    snaps = sink.snapshots("t")
+    assert snaps == list(range(len(snaps)))
+    assert {r["k"] for r in sink.read_at("t", 1).collect()} == {0, 1, 2, 3}
+
+
 def test_tiered_history_preserved_across_partial_compactions(
     spark, tmp_path
 ):
