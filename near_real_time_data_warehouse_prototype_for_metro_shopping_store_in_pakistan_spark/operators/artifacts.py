@@ -148,3 +148,60 @@ def load_codebooks(spark: SparkSession, path: str) -> DataFrame:
                 f"0..{ksub - 1})"
             )
     return books
+
+
+LM_COLS = ["ctx", "w", "c2"]
+
+
+def lm_fingerprint(counts: DataFrame, lang_col: str | None = None) -> str:
+    """``lm:<n>:<sum>`` over the full ([lang,] ctx, w, c2) content —
+    the n-gram model relation (``text_profile.bigram_lm_counts``) is
+    the last trained artifact in the engine without one: a fluency
+    gate's identity IS its count table."""
+    cols = ([lang_col] if lang_col else []) + LM_COLS
+    expr = "concat_ws('|', " + ", ".join(
+        f"cast({c} as string)" for c in cols
+    ) + ")"
+    return "lm:" + _content_fingerprint(counts, expr)
+
+
+def save_lm_counts(
+    counts: DataFrame, path: str, lang_col: str | None = None
+) -> None:
+    """Persist a trained n-gram model relation immutably (write mode
+    ``error``) — the retrain-free restart path for the streaming
+    CCNet fluency gate."""
+    cols = ([lang_col] if lang_col else []) + LM_COLS
+    missing = [c for c in cols if c not in counts.columns]
+    if missing:
+        raise ValueError(
+            f"LM count relation missing columns {missing}; expected "
+            f"{cols} (bigram_lm_counts output)"
+        )
+    counts.select(*cols).coalesce(1).write.mode("error").parquet(path)
+
+
+def load_lm_counts(
+    spark: SparkSession, path: str, lang_col: str | None = None
+) -> DataFrame:
+    """Load a persisted n-gram model. Validates ([lang,] ctx, w) key
+    uniqueness and positive counts — a doubled gram row would double
+    its probability mass silently."""
+    cols = ([lang_col] if lang_col else []) + LM_COLS
+    counts = spark.read.parquet(path).select(*cols)
+    keys = cols[:-1]
+    row = counts.select(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(*keys).alias("k"),
+        F.min("c2").alias("mn"),
+    ).collect()[0]
+    if row["n"] != row["k"]:
+        raise ValueError(
+            f"corrupt LM artifact at {path}: {row['n']} rows but only "
+            f"{row['k']} distinct {tuple(keys)} keys"
+        )
+    if row["mn"] is not None and row["mn"] < 1:
+        raise ValueError(
+            f"corrupt LM artifact at {path}: count below 1 ({row['mn']})"
+        )
+    return counts

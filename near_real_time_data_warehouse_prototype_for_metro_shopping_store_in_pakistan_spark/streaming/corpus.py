@@ -239,6 +239,7 @@ def stream_curate(
     auto_compact_segments: int | None | str = "auto",
     unicode_normalize: bool = False,
     sink_kwargs: dict | None = None,
+    lm_counts: "DataFrame | str | None" = None,
 ) -> StreamingQuery:
     """Stream document files through the curation funnel into an
     idempotent curated-corpus table keyed on the text fingerprint.
@@ -259,15 +260,27 @@ def stream_curate(
     # the eval set is static for the stream's lifetime: collect and
     # broadcast it ONCE here, not per trigger
     eval_state = broadcast_eval_grams(eval_docs)
-    lm_counts = None
     if max_fluency_invp is not None:
-        if lm_docs is None:
-            raise ValueError("max_fluency_invp needs lm_docs")
-        from ..operators.text_profile import bigram_lm_counts
+        if lm_counts is None and lm_docs is None:
+            raise ValueError(
+                "max_fluency_invp needs lm_docs or lm_counts"
+            )
+        if isinstance(lm_counts, str):
+            # a persisted model artifact (operators.artifacts
+            # save_lm_counts) — the retrain-free restart path, like
+            # the streaming ANN facades' centroid paths
+            from ..operators.artifacts import load_lm_counts
 
+            lm_counts = load_lm_counts(spark, lm_counts)
+        if lm_counts is None:
+            from ..operators.text_profile import bigram_lm_counts
+
+            lm_counts = bigram_lm_counts(lm_docs)
         # the model is static for the stream's lifetime too —
         # materialize the count relation once
-        lm_counts = bigram_lm_counts(lm_docs).localCheckpoint(eager=True)
+        lm_counts = lm_counts.localCheckpoint(eager=True)
+    else:
+        lm_counts = None
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -874,14 +887,25 @@ def stream_curate_lines(
     available_now: bool = True,
     backend: str = "manifest",
     auto_compact_segments: int | None | str = "auto",
+    sink_kwargs: dict | None = None,
+    expire_claims_every: int | None = None,
+    expire_keep_snapshots: int = 64,
 ) -> StreamingQuery:
     """Line-level boilerplate removal as a streaming pipeline: each
     micro-batch cuts segments that reached ``min_docs`` distinct docs
     across itself and all corpus history via ``admit_lines_batch``.
     State is plain warehouse tables (cleaned docs + line index) — no
-    streaming state store, replays are no-ops."""
+    streaming state store, replays are no-ops.
+
+    ``expire_claims_every=N`` runs the claim-table TTL
+    (``expire_claims``, keeping the newest ``expire_keep_snapshots``
+    snapshots of the LINE INDEX) every N micro-batches — the bounded-
+    state configuration for an unbounded stream, with the documented
+    below-horizon recall trade. The CURATED table is never expired
+    (that would delete admitted documents, not dedup state)."""
     warehouse = lines_warehouse(
-        spark, corpus_root, backend, auto_compact_segments
+        spark, corpus_root, backend, auto_compact_segments,
+        sink_kwargs=sink_kwargs,
     )
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if max_files_per_trigger:
@@ -892,6 +916,14 @@ def stream_curate_lines(
         admit_lines_batch(
             warehouse, batch, min_docs, segmenter, words_per_segment
         )
+        if (
+            expire_claims_every
+            and batch_id > 0
+            and batch_id % expire_claims_every == 0
+        ):
+            expire_claims(
+                warehouse, LINE_INDEX_TABLE, expire_keep_snapshots
+            )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -981,6 +1013,7 @@ def stream_curate_neardup(
     auto_compact_segments: int | None | str = "auto",
     unicode_normalize: bool = False,
     sink_kwargs: dict | None = None,
+    lm_counts: "DataFrame | str | None" = None,
 ) -> StreamingQuery:
     """``stream_curate`` upgraded from exact to NEAR-dup cross-batch
     dedup: the same stateless gates per batch (including the optional
@@ -1009,13 +1042,22 @@ def stream_curate_neardup(
         **(sink_kwargs or {}),
     )
     eval_state = broadcast_eval_grams(eval_docs)
-    lm_counts = None
     if max_fluency_invp is not None:
-        if lm_docs is None:
-            raise ValueError("max_fluency_invp needs lm_docs")
-        from ..operators.text_profile import bigram_lm_counts
+        if lm_counts is None and lm_docs is None:
+            raise ValueError(
+                "max_fluency_invp needs lm_docs or lm_counts"
+            )
+        if isinstance(lm_counts, str):
+            from ..operators.artifacts import load_lm_counts
 
-        lm_counts = bigram_lm_counts(lm_docs).localCheckpoint(eager=True)
+            lm_counts = load_lm_counts(spark, lm_counts)
+        if lm_counts is None:
+            from ..operators.text_profile import bigram_lm_counts
+
+            lm_counts = bigram_lm_counts(lm_docs)
+        lm_counts = lm_counts.localCheckpoint(eager=True)
+    else:
+        lm_counts = None
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

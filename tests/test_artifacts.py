@@ -196,3 +196,92 @@ def test_streaming_facade_accepts_persisted_centroid_path(
         for r in served_rel.collect()
     }
     assert sp == sr and sp
+
+
+def test_lm_counts_roundtrip_identical_scores(spark, sf_dir, tmp_path):
+    """The trained n-gram model persists/reloads with identical
+    fluency scores — the last trained artifact in the engine
+    (BPE merges, centroids, codebooks, now the LM count table)."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.text_profile import (
+        bigram_lm_counts,
+        lm_surprisal_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    counts = bigram_lm_counts(docs)
+    path = str(tmp_path / "lm")
+    artifacts.save_lm_counts(counts, path)
+    loaded = artifacts.load_lm_counts(spark, path)
+    assert artifacts.lm_fingerprint(loaded) == artifacts.lm_fingerprint(
+        counts
+    )
+    s1 = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_invp_scaled"])
+        for r in lm_surprisal_stats(docs, lm_counts=counts).collect()
+    }
+    s2 = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_invp_scaled"])
+        for r in lm_surprisal_stats(docs, lm_counts=loaded).collect()
+    }
+    assert s1 == s2 and s1
+
+
+def test_lm_counts_load_validates(spark, tmp_path):
+    bad = spark.createDataFrame(
+        [("the", "cat", 2), ("the", "cat", 3)],
+        "ctx string, w string, c2 long",
+    )
+    bad.write.parquet(str(tmp_path / "lm"))
+    with pytest.raises(ValueError, match="distinct"):
+        artifacts.load_lm_counts(spark, str(tmp_path / "lm"))
+
+
+def test_stream_curate_accepts_persisted_lm_path(spark, tmp_path):
+    """stream_curate(lm_counts=<artifact path>) gates identically to
+    in-session training — the retrain-free restart for the streaming
+    fluency gate."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.sinks import (
+        read_table,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.text_profile import (
+        LM_SCALE,
+        bigram_lm_counts,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming import (
+        corpus as sc,
+    )
+
+    lm = spark.createDataFrame(
+        [(0, "the cat sat on the mat " * 3)], "doc_id long, text string"
+    )
+    rows = [
+        (i, f"the cat sat on the mat r{i}", "en", "s0")
+        for i in range(1, 5)
+    ] + [
+        (i, f"zzq{i} wwk{i} vvt{i} uup{i} qqa{i} ppb{i}", "en", "s0")
+        for i in range(10, 14)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    src = str(tmp_path / "in")
+    docs.write.parquet(src)
+    lm_path = str(tmp_path / "lm")
+    artifacts.save_lm_counts(bigram_lm_counts(lm), lm_path)
+    eval_docs = spark.createDataFrame(
+        [(1000, "completely disjoint eval text")],
+        "doc_id long, text string",
+    )
+    cutoff = 5 * LM_SCALE - 1
+    root = str(tmp_path / "corpus")
+    q = sc.stream_curate(
+        spark, src, root, str(tmp_path / "ckpt"), eval_docs,
+        quality_min=1, min_overlap=10**6,
+        lm_counts=lm_path, max_fluency_invp=cutoff,
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]
+        for r in read_table(spark, root, sc.CURATED_TABLE).collect()
+    }
+    assert got == set(range(1, 5)), got  # gibberish cut, fluent kept

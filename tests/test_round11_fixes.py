@@ -593,6 +593,40 @@ def test_facades_accept_objectstore_sink_kwargs(spark, tmp_path):
     ), "objectstore protocol must not create renamed segment dirs"
 
 
+def test_stream_curate_lines_with_auto_ttl(spark, tmp_path):
+    """stream_curate_lines(expire_claims_every=) keeps the line-index
+    claim table bounded at streaming cadence while the curated docs
+    table stays complete and replayable."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.corpus import (
+        LINE_INDEX_TABLE,
+        LINES_CURATED_TABLE,
+        lines_warehouse,
+        stream_curate_lines,
+    )
+
+    rows = [
+        (i, f"unique line {i} one two\nsecond unique {i} three")
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "in")
+    docs.withColumn("_b", F.col("doc_id") % 8).repartition(8, "_b").drop(
+        "_b"
+    ).write.parquet(src)
+    root = str(tmp_path / "wh")
+    q = stream_curate_lines(
+        spark, src, root, str(tmp_path / "ckpt"),
+        min_docs=2, max_files_per_trigger=1,
+        expire_claims_every=2, expire_keep_snapshots=2,
+    )
+    q.awaitTermination()
+    wh = lines_warehouse(spark, root)
+    assert wh.read(LINES_CURATED_TABLE).count() == 8
+    # every doc claims 2 line fps; without TTL the index holds 16
+    n_idx = wh.read(LINE_INDEX_TABLE).count()
+    assert n_idx < 16, n_idx
+
+
 def test_fact_store_week_probe_prunes_files(spark, sf_dir):
     """The manifest-backed fact store (order_date zone maps + range-
     clustered compaction): a one-week probe opens <50% of the data
