@@ -721,16 +721,25 @@ def stream_curate_adaptive(
     available_now: bool = True,
     backend: str = "manifest",
     auto_compact_segments: int | None | str = "auto",
+    sink_kwargs: dict | None = None,
+    expire_claims_every: int | None = None,
+    expire_keep_snapshots: int = 64,
 ) -> StreamingQuery:
     """Per-source adaptive quality admission as a streaming pipeline:
     each micro-batch is scored (heuristic quality), admitted against
     its source's cumulative value threshold via
     ``admit_adaptive_quality_batch``, and recorded in histogram
-    state. State is plain warehouse tables, replays are no-ops."""
+    state. State is plain warehouse tables, replays are no-ops.
+    ``expire_claims_every``/``expire_keep_snapshots``: periodic TTL
+    on the histogram STATS table — the cumulative distribution then
+    covers only the horizon (a sliding-window threshold instead of
+    all-time, the FineWeb per-dump framing in time rather than dump
+    units)."""
     from ..operators.text_profile import quality_scores
 
     warehouse = adaptive_warehouse(
-        spark, corpus_root, backend, auto_compact_segments
+        spark, corpus_root, backend, auto_compact_segments,
+        sink_kwargs=sink_kwargs,
     )
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if max_files_per_trigger:
@@ -746,6 +755,14 @@ def stream_curate_adaptive(
         admit_adaptive_quality_batch(
             warehouse, scored, drop_permille=drop_permille
         )
+        if (
+            expire_claims_every
+            and batch_id > 0
+            and batch_id % expire_claims_every == 0
+        ):
+            expire_claims(
+                warehouse, ADAPTIVE_STATS_TABLE, expire_keep_snapshots
+            )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -967,14 +984,22 @@ def stream_curate_substr(
     available_now: bool = True,
     backend: str = "manifest",
     auto_compact_segments: int | None | str = "auto",
+    sink_kwargs: dict | None = None,
+    expire_claims_every: int | None = None,
+    expire_keep_snapshots: int = 64,
 ) -> StreamingQuery:
     """ExactSubstr span removal as a streaming pipeline: each
     micro-batch cuts duplicated spans against itself and all corpus
     history via ``admit_span_batch``. State is plain warehouse tables
     (cleaned docs + gram index) — no streaming state store, replays
-    are no-ops. ``auto_compact_segments``: see ``stream_curate``."""
+    are no-ops. ``auto_compact_segments``: see ``stream_curate``;
+    ``expire_claims_every``/``expire_keep_snapshots``: periodic TTL
+    on the GRAM index (see ``stream_curate_lines`` — a span whose
+    only occurrences predate the horizon is treated as novel
+    again)."""
     warehouse = substr_warehouse(
-        spark, corpus_root, backend, auto_compact_segments
+        spark, corpus_root, backend, auto_compact_segments,
+        sink_kwargs=sink_kwargs,
     )
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if max_files_per_trigger:
@@ -983,6 +1008,14 @@ def stream_curate_substr(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         admit_span_batch(warehouse, batch, span_tokens)
+        if (
+            expire_claims_every
+            and batch_id > 0
+            and batch_id % expire_claims_every == 0
+        ):
+            expire_claims(
+                warehouse, GRAM_INDEX_TABLE, expire_keep_snapshots
+            )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -1014,6 +1047,8 @@ def stream_curate_neardup(
     unicode_normalize: bool = False,
     sink_kwargs: dict | None = None,
     lm_counts: "DataFrame | str | None" = None,
+    expire_claims_every: int | None = None,
+    expire_keep_snapshots: int = 64,
 ) -> StreamingQuery:
     """``stream_curate`` upgraded from exact to NEAR-dup cross-batch
     dedup: the same stateless gates per batch (including the optional
@@ -1085,6 +1120,14 @@ def stream_curate_neardup(
             .localCheckpoint(eager=False)
         )
         admit_neardup_batch(warehouse, first, n, num_hashes, band_size)
+        if (
+            expire_claims_every
+            and batch_id > 0
+            and batch_id % expire_claims_every == 0
+        ):
+            expire_claims(
+                warehouse, BAND_INDEX_TABLE, expire_keep_snapshots
+            )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -627,6 +627,48 @@ def test_stream_curate_lines_with_auto_ttl(spark, tmp_path):
     assert n_idx < 16, n_idx
 
 
+def test_stream_curate_substr_with_auto_ttl(spark, tmp_path):
+    """The TTL switch on the substr facade: gram-index state stays
+    bounded across micro-batches; every doc still lands cleaned."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming.corpus import (
+        GRAM_INDEX_TABLE,
+        SUBSTR_CURATED_TABLE,
+        stream_curate_substr,
+        substr_warehouse,
+    )
+
+    rows = [
+        (
+            i,
+            f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h w{i}i",
+            "en",
+            "s0",
+        )
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    src = str(tmp_path / "in")
+    docs.withColumn("_b", F.col("doc_id") % 6).repartition(6, "_b").drop(
+        "_b"
+    ).write.parquet(src)
+    root = str(tmp_path / "wh")
+    q = stream_curate_substr(
+        spark, src, root, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        expire_claims_every=2, expire_keep_snapshots=2,
+    )
+    q.awaitTermination()
+    wh = substr_warehouse(spark, root)
+    assert wh.read(SUBSTR_CURATED_TABLE).count() == 6
+    # without TTL every doc's grams persist; with it only the newest
+    # horizon's claims survive
+    idx = wh.read(GRAM_INDEX_TABLE)
+    per_doc = idx.groupBy("owner_doc_id").count().count()
+    assert per_doc < 6, per_doc
+
+
 def test_fact_store_week_probe_prunes_files(spark, sf_dir):
     """The manifest-backed fact store (order_date zone maps + range-
     clustered compaction): a one-week probe opens <50% of the data
