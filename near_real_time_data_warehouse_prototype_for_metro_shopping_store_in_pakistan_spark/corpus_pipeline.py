@@ -208,6 +208,23 @@ class CorpusPipeline:
         replay; exact cross-batch dedup by text fingerprint)."""
         self.warehouse.insert_if_absent(CURATED_TABLE, docs)
 
+    def takedown(
+        self, ids: DataFrame, id_col: str = "doc_id"
+    ) -> dict[str, object]:
+        """Key-targeted delete (right-to-be-forgotten), CASCADED
+        through every admission surface under this corpus root: the
+        curated/cleaned tables lose the docs, and the band/gram/line
+        claim indexes lose the docs' ownership rows — so a removed doc
+        neither serves from the corpus nor vetoes future admissions,
+        and a re-sent copy of its content is re-admittable (see
+        ``streaming.corpus.takedown`` for the full semantics; manifest
+        backend deletes redact ALL snapshots). Streaming ANN/PQ
+        indexes under separate roots cascade via
+        ``streaming.ann_index.takedown_vectors``."""
+        from .streaming.corpus import takedown as _takedown
+
+        return _takedown(self.warehouse, ids, id_col=id_col)
+
     def table(self) -> DataFrame:
         got = self.warehouse.read(CURATED_TABLE)
         if got is None:

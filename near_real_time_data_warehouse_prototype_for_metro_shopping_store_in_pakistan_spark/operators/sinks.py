@@ -92,6 +92,39 @@ class MergeSink:
     def insert_if_absent(self, name: str, batch: DataFrame) -> None:  # pragma: no cover
         raise NotImplementedError
 
+    def delete_keys(
+        self, name: str, keys_df: DataFrame, on: list[str] | None = None
+    ):  # pragma: no cover
+        raise NotImplementedError
+
+    def _delete_match(
+        self, keys_df: DataFrame, on: list[str]
+    ) -> tuple[DataFrame, "F.Column"]:
+        """Shared delete-predicate shape: the deduplicated key relation
+        renamed to ``__del_*`` plus the null-safe equality condition
+        against it (NULL key components match NULL column values, the
+        same ``<=>`` semantics every insert-if-absent backend uses).
+        ``keys_df`` is pinned with an eager localCheckpoint because a
+        caller frequently derives it FROM the table being rewritten
+        (e.g. "delete the ids I just read") — a lazy plan would
+        recompute from files the rewrite is about to delete."""
+        missing = [c for c in on if c not in keys_df.columns]
+        if missing:
+            raise ValueError(
+                f"delete_keys match columns {missing} missing from the "
+                f"keys relation (has {keys_df.columns})"
+            )
+        kd = (
+            keys_df.select(*on)
+            .dropDuplicates(on)
+            .localCheckpoint(eager=True)
+        )
+        seen = kd.select(*[F.col(c).alias(f"__del_{c}") for c in on])
+        cond = F.lit(True)
+        for c in on:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__del_{c}"))
+        return seen, cond
+
 
 @dataclass
 class ParquetAntiJoinSink(MergeSink):
@@ -197,6 +230,58 @@ class ParquetAntiJoinSink(MergeSink):
             if pinned is not None:
                 pinned.unpersist()
 
+    def delete_keys(
+        self, name: str, keys_df: DataFrame, on: list[str] | None = None
+    ) -> bool:
+        """Key-targeted delete (takedown / right-to-be-forgotten) for
+        the plain-parquet backend: rewrite the table WITHOUT the rows
+        matching ``keys_df`` on the ``on`` columns (default: the
+        table's dedup key; any column subset works — a claim table
+        keyed on (band, owner) deletes by owner alone).
+
+        Physical form: materialize the surviving rows into a staging
+        directory FIRST (the write reads the old files, so nothing is
+        deleted under the plan), then swap directories with two
+        renames. The window between the renames is this backend's
+        documented single-writer crash hole (the reference shares it:
+        a MySQL DELETE without a transactional engine) — deployments
+        needing a crash-atomic, OCC-safe delete use the manifest
+        backend's ``delete_keys``, which commits the rewrite as a
+        covering snapshot. After a delete the key is genuinely
+        FORGOTTEN: a later insert_if_absent of the same key re-admits
+        it (takedown semantics, same trade ``compact(expire_below=)``
+        documents). The Bloomed subclass inherits this unchanged — its
+        filter stays a SUPERSET of the admitted keys (deleted keys
+        still flag "maybe seen" and pay only the exact check, which
+        now finds nothing), so correctness is unaffected.
+
+        Returns True when rows were deleted, False when the table is
+        absent or no row matched (a replayed delete is a no-op).
+        """
+        import shutil
+        import uuid
+
+        on = list(on or self.keys[name])
+        existing = self.read(name)
+        if existing is None:
+            return False
+        seen, cond = self._delete_match(keys_df, on)
+        if existing.join(seen, cond, "left_semi").isEmpty():
+            return False
+        remaining = existing.join(seen, cond, "left_anti")
+        path = self.path(name)
+        tmp = f"{path}_rewrite_{uuid.uuid4().hex[:12]}"
+        writer = remaining.write.mode("error")
+        parts = self.partitioning.get(name)
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(tmp)  # materialized before the source moves
+        old = f"{path}_old_{uuid.uuid4().hex[:12]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        return True
+
 
 @dataclass
 class DeltaMergeSink(MergeSink):
@@ -256,6 +341,38 @@ class DeltaMergeSink(MergeSink):
             .whenNotMatchedInsertAll()
             .execute()
         )
+
+    def delete_keys(
+        self, name: str, keys_df: DataFrame, on: list[str] | None = None
+    ) -> bool:
+        """Key-targeted delete as one atomic Delta
+        ``MERGE ... WHEN MATCHED THEN DELETE`` — transactional in the
+        Delta log, correct under concurrent writers (the form the
+        manifest backend's OCC rewrite reproduces without the
+        dependency). Same match semantics as the other backends:
+        null-safe equality on ``on`` (default the table's key).
+        Returns False when the table does not exist yet."""
+        from delta.tables import DeltaTable
+
+        on = list(on or self.keys[name])
+        path = self.path(name)
+        if not DeltaTable.isDeltaTable(self.spark, path):
+            return False
+        missing = [c for c in on if c not in keys_df.columns]
+        if missing:
+            raise ValueError(
+                f"delete_keys match columns {missing} missing from the "
+                f"keys relation (has {keys_df.columns})"
+            )
+        target = DeltaTable.forPath(self.spark, path)
+        cond = " AND ".join(f"t.{c} <=> s.{c}" for c in on)
+        (
+            target.alias("t")
+            .merge(keys_df.select(*on).dropDuplicates(on).alias("s"), cond)
+            .whenMatchedDelete()
+            .execute()
+        )
+        return True
 
 
 @dataclass
@@ -388,8 +505,28 @@ class ManifestParquetSink(MergeSink):
     # segment).
     allow_schema_evolution: bool = False
 
+    # Background-compaction failure policy: after this many
+    # CONSECUTIVE background failures on one table, auto-compaction
+    # for that table stops re-triggering (a persistently failing
+    # rewrite — permissions, disk-full — must not loop invisibly
+    # forever). A successful compaction (background or an explicit
+    # ``compact()`` call) resets the counter and re-arms the policy.
+    compact_error_limit: int = 5
+
+    # Optional JSONL metrics feed (one line per background-compaction
+    # failure / recovery) — the storage-layer counterpart of
+    # streaming.monitor's per-batch feed; None = in-memory counters
+    # only (always available via ``compaction_errors``).
+    metrics_path: str | None = None
+
     # name -> running background compaction thread (compact_async)
     _compact_threads: dict = field(
+        default_factory=dict, repr=False, compare=False
+    )
+
+    # name -> {"consecutive", "total", "last_error", "disabled"} for
+    # background compactions (see _compact_quietly)
+    _compact_errors: dict = field(
         default_factory=dict, repr=False, compare=False
     )
 
@@ -1147,6 +1284,117 @@ class ManifestParquetSink(MergeSink):
         if self.auto_compact_segments is not None:
             self._maybe_auto_compact(name)
 
+    def delete_keys(
+        self,
+        name: str,
+        keys_df: DataFrame,
+        on: list[str] | None = None,
+        target_partitions: int = 1,
+        delete_covered: bool = True,
+    ) -> int | None:
+        """Key-targeted delete (takedown / right-to-be-forgotten),
+        committed as a covering snapshot: rewrite every live segment
+        WITHOUT the rows matching ``keys_df`` on the ``on`` columns
+        (default: the table's dedup key; any column subset works — a
+        claim table keyed on (band_khash, owner_doc_id) deletes by
+        owner alone). The rewrite publishes through the same OCC
+        commit as ``insert_if_absent``/``compact``, so a delete racing
+        an ingest writer serializes without a coordinator and a crash
+        mid-delete leaves the old segments fully intact.
+
+        TIME-TRAVEL SEMANTICS — REDACTION FROM ALL SNAPSHOTS
+        (declared): the matched rows are removed from history, not
+        just from the current view — ``read_at`` at ANY snapshot and
+        ``added_between`` over any range no longer return them (the
+        ``compact(expire_below=)`` retention semantics, keyed instead
+        of aged). That is the point of a takedown: a
+        visible-only-below-horizon delete would keep serving the
+        redacted content to historical readers. Snapshot IDS all
+        remain valid (the rewrite covers them); only the rows are
+        gone. Corollary, stated plainly: a later ``insert_if_absent``
+        of a deleted key RE-ADMITS it — the table has genuinely
+        forgotten the key, exactly like an expired claim.
+
+        Returns the covering snapshot id, or None when the table is
+        empty or NO row matched — a replayed/duplicate delete is a
+        no-op that commits nothing (checked with one keyed semi-join
+        before any rewrite work).
+        """
+        import shutil
+
+        on = list(on or self.keys[name])
+        seen, cond = self._delete_match(keys_df, on)
+        self._gc_superseded(name)
+        while True:
+            live, all_nums, nxt = self._segments(name)
+            if not live:
+                return None
+            existing = self._read_live(name, live)
+            try:
+                if existing.join(seen, cond, "left_semi").isEmpty():
+                    return None  # nothing matched — replay no-op
+            except Exception as exc:
+                if not self._is_vanished_input(exc):
+                    raise
+                continue  # racing compaction deleted our listing
+            # cover everything live plus any empty committed segments
+            # at or below the live max (same bookkeeping as compact)
+            live_nums = {n for n, _, _ in live}
+            hi = max(live_nums)
+            covers: set[int] = set()
+            empty_segs: list[tuple[int, str]] = []
+            dir_of = {
+                n: p for n, p, _ in self._list_committed(name)[0]
+            }
+            for s in all_nums:
+                if s <= hi and s not in live_nums:
+                    covers.add(s)
+                    d = dir_of.get(s)
+                    if d is not None and os.path.isdir(d):
+                        empty_segs.append((s, d))
+            out = None
+            min_row: int | None = None
+            for n, seg, c in sorted(live):
+                df = self.spark.read.parquet(seg)
+                if c is None:
+                    df = df.withColumn("_snapshot", F.lit(n).cast("long"))
+                    floor = n
+                else:
+                    floor = self._manifest_min_row(seg, c)
+                min_row = floor if min_row is None else min(min_row, floor)
+                covers.add(n)
+                if c:
+                    covers.update(c)
+                out = df if out is None else self._union(out, df)
+            out = out.join(seen, cond, "left_anti")
+            parts = self.partitioning.get(name)
+            try:
+                if parts:
+                    out = out.repartition(target_partitions, *parts)
+                else:
+                    out = out.coalesce(target_partitions)
+                stage = self._stage_segment(
+                    name, out, covers=covers, min_row=min_row
+                )
+            except Exception as exc:
+                if not self._is_vanished_input(exc):
+                    raise
+                continue
+            if self._publish(name, stage, nxt):
+                break
+            # OCC loser: a concurrent writer took our number — its
+            # segment may contain matching keys our rewrite did not
+            # see, so always restage against the fresh listing (no
+            # compact-style retry-publish shortcut: correctness of a
+            # DELETE depends on covering every committed row).
+            shutil.rmtree(stage, ignore_errors=True)
+        if delete_covered:
+            for n, p, _ in live:
+                self._remove_segment(name, n, p)
+            for n, p in empty_segs:
+                self._remove_segment(name, n, p)
+        return nxt
+
     def _segment_bytes(self, seg: str) -> int:
         """Committed data bytes of a segment, from its manifest's
         ``bytes`` field; pre-``bytes`` manifests fall back to one
@@ -1255,8 +1503,19 @@ class ManifestParquetSink(MergeSink):
             return
         since = self._tier_since(live)
         if not self.compact_async:
-            self.compact(name, since=since, delete_covered=False)
+            try:
+                self.compact(name, since=since, delete_covered=False)
+            except Exception:
+                # inline failures PROPAGATE (the caller sees them) —
+                # but they still count, so operators polling
+                # compaction_errors() see one coherent feed
+                self._record_compact_failure(name)
+                raise
+            self._record_compact_success(name)
             return
+        if self._compact_errors.get(name, {}).get("disabled"):
+            return  # circuit open: no re-trigger until a manual
+            # compact() succeeds (see _record_compact_success)
         t = self._compact_threads.get(name)
         if t is not None and t.is_alive():
             return  # one background compaction per table at a time
@@ -1271,11 +1530,102 @@ class ManifestParquetSink(MergeSink):
         self._compact_threads[name] = t
         t.start()
 
+    def compaction_errors(self, name: str) -> dict:
+        """Observability for the auto-compaction policy on ``name``:
+        ``{"consecutive", "total", "last_error", "disabled"}``.
+        ``disabled=True`` means the background circuit breaker opened
+        (``compact_error_limit`` consecutive failures) and
+        auto-compaction stopped re-triggering for the table; a
+        successful explicit ``compact(name)`` closes it again."""
+        st = self._compact_errors.get(name)
+        if st is None:
+            return {
+                "consecutive": 0,
+                "total": 0,
+                "last_error": None,
+                "disabled": False,
+            }
+        return dict(st)
+
+    def _emit_metric(self, row: dict) -> None:
+        if self.metrics_path is None:
+            return
+        import json
+
+        try:
+            with open(self.metrics_path, "a") as fh:
+                fh.write(json.dumps(row, default=str) + "\n")
+        except OSError:
+            pass  # metrics must never take down the data path
+
+    def _record_compact_failure(
+        self, name: str, exc: Exception | None = None
+    ) -> None:
+        st = self._compact_errors.setdefault(
+            name,
+            {
+                "consecutive": 0,
+                "total": 0,
+                "last_error": None,
+                "disabled": False,
+            },
+        )
+        st["consecutive"] += 1
+        st["total"] += 1
+        if exc is not None:
+            st["last_error"] = f"{type(exc).__name__}: {exc}"
+        self._emit_metric(
+            {
+                "event": "compaction_failure",
+                "table": name,
+                **{k: st[k] for k in ("consecutive", "total", "last_error")},
+            }
+        )
+        if (
+            not st["disabled"]
+            and st["consecutive"] >= self.compact_error_limit
+        ):
+            st["disabled"] = True
+            import warnings
+
+            warnings.warn(
+                f"background compaction of table {name!r} failed "
+                f"{st['consecutive']} consecutive times (last: "
+                f"{st['last_error']}); auto-compaction for this table "
+                "is DISABLED until an explicit compact() succeeds — "
+                "live segment count will grow unbounded until then",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            self._emit_metric(
+                {"event": "compaction_disabled", "table": name}
+            )
+
+    def _record_compact_success(self, name: str) -> None:
+        st = self._compact_errors.get(name)
+        if st is None:
+            return
+        recovered = st["consecutive"] > 0 or st["disabled"]
+        st["consecutive"] = 0
+        st["disabled"] = False
+        if recovered:
+            self._emit_metric(
+                {"event": "compaction_recovered", "table": name}
+            )
+
     def _compact_quietly(self, name: str, since: int | None) -> None:
+        """Background auto-compaction body: failures are COUNTED and
+        surfaced (never raised into the daemon thread): consecutive
+        failures beyond ``compact_error_limit`` open a per-table
+        circuit breaker that stops re-triggering, with one loud
+        RuntimeWarning and a JSONL metric (``metrics_path``) — the
+        round-11 fix for the silent bare-``pass`` retry loop."""
         try:
             self.compact(name, since=since, delete_covered=False)
-        except Exception:  # pragma: no cover - background best-effort
-            pass  # the next over-bound batch re-triggers
+        except Exception as exc:
+            self._record_compact_failure(name, exc)
+        else:
+            self._record_compact_success(name)
 
     def wait_for_compactions(self) -> None:
         """Join any running background compactions (orderly shutdown
@@ -1586,6 +1936,9 @@ class ManifestParquetSink(MergeSink):
             if published:
                 break
             shutil.rmtree(stage, ignore_errors=True)
+        # a committed rewrite closes the failure circuit breaker (an
+        # explicit compact() succeeding re-arms auto-compaction)
+        self._record_compact_success(name)
         # cleanup, not commit: readers already skip these (deferred
         # to the next batch start when delete_covered=False)
         if delete_covered:
@@ -1878,6 +2231,8 @@ def make_sink(
     commit_protocol: str | None = None,
     compact_async: bool = False,
     tier_factor: float | None = None,
+    metrics_path: str | None = None,
+    compact_error_limit: int | None = None,
 ) -> MergeSink:
     """Construct the requested sink backend.
 
@@ -1937,6 +2292,8 @@ def make_sink(
         ("commit_protocol", commit_protocol),
         ("compact_async", compact_async or None),
         ("tier_factor", tier_factor),
+        ("metrics_path", metrics_path),
+        ("compact_error_limit", compact_error_limit),
     ):
         if value is None:
             continue

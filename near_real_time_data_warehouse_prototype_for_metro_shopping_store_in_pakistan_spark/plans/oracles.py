@@ -373,4 +373,7 @@ OLAP_ORACLES = {
     "q08_h1_h2_analysis": Q08,
     "q09_daily_sales_outliers": Q09,
     "q10_store_quarterly_sales": Q10,
+    # the maintained-aggregate serve path must answer EXACTLY the
+    # recomputed view — same oracle as q10 by construction
+    "q18_quarterly_serve_maintained": Q10,
 }

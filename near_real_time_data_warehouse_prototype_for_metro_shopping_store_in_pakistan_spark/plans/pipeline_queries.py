@@ -1158,6 +1158,58 @@ FROM added GROUP BY snapshot, source
 """
 
 
+def corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-targeted delete (takedown / right-to-be-forgotten) through
+    the manifest sink's OCC rewrite (ManifestParquetSink.delete_keys):
+    two overlapping insert-if-absent commits of the documents table
+    (evens first, then everything — the second partially replays),
+    then DELETE every doc with doc_id % 10 == 3, then a replayed
+    delete of the same keys (must match nothing and commit nothing).
+    Returns each surviving doc WITH its first-admission snapshot from
+    ``added_between`` — proving the redaction removed the keys from
+    ALL history (the declared redaction-from-all-snapshots semantics),
+    not just from the head, while the survivors kept their original
+    admission snapshots."""
+    import shutil
+    import tempfile
+
+    from ..operators.sinks import make_sink
+
+    docs = table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="drv_takedown_")
+    try:
+        sink = make_sink(
+            spark, root, keys={"corpus": ["doc_id"]}, backend="manifest"
+        )
+        sink.insert_if_absent("corpus", docs.filter(F.col("doc_id") % 2 == 0))
+        sink.insert_if_absent("corpus", docs)
+        keys = docs.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+        snap = sink.delete_keys("corpus", keys)
+        assert snap is not None, "takedown matched nothing"
+        assert sink.delete_keys("corpus", keys) is None  # replay no-op
+        survivors = sink.added_between("corpus", None, snap)
+        return (
+            survivors.select(
+                "doc_id",
+                "source",
+                "n_chars",
+                F.col("_snapshot").alias("snapshot"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_CORPUS_TAKEDOWN = """
+SELECT doc_id, source, n_chars,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+           AS snapshot
+FROM documents
+WHERE doc_id % 10 <> 3
+"""
+
+
 def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-trained BPE merge table (Sennrich et al. 2016
     shape): BPE_MERGES steps over the top-word dictionary, best pair
@@ -1977,6 +2029,7 @@ PIPELINE_QUERIES = {
     "corpus_dsir_weights": corpus_dsir_weights,
     "corpus_dsir_select": corpus_dsir_select,
     "snapshot_added_between": snapshot_added_between,
+    "corpus_takedown": corpus_takedown,
     "corpus_bpe_merges": corpus_bpe_merges,
     "corpus_bpe_token_stats": corpus_bpe_token_stats,
     "corpus_bpe_coverage": corpus_bpe_coverage,
@@ -6280,6 +6333,7 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
     "corpus_dsir_weights": _dsir_oracle(),
     "corpus_dsir_select": _dsir_select_oracle(),
     "snapshot_added_between": ORACLE_SNAPSHOT_ADDED_BETWEEN,
+    "corpus_takedown": ORACLE_CORPUS_TAKEDOWN,
     "corpus_bpe_merges": _bpe_merges_oracle(),
     "corpus_bpe_token_stats": _bpe_token_stats_oracle(),
     "corpus_bpe_coverage": _bpe_coverage_oracle(),

@@ -647,6 +647,78 @@ def q17_week_probe_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q18_quarterly_serve_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORE_QUARTERLY_SALES answered from the INCREMENTALLY-MAINTAINED
+    partial-sum table (operators.etl.refresh_quarterly_agg /
+    quarterly_sales_serve) after a chunked streaming-style replay: the
+    fact lands in three insert-if-absent commits (thirds by order id,
+    line-grain key), each followed by a refresh that folds ONLY that
+    snapshot's admitted rows into the maintained aggregate; the last
+    chunk is then REPLAYED (fact insert no-ops into an empty snapshot,
+    refresh folds nothing). Serving reads the small maintained table —
+    never the fact (plan-guarded in tests) — and is hash-exact against
+    the recomputed q10 oracle. This is the near-real-time serving twin
+    of the reference's per-batch measure re-derivation
+    (src/Meshjoin.java:705-753) + view recompute
+    (SQL/OLAP Queries - Metro.sql:276-288)."""
+    import shutil
+    import tempfile
+
+    from ..operators.etl import (
+        quarterly_sales_serve,
+        refresh_quarterly_agg,
+    )
+    from ..operators.sinks import make_sink
+
+    fact = sales_fact(spark, sf_dir, line_no=True).select(
+        "order_id",
+        "line_no",
+        "product_id",
+        "supplier_id",
+        "store_id",
+        "quarter",
+        "year",
+        "quantity_ordered",
+        "revenue_cents",
+    )
+    root = tempfile.mkdtemp(prefix="drv_q18_serve_")
+    try:
+        # the synthetic testdata's (orderkey, linenumber) is NOT unique
+        # (real TPC-H's is), so the replay key widens to the 6-tuple
+        # that IS — semantics unchanged: any unique line key works
+        wh = make_sink(
+            spark,
+            root,
+            keys={
+                "sales_fact": [
+                    "order_id",
+                    "line_no",
+                    "product_id",
+                    "supplier_id",
+                    "quantity_ordered",
+                    "revenue_cents",
+                ]
+            },
+            backend="manifest",
+        )
+        for b in range(3):
+            wh.insert_if_absent(
+                "sales_fact", fact.filter(F.col("order_id") % 3 == b)
+            )
+            refresh_quarterly_agg(wh)
+        # at-least-once replay of the last chunk: empty fact snapshot,
+        # refresh folds nothing, the serve answer is unchanged
+        wh.insert_if_absent(
+            "sales_fact", fact.filter(F.col("order_id") % 3 == 2)
+        )
+        refresh_quarterly_agg(wh)
+        return quarterly_sales_serve(
+            wh, store_dim(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 OLAP_QUERIES = {
     "q00_pricing_summary": q00_pricing_summary,
     "q01_weekend_top_products": q01_weekend_top_products,
@@ -667,4 +739,5 @@ OLAP_QUERIES = {
     "q15_customers_without_orders": q15_customers_without_orders,
     "q16_top_parts_per_brand": q16_top_parts_per_brand,
     "q17_week_probe_zonemap": q17_week_probe_zonemap,
+    "q18_quarterly_serve_maintained": q18_quarterly_serve_maintained,
 }

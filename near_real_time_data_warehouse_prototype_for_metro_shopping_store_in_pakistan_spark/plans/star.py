@@ -89,7 +89,7 @@ def customers_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not id(spark) — a stopped session's id() can be recycled by the
 # allocator and would hand a new session a DataFrame bound to a dead
 # context.
-_FACT_CACHE: dict[tuple[str, str, bool], DataFrame] = {}
+_FACT_CACHE: dict[tuple[str, str, bool, bool], DataFrame] = {}
 
 
 def clear_fact_cache() -> None:
@@ -102,17 +102,28 @@ def clear_fact_cache() -> None:
     _FACT_CACHE.clear()
 
 
-def sales_fact(spark: SparkSession, sf_dir: str, time_attrs: bool = True) -> DataFrame:
+def sales_fact(
+    spark: SparkSession,
+    sf_dir: str,
+    time_attrs: bool = True,
+    line_no: bool = False,
+) -> DataFrame:
     """The Sales_Fact equivalent.
 
     Columns: order_id, product_id, supplier_id, store_id, customer_id,
     quantity_ordered, total_revenue, order_date (+ time attributes).
+    ``line_no=True`` additionally carries ``l_linenumber`` as
+    ``line_no`` — on real TPC-H data (order_id, line_no) is the
+    fact's exact line-grain key for sink-backed replays
+    (insert-if-absent); NOTE the synthetic testdata does not keep
+    (orderkey, linenumber) unique, so replay keys there widen to the
+    (order, line, part, supplier, qty, price) tuple that is.
 
     lineitem⋈orders shuffles on orderkey (co-partitioned at scale via
     bucketing); supplier is broadcast (100 rows at sf0.01 — and even at
     SF100k the supplier dim fits the 64 MB broadcast budget).
     """
-    key = (spark.sparkContext.applicationId, sf_dir, time_attrs)
+    key = (spark.sparkContext.applicationId, sf_dir, time_attrs, line_no)
     cached = _FACT_CACHE.get(key)
     if cached is not None:
         return cached
@@ -123,11 +134,17 @@ def sales_fact(spark: SparkSession, sf_dir: str, time_attrs: bool = True) -> Dat
     supp = F.broadcast(
         table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     )
+    line_cols = (
+        [F.col("l_linenumber").cast("int").alias("line_no")]
+        if line_no
+        else []
+    )
     fact = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .select(
             F.col("l_orderkey").alias("order_id"),
+            *line_cols,
             F.col("l_partkey").alias("product_id"),
             F.col("l_suppkey").alias("supplier_id"),
             F.col("s_nationkey").alias("store_id"),

@@ -518,6 +518,36 @@ def admit_embedding_batch(
     return admitted
 
 
+def takedown_vectors(
+    spark: SparkSession,
+    index_root: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+    backend: str = "manifest",
+) -> dict[str, object]:
+    """Cascaded takedown for the persisted ANN indexes under one root:
+    delete the given vector ids from the IVF index and/or the IVF-PQ
+    index (whichever exist), via the backend's ``delete_keys``. After
+    the delete the vector can neither be SERVED as a neighbor
+    (``ivf_index_topk``/``ivfpq_index_topk`` read only live rows) nor
+    VETO future admissions (``admit_embedding_batch``'s history probe
+    reads the same live rows) — and a re-sent copy of the vector is
+    re-admittable, the same forgotten-key semantics as
+    ``streaming.corpus.takedown``. Replays are no-ops. Returns
+    {table: delete result} for the indexes that existed."""
+    results: dict[str, object] = {}
+    for tbl, maker in (
+        (INDEX_TABLE, index_warehouse),
+        (PQ_INDEX_TABLE, pq_index_warehouse),
+    ):
+        wh = maker(spark, index_root, backend, auto_compact_segments=None)
+        if wh.read(tbl) is None:
+            continue
+        keys = ids.select(F.col(id_col).alias("vec_id"))
+        results[tbl] = wh.delete_keys(tbl, keys, on=["vec_id"])
+    return results
+
+
 def stream_index_embeddings_dedup(
     spark: SparkSession,
     emb_dir: str,

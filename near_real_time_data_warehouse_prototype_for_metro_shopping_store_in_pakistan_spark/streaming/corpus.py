@@ -1184,3 +1184,236 @@ def expire_claims(
         expire_below=horizon,
         delete_covered=False,
     )
+
+
+REJECTS_TABLE = "curation_rejects"
+
+# stage -> human reason, shared with the oracle SQL generator so the
+# audit relation and its DuckDB twin cannot drift
+REJECT_REASONS: dict[str, str] = {
+    "c4": "failed C4 document gates",
+    "lang": "predicted language != recorded",
+    "quality": "quality_score below minimum",
+    "repetition": "dup-token/top-bigram fraction above bound",
+    "gopher": "failed Gopher document rules",
+    "classifier": "hashed classifier score below minimum",
+    "fluency": "LM surprisal above bound",
+    "decontaminate": "shares too many n-grams with the eval set",
+    "eval_member": "document is in the evaluation set",
+    "exact_dup": "exact duplicate of an admitted document",
+    "neardup": "verified near-dup of an admitted document",
+}
+
+
+def curation_rejects(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    quality_min: int = QUALITY_MIN,
+    eval_state=None,
+    min_overlap: int = 10,
+    max_dup_token_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
+    redact_pii: bool = False,
+    min_classifier_score: int | None = None,
+    lm_counts: "DataFrame | None" = None,
+    max_fluency_invp: int | None = None,
+    unicode_normalize: bool = False,
+    gopher_kwargs: dict | None = None,
+    c4_kwargs: dict | None = None,
+    intradoc_kwargs: dict | None = None,
+) -> DataFrame:
+    """The funnel's REJECTION AUDIT: (doc_id, stage, reason) for every
+    doc that ``curate_batch`` — called with the SAME arguments — cuts,
+    attributed to the FIRST gate that failed it, in the exact order
+    the gates apply (c4 → lang → quality → repetition → gopher →
+    classifier → fluency → decontaminate → eval_member). Together with
+    ``curate_batch``'s survivors this partitions the batch: every doc
+    is either kept or has exactly one audit row (asserted by tests and
+    the ``corpus_rejection_audit`` oracle row), which is what makes
+    "why was doc X cut" answerable after the fact — the governance
+    record a training-data pipeline owes its takedown/audit process.
+
+    Rewrites (PII redaction, Unicode normalization, C4 line
+    corrections, intra-doc repair) are applied exactly as in
+    ``curate_batch`` before any signal, so the audited signals see the
+    same text the funnel scored. Plan shape: the per-row gates remain
+    fused column expressions over one scan (curation_flags); each
+    OPTIONAL gate joins its signal relation exactly as curate_batch
+    does — the audit costs one extra labeled projection, not a second
+    funnel."""
+    if redact_pii:
+        from ..operators.pii import redact
+
+        docs = docs.withColumn("text", redact("text"))
+    if unicode_normalize:
+        from ..operators.text_profile import with_unicode_normalized_text
+
+        docs = with_unicode_normalized_text(docs)
+    c4_rejects = None
+    if c4_kwargs is not None:
+        from ..operators.text_profile import c4_clean
+
+        c4 = c4_clean(docs, **c4_kwargs)
+        c4_rejects = c4.filter(~F.col("c4_ok")).select("doc_id")
+        docs = docs.drop("text").join(
+            c4.filter(F.col("c4_ok")).select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        )
+    if intradoc_kwargs is not None:
+        from ..operators.dedup import intradoc_dedup
+
+        repaired = intradoc_dedup(docs, **intradoc_kwargs)
+        docs = docs.drop("text").join(
+            repaired.select("doc_id", F.col("clean_text").alias("text")),
+            "doc_id",
+        )
+    flags = curation_flags(docs)
+    sig = docs.select("doc_id").join(flags, "doc_id")
+    # optional signal relations join as boolean "failed" columns, each
+    # mirroring curate_batch's keep-condition negated
+    def _flag(col_df: DataFrame, name: str) -> None:
+        nonlocal sig
+        sig = sig.join(col_df, "doc_id", "left")
+        sig = sig.withColumn(
+            name, F.coalesce(F.col(name), F.lit(False))
+        )
+
+    if max_dup_token_frac is not None or max_top_bigram_frac is not None:
+        from ..operators.text_profile import repetition_stats
+
+        rep = repetition_stats(docs)
+        bad = F.lit(False)
+        if max_dup_token_frac is not None:
+            bad = bad | (F.col("dup_token_frac") > max_dup_token_frac)
+        if max_top_bigram_frac is not None:
+            bad = bad | (F.col("top_bigram_frac") > max_top_bigram_frac)
+        _flag(rep.select("doc_id", bad.alias("_rep_bad")), "_rep_bad")
+    else:
+        sig = sig.withColumn("_rep_bad", F.lit(False))
+    if gopher_kwargs is not None:
+        from ..operators.text_profile import gopher_gates
+
+        g = gopher_gates(docs, **gopher_kwargs)
+        _flag(
+            g.select("doc_id", (~F.col("gopher_ok")).alias("_gopher_bad")),
+            "_gopher_bad",
+        )
+    else:
+        sig = sig.withColumn("_gopher_bad", F.lit(False))
+    if min_classifier_score is not None:
+        from ..operators.classify import hashed_linear_score
+
+        s = hashed_linear_score(docs)
+        _flag(
+            s.select(
+                "doc_id",
+                (F.col("score_sum") < min_classifier_score).alias(
+                    "_cls_bad"
+                ),
+            ),
+            "_cls_bad",
+        )
+    else:
+        sig = sig.withColumn("_cls_bad", F.lit(False))
+    if max_fluency_invp is not None:
+        if lm_counts is None:
+            raise ValueError(
+                "max_fluency_invp needs lm_counts (see curate_batch)"
+            )
+        from ..operators.text_profile import lm_surprisal_stats
+
+        flu = lm_surprisal_stats(docs, lm_counts=lm_counts)
+        _flag(
+            flu.select(
+                "doc_id",
+                (
+                    (F.col("n_bigrams") > 0)
+                    & (F.col("mean_invp_scaled") > max_fluency_invp)
+                ).alias("_flu_bad"),
+            ),
+            "_flu_bad",
+        )
+    else:
+        sig = sig.withColumn("_flu_bad", F.lit(False))
+    decont = ngram_decontaminate(
+        docs, eval_docs, eval_state=eval_state, min_overlap=min_overlap
+    ).select("doc_id", "contaminated", "is_eval")
+    sig = sig.join(decont, "doc_id")
+    stage = (
+        F.when(~F.col("lang_ok"), F.lit("lang"))
+        .when(F.col("quality_score") < quality_min, F.lit("quality"))
+        .when(F.col("_rep_bad"), F.lit("repetition"))
+        .when(F.col("_gopher_bad"), F.lit("gopher"))
+        .when(F.col("_cls_bad"), F.lit("classifier"))
+        .when(F.col("_flu_bad"), F.lit("fluency"))
+        .when(F.col("contaminated"), F.lit("decontaminate"))
+        .when(F.col("is_eval"), F.lit("eval_member"))
+    )
+    rejects = (
+        sig.withColumn("stage", stage)
+        .filter(F.col("stage").isNotNull())
+        .select("doc_id", "stage")
+    )
+    if c4_rejects is not None:
+        rejects = c4_rejects.select(
+            "doc_id", F.lit("c4").alias("stage")
+        ).unionByName(rejects)
+    reason = F.lit(None).cast("string")
+    for st, why in REJECT_REASONS.items():
+        reason = F.when(F.col("stage") == st, F.lit(why)).otherwise(reason)
+    return rejects.select("doc_id", "stage", reason.alias("reason"))
+
+
+# Every admission-state table a corpus root can hold, mapped to the
+# column a doc-keyed TAKEDOWN matches on. Curated/cleaned tables hold
+# the document rows themselves; the claim/index tables hold the doc's
+# dedup state, which must go WITH it — a deleted doc must neither veto
+# future admissions (its band/gram/line claims) nor keep serving as a
+# dedup owner. ``adaptive_stats`` is deliberately ABSENT: its rows are
+# per-batch score HISTOGRAMS (no per-doc row exists to delete); a
+# takedown therefore leaves the historical quality thresholds
+# unchanged, which is the statistically correct reading — the doc was
+# observed — and is bounded anyway by the table's TTL.
+TAKEDOWN_TABLES: dict[str, str] = {
+    CURATED_TABLE: "doc_id",
+    BAND_INDEX_TABLE: "owner_doc_id",
+    SUBSTR_CURATED_TABLE: "doc_id",
+    GRAM_INDEX_TABLE: "owner_doc_id",
+    LINES_CURATED_TABLE: "doc_id",
+    LINE_INDEX_TABLE: "owner_doc_id",
+    ADAPTIVE_CURATED_TABLE: "doc_id",
+}
+
+
+def takedown(
+    warehouse: MergeSink,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+) -> dict[str, object]:
+    """Cascaded key-targeted delete (right-to-be-forgotten) across
+    every admission surface under one corpus root: remove the given
+    doc ids from the curated/cleaned tables AND from every claim/index
+    table that references them as owner (``TAKEDOWN_TABLES``), via the
+    backend's ``delete_keys``. After a takedown the corpus behaves as
+    if the doc never entered: it is absent from every read (manifest
+    backend: from every SNAPSHOT — redaction-from-all-history,
+    declared in ``ManifestParquetSink.delete_keys``), it no longer
+    vetoes near-dup/substr/line admissions, and a re-sent copy of the
+    same content is re-admittable. Replays are no-ops (a second
+    takedown of the same ids matches nothing and commits nothing).
+
+    Streaming ANN/PQ indexes live under their own roots — cascade
+    those with ``streaming.ann_index.takedown_vectors``.
+
+    Returns {table: backend delete result} for the tables that existed
+    (manifest: covering snapshot id or None; parquet: bool).
+    """
+    results: dict[str, object] = {}
+    for tbl, col in TAKEDOWN_TABLES.items():
+        if warehouse.read(tbl) is None:
+            continue
+        keys = ids.select(F.col(id_col).alias(col))
+        results[tbl] = warehouse.delete_keys(tbl, keys, on=[col])
+    return results

@@ -80,6 +80,7 @@ def stream_etl(
     available_now: bool = True,
     backend: str = "manifest",
     auto_compact_segments: int | None | str = "auto",
+    maintain_quarterly_agg: bool = False,
 ) -> StreamingQuery:
     """Run the streaming ETL; with ``available_now`` it drains pending
     files and stops (test/replay mode), otherwise it runs continuously
@@ -91,13 +92,26 @@ def stream_etl(
     parquet backend's per-batch file growth is unbounded, so
     crash-atomic bounded-segment commits are the right default for
     every foreachBatch facade, while plain parquet remains the batch-
-    warehouse default (operators.etl.warehouse_for)."""
+    warehouse default (operators.etl.warehouse_for).
+
+    ``maintain_quarterly_agg`` (manifest backend only) folds each
+    batch's admitted fact rows into the incrementally-maintained
+    STORE_QUARTERLY_SALES partial-sum table after the load
+    (operators.etl.refresh_quarterly_agg) — the near-real-time serving
+    path ``quarterly_sales_serve`` reads instead of the fact."""
+    from ..operators.etl import refresh_quarterly_agg
+
     warehouse = warehouse_for(
         spark,
         warehouse_root,
         backend,
         resolve_auto_compact(backend, auto_compact_segments),
     )
+    if maintain_quarterly_agg and backend != "manifest":
+        raise ValueError(
+            "maintain_quarterly_agg needs the manifest backend (the "
+            f"snapshot diff drives the refresh); got {backend!r}"
+        )
     stream = read_transaction_stream(spark, tx_dir)
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -105,6 +119,8 @@ def stream_etl(
         if typed.isEmpty():
             return
         warehouse.load_batch(typed, products_master, customers_master, fact_key)
+        if maintain_quarterly_agg:
+            refresh_quarterly_agg(warehouse)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
