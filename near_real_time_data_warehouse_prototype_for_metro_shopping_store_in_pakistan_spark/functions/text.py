@@ -17,15 +17,65 @@ from pyspark.sql import functions as F
 WHITESPACE_RE = r"\s+"
 
 # Tiny deterministic stopword lists per language for the n-gram/stopword
-# language-ID heuristic. Order matters: argmax ties break by this order.
+# language-ID heuristic. Order matters: argmax ties break by this order
+# — the original five languages stay first so their tie-breaks (and
+# every row pinned on them) are unchanged by the r12 breadth extension.
+# Non-Latin-script languages carry sparse lists on purpose: their
+# decisive signal is the SCRIPT prior (LANG_SCRIPTS below); ja's list
+# is single kana particles, which only match as char-1-grams under
+# tokens(mode="mixed") — under "ws" the script prior alone drives.
 LANG_STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "a", "in", "is"],
     "de": ["der", "die", "und", "das", "ist", "ein"],
     "fr": ["le", "la", "et", "les", "un", "est"],
     "es": ["el", "los", "y", "en", "un", "es"],
     "zh": ["de5", "shi4", "bu4", "le5", "zai4"],
+    "ru": ["и", "в", "не", "на", "что", "это"],
+    "ar": ["في", "من", "على", "أن", "إلى", "عن"],
+    "hi": ["है", "के", "में", "की", "और", "से"],
+    "pt": ["que", "não", "uma", "por", "com", "para"],
+    "it": ["che", "di", "il", "per", "non", "sono"],
+    "ja": ["の", "に", "は", "を", "が", "た"],
+    "ko": ["그리고", "하지만", "있다", "것은", "수", "들"],
+    "th": ["ที่", "และ", "ใน", "ของ", "ได้", "ว่า"],
 }
 LANG_ORDER = list(LANG_STOPWORDS)
+
+# Script priors for languages whose writing system identifies them
+# better than any small stopword list can: characters in these ranges
+# count toward the language's ID score (below stopword weight — see
+# LANG_SCORE_SCALE). Latin-script languages deliberately have none (a
+# shared script identifies nothing). ja includes the CJK ideograph
+# ranges ALONGSIDE kana, so Japanese text (always kana-bearing)
+# outscores zh, while pure-ideograph text ties and the tie breaks to
+# zh (earlier in LANG_ORDER) — the standard kana-decides-Japanese
+# heuristic in deterministic form.
+LANG_SCRIPTS: dict[str, str] = {
+    "zh": "㐀-䶿一-鿿豈-﫿",
+    "ja": "぀-ゟ゠-ヿ㐀-䶿一-鿿",
+    "ko": "ᄀ-ᇿ㄰-㆏가-힯",
+    "ru": "Ѐ-ӿ",
+    "ar": "؀-ۿݐ-ݿ",
+    "hi": "ऀ-ॿ",
+    "th": "฀-๿",
+}
+
+# Language-ID score = stopword_hits * LANG_SCORE_SCALE +
+# min(script_char_count, LANG_SCORE_SCALE - 1): one stopword hit
+# outranks any amount of script evidence (stopwords are the exact
+# signal; script is the prior), and the capped script term keeps the
+# sum inside BIGINT on both engines for any document length.
+LANG_SCORE_SCALE = 1_000_000
+
+
+def script_hits(text: Column, ranges: str) -> Column:
+    """Count of characters of ``text`` inside the given script
+    ranges — one JVM-side regexp_replace + two lengths, the same
+    expression the DuckDB oracle mirrors."""
+    return (
+        F.length(text)
+        - F.length(F.regexp_replace(text, f"[{ranges}]", ""))
+    ).cast("long")
 
 ENGLISH_STOPWORDS = LANG_STOPWORDS["en"] + ["that", "it", "for", "on", "with", "as"]
 

@@ -439,6 +439,84 @@ def ann_ivfpq_topk(
     )
 
 
+def ann_ivfpq_rerank_topk(
+    emb: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    shortlist: int | None = None,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    books: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage IVF-PQ search with EXACT re-rank — the standard
+    recall repair at compressed-index scale (Jégou et al.'s ADC +
+    re-ranking): stage 1 is ``ann_ivfpq_topk`` widened to a
+    ``shortlist`` of candidates per query (default 4·k), stage 2
+    re-scores ONLY those candidates by the exact integer cosine over
+    the raw quantized vectors and keeps the true top-k.
+
+    Why it scales: the index still serves O(m)-byte codes (the scan
+    never touches a raw vector), and the exact stage reads
+    queries × shortlist raw vectors through a KEYED join — bounded by
+    the shortlist, independent of corpus size. Recall is ≥ raw
+    IVF-PQ's at equal probe settings by construction: the ADC top-k
+    is a subset of the ADC top-shortlist, and exact scoring can only
+    re-order candidates toward the true ranking (pinned as the 7th
+    ``ann_recall_report`` column).
+
+    Returns (query_id, neighbor_id, cosine, rank) — ``cosine`` (not
+    ``adc_cosine``): the served score is exact.
+    """
+    if shortlist is None:
+        shortlist = 4 * k
+    if shortlist < k:
+        raise ValueError(
+            f"shortlist ({shortlist}) must be >= k ({k})"
+        )
+    sl = ann_ivfpq_topk(
+        emb, num_queries, shortlist, n_centroids, n_probe, m, ksub,
+        iters, vec_col, id_col, centroids, books,
+    )
+    v = scaled_vectors(emb, vec_col, id_col)
+    qv = v.filter(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("norm_sq").alias("qn"),
+    )
+    nb = v.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("q").alias("nq"),
+        F.col("norm_sq").alias("nn"),
+    )
+    exact = (
+        sl.select("query_id", "neighbor_id")
+        .join(nb, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+    )
+    cos = _dot(F.col("qq"), F.col("nq")) / (
+        F.sqrt(F.col("qn").cast("double"))
+        * F.sqrt(F.col("nn").cast("double"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        exact.select(
+            "query_id",
+            "neighbor_id",
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _residual_vectors(
     emb: DataFrame,
     centroids: DataFrame,

@@ -40,17 +40,39 @@ def token_stats(
     )
 
 
+def _lang_score(toks: Column, text: Column, lang: str) -> Column:
+    """Per-language ID score: stopword hits dominate, the script
+    prior (functions.text.LANG_SCRIPTS — capped char count in the
+    language's distinctive ranges) decides when no stopword fires.
+    Latin-script languages carry no prior (shared script identifies
+    nothing), so their scores remain exactly the pre-r12 hit counts
+    scaled — predictions on Latin/ASCII corpora are unchanged."""
+    from ..functions.text import LANG_SCORE_SCALE, LANG_SCRIPTS, script_hits
+
+    score = (
+        _hits(toks, LANG_STOPWORDS[lang]).cast("long")
+        * F.lit(LANG_SCORE_SCALE).cast("long")
+    )
+    ranges = LANG_SCRIPTS.get(lang)
+    if ranges:
+        score = score + F.least(
+            script_hits(text, ranges), F.lit(LANG_SCORE_SCALE - 1)
+        )
+    return score
+
+
 def _lang_argmax_case() -> Column:
-    """First lang (in LANG_ORDER priority) whose ``hits_{lang}``
+    """First lang (in LANG_ORDER priority) whose ``score_{lang}``
     column is >= all others — the shared argmax chain for
-    ``language_id`` and ``curation_flags``."""
+    ``language_id`` and ``curation_flags``. Scores combine stopword
+    hits with the script prior (see ``_lang_score``)."""
     chain = None
     for lang in LANG_ORDER:
         cond = None
         for other in LANG_ORDER:
             if other == lang:
                 continue
-            ge = F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
+            ge = F.col(f"score_{lang}") >= F.col(f"score_{other}")
             cond = ge if cond is None else (cond & ge)
         chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
     return chain.otherwise(LANG_ORDER[0])
@@ -59,11 +81,14 @@ def _lang_argmax_case() -> Column:
 def language_id(
     docs: DataFrame, text_col: str = "text", token_mode: str = "ws"
 ) -> DataFrame:
-    """Stopword-hit language ID with a fixed-priority argmax
-    (LANG_ORDER breaks ties) — deterministic and oracle-exact.
-    ``token_mode="mixed"`` keeps the stopword hits correct on corpora
-    mixing no-whitespace scripts (a CJK run no longer glues onto an
-    adjacent Latin stopword)."""
+    """Stopword-hit + script-prior language ID with a fixed-priority
+    argmax (LANG_ORDER breaks ties) — deterministic and oracle-exact
+    across the 13-language matrix (functions.text.LANG_STOPWORDS /
+    LANG_SCRIPTS). ``token_mode="mixed"`` keeps the stopword hits
+    correct on corpora mixing no-whitespace scripts (a CJK run no
+    longer glues onto an adjacent Latin stopword — and ja's kana
+    particles only match as char-1-grams in this mode); the script
+    priors are token-mode-independent (raw char counts)."""
     toks = tokens(F.lower(F.col(text_col)), token_mode)
     out = docs.select(
         "doc_id",
@@ -72,8 +97,14 @@ def language_id(
             _hits(toks, LANG_STOPWORDS[lang]).alias(f"hits_{lang}")
             for lang in LANG_ORDER
         ],
+        *[
+            _lang_score(toks, F.col(text_col), lang).alias(f"score_{lang}")
+            for lang in LANG_ORDER
+        ],
     )
-    return out.withColumn("lang_pred", _lang_argmax_case())
+    return out.withColumn("lang_pred", _lang_argmax_case()).drop(
+        *[f"score_{lang}" for lang in LANG_ORDER]
+    )
 
 
 def _quality_expr(n_tokens: Column, n_chars: Column, n_punct: Column,
@@ -694,7 +725,7 @@ def curation_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.col("lang").alias("lang_true"),
         *[
-            _hits(toks, LANG_STOPWORDS[lang]).alias(f"hits_{lang}")
+            _lang_score(toks, F.col(text_col), lang).alias(f"score_{lang}")
             for lang in LANG_ORDER
         ],
         F.size(toks).alias("n_tokens"),

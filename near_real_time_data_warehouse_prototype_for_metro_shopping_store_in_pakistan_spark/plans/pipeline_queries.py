@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     ENGLISH_STOPWORDS,
     LANG_ORDER,
+    LANG_SCORE_SCALE,
+    LANG_SCRIPTS,
     LANG_STOPWORDS,
     NO_SPACE_SCRIPT_RANGES,
     token_count,
@@ -633,6 +635,32 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_RERANK_SHORTLIST = 4 * ANN_K
+
+
+def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ: ADC top-(4·k) shortlist re-scored by the
+    EXACT integer cosine over the raw vectors, true top-k kept
+    (operators.pq.ann_ivfpq_rerank_topk) — the standard recall repair
+    at compressed-index scale. The exact stage touches only
+    queries × shortlist vectors through a keyed join; recall ≥ raw
+    IVF-PQ's at equal probe settings by construction (measured as the
+    7th ann_recall_report column)."""
+    from ..operators import pq
+
+    return pq.ann_ivfpq_rerank_topk(
+        table(spark, sf_dir, "embeddings"),
+        num_queries=ANN_NUM_QUERIES,
+        k=ANN_K,
+        shortlist=ANN_RERANK_SHORTLIST,
+        n_centroids=ANN_IVF_CENTROIDS,
+        n_probe=ANN_IVF_PROBE,
+        m=ANN_PQ_M,
+        ksub=ANN_PQ_KSUB,
+        iters=2,
+    )
+
+
 def ann_ivfpq_res_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ search with RESIDUAL encoding (FAISS by_residual=true):
     codebooks trained on residuals against the coarse centroids, ADC
@@ -752,12 +780,31 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("ivfpq_res_hits"))
     )
+    rerank = _pq.ann_ivfpq_rerank_topk(
+        emb,
+        num_queries=ANN_NUM_QUERIES,
+        k=ANN_K,
+        shortlist=ANN_RERANK_SHORTLIST,
+        n_centroids=ANN_IVF_CENTROIDS,
+        n_probe=ANN_IVF_PROBE,
+        m=ANN_PQ_M,
+        ksub=ANN_PQ_KSUB,
+        iters=2,
+        centroids=cents,
+        books=books,
+    ).select("query_id", "neighbor_id")
+    rrhits = (
+        exact.join(rerank, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("ivfpq_rerank_hits"))
+    )
     return (
         base.join(lhits, "query_id", "left")
         .join(ihits, "query_id", "left")
         .join(thits, "query_id", "left")
         .join(phits, "query_id", "left")
         .join(rhits, "query_id", "left")
+        .join(rrhits, "query_id", "left")
         .select(
             "query_id",
             "n_exact",
@@ -768,6 +815,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.coalesce("ivfpq_hits", F.lit(0)).alias("ivfpq_hits"),
             F.coalesce("ivfpq_res_hits", F.lit(0)).alias("ivfpq_res_hits"),
+            F.coalesce("ivfpq_rerank_hits", F.lit(0)).alias(
+                "ivfpq_rerank_hits"
+            ),
         )
     )
 
@@ -969,6 +1019,32 @@ def text_token_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile.language_id(table(spark, sf_dir, "documents"))
+
+
+def text_langid_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID across the full 13-language matrix WITH script
+    priors (functions.text.LANG_SCRIPTS), over the CJK/Thai-augmented
+    corpus under token_mode="mixed": docs carrying the Japanese tail
+    resolve to ja through the kana+ideograph prior (and ja's kana
+    particles, matchable only as mixed-mode char-1-grams), Thai tails
+    resolve to th through the Thai block, and pure-ASCII docs keep
+    their pre-r12 stopword argmax exactly (Latin languages carry no
+    prior) — the driver-level evidence that the multilingual breadth
+    extension is deterministic and engine-exact."""
+    return text_profile.language_id(
+        _augmented_docs(spark, sf_dir), token_mode="mixed"
+    )
+
+
+def text_lm_perlang_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bigram LMs under token_mode="mixed" over the
+    CJK/Thai-augmented corpus — the multilingual CCNet configuration
+    where the token denomination actually differs per script (a CJK
+    tail contributes char-1-gram bigrams to its language's model
+    instead of one giant pseudo-token)."""
+    return text_profile.lm_surprisal_stats(
+        _augmented_docs(spark, sf_dir), lang_col="lang", token_mode="mixed"
+    )
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1537,6 +1613,32 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_rejection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel's REJECTION AUDIT (streaming.corpus.curation_rejects)
+    rolled up per (stage, reason): every cut doc attributed to the
+    FIRST gate that failed it — lang → quality → decontaminate →
+    eval_member, the same precedence ``curate_batch`` applies — so
+    "why was doc X cut" is answerable after the fact and the per-stage
+    counts reconcile exactly with corpus_curation_funnel's survivor
+    deltas (asserted in tests). Eval set = the same 5% hash carve as
+    corpus_decontaminate."""
+    from ..streaming.corpus import curation_rejects
+
+    docs = table(spark, sf_dir, "documents")
+    eval_docs = partitioning.hash_sample(
+        docs, "doc_id", EVAL_RATE, salt="eval"
+    )
+    rejects = curation_rejects(
+        docs,
+        eval_docs,
+        quality_min=QUALITY_MIN,
+        min_overlap=DECONTAM_MIN_OVERLAP,
+    )
+    return rejects.groupBy("stage", "reason").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 def text_unigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc in-vocabulary token coverage vs the corpus top-100
     unigrams (OOV-rate curation signal): one explode, broadcast vocab
@@ -1992,6 +2094,7 @@ PIPELINE_QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_rerank_topk": ann_ivfpq_rerank_topk,
     "ann_ivfpq_res_topk": ann_ivfpq_res_topk,
     "ann_recall_report": ann_recall_report,
     "embed_kmeans_cells": embed_kmeans_cells,
@@ -2016,6 +2119,7 @@ PIPELINE_QUERIES = {
     "text_token_stats": text_token_stats,
     "text_token_modes": text_token_modes,
     "text_langid": text_langid,
+    "text_langid_scripts": text_langid_scripts,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
     "text_unicode_fingerprint": text_unicode_fingerprint,
@@ -2026,6 +2130,7 @@ PIPELINE_QUERIES = {
     "text_lm_trigram": text_lm_trigram,
     "text_lm_pruned": text_lm_pruned,
     "text_lm_perlang": text_lm_perlang,
+    "text_lm_perlang_mixed": text_lm_perlang_mixed,
     "corpus_dsir_weights": corpus_dsir_weights,
     "corpus_dsir_select": corpus_dsir_select,
     "snapshot_added_between": snapshot_added_between,
@@ -2047,6 +2152,7 @@ PIPELINE_QUERIES = {
     "events_value_quantiles": events_value_quantiles,
     "text_unigram_coverage": text_unigram_coverage,
     "corpus_decontaminate": corpus_decontaminate,
+    "corpus_rejection_audit": corpus_rejection_audit,
     "corpus_token_budget": corpus_token_budget,
     "corpus_mix_plan": corpus_mix_plan,
     "text_pii_scan": text_pii_scan,
@@ -2099,6 +2205,40 @@ def _sql_tokens_mixed(expr: str) -> str:
 
 def _sql_in_list(words: list[str]) -> str:
     return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+def _sql_lang_scores(text_expr: str = "text") -> tuple[str, str]:
+    """(score select-list fragment over a relation exposing ``toks``
+    and the text column, lang_pred CASE over ``score_{lang}``) — the
+    SQL twin of text_profile._lang_score/_lang_argmax_case, generated
+    from the SAME constants (LANG_STOPWORDS, LANG_SCRIPTS,
+    LANG_SCORE_SCALE) so the engines cannot drift. Shared by the
+    langid, confusion, funnel, and rejection-audit oracles."""
+    scores = []
+    for lang in LANG_ORDER:
+        s = (
+            f"CAST(len(list_filter(toks, t -> t IN "
+            f"({_sql_in_list(LANG_STOPWORDS[lang])}))) AS BIGINT) "
+            f"* {LANG_SCORE_SCALE}"
+        )
+        ranges = LANG_SCRIPTS.get(lang)
+        if ranges:
+            s += (
+                f" + least(length({text_expr}) - length("
+                f"regexp_replace({text_expr}, '[{ranges}]', '', 'g')), "
+                f"{LANG_SCORE_SCALE - 1})"
+            )
+        scores.append(f"{s} AS score_{lang}")
+    cases = []
+    for lang in LANG_ORDER:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}"
+            for other in LANG_ORDER
+            if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    pred = "CASE " + " ".join(cases) + f" ELSE '{LANG_ORDER[0]}' END"
+    return ",\n           ".join(scores), pred
 
 
 _SHINGLES = """
@@ -2963,6 +3103,37 @@ adm{b} AS (
         + f"\n{final}"
     )
 
+def _langid_scripts_oracle() -> str:
+    """Mirror text_langid_scripts: the augmented corpus, mixed-mode
+    tokens, and the shared score/argmax fragments."""
+    hits = ",\n           ".join(
+        f"CAST(len(list_filter(toks, t -> t IN ({_sql_in_list(LANG_STOPWORDS[lang])}))) AS INT) AS hits_{lang}"
+        for lang in LANG_ORDER
+    )
+    scores, pred = _sql_lang_scores()
+    hit_cols = ", ".join(f"hits_{lang}" for lang in LANG_ORDER)
+    return f"""
+WITH aug AS (
+    SELECT doc_id, lang,
+           text || CASE WHEN doc_id % 7 = 0 THEN ' {TOKEN_MODE_CJK}'
+                        WHEN doc_id % 7 = 3 THEN ' {TOKEN_MODE_THAI}'
+                        ELSE '' END AS text
+    FROM documents),
+t AS (
+    SELECT doc_id, lang AS lang_true, text,
+           {_sql_tokens_mixed("lower(text)")} AS toks
+    FROM aug
+),
+h AS (
+    SELECT doc_id, lang_true,
+           {hits},
+           {scores}
+    FROM t
+)
+SELECT doc_id, lang_true, {hit_cols}, {pred} AS lang_pred FROM h
+"""
+
+
 def _langid_confusion_oracle() -> str:
     """Confusion counts over the langid oracle's per-doc output."""
     return f"""
@@ -3282,9 +3453,46 @@ ranked AS (
         PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id
     ) AS INT) AS rank
     FROM scored
-)
-SELECT query_id, neighbor_id, adc_cosine, rank FROM ranked WHERE rank <= {ANN_K}
+){_ivfpq_rerank_tail(None)}
 """
+
+
+def _ivfpq_rerank_tail(shortlist: int | None) -> str:
+    """The final SELECT of the IVF-PQ oracle — plain ADC top-k, or
+    (``shortlist`` given) the exact-re-rank extension: ADC
+    top-shortlist → exact integer dot over ``elem`` (the full scaled
+    vectors, already in scope) → true top-ANN_K."""
+    if shortlist is None:
+        return (
+            "\nSELECT query_id, neighbor_id, adc_cosine, rank "
+            f"FROM ranked WHERE rank <= {ANN_K}"
+        )
+    return f""",
+short AS (
+    SELECT query_id, neighbor_id FROM ranked WHERE rank <= {shortlist}
+),
+edots AS (
+    SELECT s.query_id, s.neighbor_id, SUM(a.val * b.val) AS dot
+    FROM short s
+    JOIN elem a ON a.vec_id = s.query_id
+    JOIN elem b ON b.vec_id = s.neighbor_id AND b.i = a.i
+    GROUP BY 1, 2
+),
+rescored AS (
+    SELECT e.query_id, e.neighbor_id,
+           CAST(e.dot AS DOUBLE)
+           / (sqrt(CAST(qn.norm_sq AS DOUBLE)) * sqrt(CAST(nn.norm_sq AS DOUBLE)))
+           AS cosine
+    FROM edots e
+    JOIN norms qn ON e.query_id = qn.vec_id
+    JOIN norms nn ON e.neighbor_id = nn.vec_id
+),
+reranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS INT) AS rank FROM rescored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM reranked WHERE rank <= {ANN_K}"""
 
 
 # Recall report: the four ANN oracles compose as derived tables (each
@@ -3299,13 +3507,15 @@ SELECT e.query_id,
        count(i.neighbor_id) AS ivf_hits,
        count(t.neighbor_id) AS ivf_trained_hits,
        count(p.neighbor_id) AS ivfpq_hits,
-       count(r.neighbor_id) AS ivfpq_res_hits
+       count(r.neighbor_id) AS ivfpq_res_hits,
+       count(rr.neighbor_id) AS ivfpq_rerank_hits
 FROM ({topk}) e
 LEFT JOIN ({lsh}) l USING (query_id, neighbor_id)
 LEFT JOIN ({ivf}) i USING (query_id, neighbor_id)
 LEFT JOIN ({trained}) t USING (query_id, neighbor_id)
 LEFT JOIN ({ivfpq}) p USING (query_id, neighbor_id)
 LEFT JOIN ({ivfpq_res}) r USING (query_id, neighbor_id)
+LEFT JOIN ({ivfpq_rerank}) rr USING (query_id, neighbor_id)
 GROUP BY e.query_id
 """.format(
         topk=ORACLE_ANN_TOPK,
@@ -3314,6 +3524,7 @@ GROUP BY e.query_id
         trained=_ivf_trained_oracle(),
         ivfpq=_ivfpq_oracle(),
         ivfpq_res=_ivfpq_res_oracle(),
+        ivfpq_rerank=_ivfpq_oracle(rerank_shortlist=ANN_RERANK_SHORTLIST),
     )
 
 # Multimodal fake-decode oracle: every field is the same pure function
@@ -4446,9 +4657,29 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
-ORACLE_LM_PERLANG = f"""
+def _lm_perlang_oracle(mixed: bool = False) -> str:
+    """Per-language bigram-LM oracle; ``mixed=True`` is the
+    CJK/Thai-augmented corpus under token_mode="mixed" (char-1-gram
+    tokens for no-space scripts) — the multilingual configuration
+    where per-language models actually differ in denomination."""
+    tok = (
+        _sql_tokens_mixed("lower(text)")
+        if mixed
+        else _sql_tokens("lower(text)")
+    )
+    src = (
+        f"""(
+    SELECT doc_id, lang,
+           text || CASE WHEN doc_id % 7 = 0 THEN ' {TOKEN_MODE_CJK}'
+                        WHEN doc_id % 7 = 3 THEN ' {TOKEN_MODE_THAI}'
+                        ELSE '' END AS text
+    FROM documents)"""
+        if mixed
+        else "documents"
+    )
+    return f"""
 WITH t AS (
-    SELECT doc_id, lang, {_sql_tokens("lower(text)")} AS tk FROM documents
+    SELECT doc_id, lang, {tok} AS tk FROM {src} AS aug_src
 ),
 bg AS (
     SELECT doc_id, lang, g.w1 AS w1, g.w2 AS w2 FROM (
@@ -4491,6 +4722,10 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+ORACLE_LM_PERLANG = _lm_perlang_oracle()
+ORACLE_LM_PERLANG_MIXED = _lm_perlang_oracle(mixed=True)
+
+
 ORACLE_TOKEN_STATS = f"""
 SELECT doc_id,
        CAST(len({_sql_tokens("text")}) AS INT) AS n_tokens,
@@ -4505,24 +4740,20 @@ def _langid_oracle() -> str:
         f"CAST(len(list_filter(toks, t -> t IN ({_sql_in_list(LANG_STOPWORDS[lang])}))) AS INT) AS hits_{lang}"
         for lang in LANG_ORDER
     )
-    cases = []
-    for lang in LANG_ORDER:
-        conds = " AND ".join(
-            f"hits_{lang} >= hits_{other}" for other in LANG_ORDER if other != lang
-        )
-        cases.append(f"WHEN {conds} THEN '{lang}'")
-    case_sql = "CASE " + " ".join(cases) + f" ELSE '{LANG_ORDER[0]}' END"
+    scores, pred = _sql_lang_scores()
+    hit_cols = ", ".join(f"hits_{lang}" for lang in LANG_ORDER)
     return f"""
 WITH t AS (
-    SELECT doc_id, lang AS lang_true, {_sql_tokens("lower(text)")} AS toks
+    SELECT doc_id, lang AS lang_true, text, {_sql_tokens("lower(text)")} AS toks
     FROM documents
 ),
 h AS (
     SELECT doc_id, lang_true,
-           {hits}
+           {hits},
+           {scores}
     FROM t
 )
-SELECT *, {case_sql} AS lang_pred FROM h
+SELECT doc_id, lang_true, {hit_cols}, {pred} AS lang_pred FROM h
 """
 
 
@@ -5114,13 +5345,17 @@ def _ivfpq_oracle(
     m: int = 4,
     ksub: int = 16,
     dim: int = 64,
+    rerank_shortlist: int | None = None,
 ) -> str:
     """Mirror of operators.pq.ann_ivfpq_topk: the coarse-quantizer
     CTE chain and cosine assignment/probing of the trained-IVF oracle,
     plus one prefixed Lloyd chain per PQ subspace over the sliced
     vectors, the per-subspace argmin encode, the per-query ADC lookup
     tables, and LUT-sum scoring. Everything integer until the final
-    cosine division, so both engines produce identical doubles."""
+    cosine division, so both engines produce identical doubles.
+    ``rerank_shortlist`` mirrors ``ann_ivfpq_rerank_topk`` instead:
+    the ADC top-shortlist candidates re-scored by the EXACT integer
+    dot over the full vectors, top-ANN_K kept (column ``cosine``)."""
     w = dim // m
     dist = _KMEANS_DIST
     # one sliced relation + one unrolled Lloyd chain per subspace
@@ -5228,8 +5463,7 @@ ranked AS (
         PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id
     ) AS INT) AS rank
     FROM scored
-)
-SELECT query_id, neighbor_id, adc_cosine, rank FROM ranked WHERE rank <= {ANN_K}
+){_ivfpq_rerank_tail(rerank_shortlist)}
 """
 
 
@@ -5415,17 +5649,7 @@ def _funnel_oracle() -> str:
     """The curation funnel as stacked CTEs over the SAME langid /
     quality fragments the single-stage oracles use, then four
     conditional counters — mirrors the Spark one-pass aggregation."""
-    hits = ",\n           ".join(
-        f"CAST(len(list_filter(toks, t -> t IN ({_sql_in_list(LANG_STOPWORDS[lang])}))) AS INT) AS hits_{lang}"
-        for lang in LANG_ORDER
-    )
-    cases = []
-    for lang in LANG_ORDER:
-        conds = " AND ".join(
-            f"hits_{lang} >= hits_{other}" for other in LANG_ORDER if other != lang
-        )
-        cases.append(f"WHEN {conds} THEN '{lang}'")
-    case_sql = "CASE " + " ".join(cases) + f" ELSE '{LANG_ORDER[0]}' END"
+    scores, pred = _sql_lang_scores()
     stops = _sql_in_list(ENGLISH_STOPWORDS)
     return f"""
 WITH t AS (
@@ -5434,7 +5658,7 @@ WITH t AS (
 ),
 h AS (
     SELECT doc_id, lang, text,
-           {hits},
+           {scores},
            CAST(len(toks) AS INT) AS n_tokens,
            CAST(length(text) AS INT) AS n_chars,
            {_PUNCT} AS n_punct,
@@ -5443,7 +5667,7 @@ h AS (
     FROM t
 ),
 f AS (
-    SELECT ({case_sql}) = lang AS lang_ok,
+    SELECT ({pred}) = lang AS lang_ok,
            (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 40 ELSE 0 END)
          + (CASE WHEN n_punct / greatest(n_chars, 1) <= 0.1 THEN 30 ELSE 0 END)
          + (CASE WHEN stop_hits / greatest(n_tokens, 1) >= 0.02 THEN 30 ELSE 0 END)
@@ -5877,6 +6101,89 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def _rejection_audit_oracle() -> str:
+    """Mirror corpus_rejection_audit: the langid argmax + quality
+    score fragments (same as _langid_oracle/_quality_oracle), the
+    decontamination gram CTEs (same as _decontaminate_oracle), and
+    the first-failing-stage CASE in curate_batch's gate order; reason
+    strings come from the SAME REJECT_REASONS constants the Spark
+    side labels with, so the two sides cannot drift."""
+    from ..streaming.corpus import REJECT_REASONS
+
+    stops = _sql_in_list(ENGLISH_STOPWORDS)
+    scores, pred = _sql_lang_scores()
+    n = DECONTAM_NGRAM
+    denom = partitioning.SAMPLE_DENOM
+    eval_hash = _sql_md5_long("CAST(doc_id AS VARCHAR) || '|eval'")
+    is_eval = f"{eval_hash} % {denom} < {int(EVAL_RATE * denom)}"
+    reason_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN stage = '{st}' THEN '{why}'"
+            for st, why in REJECT_REASONS.items()
+        )
+        + " END"
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, lang AS lang_true, text,
+           {_sql_tokens("lower(text)")} AS toks
+    FROM documents
+),
+h AS (
+    SELECT doc_id, lang_true,
+           {scores},
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           {_PUNCT} AS n_punct,
+           CAST(len(list_filter(toks, x -> x IN ({stops}))) AS INT)
+               AS stop_hits
+    FROM t
+),
+lq AS (
+    SELECT doc_id,
+           ({pred} = lang_true) AS lang_ok,
+           CAST((CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 40 ELSE 0 END)
+              + (CASE WHEN n_punct / greatest(n_chars, 1) <= 0.1 THEN 30 ELSE 0 END)
+              + (CASE WHEN stop_hits / greatest(n_tokens, 1) >= 0.02 THEN 30 ELSE 0 END)
+             AS INT) AS quality_score
+    FROM h
+),
+g AS (
+    SELECT DISTINCT doc_id, {_sql_md5_long("shingle")} AS gh FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, length(text) - {n - 1}),
+                                     i -> substr(text, i, {n}))) AS shingle
+        FROM documents WHERE length(text) >= {n}
+    )
+),
+ev AS (SELECT DISTINCT gh FROM g WHERE {is_eval.replace("doc_id", "g.doc_id")}),
+per AS (
+    SELECT doc_id,
+           count(CASE WHEN gh IN (SELECT gh FROM ev) THEN 1 END) AS n_overlap
+    FROM g GROUP BY doc_id
+),
+dec AS (
+    SELECT d.doc_id,
+           ({is_eval.replace("doc_id", "d.doc_id")}) AS is_eval,
+           (NOT ({is_eval.replace("doc_id", "d.doc_id")}))
+               AND COALESCE(p.n_overlap, 0) >= {DECONTAM_MIN_OVERLAP}
+               AS contaminated
+    FROM documents d LEFT JOIN per p USING (doc_id)
+),
+st AS (
+    SELECT lq.doc_id,
+           CASE WHEN NOT lang_ok THEN 'lang'
+                WHEN quality_score < {QUALITY_MIN} THEN 'quality'
+                WHEN contaminated THEN 'decontaminate'
+                WHEN is_eval THEN 'eval_member' END AS stage
+    FROM lq JOIN dec USING (doc_id)
+)
+SELECT stage, {reason_case} AS reason, CAST(count(*) AS BIGINT) AS n_docs
+FROM st WHERE stage IS NOT NULL GROUP BY stage
+"""
+
+
 def _pii_oracle() -> str:
     """Mirror pii.with_synthetic_pii + pii_scan: IDENTICAL pattern
     text on both engines (the patterns restrict themselves to the
@@ -6299,6 +6606,9 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_ivf_trained_topk": _ivf_trained_oracle(),
     "ann_ivfpq_topk": _ivfpq_oracle(),
+    "ann_ivfpq_rerank_topk": _ivfpq_oracle(
+        rerank_shortlist=ANN_RERANK_SHORTLIST
+    ),
     "ann_ivfpq_res_topk": _ivfpq_res_oracle(),
     "ann_recall_report": _ann_recall_oracle(),
     "embed_cosine_neardup": ORACLE_EMBED_NEARDUP,
@@ -6320,6 +6630,7 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
     "media_dedup_keepers": _media_dedup_keepers_oracle(),
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_langid": _langid_oracle(),
+    "text_langid_scripts": _langid_scripts_oracle(),
     "text_quality": _quality_oracle(),
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_unicode_fingerprint": ORACLE_UNICODE_FINGERPRINT,
@@ -6330,6 +6641,7 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
     "text_lm_trigram": ORACLE_LM_TRIGRAM,
     "text_lm_pruned": _lm_pruned_oracle(),
     "text_lm_perlang": ORACLE_LM_PERLANG,
+    "text_lm_perlang_mixed": ORACLE_LM_PERLANG_MIXED,
     "corpus_dsir_weights": _dsir_oracle(),
     "corpus_dsir_select": _dsir_select_oracle(),
     "snapshot_added_between": ORACLE_SNAPSHOT_ADDED_BETWEEN,
@@ -6354,6 +6666,7 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
     "embed_decontaminate": _embed_decon_oracle(),
     "text_unigram_coverage": _unigram_coverage_oracle(),
     "corpus_decontaminate": _decontaminate_oracle(),
+    "corpus_rejection_audit": _rejection_audit_oracle(),
     "corpus_token_budget": _token_budget_oracle(),
     "corpus_mix_plan": _mix_plan_oracle(),
     "text_pii_scan": _pii_oracle(),

@@ -240,6 +240,7 @@ def stream_curate(
     unicode_normalize: bool = False,
     sink_kwargs: dict | None = None,
     lm_counts: "DataFrame | str | None" = None,
+    audit_rejects: bool = False,
 ) -> StreamingQuery:
     """Stream document files through the curation funnel into an
     idempotent curated-corpus table keyed on the text fingerprint.
@@ -249,9 +250,17 @@ def stream_curate(
     trains ONCE here (like the eval grams) and every micro-batch
     scores against it. ``auto_compact_segments`` (manifest backend
     only) bounds the live segment-directory count per table under
-    streaming cadence (operators.sinks.ManifestParquetSink)."""
+    streaming cadence (operators.sinks.ManifestParquetSink).
+
+    ``audit_rejects`` persists the rejection audit: every cut doc
+    lands in the ``curation_rejects`` table as (doc_id, stage,
+    reason) — gate cuts via ``curation_rejects`` (same args as the
+    funnel), plus the dedup cuts the sink performs silently
+    (in-batch and cross-batch ``exact_dup``). Keyed insert-if-absent
+    on doc_id, so replays stay no-ops and the first rejection wins."""
     warehouse = make_sink(
-        spark, corpus_root, keys={CURATED_TABLE: ["text_fp"]},
+        spark, corpus_root,
+        keys={CURATED_TABLE: ["text_fp"], REJECTS_TABLE: ["doc_id"]},
         backend=backend, auto_compact_segments=resolve_auto_compact(
             backend, auto_compact_segments
         ),
@@ -308,6 +317,22 @@ def stream_curate(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        if audit_rejects:
+            first = first.localCheckpoint(eager=False)
+            gate_rejects = curation_rejects(
+                batch,
+                quality_min=quality_min,
+                eval_state=eval_state,
+                min_overlap=min_overlap,
+                redact_pii=redact_pii,
+                min_classifier_score=min_classifier_score,
+                lm_counts=lm_counts,
+                max_fluency_invp=max_fluency_invp,
+                unicode_normalize=unicode_normalize,
+            )
+            _record_dedup_rejects(
+                warehouse, kept, first, gate_rejects
+            )
         warehouse.insert_if_absent(CURATED_TABLE, first)
 
     writer = stream.writeStream.foreachBatch(process).option(
@@ -316,6 +341,61 @@ def stream_curate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _record_dedup_rejects(
+    warehouse: MergeSink,
+    kept: DataFrame,
+    first: DataFrame,
+    gate_rejects: DataFrame,
+    admitted: DataFrame | None = None,
+) -> None:
+    """Persist one audit batch into ``REJECTS_TABLE``: the gate cuts
+    plus the cuts the dedup layers make silently — in-batch exact
+    dups (same fingerprint, not the min-id arrival), cross-batch
+    exact dups (fingerprint already owned by a DIFFERENT doc in the
+    curated table — same-id matches are replays, not cuts), and, when
+    ``admitted`` is given (the near-dup facade), the batch docs the
+    near-dup admission vetoed. The cross-batch probe is correct run
+    before OR after the batch's own curated insert: an owner row with
+    the SAME doc_id is this doc's own admission or replay (excluded),
+    so only a genuinely earlier different-doc owner marks a cut.
+    Insert-if-absent on doc_id: replays no-op, first rejection wins.
+    """
+    inbatch = kept.join(
+        first.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.lit("exact_dup").alias("stage"))
+    curated = warehouse.read(CURATED_TABLE)
+    cross = None
+    if curated is not None:
+        owners = curated.select(
+            F.col("text_fp").alias("_own_fp"),
+            F.col("doc_id").alias("_own_id"),
+        )
+        cross = (
+            first.join(
+                owners,
+                (F.col("text_fp") == F.col("_own_fp"))
+                & (F.col("doc_id") != F.col("_own_id")),
+                "left_semi",
+            )
+            .select("doc_id", F.lit("exact_dup").alias("stage"))
+        )
+    rejects = inbatch if cross is None else inbatch.unionByName(cross)
+    if admitted is not None:
+        nd = (
+            first.join(admitted.select("doc_id"), "doc_id", "left_anti")
+            .join(rejects.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.lit("neardup").alias("stage"))
+        )
+        rejects = rejects.unionByName(nd)
+    reason = F.lit(None).cast("string")
+    for st, why in REJECT_REASONS.items():
+        reason = F.when(F.col("stage") == st, F.lit(why)).otherwise(reason)
+    rejects = rejects.select("doc_id", "stage", reason.alias("reason"))
+    warehouse.insert_if_absent(
+        REJECTS_TABLE, gate_rejects.unionByName(rejects)
+    )
 
 
 BAND_INDEX_TABLE = "band_index"
@@ -1049,6 +1129,7 @@ def stream_curate_neardup(
     lm_counts: "DataFrame | str | None" = None,
     expire_claims_every: int | None = None,
     expire_keep_snapshots: int = 64,
+    audit_rejects: bool = False,
 ) -> StreamingQuery:
     """``stream_curate`` upgraded from exact to NEAR-dup cross-batch
     dedup: the same stateless gates per batch (including the optional
@@ -1059,7 +1140,9 @@ def stream_curate_neardup(
     the insert-if-absent sink implementation (operators.sinks);
     ``sink_kwargs`` forwards extra ``make_sink`` options
     (``commit_protocol="objectstore"``, ``compact_async=True``,
-    ``tier_factor``...)."""
+    ``tier_factor``...). ``audit_rejects`` persists (doc_id, stage,
+    reason) for every cut doc — gate cuts, exact dups, AND near-dup
+    vetoes — into ``curation_rejects`` (see ``stream_curate``)."""
     warehouse = make_sink(
         spark,
         corpus_root,
@@ -1069,6 +1152,7 @@ def stream_curate_neardup(
         keys={
             CURATED_TABLE: ["text_fp"],
             BAND_INDEX_TABLE: ["band_khash", "owner_doc_id"],
+            REJECTS_TABLE: ["doc_id"],
         },
         backend=backend,
         auto_compact_segments=resolve_auto_compact(
@@ -1119,7 +1203,28 @@ def stream_curate_neardup(
             .drop("_rn")
             .localCheckpoint(eager=False)
         )
-        admit_neardup_batch(warehouse, first, n, num_hashes, band_size)
+        admitted = admit_neardup_batch(
+            warehouse, first, n, num_hashes, band_size
+        )
+        if audit_rejects:
+            gate_rejects = curation_rejects(
+                batch,
+                quality_min=quality_min,
+                eval_state=eval_state,
+                min_overlap=min_overlap,
+                redact_pii=redact_pii,
+                min_classifier_score=min_classifier_score,
+                lm_counts=lm_counts,
+                max_fluency_invp=max_fluency_invp,
+                unicode_normalize=unicode_normalize,
+            )
+            _record_dedup_rejects(
+                warehouse,
+                kept,
+                first,
+                gate_rejects,
+                admitted=admitted.localCheckpoint(eager=False),
+            )
         if (
             expire_claims_every
             and batch_id > 0
@@ -1378,6 +1483,9 @@ def curation_rejects(
 # observed — and is bounded anyway by the table's TTL.
 TAKEDOWN_TABLES: dict[str, str] = {
     CURATED_TABLE: "doc_id",
+    # the quarantine record is personal data too: right-to-be-
+    # forgotten cascades to the rejection audit rows
+    REJECTS_TABLE: "doc_id",
     BAND_INDEX_TABLE: "owner_doc_id",
     SUBSTR_CURATED_TABLE: "doc_id",
     GRAM_INDEX_TABLE: "owner_doc_id",

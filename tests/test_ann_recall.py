@@ -46,3 +46,41 @@ def test_ann_variants_recall(spark, sf_dir):
     assert r_ivf >= 0.2, f"IVF recall collapsed: {r_ivf}"
     # every query must get a full k candidates from IVF at probe=4/16
     assert all(len(ns) == K for ns in ivf.values())
+
+
+def test_ivfpq_rerank_recall_dominates_raw_adc(spark, sf_dir):
+    """Two-stage exact re-rank (pq.ann_ivfpq_rerank_topk) must beat or
+    match raw ADC top-k PER QUERY at equal probe settings: the ADC
+    top-k is a subset of the ADC top-shortlist, and exact scoring only
+    reorders candidates toward the true ranking. Also pins that the
+    result set is drawn from the shortlist and that served scores are
+    exact cosines (match cosine_topk's scores on shared pairs)."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators import pq
+
+    emb = table(spark, sf_dir, "embeddings")
+    exact = _neighbor_sets(similarity.cosine_topk(emb, NQ, K))
+    kw = dict(n_centroids=16, n_probe=4, m=4, ksub=16, iters=2)
+    raw = pq.ann_ivfpq_topk(emb, NQ, K, **kw)
+    rer = pq.ann_ivfpq_rerank_topk(emb, NQ, K, shortlist=4 * K, **kw)
+    raw_s = _neighbor_sets(raw)
+    rer_s = _neighbor_sets(rer)
+    for q, ns in exact.items():
+        assert len(rer_s.get(q, set()) & ns) >= len(
+            raw_s.get(q, set()) & ns
+        ), f"query {q}: rerank lost recall vs raw ADC"
+    assert _recall(rer_s, exact) >= _recall(raw_s, exact)
+    # rerank results come from the ADC shortlist
+    short = _neighbor_sets(
+        pq.ann_ivfpq_topk(emb, NQ, 4 * K, **kw)
+    )
+    for q, ns in rer_s.items():
+        assert ns <= short.get(q, set())
+    # served scores are exact: agree with cosine_topk on shared pairs
+    true_cos = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.cosine_topk(emb, NQ, 50).collect()
+    }
+    for r in rer.collect():
+        t = true_cos.get((r.query_id, r.neighbor_id))
+        if t is not None:
+            assert abs(r.cosine - t) < 1e-12
