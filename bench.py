@@ -52,6 +52,12 @@ MEASUREMENT_QUERIES = frozenset(
         # time to exercise the snapshot-diff surface — sink
         # round-trips, not operator throughput
         "snapshot_added_between",
+        # r12 sink-lifecycle rows: multi-commit replays (insert ×2-4 +
+        # delete/tombstone/materialize or per-chunk agg refreshes) at
+        # query time — sink round-trips, not operator throughput
+        "corpus_takedown",
+        "corpus_takedown_tombstone",
+        "q18_quarterly_serve_maintained",
     }
 )
 

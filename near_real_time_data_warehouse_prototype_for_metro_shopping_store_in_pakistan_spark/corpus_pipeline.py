@@ -911,6 +911,26 @@ class DatasetBuilder:
         self.sink.insert_if_absent(DATASET_TABLE, ordered)
         return self.sink.snapshots(DATASET_TABLE)[-1]
 
+    def takedown(
+        self, doc_ids: DataFrame, mode: str = "rewrite"
+    ) -> int | None:
+        """Right-to-be-forgotten over the BUILT datasets: remove the
+        given docs' rows from EVERY epoch of every snapshot
+        (``delete_keys`` on doc_id alone — the (doc_id, epoch)
+        compound key deletes across epochs). In the default rewrite
+        mode history is redacted: a training run pinned to
+        ``read(snapshot N)`` no longer serves the doc, which is the
+        point of a dataset takedown. Declared consequence: per-shard
+        ``position`` sequences stop being contiguous permutations
+        where docs were removed — a consumer must treat position gaps
+        as skips, not corruption (re-keying positions would silently
+        change every OTHER doc's training order, a worse lie).
+        ``mode="tombstone"`` defers the rewrite
+        (ManifestParquetSink.delete_keys semantics)."""
+        return self.sink.delete_keys(
+            DATASET_TABLE, doc_ids, on=["doc_id"], mode=mode
+        )
+
     def snapshots(self) -> list[int]:
         return self.sink.snapshots(DATASET_TABLE)
 

@@ -596,9 +596,12 @@ class ManifestParquetSink(MergeSink):
     def _segments(
         self, name: str
     ) -> tuple[list[tuple[int, str, list[int] | None]], list[int], int]:
-        """(live committed NON-EMPTY (number, dir, covers) ascending,
-        ALL committed snapshot numbers ascending, next free segment
-        number).
+        """(live committed NON-EMPTY DATA (number, dir, covers)
+        ascending, ALL committed snapshot numbers ascending, next free
+        segment number). Tombstone segments (see ``delete_keys``
+        ``mode="tombstone"``) are NOT data: they are excluded here
+        (listed by ``_split_live``) but their numbers remain
+        snapshots.
 
         ``covers`` is None for a plain per-batch segment and the list
         of superseded snapshot numbers for a compacted segment (whose
@@ -611,21 +614,43 @@ class ManifestParquetSink(MergeSink):
         segment — valid (the commit records the batch happened, and it
         is a snapshot id) but skipped by scans, since an empty parquet
         directory has no schema."""
+        live, _, all_nums, nxt = self._split_live(name)
+        return live, all_nums, nxt
+
+    def _split_live(
+        self, name: str
+    ) -> tuple[
+        list[tuple[int, str, list[int] | None]],
+        list[tuple[int, str, list[str]]],
+        list[int],
+        int,
+    ]:
+        """(live DATA segments, live TOMBSTONE segments (number, dir,
+        match columns) ascending, all committed snapshot numbers, next
+        free number) — the tombstone-aware twin of ``_segments``."""
         rows, claimed = self._list_committed(name)
-        committed = []  # (num, dir, covers, nonempty)
+        committed = []  # (num, dir, covers, nonempty, tombstone_on)
         superseded: set[int] = set()
         for n, p, meta in rows:
             covers = self._parse_covers(meta)
             if covers is not None:
                 superseded.update(covers)
-            committed.append((n, p, covers, bool(meta["files"])))
+            committed.append(
+                (n, p, covers, bool(meta["files"]),
+                 meta.get("tombstone_on"))
+            )
         all_nums = sorted(
-            {n for n, _, _, _ in committed} | superseded
+            {n for n, _, _, _, _ in committed} | superseded
         )
         live = [
             (n, p, covers)
-            for n, p, covers, nonempty in committed
-            if nonempty and n not in superseded
+            for n, p, covers, nonempty, ts in committed
+            if nonempty and n not in superseded and ts is None
+        ]
+        tombs = [
+            (n, p, list(ts))
+            for n, p, _, nonempty, ts in committed
+            if nonempty and n not in superseded and ts is not None
         ]
         # next free number clears every number ever seen: claimed
         # (committed or crashed) AND covered numbers whose dirs may
@@ -633,7 +658,7 @@ class ManifestParquetSink(MergeSink):
         # time travel
         seen = claimed | superseded
         nxt = max(seen) + 1 if seen else 0
-        return live, all_nums, nxt
+        return live, tombs, all_nums, nxt
 
     @staticmethod
     def _parse_covers(meta: dict):
@@ -675,6 +700,7 @@ class ManifestParquetSink(MergeSink):
         df: DataFrame,
         covers: set[int] | None = None,
         min_row: int | None = None,
+        tombstone_on: list[str] | None = None,
     ) -> str:
         """Write ``df`` (hive-partitioned when configured) plus its
         complete ``_COMMITTED.json`` manifest into a fresh staging
@@ -697,7 +723,9 @@ class ManifestParquetSink(MergeSink):
             tdir, f"{prefix}{os.getpid()}_{uuid.uuid4().hex[:12]}"
         )
         writer = df.write.mode("error")
-        parts = self.partitioning.get(name)
+        # tombstone segments hold the bare key relation — never the
+        # table's hive layout (the partition columns may not exist)
+        parts = None if tombstone_on else self.partitioning.get(name)
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(stage)
@@ -719,6 +747,8 @@ class ManifestParquetSink(MergeSink):
             except OSError:
                 pass
         meta: dict = {"files": files, "bytes": nbytes, "rows": nrows}
+        if tombstone_on is not None:
+            meta["tombstone_on"] = list(tombstone_on)
         if covers is not None:
             cs = sorted(covers)
             if cs and cs[-1] - cs[0] + 1 == len(cs):
@@ -884,19 +914,22 @@ class ManifestParquetSink(MergeSink):
         semantic change (``scan(name, r)`` ≡ ``read(name).filter(r)``,
         asserted by the contract tests). None when no segment survives
         (provably-empty result without touching one data file)."""
-        live, _, _ = self._segments(name)
+        live, tombs, _, _ = self._split_live(name)
         if ranges:
             live = [
                 t for t in live
                 if self._may_match(self._segment_stats(t[1]), ranges)
             ]
-        if ranges and not self.partitioning.get(name):
+        if ranges and not tombs and not self.partitioning.get(name):
             df = self._read_pruned_files(name, live, ranges)
         else:
             # hive-partitioned tables keep per-segment directory reads
             # (partition pruning handles the partition columns; direct
-            # file paths would lose partition-value discovery)
-            df = self._read_live(name, live)
+            # file paths would lose partition-value discovery);
+            # outstanding tombstones force the tagged read too
+            # (segment-level zone pruning above still applies — fewer
+            # rows can never resurrect a deleted key)
+            df = self._read_live(name, live, tombs)
         if df is None or not ranges:
             return df
         for c, (qlo, qhi) in ranges.items():
@@ -1072,7 +1105,7 @@ class ManifestParquetSink(MergeSink):
         smallest first-admission snapshot among its rows — exceeds
         ``snapshot``, exactly when its pre-compaction constituents
         were all empty or later)."""
-        live, all_nums, _ = self._segments(name)
+        live, tombs, all_nums, _ = self._split_live(name)
         if snapshot not in all_nums:
             raise ValueError(
                 f"unknown snapshot {snapshot} for table {name!r}: "
@@ -1083,23 +1116,32 @@ class ManifestParquetSink(MergeSink):
             if covers is None:
                 if n > snapshot:
                     continue
-                df = self.spark.read.parquet(seg)
+                df = self.spark.read.parquet(seg).withColumn(
+                    "_snapshot", F.lit(n).cast("long")
+                )
             else:
                 if self._manifest_min_row(seg, covers) > snapshot:
                     continue
-                df = (
-                    self.spark.read.parquet(seg)
-                    .filter(F.col("_snapshot") <= F.lit(snapshot))
-                    .drop("_snapshot")
+                df = self.spark.read.parquet(seg).filter(
+                    F.col("_snapshot") <= F.lit(snapshot)
                 )
             out = df if out is None else self._union(out, df)
+        if out is not None:
+            if tombs:
+                # tombstone-mode time travel is VISIBLE-ONLY-BELOW-
+                # HORIZON (declared): deletes committed at or before
+                # `snapshot` apply; later deletes have not happened
+                # yet, so pre-delete history keeps serving the row —
+                # the opposite trade from mode="rewrite"'s redaction
+                out = self._apply_tombstones(out, tombs, upto=snapshot)
+            out = out.drop("_snapshot")
         if out is not None and self.allow_schema_evolution:
             # project to the table's CURRENT unified schema: columns
             # added after `snapshot` backfill typed NULLs, so the
             # column set of read_at(name, s) is stable across later
             # adds AND across compactions (which otherwise fold later
             # columns into the covering segment's files)
-            cur = self._read_live(name, live)
+            cur = self._read_live(name, live, tombs)
             if cur is not None:
                 for f in cur.schema.fields:
                     if f.name not in out.columns:
@@ -1110,8 +1152,8 @@ class ManifestParquetSink(MergeSink):
         return out
 
     def read(self, name: str) -> DataFrame | None:
-        live, _, _ = self._segments(name)
-        return self._read_live(name, live)
+        live, tombs, _, _ = self._split_live(name)
+        return self._read_live(name, live, tombs)
 
     def _align_schema(
         self, name: str, incoming: DataFrame, existing: DataFrame
@@ -1149,14 +1191,73 @@ class ManifestParquetSink(MergeSink):
             b, allowMissingColumns=self.allow_schema_evolution
         )
 
+    def _apply_tombstones(
+        self,
+        out: DataFrame,
+        tombs: list[tuple[int, str, list[str]]],
+        upto: int | None = None,
+    ) -> DataFrame:
+        """Apply live tombstone segments (``delete_keys``
+        ``mode="tombstone"``) to a data relation carrying a per-row
+        ``_snapshot`` first-admission column: a tombstone committed at
+        snapshot T hides exactly the rows admitted BEFORE T — so a key
+        re-inserted after its delete survives (its new row's snapshot
+        is above every tombstone that names it). One broadcast
+        conditional anti-join per distinct match-column signature
+        (normally one); the tombstone relation is O(deleted keys) —
+        that asymmetry is the whole point of the mode. ``upto`` caps
+        which tombstones apply (time travel: deletes after the read
+        snapshot have not happened yet)."""
+        groups: dict[tuple, list[tuple[int, str]]] = {}
+        for n, p, on in tombs:
+            if upto is not None and n > upto:
+                continue
+            groups.setdefault(tuple(on), []).append((n, p))
+        for on, segs in groups.items():
+            trel = None
+            for n, p in segs:
+                t = (
+                    self.spark.read.parquet(p)
+                    .select(*[F.col(c).alias(f"__ts_{c}") for c in on])
+                    .withColumn("__ts_snap", F.lit(n).cast("long"))
+                )
+                trel = t if trel is None else trel.unionByName(t)
+            cond = F.col("__ts_snap") > F.col("_snapshot")
+            for c in on:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__ts_{c}"))
+            out = out.join(F.broadcast(trel), cond, "left_anti")
+        return out
+
     def _read_live(
-        self, name: str, live: list[tuple[int, str, list[int] | None]]
+        self,
+        name: str,
+        live: list[tuple[int, str, list[int] | None]],
+        tombs: list[tuple[int, str, list[str]]] | None = None,
     ) -> DataFrame | None:
         """Union of an already-listed live segment set — shared by
         ``read`` and the insert path's OCC loop (which must anti-join
-        against exactly the listing its commit attempt validates)."""
+        against exactly the listing its commit attempt validates).
+        With live ``tombs`` the read switches to TOMBSTONE-TAGGED mode
+        (per-segment readers so every row carries its first-admission
+        snapshot, then the conditional anti-join) — the multi-path
+        fast reader below stays the hot path whenever the table has no
+        outstanding tombstones, which is the common state (a
+        materializing ``compact`` consumes them)."""
         if not live:
             return None
+        if tombs:
+            reader = self.spark.read
+            if self.allow_schema_evolution:
+                reader = reader.option("mergeSchema", "true")
+            out = None
+            for n, seg, covers in live:
+                df = reader.parquet(seg)
+                if covers is None:
+                    df = df.withColumn(
+                        "_snapshot", F.lit(n).cast("long")
+                    )
+                out = df if out is None else self._union(out, df)
+            return self._apply_tombstones(out, tombs).drop("_snapshot")
         plain = [seg for _, seg, covers in live if covers is None]
         compacted = [seg for _, seg, covers in live if covers is not None]
         parts = self.partitioning.get(name)
@@ -1253,9 +1354,12 @@ class ManifestParquetSink(MergeSink):
         base = batch.dropDuplicates(key)
         while True:
             # one OCC attempt: anti-join against exactly the segments
-            # of THIS listing, stage, then try to publish at next
-            live, _, nxt = self._segments(name)
-            existing = self._read_live(name, live)
+            # of THIS listing, stage, then try to publish at next.
+            # Tombstones apply to the visibility read, so a deleted
+            # key is genuinely absent and RE-ADMITS here (its new row's
+            # snapshot is above every tombstone that names it).
+            live, tombs, _, nxt = self._split_live(name)
+            existing = self._read_live(name, live, tombs)
             incoming = base
             if existing is not None:
                 seen = existing.select(*key).dropDuplicates(key).select(
@@ -1291,45 +1395,98 @@ class ManifestParquetSink(MergeSink):
         on: list[str] | None = None,
         target_partitions: int = 1,
         delete_covered: bool = True,
+        mode: str = "rewrite",
     ) -> int | None:
         """Key-targeted delete (takedown / right-to-be-forgotten),
-        committed as a covering snapshot: rewrite every live segment
-        WITHOUT the rows matching ``keys_df`` on the ``on`` columns
-        (default: the table's dedup key; any column subset works — a
-        claim table keyed on (band_khash, owner_doc_id) deletes by
-        owner alone). The rewrite publishes through the same OCC
-        commit as ``insert_if_absent``/``compact``, so a delete racing
-        an ingest writer serializes without a coordinator and a crash
-        mid-delete leaves the old segments fully intact.
+        committed as a new snapshot, in one of two physical modes:
 
-        TIME-TRAVEL SEMANTICS — REDACTION FROM ALL SNAPSHOTS
-        (declared): the matched rows are removed from history, not
-        just from the current view — ``read_at`` at ANY snapshot and
-        ``added_between`` over any range no longer return them (the
-        ``compact(expire_below=)`` retention semantics, keyed instead
-        of aged). That is the point of a takedown: a
-        visible-only-below-horizon delete would keep serving the
-        redacted content to historical readers. Snapshot IDS all
-        remain valid (the rewrite covers them); only the rows are
-        gone. Corollary, stated plainly: a later ``insert_if_absent``
-        of a deleted key RE-ADMITS it — the table has genuinely
-        forgotten the key, exactly like an expired claim.
+        ``mode="rewrite"`` (default) — a covering-snapshot rewrite of
+        every live segment WITHOUT the rows matching ``keys_df`` on
+        the ``on`` columns (default: the table's dedup key; any column
+        subset works — a claim table keyed on (band_khash,
+        owner_doc_id) deletes by owner alone). TIME-TRAVEL SEMANTICS:
+        REDACTION FROM ALL SNAPSHOTS (declared) — the matched rows are
+        removed from history, not just the current view: ``read_at``
+        at ANY snapshot and ``added_between`` over any range no longer
+        return them (the ``compact(expire_below=)`` retention
+        semantics, keyed instead of aged). That is the point of a
+        takedown: a horizon delete would keep serving redacted content
+        to historical readers. O(table) rewrite cost.
 
-        Returns the covering snapshot id, or None when the table is
-        empty or NO row matched — a replayed/duplicate delete is a
+        ``mode="tombstone"`` — the deletion-vector form (Delta DVs /
+        Iceberg equality deletes): commit ONE small segment holding
+        just the matched key relation, O(matched keys) — no data file
+        is rewritten. Readers apply tombstones as a broadcast
+        conditional anti-join (a tombstone at snapshot T hides rows
+        admitted BEFORE T, so a later re-insert of the key survives);
+        the table switches to per-segment tagged reads while
+        tombstones are outstanding and returns to the multi-path fast
+        reader once a ``compact(materialize_deletes=True)`` consumes
+        them. TIME-TRAVEL SEMANTICS: VISIBLE-ONLY-BELOW-HORIZON
+        (declared, the opposite trade) — ``read_at`` BEFORE the delete
+        still serves the row, until materialization redacts. This is
+        the 100 TB default for latency-sensitive takedown queues:
+        O(keys) commit now, the rewrite amortized into the next
+        compaction. ``added_between`` reports ADMISSIONS only and is
+        unaffected by tombstones in either mode.
+
+        Both modes publish through the same OCC commit as
+        ``insert_if_absent``/``compact``, so a delete racing an ingest
+        writer serializes without a coordinator and a crash mid-delete
+        leaves the old segments fully intact. In both modes a later
+        ``insert_if_absent`` of a deleted key RE-ADMITS it — the table
+        has genuinely forgotten the key, exactly like an expired
+        claim.
+
+        Returns the new snapshot id, or None when the table is empty
+        or NO visible row matched — a replayed/duplicate delete is a
         no-op that commits nothing (checked with one keyed semi-join
-        before any rewrite work).
+        before any commit work).
         """
         import shutil
 
+        if mode not in ("rewrite", "tombstone"):
+            raise ValueError(
+                f"unknown delete mode {mode!r}: expected 'rewrite' "
+                "or 'tombstone'"
+            )
         on = list(on or self.keys[name])
         seen, cond = self._delete_match(keys_df, on)
         self._gc_superseded(name)
+        if mode == "tombstone":
+            while True:
+                live, tombs, _, nxt = self._split_live(name)
+                if not live:
+                    return None
+                existing = self._read_live(name, live, tombs)
+                try:
+                    # store only keys that match a VISIBLE row: keeps
+                    # the tombstone relation minimal and makes a
+                    # replayed delete a literal no-op
+                    matched = (
+                        existing.select(*on)
+                        .join(seen, cond, "left_semi")
+                        .dropDuplicates(on)
+                    )
+                    if matched.isEmpty():
+                        return None
+                    stage = self._stage_segment(
+                        name,
+                        matched.coalesce(1),
+                        tombstone_on=on,
+                    )
+                except Exception as exc:
+                    if not self._is_vanished_input(exc):
+                        raise
+                    continue
+                if self._publish(name, stage, nxt):
+                    return nxt
+                shutil.rmtree(stage, ignore_errors=True)
         while True:
-            live, all_nums, nxt = self._segments(name)
+            live, tombs, all_nums, nxt = self._split_live(name)
             if not live:
                 return None
-            existing = self._read_live(name, live)
+            existing = self._read_live(name, live, tombs)
             try:
                 if existing.join(seen, cond, "left_semi").isEmpty():
                     return None  # nothing matched — replay no-op
@@ -1726,6 +1883,7 @@ class ManifestParquetSink(MergeSink):
         cluster_by: list[str] | None = None,
         cluster_method: str = "range",
         expire_below: int | None = None,
+        materialize_deletes: bool = False,
     ) -> int | None:
         """Rewrite every live committed segment numbered in
         ``(since, upto]`` (defaults: all of them) into ONE new
@@ -1802,23 +1960,49 @@ class ManifestParquetSink(MergeSink):
         sees its targets already superseded and starts over on what
         remains, usually returning None).
 
+        ``materialize_deletes=True`` (full compaction only — requires
+        ``since``/``upto`` unset) physically applies every outstanding
+        TOMBSTONE (``delete_keys(mode="tombstone")``) to the rewrite
+        and consumes the tombstone segments into ``covers`` — the
+        table returns to the multi-path fast read path, and history
+        below each tombstone is REDACTED from that point on (the
+        rewrite-mode semantics, applied lazily — Delta's
+        delete-materializing OPTIMIZE/PURGE). Without the flag,
+        compaction leaves tombstones alone: rewritten rows keep their
+        first-admission ``_snapshot``, so the readers' conditional
+        anti-join stays exact and time travel keeps serving
+        pre-delete history.
+
         Returns the new snapshot number, or None when fewer than two
         live segments fall in range (nothing to compact).
         """
         import shutil
 
+        if materialize_deletes and (since is not None or upto is not None):
+            raise ValueError(
+                "materialize_deletes requires a FULL compaction "
+                "(since/upto unset): a bounded rewrite cannot prove a "
+                "tombstone's keys do not also hide rows in segments "
+                "outside the target range"
+            )
         # previously deferred deletions are safe now: any plan built
         # before the deferring compaction is at least one writer turn
         # old (the one-batch vacuum horizon in the class contract)
         self._gc_superseded(name)
         while True:
-            live, all_nums, nxt = self._segments(name)
+            live, tombs, all_nums, nxt = self._split_live(name)
             hi = upto
             if hi is None:
                 hi = max((n for n, _, _ in live), default=-1)
             lo = -1 if since is None else since
             targets = [(n, p, c) for n, p, c in live if lo < n <= hi]
-            if len(targets) < 2:
+            min_targets = 2
+            if materialize_deletes and tombs:
+                # with tombstones to consume, even a single live
+                # segment is worth rewriting (the rewrite IS the
+                # delete materialization)
+                min_targets = 1
+            if len(targets) < min_targets:
                 return None
             # empty committed segments in (lo, hi] are covered too
             # (their dirs hold only a manifest; their snapshot ids
@@ -1829,8 +2013,17 @@ class ManifestParquetSink(MergeSink):
                 n: p for n, p, _ in self._list_committed(name)[0]
             }
             live_nums = {n for n, _, _ in live}
+            # LIVE tombstone numbers are never swept into covers as
+            # "empty" — covering one without applying it would
+            # silently resurrect its deleted keys; they are consumed
+            # only by the explicit materialization below
+            tomb_nums = {n for n, _, _ in tombs}
             for s in all_nums:
-                if lo < s <= hi and s not in live_nums:
+                if (
+                    lo < s <= hi
+                    and s not in live_nums
+                    and s not in tomb_nums
+                ):
                     covers.add(s)
                     d = dir_of.get(s)
                     if d is not None and os.path.isdir(d):
@@ -1853,6 +2046,14 @@ class ManifestParquetSink(MergeSink):
                         F.col("_snapshot") > F.lit(expire_below)
                     )
                 out = df if out is None else self._union(out, df)
+            consumed_tombs: list[tuple[int, str, list[str]]] = []
+            if materialize_deletes and tombs:
+                # full compaction (guarded above): every live data row
+                # is in the rewrite, so applying all tombstones here is
+                # exhaustive and their segments can be consumed
+                out = self._apply_tombstones(out, tombs)
+                consumed_tombs = list(tombs)
+                covers.update(n for n, _, _ in tombs)
             parts = self.partitioning.get(name)
             if cluster_by and parts:
                 raise ValueError(
@@ -1945,6 +2146,8 @@ class ManifestParquetSink(MergeSink):
             for n, p, _ in targets:
                 self._remove_segment(name, n, p)
             for n, p in empty_segs:
+                self._remove_segment(name, n, p)
+            for n, p, _ in consumed_tombs:
                 self._remove_segment(name, n, p)
         return nxt
 

@@ -1286,6 +1286,70 @@ WHERE doc_id % 10 <> 3
 """
 
 
+def corpus_takedown_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deletion-vector takedown lifecycle
+    (ManifestParquetSink.delete_keys(mode="tombstone") →
+    compact(materialize_deletes=True)): two overlapping commits, an
+    O(keys) TOMBSTONE delete of doc_id % 10 == 3 (no data file
+    rewritten — asserted in-row), a replayed delete (no-op), a
+    RE-INSERT of half the deleted keys (doc_id % 20 == 3 — the
+    conditional anti-join must let post-delete admissions survive),
+    then a materializing full compaction that consumes the tombstone
+    and returns the table to the fast read path. The final relation —
+    each survivor with its first-admission snapshot — is hash-exact
+    against set algebra over the documents table."""
+    import shutil
+    import tempfile
+
+    from ..operators.sinks import make_sink
+
+    docs = table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="drv_takedown_ts_")
+    try:
+        sink = make_sink(
+            spark, root, keys={"corpus": ["doc_id"]}, backend="manifest"
+        )
+        sink.insert_if_absent("corpus", docs.filter(F.col("doc_id") % 2 == 0))
+        sink.insert_if_absent("corpus", docs)
+        data_before = {n for n, _, _ in sink._segments("corpus")[0]}
+        keys = docs.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+        assert (
+            sink.delete_keys("corpus", keys, mode="tombstone") is not None
+        )
+        # O(keys): no data segment rewritten or covered by the delete
+        assert {
+            n for n, _, _ in sink._segments("corpus")[0]
+        } == data_before
+        assert sink.delete_keys("corpus", keys, mode="tombstone") is None
+        sink.insert_if_absent(
+            "corpus", docs.filter(F.col("doc_id") % 20 == 3)
+        )
+        last = sink.compact("corpus", materialize_deletes=True)
+        assert last is not None and not sink._split_live("corpus")[1]
+        survivors = sink.added_between("corpus", None, last)
+        return (
+            survivors.select(
+                "doc_id",
+                "source",
+                "n_chars",
+                F.col("_snapshot").alias("snapshot"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_CORPUS_TAKEDOWN_TOMBSTONE = """
+SELECT doc_id, source, n_chars,
+       CAST(CASE WHEN doc_id % 20 = 3 THEN 3
+                 WHEN doc_id % 2 = 0 THEN 0
+                 ELSE 1 END AS BIGINT) AS snapshot
+FROM documents
+WHERE doc_id % 10 <> 3 OR doc_id % 20 = 3
+"""
+
+
 def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-trained BPE merge table (Sennrich et al. 2016
     shape): BPE_MERGES steps over the top-word dictionary, best pair
@@ -2135,6 +2199,7 @@ PIPELINE_QUERIES = {
     "corpus_dsir_select": corpus_dsir_select,
     "snapshot_added_between": snapshot_added_between,
     "corpus_takedown": corpus_takedown,
+    "corpus_takedown_tombstone": corpus_takedown_tombstone,
     "corpus_bpe_merges": corpus_bpe_merges,
     "corpus_bpe_token_stats": corpus_bpe_token_stats,
     "corpus_bpe_coverage": corpus_bpe_coverage,
@@ -6646,6 +6711,7 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
     "corpus_dsir_select": _dsir_select_oracle(),
     "snapshot_added_between": ORACLE_SNAPSHOT_ADDED_BETWEEN,
     "corpus_takedown": ORACLE_CORPUS_TAKEDOWN,
+    "corpus_takedown_tombstone": ORACLE_CORPUS_TAKEDOWN_TOMBSTONE,
     "corpus_bpe_merges": _bpe_merges_oracle(),
     "corpus_bpe_token_stats": _bpe_token_stats_oracle(),
     "corpus_bpe_coverage": _bpe_coverage_oracle(),

@@ -1499,6 +1499,7 @@ def takedown(
     warehouse: MergeSink,
     ids: DataFrame,
     id_col: str = "doc_id",
+    mode: str = "rewrite",
 ) -> dict[str, object]:
     """Cascaded key-targeted delete (right-to-be-forgotten) across
     every admission surface under one corpus root: remove the given
@@ -1515,13 +1516,31 @@ def takedown(
     Streaming ANN/PQ indexes live under their own roots — cascade
     those with ``streaming.ann_index.takedown_vectors``.
 
+    ``mode`` (manifest backend only): ``"rewrite"`` (default —
+    redaction from all snapshots, O(table) rewrite per table) or
+    ``"tombstone"`` (O(keys) deletion-vector commits; physical
+    redaction deferred to ``compact(materialize_deletes=True)`` —
+    see ManifestParquetSink.delete_keys).
+
     Returns {table: backend delete result} for the tables that existed
-    (manifest: covering snapshot id or None; parquet: bool).
+    (manifest: new snapshot id or None; parquet: bool).
     """
+    from ..operators.sinks import ManifestParquetSink
+
+    kwargs: dict[str, object] = {}
+    if isinstance(warehouse, ManifestParquetSink):
+        kwargs["mode"] = mode
+    elif mode != "rewrite":
+        raise ValueError(
+            "tombstone-mode takedown needs the manifest backend "
+            f"(got {type(warehouse).__name__})"
+        )
     results: dict[str, object] = {}
     for tbl, col in TAKEDOWN_TABLES.items():
         if warehouse.read(tbl) is None:
             continue
         keys = ids.select(F.col(id_col).alias(col))
-        results[tbl] = warehouse.delete_keys(tbl, keys, on=[col])
+        results[tbl] = warehouse.delete_keys(
+            tbl, keys, on=[col], **kwargs
+        )
     return results

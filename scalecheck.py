@@ -1001,8 +1001,93 @@ def tiered_mode(spark, n_batches: int = 48, batch_rows: int = 2000) -> None:
     )
 
 
+def takedown_mode(
+    spark,
+    sizes: list[int],
+    batch_rows: int = 20000,
+    delete_n: int = 200,
+) -> None:
+    """Rewrite-vs-tombstone takedown cost AT growing accumulated table
+    sizes — the claim the deletion-vector mode exists to prove:
+    ``delete_keys(mode="tombstone")`` commits O(deleted keys)
+    regardless of table size, while ``mode="rewrite"`` pays O(table);
+    the read-side tax of an outstanding tombstone is one broadcast
+    anti-join (plus tagged per-segment reads), repaid by one
+    materializing compaction. Each size builds a compacted manifest
+    table of size×batch_rows rows, deletes ``delete_n`` spread keys
+    both ways, and times delete / post-delete read / materialize."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.sinks import (
+        make_sink,
+    )
+
+    for n_batches in sizes:
+        total = n_batches * batch_rows
+        for mode in ("rewrite", "tombstone"):
+            root = tempfile.mkdtemp(prefix=f"scalecheck_td_{mode}_")
+            try:
+                sink = make_sink(
+                    spark, root, keys={"t": ["k"]}, backend="manifest"
+                )
+                for b in range(n_batches):
+                    sink.insert_if_absent(
+                        "t",
+                        spark.range(
+                            b * batch_rows, (b + 1) * batch_rows
+                        ).select(
+                            F.col("id").alias("k"),
+                            F.md5(F.col("id").cast("string")).alias("v"),
+                        ),
+                    )
+                sink.compact("t", target_partitions=8)
+                stride = max(1, total // delete_n)
+                keys = spark.range(0, total, stride).select(
+                    F.col("id").alias("k")
+                )
+                p0 = _probe()
+                t0 = time.time()
+                sink.delete_keys("t", keys, mode=mode)
+                dt_delete = round(time.time() - t0, 3)
+                t0 = time.time()
+                n_after = sink.read("t").count()
+                dt_read = round(time.time() - t0, 3)
+                dt_mat = None
+                dt_read_after = None
+                if mode == "tombstone":
+                    t0 = time.time()
+                    sink.compact("t", materialize_deletes=True)
+                    dt_mat = round(time.time() - t0, 3)
+                    t0 = time.time()
+                    assert sink.read("t").count() == n_after
+                    dt_read_after = round(time.time() - t0, 3)
+                assert n_after == total - len(range(0, total, stride))
+                print(
+                    json.dumps(
+                        {
+                            "mode": "takedown",
+                            "delete_mode": mode,
+                            "table_rows": total,
+                            "deleted_keys": len(range(0, total, stride)),
+                            "delete_sec": dt_delete,
+                            "read_after_delete_sec": dt_read,
+                            "materialize_sec": dt_mat,
+                            "read_after_materialize_sec": dt_read_after,
+                            "cpu_probe": round(p0, 3),
+                        }
+                    ),
+                    flush=True,
+                )
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
+    if args and args[0] == "takedown":
+        rest = [int(a) for a in args[1:]]
+        spark = get_spark(app_name="scalecheck-takedown")
+        spark.sparkContext.setLogLevel("ERROR")
+        takedown_mode(spark, sizes=rest or [8, 32, 128])
+        return
     if args and args[0] == "tiered":
         rest = [int(a) for a in args[1:]]
         spark = get_spark(app_name="scalecheck-tiered")

@@ -411,3 +411,199 @@ def test_inline_auto_compaction_failure_propagates_and_counts(
     with pytest.raises(OSError, match="disk full"):
         sink.insert_if_absent("t", _rows(spark, [(1, "x")]))
     assert sink.compaction_errors("t")["total"] == 1
+
+
+# -- tombstone (deletion-vector) mode ------------------------------------
+
+
+@pytest.mark.parametrize("protocol", PROTOCOLS)
+def test_tombstone_delete_hides_without_rewrite(spark, tmp_path, protocol):
+    sink = _sink(spark, tmp_path, "manifest", commit_protocol=protocol)
+    sink.insert_if_absent("t", _rows(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    sink.insert_if_absent("t", _rows(spark, [(4, "d")]))
+    data_before = {n for n, _, _ in sink._segments("t")[0]}
+    snap = sink.delete_keys("t", _keys(spark, [2, 4]), mode="tombstone")
+    assert snap is not None
+    assert {r.k for r in sink.read("t").collect()} == {1, 3}
+    # NO data segment was rewritten or covered — O(keys) commit
+    assert {n for n, _, _ in sink._segments("t")[0]} == data_before
+    tombs = sink._split_live("t")[1]
+    assert len(tombs) == 1 and tombs[0][2] == ["k"]
+    # replayed delete: keys no longer visible, nothing committed
+    assert sink.delete_keys("t", _keys(spark, [2]), mode="tombstone") is None
+    # re-insert after delete RE-ADMITS (new row outranks the tombstone)
+    sink.insert_if_absent("t", _rows(spark, [(2, "B2")]))
+    assert {(r.k, r.v) for r in sink.read("t").collect()} == {
+        (1, "a"), (3, "c"), (2, "B2"),
+    }
+    # scan ≡ read (tombstones applied on the scan path too)
+    got = {r.k for r in sink.scan("t", {"k": (None, None)}).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_tombstone_time_travel_is_horizon_visible(spark, tmp_path):
+    """Tombstone mode's declared time-travel trade: reads BEFORE the
+    delete still serve the row; reads at/after the delete hide it."""
+    sink = _sink(spark, tmp_path, "manifest")
+    sink.insert_if_absent("t", _rows(spark, [(1, "a"), (2, "b")]))  # s0
+    sink.insert_if_absent("t", _rows(spark, [(3, "c")]))            # s1
+    ts = sink.delete_keys("t", _keys(spark, [2]), mode="tombstone")  # s2
+    assert {r.k for r in sink.read_at("t", 0).collect()} == {1, 2}
+    assert {r.k for r in sink.read_at("t", 1).collect()} == {1, 2, 3}
+    assert {r.k for r in sink.read_at("t", ts).collect()} == {1, 3}
+    # re-insert of the deleted key at s3: visible at s3, not at s2
+    sink.insert_if_absent("t", _rows(spark, [(2, "B2")]))
+    assert {r.k for r in sink.read_at("t", ts).collect()} == {1, 3}
+    assert {(r.k, r.v) for r in sink.read_at("t", ts + 1).collect()} == {
+        (1, "a"), (3, "c"), (2, "B2"),
+    }
+
+
+def test_materializing_compaction_consumes_tombstones(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "manifest")
+    for i in range(4):
+        sink.insert_if_absent("t", _rows(spark, [(i, f"v{i}")]))
+    sink.delete_keys("t", _keys(spark, [1]), mode="tombstone")
+    sink.delete_keys("t", _keys(spark, [3]), mode="tombstone")
+    assert len(sink._split_live("t")[1]) == 2
+    # bounded compaction must refuse to materialize
+    with pytest.raises(ValueError, match="FULL compaction"):
+        sink.compact("t", since=1, materialize_deletes=True)
+    # non-materializing compaction leaves deletes exact and tombstones live
+    sink.compact("t")
+    assert {r.k for r in sink.read("t").collect()} == {0, 2}
+    assert len(sink._split_live("t")[1]) == 2
+    # pre-delete history still serves (horizon semantics survive compact)
+    assert {r.k for r in sink.read_at("t", 3).collect()} == {0, 1, 2, 3}
+    # materializing full compaction: tombstones consumed, fast path back
+    snap = sink.compact("t", materialize_deletes=True)
+    assert snap is not None
+    assert sink._split_live("t")[1] == []
+    assert {r.k for r in sink.read("t").collect()} == {0, 2}
+    # history below the tombstones is now REDACTED (rewrite semantics)
+    assert {r.k for r in sink.read_at("t", 3).collect()} == {0, 2}
+    # snapshot ids all remain valid
+    assert sink.snapshots("t") == list(range(snap + 1))
+
+
+def test_tombstone_then_insert_then_materialize(spark, tmp_path):
+    """A re-admitted key must survive materialization (the conditional
+    anti-join only hides rows admitted BEFORE the tombstone)."""
+    sink = _sink(spark, tmp_path, "manifest")
+    sink.insert_if_absent("t", _rows(spark, [(1, "old"), (2, "b")]))
+    sink.delete_keys("t", _keys(spark, [1]), mode="tombstone")
+    sink.insert_if_absent("t", _rows(spark, [(1, "new")]))
+    sink.compact("t", materialize_deletes=True)
+    assert {(r.k, r.v) for r in sink.read("t").collect()} == {
+        (1, "new"), (2, "b"),
+    }
+    assert sink._split_live("t")[1] == []
+
+
+def test_tombstone_delete_by_non_key_column(spark, tmp_path):
+    sink = make_sink(
+        spark, str(tmp_path), keys={"t": ["k", "owner"]},
+        backend="manifest",
+    )
+    b = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20)], "k long, owner long"
+    )
+    sink.insert_if_absent("t", b)
+    sink.delete_keys(
+        "t", spark.createDataFrame([(10,)], "owner long"),
+        on=["owner"], mode="tombstone",
+    )
+    assert {r.k for r in sink.read("t").collect()} == {3}
+    # insert anti-join sees the tombstoned keys as absent -> re-admit
+    sink.insert_if_absent(
+        "t", spark.createDataFrame([(1, 10)], "k long, owner long")
+    )
+    assert {(r.k, r.owner) for r in sink.read("t").collect()} == {
+        (3, 20), (1, 10),
+    }
+
+
+def test_tombstone_partitioned_table(spark, tmp_path):
+    sink = make_sink(
+        spark, str(tmp_path), keys={"t": ["k"]},
+        partitioning={"t": ["p"]}, backend="manifest",
+    )
+    b = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 20, "c")],
+        "k long, p int, v string",
+    )
+    sink.insert_if_absent("t", b)
+    sink.delete_keys("t", _keys(spark, [2]), mode="tombstone")
+    assert {(r.k, r.p) for r in sink.read("t").collect()} == {
+        (1, 10), (3, 20),
+    }
+    sink.compact("t", materialize_deletes=True)
+    assert {(r.k, r.p) for r in sink.read("t").collect()} == {
+        (1, 10), (3, 20),
+    }
+
+
+def test_tombstone_mode_takedown_cascade(spark, tmp_path):
+    wh = make_sink(
+        spark, str(tmp_path),
+        keys={sc.CURATED_TABLE: ["text_fp"]},
+        backend="manifest",
+    )
+    docs = spark.createDataFrame(
+        [(1, "fpA", "one"), (2, "fpB", "two")],
+        "doc_id long, text_fp string, text string",
+    )
+    wh.insert_if_absent(sc.CURATED_TABLE, docs)
+    res = sc.takedown(
+        wh, spark.createDataFrame([(2,)], "doc_id long"),
+        mode="tombstone",
+    )
+    assert res[sc.CURATED_TABLE] is not None
+    assert {r.doc_id for r in wh.read(sc.CURATED_TABLE).collect()} == {1}
+
+
+def test_bad_delete_mode_raises(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "manifest")
+    sink.insert_if_absent("t", _rows(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="unknown delete mode"):
+        sink.delete_keys("t", _keys(spark, [1]), mode="logical")
+
+
+def test_dataset_builder_takedown_redacts_all_epochs(spark, tmp_path):
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.corpus_pipeline import (
+        CorpusPipeline,
+        DatasetBuilder,
+    )
+
+    def text(i: int) -> str:
+        # distinct per doc (no near-dups to collapse), passes the
+        # lang/quality gates (English stopwords present, 10+ tokens)
+        return "the and of to a in is " + " ".join(
+            f"w{i}x{j}" for j in range(25)
+        )
+
+    docs = spark.createDataFrame(
+        [(i, text(i), "en", "s", 0) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    eval_docs = docs.filter(F.lit(False))
+    cp = CorpusPipeline(spark, str(tmp_path / "c"))
+    b = DatasetBuilder(cp)
+    snap = b.build_epochs(
+        docs, eval_docs, budget_docs=20, n_epochs=2, min_overlap=10**6
+    )
+    built = b.read(snap)
+    n_before = built.count()
+    victims = sorted({r.doc_id for r in built.select("doc_id").collect()})[:2]
+    assert built.filter(F.col("doc_id").isin(victims)).count() == 4  # 2 epochs
+    b.takedown(
+        spark.createDataFrame([(v,) for v in victims], "doc_id long")
+    )
+    after = b.read(snap)
+    assert after.filter(F.col("doc_id").isin(victims)).count() == 0
+    # other docs' rows and epochs untouched
+    assert after.count() == n_before - 4
+    assert {r.epoch for r in after.select("epoch").distinct().collect()} == {
+        0,
+        1,
+    }
