@@ -1495,8 +1495,13 @@ class ManifestParquetSink(MergeSink):
                     raise
                 continue  # racing compaction deleted our listing
             # cover everything live plus any empty committed segments
-            # at or below the live max (same bookkeeping as compact)
+            # at or below the live max (same bookkeeping as compact).
+            # Live TOMBSTONE numbers are never swept in: the rewrite
+            # preserves per-row first-admission snapshots, so
+            # outstanding tombstones keep applying to the covering
+            # segment — covering one would resurrect its hidden keys.
             live_nums = {n for n, _, _ in live}
+            tomb_nums = {n for n, _, _ in tombs}
             hi = max(live_nums)
             covers: set[int] = set()
             empty_segs: list[tuple[int, str]] = []
@@ -1504,7 +1509,11 @@ class ManifestParquetSink(MergeSink):
                 n: p for n, p, _ in self._list_committed(name)[0]
             }
             for s in all_nums:
-                if s <= hi and s not in live_nums:
+                if (
+                    s <= hi
+                    and s not in live_nums
+                    and s not in tomb_nums
+                ):
                     covers.add(s)
                     d = dir_of.get(s)
                     if d is not None and os.path.isdir(d):

@@ -607,3 +607,47 @@ def test_dataset_builder_takedown_redacts_all_epochs(spark, tmp_path):
         0,
         1,
     }
+
+
+def test_tombstone_read_plan_is_broadcast_anti_join(spark, tmp_path):
+    """Plan guard: the tombstone tax on reads is ONE broadcast
+    conditional anti-join (the tombstone side is O(deleted keys) and
+    must never shuffle the data relation)."""
+    sink = _sink(spark, tmp_path, "manifest")
+    sink.insert_if_absent("t", _rows(spark, [(i, "x") for i in range(20)]))
+    sink.insert_if_absent("t", _rows(spark, [(i, "y") for i in range(20, 40)]))
+    sink.delete_keys("t", _keys(spark, [5, 25]), mode="tombstone")
+    plan = (
+        sink.read("t")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # once materialized, the read plan carries no join at all
+    sink.compact("t", materialize_deletes=True)
+    plan = (
+        sink.read("t")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+
+
+def test_rewrite_delete_with_outstanding_tombstone_no_resurrection(
+    spark, tmp_path
+):
+    """A rewrite-mode delete while a tombstone is outstanding must
+    neither consume the tombstone nor resurrect its hidden keys: the
+    covering segment preserves first-admission snapshots, so the
+    tombstone keeps applying."""
+    sink = _sink(spark, tmp_path, "manifest")
+    sink.insert_if_absent("t", _rows(spark, [(1, "a"), (2, "b")]))
+    sink.insert_if_absent("t", _rows(spark, [(3, "c"), (4, "d")]))
+    sink.delete_keys("t", _keys(spark, [2]), mode="tombstone")
+    sink.delete_keys("t", _keys(spark, [3]))  # rewrite mode
+    assert {r.k for r in sink.read("t").collect()} == {1, 4}
+    # the tombstone survived the rewrite and still has horizon
+    # semantics: pre-delete snapshots serve key 2, key 3 is redacted
+    assert len(sink._split_live("t")[1]) == 1
+    assert {r.k for r in sink.read_at("t", 1).collect()} == {1, 2, 4}
+    # and a materializing compaction still converges to the same view
+    sink.compact("t", materialize_deletes=True)
+    assert {r.k for r in sink.read("t").collect()} == {1, 4}
+    assert sink._split_live("t")[1] == []
