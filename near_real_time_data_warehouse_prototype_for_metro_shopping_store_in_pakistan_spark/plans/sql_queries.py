@@ -310,4 +310,19 @@ SQL_QUERIES: dict[str, str] = {
         GROUP BY order_date
         ORDER BY order_date
     """,
+    # q18's DataFrame surface serves STORE_QUARTERLY_SALES from the
+    # incrementally-maintained partial-sum table (operators.etl.
+    # refresh_quarterly_agg — the access path under test); this SQL
+    # twin recomputes the SAME view from the registered sales_fact,
+    # asserting the maintained answer equals the recomputed one
+    # (identical to q10's text by construction — the serve path is an
+    # access-path optimization, never a semantic change).
+    "q18_quarterly_serve_maintained": """
+        SELECT /*+ BROADCAST(s) */ store_id, store_name, quarter, year,
+               SUM(revenue_cents) / 100.0D AS total_quarterly_revenue,
+               SUM(quantity_ordered) AS total_quarterly_quantity
+        FROM sales_fact f JOIN stores s USING (store_id)
+        GROUP BY store_id, store_name, quarter, year
+        ORDER BY store_name, year, quarter
+    """,
 }

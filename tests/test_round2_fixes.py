@@ -60,7 +60,7 @@ def test_fact_cache_keyed_by_application(spark, sf_dir):
     b = star.sales_fact(spark, sf_dir)
     assert a is b  # memoized within one application
     app_id = spark.sparkContext.applicationId
-    assert (app_id, sf_dir, True) in star._FACT_CACHE
+    assert (app_id, sf_dir, True, False) in star._FACT_CACHE
     star.clear_fact_cache()
     assert not star._FACT_CACHE
     # repopulating after a clear still works
