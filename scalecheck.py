@@ -1004,7 +1004,7 @@ def tiered_mode(spark, n_batches: int = 48, batch_rows: int = 2000) -> None:
 def takedown_mode(
     spark,
     sizes: list[int],
-    batch_rows: int = 20000,
+    n_batches: int = 8,
     delete_n: int = 200,
 ) -> None:
     """Rewrite-vs-tombstone takedown cost AT growing accumulated table
@@ -1020,8 +1020,9 @@ def takedown_mode(
         make_sink,
     )
 
-    for n_batches in sizes:
-        total = n_batches * batch_rows
+    for total in sizes:
+        batch_rows = total // n_batches
+        total = batch_rows * n_batches
         for mode in ("rewrite", "tombstone"):
             root = tempfile.mkdtemp(prefix=f"scalecheck_td_{mode}_")
             try:
@@ -1086,7 +1087,9 @@ def main() -> None:
         rest = [int(a) for a in args[1:]]
         spark = get_spark(app_name="scalecheck-takedown")
         spark.sparkContext.setLogLevel("ERROR")
-        takedown_mode(spark, sizes=rest or [8, 32, 128])
+        takedown_mode(
+            spark, sizes=rest or [640_000, 2_560_000, 10_240_000]
+        )
         return
     if args and args[0] == "tiered":
         rest = [int(a) for a in args[1:]]
