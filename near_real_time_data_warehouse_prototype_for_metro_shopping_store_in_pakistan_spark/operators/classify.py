@@ -221,26 +221,34 @@ def _dsir_features(
     (id, is_target, bucket, fcnt) with a NULL-bucket row for
     feature-less docs (explode_outer), checkpointed — it feeds both
     the model counts and the score join."""
+    # tokenize ONCE into a bound lambda variable: referencing the raw
+    # tokenize expression inside the bigram window lambda re-ran the
+    # split per element (HOF lambdas don't eliminate inlined outer
+    # subexpressions) — O(tokens²) per doc. Same fix as
+    # text_profile._gram_array_from / dedup.segment_array.
+    def _bi_of(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: md5_long(
+                    F.concat(
+                        F.lit("b|"),
+                        F.element_at(toks, i),
+                        F.lit(" "),
+                        F.element_at(toks, i + F.lit(1)),
+                    )
+                )
+                % n_buckets,
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
     toks = tokens(F.lower(F.col(text_col)))
     uni = F.transform(
         toks, lambda t: md5_long(F.concat(F.lit("u|"), t)) % n_buckets
     )
     # sequence(1, n-1) DESCENDS when n < 2 — guard to empty
-    bi = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: md5_long(
-                F.concat(
-                    F.lit("b|"),
-                    F.element_at(toks, i),
-                    F.lit(" "),
-                    F.element_at(toks, i + F.lit(1)),
-                )
-            )
-            % n_buckets,
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    bi = F.element_at(F.transform(F.array(toks), _bi_of), 1)
     return (
         docs.select(
             F.col(id_col),

@@ -1702,15 +1702,29 @@ def segment_array(
         k = words_per_segment
         if k < 1:
             raise ValueError(f"words_per_segment ({k}) must be >= 1")
-        w = tokens(text)
-        nseg = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
-        return F.when(
-            F.size(w) > 0,
-            F.transform(
-                F.sequence(F.lit(0), nseg - 1),
-                lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+
+        # Bind the token array to a LAMBDA VARIABLE before windowing:
+        # HOF lambdas re-evaluate inlined outer expressions per
+        # element (no subexpression elimination inside the lambda), so
+        # referencing tokens(text) directly in the window lambda
+        # re-ran the split once per segment — O(tokens²/k) work per
+        # row. transform(array(tokens), ...) evaluates the tokenize
+        # ONCE and the inner lambda sees a bound reference. This stays
+        # a pure column expression, which segment_array's callers
+        # (c4_clean et al.) require.
+        def _segments_of(w: Column) -> Column:
+            nseg = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
+            return F.when(
+                F.size(w) > 0,
+                F.transform(
+                    F.sequence(F.lit(0), nseg - 1),
+                    lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        return F.element_at(
+            F.transform(F.array(tokens(text)), _segments_of), 1
+        )
     raise ValueError(
         f"unknown segmenter {segmenter!r}: expected 'lines' or 'words'"
     )
