@@ -139,7 +139,32 @@ class ParquetAntiJoinSink(MergeSink):
     reference's single consumer thread.
     """
 
+    def _recover_swap(self, name: str, gc: bool = True) -> None:
+        """Crash recovery for ``delete_keys``' two-rename directory
+        swap: a crash BETWEEN the renames leaves no table directory
+        at all — the whole table stranded in a complete ``_old_*``
+        sibling (and the delete's survivors in ``_rewrite_*``), which
+        nothing else ever garbage-collects. Without recovery the next
+        ``insert_if_absent`` would silently re-create an EMPTY table —
+        data loss, not just lost atomicity. Restore the newest
+        ``_old_*`` as the table (the interrupted delete is simply
+        lost; deletes are replayable no-ops, so re-running it is
+        always safe), then — write paths only (``gc``) — remove the
+        remaining orphan siblings. Single-writer like every other
+        mutation on this backend."""
+        import glob
+        import shutil
+
+        path = self.path(name)
+        olds = sorted(glob.glob(f"{path}_old_*"), key=os.path.getmtime)
+        if olds and not os.path.exists(path):
+            os.rename(olds.pop(), path)
+        if gc and os.path.exists(path):
+            for d in olds + glob.glob(f"{path}_rewrite_*"):
+                shutil.rmtree(d, ignore_errors=True)
+
     def read(self, name: str) -> DataFrame | None:
+        self._recover_swap(name, gc=False)
         p = self.path(name)
         try:
             return self.spark.read.parquet(p)
@@ -195,6 +220,7 @@ class ParquetAntiJoinSink(MergeSink):
         return existing.select(*key).dropDuplicates(key)
 
     def insert_if_absent(self, name: str, batch: DataFrame) -> None:
+        self._recover_swap(name)
         key = self.keys[name]
         incoming = batch.dropDuplicates(key)
         existing = self.read(name)
@@ -244,10 +270,16 @@ class ParquetAntiJoinSink(MergeSink):
         deleted under the plan), then swap directories with two
         renames. The window between the renames is this backend's
         documented single-writer crash hole (the reference shares it:
-        a MySQL DELETE without a transactional engine) — deployments
-        needing a crash-atomic, OCC-safe delete use the manifest
-        backend's ``delete_keys``, which commits the rewrite as a
-        covering snapshot. After a delete the key is genuinely
+        a MySQL DELETE without a transactional engine): a crash there
+        leaves NO table directory — the data stranded in ``_old_*``
+        (the whole pre-delete table) and ``_rewrite_*`` (the
+        survivors) siblings. ``_recover_swap`` (run at the start of
+        every read/insert/delete) restores the ``_old_*`` copy as the
+        table and GCs the orphans, so the consequence is a LOST
+        (replayable) delete, never a lost table. Deployments needing
+        a crash-atomic, OCC-safe delete use the manifest backend's
+        ``delete_keys``, which commits the rewrite as a covering
+        snapshot. After a delete the key is genuinely
         FORGOTTEN: a later insert_if_absent of the same key re-admits
         it (takedown semantics, same trade ``compact(expire_below=)``
         documents). The Bloomed subclass inherits this unchanged — its
@@ -261,6 +293,7 @@ class ParquetAntiJoinSink(MergeSink):
         import shutil
         import uuid
 
+        self._recover_swap(name)
         on = list(on or self.keys[name])
         existing = self.read(name)
         if existing is None:
@@ -351,19 +384,23 @@ class DeltaMergeSink(MergeSink):
         manifest backend's OCC rewrite reproduces without the
         dependency). Same match semantics as the other backends:
         null-safe equality on ``on`` (default the table's key).
-        Returns False when the table does not exist yet."""
+        Returns False when the table does not exist yet OR when no
+        visible row matched — the replay-is-a-no-op contract every
+        backend implements (a probing left-semi join runs before the
+        MERGE so a duplicate/replayed takedown reports "nothing
+        deleted" instead of a false positive to its caller)."""
         from delta.tables import DeltaTable
 
         on = list(on or self.keys[name])
         path = self.path(name)
         if not DeltaTable.isDeltaTable(self.spark, path):
             return False
-        missing = [c for c in on if c not in keys_df.columns]
-        if missing:
-            raise ValueError(
-                f"delete_keys match columns {missing} missing from the "
-                f"keys relation (has {keys_df.columns})"
-            )
+        seen, cond_df = self._delete_match(keys_df, on)
+        existing = self.read(name)
+        if existing is None or (
+            existing.join(seen, cond_df, "left_semi").isEmpty()
+        ):
+            return False  # nothing matched — replay no-op
         target = DeltaTable.forPath(self.spark, path)
         cond = " AND ".join(f"t.{c} <=> s.{c}" for c in on)
         (
@@ -1299,14 +1336,21 @@ class ManifestParquetSink(MergeSink):
         are immutable and insert-if-absent means every row belongs to
         exactly ONE segment (its first admission), so the diff is a
         union of whole segments, no key-level anti-join needed.
-        ``added_between(name, None, s)`` therefore equals
-        ``read_at(name, s)`` minus the tag column, and
-        ``added_between(name, a, b)`` equals ``read_at(b)`` minus
-        ``read_at(a)`` by key — asserted by the sink contract tests.
-        Compacted segments answer from their persisted per-row
-        ``_snapshot`` column, so the diff survives ``compact``
-        unchanged. None when no committed non-empty segment falls in
-        the range.
+        On a table with NO outstanding tombstones,
+        ``added_between(name, None, s)`` equals ``read_at(name, s)``
+        minus the tag column, and ``added_between(name, a, b)``
+        equals ``read_at(b)`` minus ``read_at(a)`` by key — asserted
+        by the sink contract tests. With live tombstones the two
+        relations deliberately DIVERGE until materialization:
+        ``read_at`` applies tombstones at/below its horizon while
+        this diff reports ADMISSIONS only (per ``delete_keys``'s
+        contract); and a rewrite-mode delete / materializing
+        compaction REDACTS matched rows from this diff too (history
+        rewrite — see ``delete_keys``). ``deleted_between`` is the
+        deletion-side counterpart. Compacted segments answer from
+        their persisted per-row ``_snapshot`` column, so the diff
+        survives a plain ``compact`` unchanged. None when no
+        committed non-empty segment falls in the range.
         """
         live, all_nums, _ = self._segments(name)
         for label, s in (("until", until), ("since", since)):
@@ -1671,11 +1715,12 @@ class ManifestParquetSink(MergeSink):
         if not self.compact_async:
             try:
                 self.compact(name, since=since, delete_covered=False)
-            except Exception:
+            except Exception as exc:
                 # inline failures PROPAGATE (the caller sees them) —
-                # but they still count, so operators polling
-                # compaction_errors() see one coherent feed
-                self._record_compact_failure(name)
+                # but they still count, WITH the exception, so
+                # operators polling compaction_errors() see one
+                # coherent feed (last_error included) on both paths
+                self._record_compact_failure(name, exc)
                 raise
             self._record_compact_success(name)
             return

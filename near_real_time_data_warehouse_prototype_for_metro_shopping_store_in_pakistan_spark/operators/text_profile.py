@@ -40,23 +40,29 @@ def token_stats(
     )
 
 
-def _lang_score(toks: Column, text: Column, lang: str) -> Column:
-    """Per-language ID score: stopword hits dominate, the script
-    prior (functions.text.LANG_SCRIPTS — capped char count in the
-    language's distinctive ranges) decides when no stopword fires.
-    Latin-script languages carry no prior (shared script identifies
-    nothing), so their scores remain exactly the pre-r12 hit counts
-    scaled — predictions on Latin/ASCII corpora are unchanged."""
+def _lang_score_from(hits: Column, residue: Column, lang: str) -> Column:
+    """Per-language ID score from ALREADY-PROJECTED columns: stopword
+    hits dominate, the script prior (functions.text.LANG_SCRIPTS —
+    capped char count in the language's distinctive ranges) decides
+    when no stopword fires. Latin-script languages carry no prior
+    (shared script identifies nothing), so their scores remain exactly
+    the pre-r12 hit counts scaled — predictions on Latin/ASCII corpora
+    are unchanged.
+
+    ``residue`` is the single-pass ``functions.text.script_residue``
+    column (all non-script characters stripped once per row): the
+    per-language count then scans only the residue — the r13 fix for
+    the 7-full-text-regex-passes-per-doc cost the 13-language matrix
+    introduced. The counts are identical by construction, so every
+    langid-gated oracle row hashes unchanged."""
     from ..functions.text import LANG_SCORE_SCALE, LANG_SCRIPTS, script_hits
 
-    score = (
-        _hits(toks, LANG_STOPWORDS[lang]).cast("long")
-        * F.lit(LANG_SCORE_SCALE).cast("long")
-    )
+    score = hits.cast("long") * F.lit(LANG_SCORE_SCALE).cast("long")
     ranges = LANG_SCRIPTS.get(lang)
     if ranges:
         score = score + F.least(
-            script_hits(text, ranges), F.lit(LANG_SCORE_SCALE - 1)
+            script_hits(residue, ranges),
+            F.lit(LANG_SCORE_SCALE - 1).cast("long"),
         )
     return score
 
@@ -65,7 +71,7 @@ def _lang_argmax_case() -> Column:
     """First lang (in LANG_ORDER priority) whose ``score_{lang}``
     column is >= all others — the shared argmax chain for
     ``language_id`` and ``curation_flags``. Scores combine stopword
-    hits with the script prior (see ``_lang_score``)."""
+    hits with the script prior (see ``_lang_score_from``)."""
     chain = None
     for lang in LANG_ORDER:
         cond = None
@@ -88,17 +94,41 @@ def language_id(
     correct on corpora mixing no-whitespace scripts (a CJK run no
     longer glues onto an adjacent Latin stopword — and ja's kana
     particles only match as char-1-grams in this mode); the script
-    priors are token-mode-independent (raw char counts)."""
-    toks = tokens(F.lower(F.col(text_col)), token_mode)
-    out = docs.select(
+    priors are token-mode-independent (raw char counts).
+
+    Plan shape: token array and script residue are each projected
+    ONCE per row (separate Project steps Catalyst keeps — expensive
+    expressions referenced many times are not re-inlined), then the
+    13 hit counts scan the token column and the 7 script priors scan
+    the residue column — 1 tokenize + 1 full-text regex pass per doc
+    instead of 13 + 7."""
+    from ..functions.text import script_residue
+
+    staged = docs.select(
         "doc_id",
         F.col("lang").alias("lang_true"),
+        tokens(F.lower(F.col(text_col)), token_mode).alias("__toks"),
+        script_residue(F.col(text_col)).alias("__scripts"),
+    )
+    hitted = staged.select(
+        "doc_id",
+        "lang_true",
+        "__scripts",
         *[
-            _hits(toks, LANG_STOPWORDS[lang]).alias(f"hits_{lang}")
+            _hits(F.col("__toks"), LANG_STOPWORDS[lang]).alias(
+                f"hits_{lang}"
+            )
             for lang in LANG_ORDER
         ],
+    )
+    out = hitted.select(
+        "doc_id",
+        "lang_true",
+        *[F.col(f"hits_{lang}") for lang in LANG_ORDER],
         *[
-            _lang_score(toks, F.col(text_col), lang).alias(f"score_{lang}")
+            _lang_score_from(
+                F.col(f"hits_{lang}"), F.col("__scripts"), lang
+            ).alias(f"score_{lang}")
             for lang in LANG_ORDER
         ],
     )
@@ -720,19 +750,33 @@ def curation_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
     score, and the exact-text fingerprint (same md5 the exact-dedup
     operator groups on). No joins — each signal is a column
     expression, so a funnel over 100 TB is one pass."""
-    toks = tokens(F.lower(F.col(text_col)))
-    counted = docs.select(
+    from ..functions.text import script_residue
+
+    staged = docs.select(
         "doc_id",
         F.col("lang").alias("lang_true"),
-        *[
-            _lang_score(toks, F.col(text_col), lang).alias(f"score_{lang}")
-            for lang in LANG_ORDER
-        ],
-        F.size(toks).alias("n_tokens"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+        script_residue(F.col(text_col)).alias("__scripts"),
         F.length(text_col).cast("int").alias("n_chars"),
         punct_count(F.col(text_col)).cast("int").alias("n_punct"),
-        _hits(toks, ENGLISH_STOPWORDS).alias("stop_hits"),
         F.md5(F.col(text_col)).alias("text_fp"),
+    )
+    counted = staged.select(
+        "doc_id",
+        "lang_true",
+        *[
+            _lang_score_from(
+                _hits(F.col("__toks"), LANG_STOPWORDS[lang]),
+                F.col("__scripts"),
+                lang,
+            ).alias(f"score_{lang}")
+            for lang in LANG_ORDER
+        ],
+        F.size("__toks").alias("n_tokens"),
+        "n_chars",
+        "n_punct",
+        _hits(F.col("__toks"), ENGLISH_STOPWORDS).alias("stop_hits"),
+        "text_fp",
     )
     score = _quality_expr(
         F.col("n_tokens"), F.col("n_chars"), F.col("n_punct"),
