@@ -167,7 +167,7 @@ WAREHOUSE_PARTITIONING: dict[str, list[str]] = {
 
 # Incrementally-maintained STORE_QUARTERLY_SALES (the reference view,
 # SQL/OLAP Queries - Metro.sql:276-288): per-snapshot PARTIAL sums
-# keyed on (fact snapshot, group) — see refresh_quarterly_agg.
+# keyed on (fact snapshot, group) — see MaintainedAggregate.
 QUARTERLY_AGG_TABLE = "store_quarterly_agg"
 QUARTERLY_AGG_KEYS = ["fact_snapshot", "store_id", "quarter", "year"]
 
@@ -180,14 +180,209 @@ def _fact_quarter(fact: DataFrame):
     return F.expr("(month + 2) div 3").cast("int")
 
 
-def _fact_revenue_cents(fact: DataFrame):
-    """Exact money: prefer the integer-cents column (OLAP fact);
-    the ETL fact stores total_revenue at 3 dp (the reference's
-    round(q*price, 3), src/Meshjoin.java:724-725) — cents = one
-    half-up round, exact because the value is a 3-dp decimal."""
+def _fact_revenue_mills(fact: DataFrame):
+    """Exact money in integer TENTH-OF-CENT units (mills): the OLAP
+    fact carries integer cents (×10 is exact); the ETL fact stores
+    total_revenue at 3 dp (the reference's round(q*price, 3),
+    src/Meshjoin.java:724-725) — ×1000 + one half-up round recovers
+    the integer mills exactly, so partial sums cancel bit-exact under
+    deletion and never drift from SUM(total_revenue) (a CENTS round
+    here would discard the 3-dp digit: up to $0.005/row drift)."""
     if "revenue_cents" in fact.columns:
-        return F.col("revenue_cents")
-    return F.round(F.col("total_revenue") * 100, 0).cast("long")
+        return (F.col("revenue_cents") * F.lit(10)).cast("long")
+    return F.round(F.col("total_revenue") * 1000, 0).cast("long")
+
+
+class MaintainedAggregate:
+    """A grouped-SUM aggregate over a manifest-backed fact table,
+    maintained INCREMENTALLY and DELETE-AWARE — the generalized form
+    of the quarterly-sales serving story (the reference recomputes
+    its views per query, SQL/OLAP Queries - Metro.sql:276-288; a
+    MySQL DELETE reflects in the view by construction — this class
+    reproduces that contract on the snapshot algebra).
+
+    ``group_by`` maps output column name -> fn(fact_df) -> Column
+    (derivation allowed: quarter from month); ``measures`` maps
+    output column name -> fn(fact_df) -> Column, each SUMmed.
+    Measures MUST be integer-typed: exact cancellation of negative
+    partials under deletion relies on integer arithmetic (money goes
+    in as mills — ``_fact_revenue_mills``; the serve wrapper divides
+    back out).
+
+    State: two manifest tables.
+
+    - ``<agg>``: per-snapshot PARTIAL sums keyed (fact_snapshot,
+      *group keys) plus an ``n_rows`` count measure. Positive
+      partials fold the ``added_between`` insert diff; NEGATIVE
+      partials fold the ``deleted_between`` tombstone diff (keyed at
+      the hiding tombstone's snapshot — a snapshot that never holds a
+      positive partial, so keys cannot collide). ``n_rows`` nets to
+      zero for a fully-deleted group, which the serve path filters
+      out — matching the recomputed view, which has no row for an
+      empty group.
+    - ``<agg>__hwm``: one row per completed refresh (``upto`` = the
+      fact snapshot folded to), keyed on ``upto``. The fold horizon
+      is max(upto) — deliberately NOT max(fact_snapshot) in the agg,
+      because a REBASE refolds rows tagged with their original (old)
+      snapshots and max(fact_snapshot) would then re-trigger the
+      rebase forever.
+
+    Refresh algebra (all replay-safe: every commit is
+    insert-if-absent of rows derived from immutable snapshot diffs,
+    so a crashed/repeated refresh re-derives identical rows that
+    anti-join away):
+
+    1. ``redactions_between(fact, last, latest)`` non-empty — a
+       rewrite-mode delete, a materializing compaction, or retention
+       expiry rewrote history under the fold — REBASE: ``truncate``
+       the agg (O(1) covering commit) and refold from the beginning.
+       ``added_between`` post-redaction reflects the rewritten
+       history, so the refold is exact by construction.
+    2. Fold positives from ``added_between(last, latest)`` and
+       negatives from ``deleted_between(last, latest)`` in one
+       commit; then commit the hwm row.
+
+    Cost at scale: a refresh with no deletes reads O(new segments)
+    fact rows (one map-side-combinable groupBy), never the
+    accumulated fact; a refresh over a window with tombstones pays
+    one admissions pass with the tombstone keys broadcast (the same
+    order as the read tax those tombstones already impose); a rebase
+    costs one fact scan — the same order as the redacting rewrite
+    that forced it. The serve scan reads O(snapshots x groups)
+    partial rows and is guarded by tests to never touch the fact."""
+
+    def __init__(
+        self,
+        sink,
+        fact_table: str,
+        agg_table: str,
+        group_by: dict,
+        measures: dict,
+    ) -> None:
+        if not isinstance(sink, ManifestParquetSink):
+            raise ValueError(
+                "MaintainedAggregate needs the manifest backend (the "
+                f"snapshot surface); got {type(sink).__name__}"
+            )
+        self.sink = sink
+        self.fact_table = fact_table
+        self.agg_table = agg_table
+        self.hwm_table = f"{agg_table}__hwm"
+        self.group_by = dict(group_by)
+        self.measures = dict(measures)
+        sink.keys.setdefault(
+            agg_table, ["fact_snapshot", *self.group_by]
+        )
+        sink.keys.setdefault(self.hwm_table, ["upto"])
+
+    def _hwm(self) -> int | None:
+        hwm = self.sink.read(self.hwm_table)
+        if hwm is None:
+            return None
+        return hwm.agg(F.max("upto")).first()[0]
+
+    def _partial(self, diff: DataFrame, snap_col: str, sign: int):
+        return diff.groupBy(
+            F.col(snap_col).cast("long").alias("fact_snapshot"),
+            *[
+                fn(diff).alias(name)
+                for name, fn in self.group_by.items()
+            ],
+        ).agg(
+            *[
+                (F.sum(fn(diff)) * F.lit(sign)).alias(name)
+                for name, fn in self.measures.items()
+            ],
+            (F.count(F.lit(1)) * F.lit(sign)).alias("n_rows"),
+        )
+
+    def refresh(self) -> int | None:
+        """Fold everything committed to the fact since the last
+        refresh — inserts, tombstone deletes, and (via rebase)
+        history rewrites. Returns the fact snapshot folded to, or
+        None when there was nothing new."""
+        sink = self.sink
+        snaps = sink.snapshots(self.fact_table)
+        if not snaps:
+            return None
+        latest = snaps[-1]
+        last = self._hwm()
+        if last is not None and last >= latest:
+            return None
+        rebase = bool(
+            sink.redactions_between(self.fact_table, last, latest)
+        )
+        if rebase:
+            sink.truncate(self.agg_table)
+            last = None
+        pos = sink.added_between(self.fact_table, last, latest)
+        if pos is not None and pos.isEmpty():
+            pos = None
+        neg = sink.deleted_between(self.fact_table, last, latest)
+        if pos is None and neg is None and not rebase:
+            # a replayed upstream batch commits a 0-row fact
+            # snapshot: fold nothing and commit nothing — otherwise
+            # every all-replay refresh would append useless empty
+            # segments
+            return None
+        partial = None
+        if pos is not None:
+            partial = self._partial(pos, "_snapshot", 1)
+        if neg is not None:
+            n = self._partial(neg, "_deleted_at", -1)
+            partial = n if partial is None else partial.unionByName(n)
+        if partial is not None:
+            sink.insert_if_absent(self.agg_table, partial)
+        sink.insert_if_absent(
+            self.hwm_table,
+            sink.spark.createDataFrame([(latest,)], "upto long"),
+        )
+        return latest
+
+    def serve(self) -> DataFrame:
+        """The aggregate, answered from the maintained partials only:
+        one groupBy over O(snapshots x groups) rows, positives and
+        negatives cancelling exactly; groups whose every row was
+        deleted net to n_rows == 0 and are dropped (the recomputed
+        view has no such group)."""
+        agg = self.sink.read(self.agg_table)
+        if agg is None:
+            raise ValueError(
+                f"no maintained aggregate {self.agg_table!r} under "
+                f"{self.sink.root} — refresh after loading the fact"
+            )
+        return (
+            agg.groupBy(*self.group_by)
+            .agg(
+                *[F.sum(m).alias(m) for m in self.measures],
+                F.sum("n_rows").alias("n_rows"),
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+
+
+def quarterly_maintained(
+    sink, fact_table: str = "sales_fact",
+    agg_table: str = QUARTERLY_AGG_TABLE,
+) -> MaintainedAggregate:
+    """The STORE_QUARTERLY_SALES instance of ``MaintainedAggregate``
+    (grouping (store_id, quarter, year); measures revenue-in-mills +
+    quantity), shared by ``refresh_quarterly_agg`` /
+    ``quarterly_sales_serve`` and the streaming ETL."""
+    return MaintainedAggregate(
+        sink,
+        fact_table,
+        agg_table,
+        group_by={
+            "store_id": lambda df: F.col("store_id"),
+            "quarter": _fact_quarter,
+            "year": lambda df: F.col("year"),
+        },
+        measures={
+            "revenue_mills": _fact_revenue_mills,
+            "quantity": lambda df: F.col("quantity_ordered"),
+        },
+    )
 
 
 def refresh_quarterly_agg(
@@ -195,72 +390,11 @@ def refresh_quarterly_agg(
     fact_table: str = "sales_fact",
     agg_table: str = QUARTERLY_AGG_TABLE,
 ) -> int | None:
-    """Incrementally maintain the STORE_QUARTERLY_SALES aggregate from
-    the manifest-backed fact table — the near-real-time SERVING story:
-    the reference re-derives its measures per batch
-    (src/Meshjoin.java:705-753) and recomputes the view per query
-    (SQL/OLAP Queries - Metro.sql:276-288); here each refresh folds
-    ONLY the fact rows admitted since the last refresh (the
-    ``added_between`` snapshot diff) into per-snapshot PARTIAL sums,
-    and ``quarterly_sales_serve`` answers the view from that small
-    maintained relation without ever scanning the fact.
-
-    Exactness and replay safety come from the snapshot algebra, with
-    no streaming state:
-
-    - partials are keyed (fact_snapshot, store_id, quarter, year) and
-      committed insert-if-absent: a replayed refresh re-derives the
-      SAME rows from the SAME immutable snapshot diff and no-ops;
-    - a replayed upstream batch commits an EMPTY fact snapshot (its
-      rows were anti-joined away), whose partial is empty — nothing
-      double-counts;
-    - the diff starts at the newest snapshot already FOLDED (max
-      fact_snapshot in the agg table), so a refresh skipped by a
-      crash is healed by the next one (the gap's snapshots are still
-      in the diff) — eventual exactness without coordination.
-
-    Plan shape at scale: the refresh reads O(new segments) fact rows
-    (one groupBy over the diff — map-side combinable), never the
-    accumulated fact; the agg table grows by O(groups) rows per
-    refresh and stays compactable like any manifest table. Requires
-    the manifest backend (the snapshot surface). Returns the newest
-    fact snapshot folded in, or None when nothing new committed."""
-    if not isinstance(sink, ManifestParquetSink):
-        raise ValueError(
-            "refresh_quarterly_agg needs the manifest backend (the "
-            f"snapshot surface); got {type(sink).__name__}"
-        )
-    snaps = sink.snapshots(fact_table)
-    if not snaps:
-        return None
-    sink.keys.setdefault(agg_table, list(QUARTERLY_AGG_KEYS))
-    agg = sink.read(agg_table)
-    last = None
-    if agg is not None:
-        last = agg.agg(F.max("fact_snapshot")).first()[0]
-    latest = snaps[-1]
-    if last is not None and last >= latest:
-        return None
-    new = sink.added_between(fact_table, last, latest)
-    # a replayed upstream batch commits a 0-row (but file-bearing)
-    # fact snapshot: fold nothing and commit nothing — otherwise every
-    # all-replay refresh would append a useless empty agg segment
-    if new is None or new.isEmpty():
-        return None
-    partial = (
-        new.groupBy(
-            F.col("_snapshot").alias("fact_snapshot"),
-            F.col("store_id"),
-            _fact_quarter(new).alias("quarter"),
-            F.col("year"),
-        )
-        .agg(
-            F.sum(_fact_revenue_cents(new)).alias("revenue_cents"),
-            F.sum("quantity_ordered").alias("quantity"),
-        )
-    )
-    sink.insert_if_absent(agg_table, partial)
-    return latest
+    """Incrementally maintain the STORE_QUARTERLY_SALES aggregate —
+    see ``MaintainedAggregate`` for the algebra (including the
+    delete-aware negative partials and the redaction rebase) and
+    ``quarterly_sales_serve`` for the serve path."""
+    return quarterly_maintained(sink, fact_table, agg_table).refresh()
 
 
 def quarterly_sales_serve(
@@ -269,20 +403,22 @@ def quarterly_sales_serve(
     agg_table: str = QUARTERLY_AGG_TABLE,
 ) -> DataFrame:
     """STORE_QUARTERLY_SALES served from the MAINTAINED partial-sum
-    table (see refresh_quarterly_agg) — the scan reads O(snapshots ×
+    table (see MaintainedAggregate) — the scan reads O(snapshots ×
     groups) partial rows, never the fact. Column names match the
     recomputed view (plans.queries.q10_store_quarterly_sales) exactly;
     pass the store dimension for the store_name join (broadcast — it
-    is dimension-sized)."""
-    agg = sink.read(agg_table)
-    if agg is None:
-        raise ValueError(
-            f"no maintained aggregate {agg_table!r} under {sink.root} — "
-            "run refresh_quarterly_agg after loading the fact"
-        )
-    out = agg.groupBy("store_id", "quarter", "year").agg(
-        (F.sum("revenue_cents") / 100.0).alias("total_quarterly_revenue"),
-        F.sum("quantity").alias("total_quarterly_quantity"),
+    is dimension-sized). Money: partials carry integer mills, so the
+    division here is the only float step — sum(mills)/1000.0 is the
+    same double as sum(cents)/100.0 for cents-grain facts."""
+    ma = quarterly_maintained(sink, agg_table=agg_table)
+    out = ma.serve().select(
+        "store_id",
+        "quarter",
+        "year",
+        (F.col("revenue_mills") / 1000.0).alias(
+            "total_quarterly_revenue"
+        ),
+        F.col("quantity").alias("total_quarterly_quantity"),
     )
     if store_names is not None:
         out = out.join(F.broadcast(store_names), "store_id").select(

@@ -488,6 +488,20 @@ class ManifestParquetSink(MergeSink):
     # `bound` batches would cost.
     auto_compact_segments: int | None = None
 
+    # Tombstone-debt bound: when set, as soon as the count of LIVE
+    # tombstone segments (delete_keys mode="tombstone") reaches this
+    # bound, the table is FULLY rewritten with
+    # compact(materialize_deletes=True) — restoring the multi-path
+    # fast reader (outstanding tombstones force per-segment tagged
+    # reads + a conditional anti-join per read: a measured ~8x read
+    # tax on a 10M-row table, SCALE.md). This is the storage-policy
+    # answer to a takedown QUEUE: each delete commits O(keys) now,
+    # and the O(table) rewrite is paid once per `bound` deletes
+    # instead of per delete. Checked after every tombstone delete and
+    # every insert; honors compact_async and the failure breaker like
+    # the segment-count policy.
+    materialize_tombstones_after: int | None = None
+
     # Size-tiered merge aggressiveness: a next-older segment joins
     # the merging tail only while its bytes are <= tier_factor x the
     # tail's accumulated bytes. 2.0 = classic geometric tiers; larger
@@ -738,6 +752,7 @@ class ManifestParquetSink(MergeSink):
         covers: set[int] | None = None,
         min_row: int | None = None,
         tombstone_on: list[str] | None = None,
+        redacted_at: list[int] | None = None,
     ) -> str:
         """Write ``df`` (hive-partitioned when configured) plus its
         complete ``_COMMITTED.json`` manifest into a fresh staging
@@ -786,6 +801,15 @@ class ManifestParquetSink(MergeSink):
         meta: dict = {"files": files, "bytes": nbytes, "rows": nrows}
         if tombstone_on is not None:
             meta["tombstone_on"] = list(tombstone_on)
+        if redacted_at:
+            # snapshots at which visible history was REDACTED (rewrite
+            # deletes, tombstone materializations, retention expiry) —
+            # carried forward by every covering commit so the full
+            # redaction history survives compaction chains and GC of
+            # covered dirs. Read by redactions_between; the signal
+            # incremental consumers (etl.MaintainedAggregate) use to
+            # know their folded history was rewritten under them.
+            meta["redacted_at"] = sorted(set(redacted_at))
         if covers is not None:
             cs = sorted(covers)
             if cs and cs[-1] - cs[0] + 1 == len(cs):
@@ -1382,6 +1406,170 @@ class ManifestParquetSink(MergeSink):
             out = df if out is None else self._union(out, df)
         return out
 
+    def _carry_redactions(
+        self, rows: list[tuple[int, str, dict]], nums: set[int]
+    ) -> list[int]:
+        """Union of ``redacted_at`` markers across the committed
+        manifests whose snapshot number is in ``nums`` — what a
+        covering commit must carry forward so redaction history
+        survives the covered dirs' GC."""
+        out: set[int] = set()
+        for n, _, meta in rows:
+            if n in nums:
+                out.update(meta.get("redacted_at") or ())
+        return sorted(out)
+
+    def redactions_between(
+        self, name: str, since: int | None, until: int | None = None
+    ) -> list[int]:
+        """Snapshot numbers in ``(since, until]`` (``since``
+        exclusive, None = from the beginning; ``until`` None = head)
+        at which visible HISTORY was redacted — a rewrite-mode
+        ``delete_keys``, a ``compact(materialize_deletes=True)`` that
+        consumed tombstones (each reported at the consumed
+        TOMBSTONE's own snapshot), or a ``compact(expire_below=)``
+        that aged rows out. Tombstone commits themselves are NOT
+        redactions (their deletions stay recoverable via
+        ``deleted_between`` until materialized).
+
+        This is the staleness signal for incremental consumers of
+        ``added_between``/``deleted_between`` (the maintained
+        aggregates in ``operators.etl``): an empty answer means every
+        row their last fold saw is still derivable from the table's
+        diffs; a non-empty answer means history was rewritten under
+        them and the fold must rebase from the current table. O(live
+        manifests) metadata read — every covering commit carries its
+        covered segments' markers forward, so the union over live
+        (plus any not-yet-GC'd) manifests is the complete history."""
+        rows, _ = self._list_committed(name)
+        marks: set[int] = set()
+        for _, _, meta in rows:
+            marks.update(meta.get("redacted_at") or ())
+        lo = -1 if since is None else since
+        return sorted(
+            m for m in marks if m > lo and (until is None or m <= until)
+        )
+
+    def deleted_between(
+        self, name: str, since: int | None, until: int
+    ) -> DataFrame | None:
+        """Deletion-side provenance diff: the rows HIDDEN by live
+        tombstones (``delete_keys(mode="tombstone")``) committed in
+        ``(since, until]``, each tagged with its first-admission
+        snapshot (``_snapshot``) and the hiding tombstone's snapshot
+        (``_deleted_at``) — the negative-diff input a maintained
+        aggregate folds so a takedown reflects in its serve path
+        without rescanning the fact (``operators.etl``).
+
+        Exactly-once attribution: a row already hidden by a tombstone
+        AT OR BELOW ``since`` is excluded (its deletion was reported
+        by an earlier window), and a row matched by several tombstones
+        in range is attributed to the EARLIEST one — mirroring the
+        read path's semantics (hidden is hidden once). A key
+        re-inserted after a tombstone is not reported (its admission
+        snapshot is above the tombstone).
+
+        Scope: tombstone deletions only. Rewrite-mode deletes and
+        materializing compactions REDACT — the deleted rows are
+        physically unrecoverable, by design — and are reported by
+        ``redactions_between`` instead; a consumer seeing a redaction
+        in its window must rebase rather than diff. Returns None when
+        no live tombstone falls in the range.
+
+        Cost: one pass over admissions at/below ``until`` with every
+        tombstone relation broadcast (they are O(deleted keys)) — the
+        same order as the read tax outstanding tombstones already
+        impose, paid only when a window actually contains deletes."""
+        live, tombs, all_nums, _ = self._split_live(name)
+        for label, s in (("until", until), ("since", since)):
+            if s is not None and s not in all_nums:
+                raise ValueError(
+                    f"unknown {label} snapshot {s} for table {name!r}: "
+                    f"committed snapshots are {all_nums}"
+                )
+        lo = -1 if since is None else since
+        new_tombs = sorted(t for t in tombs if lo < t[0] <= until)
+        if not new_tombs:
+            return None
+        base = self.added_between(name, None, until)
+        if base is None:
+            return None
+        # rows already hidden at the window's start are not this
+        # window's deletions
+        old_tombs = [t for t in tombs if t[0] <= lo]
+        if old_tombs:
+            base = self._apply_tombstones(base, old_tombs)
+        out = None
+        cur = base
+        for n, p, on in new_tombs:
+            trel = self.spark.read.parquet(p).select(
+                *[F.col(c).alias(f"__ts_{c}") for c in on]
+            )
+            cond = F.col("_snapshot") < F.lit(n).cast("long")
+            for c in on:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__ts_{c}"))
+            hit = cur.join(F.broadcast(trel), cond, "left_semi")
+            hit = hit.withColumn(
+                "_deleted_at", F.lit(n).cast("long")
+            )
+            out = hit if out is None else out.unionByName(hit)
+            # earliest-tombstone attribution: later tombstones in the
+            # window never re-report a row this one already hid
+            cur = cur.join(F.broadcast(trel), cond, "left_anti")
+        return out
+
+    def truncate(self, name: str) -> int | None:
+        """Remove EVERY visible row in one covering commit — an O(1)
+        full-table redaction (the keyed ``delete_keys`` with
+        every-key-matched, without the key relation). The covering
+        segment is empty, so the commit costs one manifest write, not
+        a rewrite; snapshot ids all stay valid and answer empty.
+        Marks ``redacted_at`` like any rewrite delete. Outstanding
+        tombstones are consumed (covered): there is nothing left for
+        them to hide. Returns the new snapshot, or None when the
+        table has no visible rows (replayed truncate is a no-op)."""
+        import shutil
+
+        self._gc_superseded(name)
+        while True:
+            live, tombs, all_nums, nxt = self._split_live(name)
+            if not live:
+                return None
+            rows, _ = self._list_committed(name)
+            live_nums = {n for n, _, _ in live}
+            meta_rows = {
+                n: meta.get("rows", 0) for n, _, meta in rows
+            }
+            if all(meta_rows.get(n, 0) == 0 for n in live_nums):
+                return None  # already empty — replayed truncate
+            tomb_nums = {n for n, _, _ in tombs}
+            covers = set(live_nums) | set(tomb_nums) | {
+                s for s in all_nums if s <= max(live_nums | tomb_nums)
+            }
+            carry = self._carry_redactions(rows, covers)
+            try:
+                empty = self._read_live(name, live, None).limit(0)
+                empty = empty.withColumn(
+                    "_snapshot", F.lit(nxt).cast("long")
+                ).coalesce(1)
+                stage = self._stage_segment(
+                    name,
+                    empty,
+                    covers=covers,
+                    min_row=nxt,
+                    redacted_at=carry + [nxt],
+                )
+            except Exception as exc:
+                if not self._is_vanished_input(exc):
+                    raise
+                continue
+            if self._publish(name, stage, nxt):
+                break
+            shutil.rmtree(stage, ignore_errors=True)
+        for n, p, _ in live + tombs:
+            self._remove_segment(name, n, p)
+        return nxt
+
     def insert_if_absent(self, name: str, batch: DataFrame) -> None:
         import shutil
 
@@ -1429,7 +1617,10 @@ class ManifestParquetSink(MergeSink):
             # anti-join may have missed that writer's keys) and redo
             # the whole attempt against the now-visible segments.
             shutil.rmtree(stage, ignore_errors=True)
-        if self.auto_compact_segments is not None:
+        if (
+            self.auto_compact_segments is not None
+            or self.materialize_tombstones_after is not None
+        ):
             self._maybe_auto_compact(name)
 
     def delete_keys(
@@ -1524,6 +1715,12 @@ class ManifestParquetSink(MergeSink):
                         raise
                     continue
                 if self._publish(name, stage, nxt):
+                    # tombstone-debt policy: a takedown queue is the
+                    # path that accumulates tombstones, so the
+                    # auto-materialization bound is checked here too,
+                    # not only on inserts
+                    if self.materialize_tombstones_after is not None:
+                        self._maybe_auto_compact(name)
                     return nxt
                 shutil.rmtree(stage, ignore_errors=True)
         while True:
@@ -1549,9 +1746,8 @@ class ManifestParquetSink(MergeSink):
             hi = max(live_nums)
             covers: set[int] = set()
             empty_segs: list[tuple[int, str]] = []
-            dir_of = {
-                n: p for n, p, _ in self._list_committed(name)[0]
-            }
+            committed_rows = self._list_committed(name)[0]
+            dir_of = {n: p for n, p, _ in committed_rows}
             for s in all_nums:
                 if (
                     s <= hi
@@ -1577,6 +1773,10 @@ class ManifestParquetSink(MergeSink):
                     covers.update(c)
                 out = df if out is None else self._union(out, df)
             out = out.join(seen, cond, "left_anti")
+            # the delete commit itself is a redaction point, carried
+            # together with every covered segment's earlier markers
+            redacted = self._carry_redactions(committed_rows, covers)
+            redacted.append(nxt)
             parts = self.partitioning.get(name)
             try:
                 if parts:
@@ -1584,7 +1784,11 @@ class ManifestParquetSink(MergeSink):
                 else:
                     out = out.coalesce(target_partitions)
                 stage = self._stage_segment(
-                    name, out, covers=covers, min_row=min_row
+                    name,
+                    out,
+                    covers=covers,
+                    min_row=min_row,
+                    redacted_at=redacted,
                 )
             except Exception as exc:
                 if not self._is_vanished_input(exc):
@@ -1700,21 +1904,45 @@ class ManifestParquetSink(MergeSink):
         return live[-(take + 1)][0]
 
     def _maybe_auto_compact(self, name: str) -> None:
-        """The ``auto_compact_segments`` policy body: when the live
-        count exceeds the bound, merge the size-tiered tail — inline,
-        or on a background daemon thread under ``compact_async``
-        (bounded micro-batch latency; the OCC publish loop absorbs
-        the ingest/compaction race). Deletion of covered dirs is
-        always deferred to the next batch start (``_gc_superseded``)
-        so lazy reader plans built before the merge keep their
-        files."""
-        live, _, _ = self._segments(name)
-        if len(live) <= self.auto_compact_segments:
+        """The auto-maintenance policy body, two independent
+        triggers:
+
+        - ``auto_compact_segments``: live DATA segment count exceeds
+          the bound -> merge the size-tiered tail;
+        - ``materialize_tombstones_after``: live TOMBSTONE count
+          reaches the bound -> FULL ``materialize_deletes`` rewrite
+          (consumes the tombstone debt and restores the multi-path
+          fast reader; subsumes the tier merge, so it wins when both
+          fire).
+
+        Inline, or on a background daemon thread under
+        ``compact_async`` (bounded micro-batch latency; the OCC
+        publish loop absorbs the ingest/compaction race). Deletion of
+        covered dirs is always deferred to the next batch start
+        (``_gc_superseded``) so lazy reader plans built before the
+        merge keep their files."""
+        live, tombs, _, _ = self._split_live(name)
+        materialize = (
+            self.materialize_tombstones_after is not None
+            and len(tombs) >= self.materialize_tombstones_after
+        )
+        tiered = (
+            self.auto_compact_segments is not None
+            and len(live) > self.auto_compact_segments
+        )
+        if not (materialize or tiered):
             return
-        since = self._tier_since(live)
+        # a materializing rewrite must be FULL (tombstones can hide
+        # rows in any segment), so it ignores the tier bound
+        since = None if materialize else self._tier_since(live)
         if not self.compact_async:
             try:
-                self.compact(name, since=since, delete_covered=False)
+                self.compact(
+                    name,
+                    since=since,
+                    delete_covered=False,
+                    materialize_deletes=materialize,
+                )
             except Exception as exc:
                 # inline failures PROPAGATE (the caller sees them) —
                 # but they still count, WITH the exception, so
@@ -1734,7 +1962,7 @@ class ManifestParquetSink(MergeSink):
 
         t = threading.Thread(
             target=self._compact_quietly,
-            args=(name, since),
+            args=(name, since, materialize),
             daemon=True,
             name=f"sink-compact-{name}",
         )
@@ -1824,7 +2052,9 @@ class ManifestParquetSink(MergeSink):
                 {"event": "compaction_recovered", "table": name}
             )
 
-    def _compact_quietly(self, name: str, since: int | None) -> None:
+    def _compact_quietly(
+        self, name: str, since: int | None, materialize: bool = False
+    ) -> None:
         """Background auto-compaction body: failures are COUNTED and
         surfaced (never raised into the daemon thread): consecutive
         failures beyond ``compact_error_limit`` open a per-table
@@ -1832,7 +2062,12 @@ class ManifestParquetSink(MergeSink):
         RuntimeWarning and a JSONL metric (``metrics_path``) — the
         round-11 fix for the silent bare-``pass`` retry loop."""
         try:
-            self.compact(name, since=since, delete_covered=False)
+            self.compact(
+                name,
+                since=since,
+                delete_covered=False,
+                materialize_deletes=materialize,
+            )
         except Exception as exc:
             self._record_compact_failure(name, exc)
         else:
@@ -2063,9 +2298,8 @@ class ManifestParquetSink(MergeSink):
             # live on in covers)
             covers: set[int] = set()
             empty_segs: list[tuple[int, str]] = []
-            dir_of = {
-                n: p for n, p, _ in self._list_committed(name)[0]
-            }
+            committed_rows = self._list_committed(name)[0]
+            dir_of = {n: p for n, p, _ in committed_rows}
             live_nums = {n for n, _, _ in live}
             # LIVE tombstone numbers are never swept into covers as
             # "empty" — covering one without applying it would
@@ -2108,6 +2342,19 @@ class ManifestParquetSink(MergeSink):
                 out = self._apply_tombstones(out, tombs)
                 consumed_tombs = list(tombs)
                 covers.update(n for n, _, _ in tombs)
+            # redaction bookkeeping: carry covered segments' markers;
+            # a consumed tombstone becomes a redaction AT ITS OWN
+            # snapshot (its deletions leave deleted_between's reach);
+            # retention expiry that could drop rows redacts at the
+            # compaction's own snapshot
+            redacted = self._carry_redactions(committed_rows, covers)
+            redacted.extend(n for n, _, _ in consumed_tombs)
+            if (
+                expire_below is not None
+                and min_row is not None
+                and min_row <= expire_below
+            ):
+                redacted.append(nxt)
             parts = self.partitioning.get(name)
             if cluster_by and parts:
                 raise ValueError(
@@ -2155,7 +2402,11 @@ class ManifestParquetSink(MergeSink):
                 else:
                     out = out.coalesce(target_partitions)
                 stage = self._stage_segment(
-                    name, out, covers=covers, min_row=min_row
+                    name,
+                    out,
+                    covers=covers,
+                    min_row=min_row,
+                    redacted_at=redacted,
                 )
             except ValueError:
                 raise  # bad cluster args are caller errors, not races
@@ -2179,15 +2430,24 @@ class ManifestParquetSink(MergeSink):
             # and O(losses) wasted rewrite volume. Only a racing
             # COMPACTION that covered our targets forces a restage.
             published = False
-            target_nums = {n for n, _, _ in targets}
-            while True:
-                live2, _, nxt2 = self._segments(name)
-                if not target_nums <= {n for n, _, _ in live2}:
-                    break  # targets superseded — restage from scratch
-                if self._publish(name, stage, nxt2):
-                    nxt = nxt2
-                    published = True
-                    break
+            expiring = (
+                expire_below is not None
+                and min_row is not None
+                and min_row <= expire_below
+            )
+            if not expiring:
+                # (an EXPIRING rewrite never takes the shortcut: its
+                # staged manifest records the redaction at the stale
+                # number — restaging re-stamps it correctly)
+                target_nums = {n for n, _, _ in targets}
+                while True:
+                    live2, _, nxt2 = self._segments(name)
+                    if not target_nums <= {n for n, _, _ in live2}:
+                        break  # targets superseded — restage
+                    if self._publish(name, stage, nxt2):
+                        nxt = nxt2
+                        published = True
+                        break
             if published:
                 break
             shutil.rmtree(stage, ignore_errors=True)
@@ -2490,6 +2750,7 @@ def make_sink(
     tier_factor: float | None = None,
     metrics_path: str | None = None,
     compact_error_limit: int | None = None,
+    materialize_tombstones_after: int | None = None,
 ) -> MergeSink:
     """Construct the requested sink backend.
 
@@ -2551,6 +2812,7 @@ def make_sink(
         ("tier_factor", tier_factor),
         ("metrics_path", metrics_path),
         ("compact_error_limit", compact_error_limit),
+        ("materialize_tombstones_after", materialize_tombstones_after),
     ):
         if value is None:
             continue

@@ -124,8 +124,9 @@ def test_serve_plan_reads_agg_table_not_fact(spark, tmp_path):
     )
     # plan file paths are truncated in toString(); the scan's
     # ReadSchema identifies the relation — the maintained partials
-    # (revenue_cents, quantity), never the fact's line-grain columns
-    assert "revenue_cents:bigint,quantity:bigint" in plan
+    # (revenue_mills, quantity, n_rows), never the fact's line-grain
+    # columns
+    assert "revenue_mills:bigint,quantity:bigint" in plan
     assert "sales_fact" not in plan
     assert "order_id" not in plan and "quantity_ordered" not in plan
 
@@ -213,3 +214,139 @@ def test_stream_etl_agg_rejected_off_manifest(spark, tmp_path):
             auto_compact_segments=None,
             maintain_quarterly_agg=True,
         )
+
+
+def _keys_df(spark, fact, pred):
+    return fact.filter(pred).select("order_id").distinct()
+
+
+@pytest.mark.parametrize("mode", ["rewrite", "tombstone"])
+def test_takedown_mid_replay_reflects_in_serve(spark, tmp_path, mode):
+    """The round-13 composition: a key-targeted takedown on the fact
+    between refreshes must reflect in the MAINTAINED serve path —
+    tombstone deletes fold as NEGATIVE partials (deleted_between),
+    rewrite deletes force a rebase (redactions_between) — and the
+    serve stays hash-equal to recomputing the view from the visible
+    fact (the reference's MySQL view reflects DELETEs by
+    construction, SQL/OLAP Queries - Metro.sql:276-288)."""
+    fact = _fact(spark)
+    sink = _sink(spark, tmp_path)
+    # chunks 0 and 1 land and fold
+    for b in (0, 1):
+        sink.insert_if_absent(
+            "sales_fact", fact.filter(F.col("order_id") % 3 == b)
+        )
+        assert refresh_quarterly_agg(sink) is not None
+    # takedown of a key slice (whole orders, by order_id alone)
+    got = sink.delete_keys(
+        "sales_fact",
+        _keys_df(spark, fact, "order_id % 5 = 0 and order_id % 3 < 2"),
+        on=["order_id"],
+        mode=mode,
+    )
+    assert got is not None
+    # chunk 2 lands after the delete; one refresh folds BOTH the
+    # delete and the new chunk
+    sink.insert_if_absent(
+        "sales_fact", fact.filter(F.col("order_id") % 3 == 2)
+    )
+    assert refresh_quarterly_agg(sink) is not None
+    assert _served(sink) == _recomputed(sink.read("sales_fact"))
+    # replayed delete: matches nothing, and the next refresh is a
+    # no-op on the aggregate
+    again = sink.delete_keys(
+        "sales_fact",
+        _keys_df(spark, fact, "order_id % 5 = 0 and order_id % 3 < 2"),
+        on=["order_id"],
+        mode=mode,
+    )
+    if mode == "tombstone":
+        assert again is None
+        assert refresh_quarterly_agg(sink) is None
+    else:
+        # rewrite mode commits nothing either (probe finds no match)
+        assert again is None
+        assert refresh_quarterly_agg(sink) is None
+    assert _served(sink) == _recomputed(sink.read("sales_fact"))
+
+
+def test_materializing_compaction_is_serve_invariant(spark, tmp_path):
+    """A tombstone whose negative partial was ALREADY folded is later
+    materialized away by compact(materialize_deletes=True): the
+    redaction is reported at the tombstone's own snapshot (<= the
+    fold horizon), so the next refresh neither rebases nor refolds —
+    and the serve answer is unchanged."""
+    fact = _fact(spark)
+    sink = _sink(spark, tmp_path)
+    sink.insert_if_absent("sales_fact", fact)
+    refresh_quarterly_agg(sink)
+    sink.delete_keys(
+        "sales_fact",
+        _keys_df(spark, fact, "order_id % 4 = 0"),
+        on=["order_id"],
+        mode="tombstone",
+    )
+    refresh_quarterly_agg(sink)  # folds the negative partials
+    before = _served(sink)
+    n_partials = sink.read(QUARTERLY_AGG_TABLE).count()
+    assert sink.compact("sales_fact", materialize_deletes=True)
+    # the materialization window holds no unfolded change: no rebase,
+    # no new partials
+    assert refresh_quarterly_agg(sink) is None
+    assert sink.read(QUARTERLY_AGG_TABLE).count() == n_partials
+    assert _served(sink) == before
+    assert _served(sink) == _recomputed(sink.read("sales_fact"))
+
+
+def test_rewrite_delete_before_any_fold_rebases_clean(spark, tmp_path):
+    """Rewrite-mode deletes BETWEEN folds rebase the aggregate from
+    the redacted history — including a second delete after the
+    rebase."""
+    fact = _fact(spark)
+    sink = _sink(spark, tmp_path)
+    sink.insert_if_absent("sales_fact", fact)
+    refresh_quarterly_agg(sink)
+    sink.delete_keys(
+        "sales_fact",
+        _keys_df(spark, fact, "order_id % 4 = 0"),
+        on=["order_id"],
+        mode="rewrite",
+    )
+    refresh_quarterly_agg(sink)
+    assert _served(sink) == _recomputed(sink.read("sales_fact"))
+    sink.delete_keys(
+        "sales_fact",
+        _keys_df(spark, fact, "order_id % 4 = 1"),
+        on=["order_id"],
+        mode="rewrite",
+    )
+    refresh_quarterly_agg(sink)
+    assert _served(sink) == _recomputed(sink.read("sales_fact"))
+
+
+def test_group_fully_deleted_disappears_from_serve(spark, tmp_path):
+    """Deleting EVERY row of a (store, quarter, year) group must drop
+    the group from the serve (n_rows nets to zero) — the recomputed
+    view has no row for an empty group, so a 0-revenue ghost row
+    would hash-mismatch the oracle."""
+    fact = _fact(spark)
+    sink = _sink(spark, tmp_path)
+    sink.insert_if_absent("sales_fact", fact)
+    refresh_quarterly_agg(sink)
+    groups_before = set(_served(sink))
+    victim = sorted(groups_before)[0]
+    sink.delete_keys(
+        "sales_fact",
+        sink.read("sales_fact")
+        .filter(
+            (F.col("store_id") == victim[0])
+            & (F.col("quarter") == victim[1])
+            & (F.col("year") == victim[2])
+        )
+        .select("order_id", "line_no"),
+        mode="tombstone",
+    )
+    refresh_quarterly_agg(sink)
+    served = _served(sink)
+    assert victim not in served
+    assert served == _recomputed(sink.read("sales_fact"))
