@@ -58,6 +58,11 @@ MEASUREMENT_QUERIES = frozenset(
         "corpus_takedown",
         "corpus_takedown_tombstone",
         "q18_quarterly_serve_maintained",
+        # r13 lifecycle rows: chunked replay + refreshes (q19), plus
+        # both-mode takedowns, a rebase, and a materializing
+        # compaction (q20) — sink round-trips, not operator throughput
+        "q19_pricing_summary_maintained",
+        "q20_quarterly_serve_after_takedown",
     }
 )
 

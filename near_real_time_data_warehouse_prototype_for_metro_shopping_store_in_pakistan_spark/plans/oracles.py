@@ -228,6 +228,32 @@ JOIN stores st ON f.store_id = st.store_id
 GROUP BY f.store_id, st.store_name, f.quarter, f.year
 """
 
+# q20's oracle: the q10 view recomputed WITHOUT the taken-down key
+# slices — generated from the SAME constants the Spark lifecycle uses
+# (plans.queries.TAKEDOWN_*), so the two sides cannot drift. A MySQL
+# deployment of the reference gets this for free: DELETE + the view
+# re-query (SQL/OLAP Queries - Metro.sql:276-288).
+def _q10_after_takedown() -> str:
+    from .queries import (
+        TAKEDOWN_MOD,
+        TAKEDOWN_REWRITE_RESIDUE,
+        TAKEDOWN_TOMBSTONE_RESIDUE,
+    )
+
+    return f"""{STAR_PRELUDE}
+SELECT f.store_id, st.store_name, f.quarter, f.year,
+       SUM(f.revenue_cents) / 100.0 AS total_quarterly_revenue,
+       SUM(f.quantity_ordered) AS total_quarterly_quantity
+FROM sales_fact f
+JOIN stores st ON f.store_id = st.store_id
+WHERE f.order_id % {TAKEDOWN_MOD}
+      NOT IN ({TAKEDOWN_TOMBSTONE_RESIDUE}, {TAKEDOWN_REWRITE_RESIDUE})
+GROUP BY f.store_id, st.store_name, f.quarter, f.year
+"""
+
+
+Q10_AFTER_TAKEDOWN = _q10_after_takedown()
+
 Q00 = """
 WITH li AS (
     SELECT l_returnflag, l_linestatus, l_quantity,
@@ -373,7 +399,9 @@ OLAP_ORACLES = {
     "q08_h1_h2_analysis": Q08,
     "q09_daily_sales_outliers": Q09,
     "q10_store_quarterly_sales": Q10,
-    # the maintained-aggregate serve path must answer EXACTLY the
-    # recomputed view — same oracle as q10 by construction
+    # the maintained-aggregate serve paths must answer EXACTLY the
+    # recomputed views — same oracles as q10/q00 by construction
     "q18_quarterly_serve_maintained": Q10,
+    "q19_pricing_summary_maintained": Q00,
+    "q20_quarterly_serve_after_takedown": Q10_AFTER_TAKEDOWN,
 }

@@ -719,6 +719,266 @@ def q18_quarterly_serve_maintained(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(root, ignore_errors=True)
 
 
+# Shared constants for the maintained-serve rows: the replay chunking
+# and the takedown key slices, used by BOTH the Spark builders and the
+# generated oracle SQL so the two sides cannot drift.
+SERVE_CHUNK_MOD = 3
+TAKEDOWN_MOD = 7
+TAKEDOWN_TOMBSTONE_RESIDUE = 0  # deleted via mode="tombstone"
+TAKEDOWN_REWRITE_RESIDUE = 1    # deleted via mode="rewrite"
+
+# The synthetic testdata's (orderkey, linenumber) is NOT unique (real
+# TPC-H's is), so replay keys widen to a tuple that IS — semantics
+# unchanged: any unique line key works.
+LINEITEM_REPLAY_KEY = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_extendedprice",
+]
+
+
+def _pricing_maintained(sink):
+    """The q00 pricing summary as a ``MaintainedAggregate`` over a
+    manifest-backed lineitem replica: groups (l_returnflag,
+    l_linestatus); measures all integer (quantity as long, money in
+    cents, discount in basis points) so partials cancel exactly;
+    count_order is the aggregate's built-in ``n_rows``."""
+    from ..operators.etl import MaintainedAggregate
+
+    return MaintainedAggregate(
+        sink,
+        "lineitem_fact",
+        "pricing_agg",
+        group_by={
+            "l_returnflag": lambda df: F.col("l_returnflag"),
+            "l_linestatus": lambda df: F.col("l_linestatus"),
+        },
+        measures={
+            "qty_long": lambda df: F.col("l_quantity").cast("long"),
+            "base_cents": lambda df: F.round(
+                F.col("l_extendedprice") * 100, 0
+            ).cast("long"),
+            "disc_price_cents": lambda df: F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                0,
+            ).cast("long"),
+            "charge_cents": lambda df: F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100,
+                0,
+            ).cast("long"),
+            "disc_bp": lambda df: F.round(
+                F.col("l_discount") * 10000, 0
+            ).cast("long"),
+        },
+    )
+
+
+def q19_pricing_summary_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The q00 pricing summary answered from a SECOND incrementally-
+    maintained aggregate (operators.etl.MaintainedAggregate — the
+    generalized machinery q18's quarterly serve runs on): lineitem
+    lands in three insert-if-absent commits, each folded by a
+    refresh; the last chunk replays (empty snapshot, refresh no-ops);
+    the serve derives every q00 output column from the maintained
+    integer partials — sums by division, averages by the same half-up
+    integer division — and is hash-exact against the UNCHANGED q00
+    oracle. The serve plan reads O(groups) partial rows, never
+    lineitem (plan-guarded in tests/test_plan_quality.py)."""
+    import shutil
+    import tempfile
+
+    from ..operators.sinks import make_sink
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        *LINEITEM_REPLAY_KEY, "l_returnflag", "l_linestatus",
+        "l_discount", "l_tax",
+    )
+    root = tempfile.mkdtemp(prefix="drv_q19_serve_")
+    try:
+        sink = make_sink(
+            spark,
+            root,
+            keys={"lineitem_fact": list(LINEITEM_REPLAY_KEY)},
+            backend="manifest",
+        )
+        ma = _pricing_maintained(sink)
+        for b in range(SERVE_CHUNK_MOD):
+            sink.insert_if_absent(
+                "lineitem_fact",
+                li.filter(F.col("l_orderkey") % SERVE_CHUNK_MOD == b),
+            )
+            ma.refresh()
+        # at-least-once replay: empty snapshot, refresh folds nothing
+        sink.insert_if_absent(
+            "lineitem_fact",
+            li.filter(
+                F.col("l_orderkey") % SERVE_CHUNK_MOD
+                == SERVE_CHUNK_MOD - 1
+            ),
+        )
+        ma.refresh()
+        served = ma.serve()
+        out = (
+            served.withColumn(
+                "avg_qty",
+                F.expr(
+                    "(2 * qty_long * 100 + n_rows) div (2 * n_rows)"
+                )
+                / 100.0,
+            )
+            .withColumn(
+                "avg_price",
+                F.expr("(2 * base_cents + n_rows) div (2 * n_rows)")
+                / 100.0,
+            )
+            .withColumn(
+                "avg_disc",
+                F.expr("(2 * disc_bp + n_rows) div (2 * n_rows)")
+                / 10000.0,
+            )
+            .select(
+                "l_returnflag",
+                "l_linestatus",
+                F.col("qty_long").cast("double").alias("sum_qty"),
+                (F.col("base_cents") / 100.0).alias("sum_base_price"),
+                (F.col("disc_price_cents") / 100.0).alias(
+                    "sum_disc_price"
+                ),
+                (F.col("charge_cents") / 100.0).alias("sum_charge"),
+                "avg_qty",
+                "avg_price",
+                "avg_disc",
+                F.col("n_rows").alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q20_quarterly_serve_after_takedown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The round-13 composition row: STORE_QUARTERLY_SALES served from
+    the maintained aggregate AFTER key-targeted takedowns in BOTH
+    delete modes, hash-exact against the q10 oracle recomputed WITHOUT
+    the deleted keys (the reference's MySQL view reflects DELETEs by
+    construction, SQL/OLAP Queries - Metro.sql:276-288). Lifecycle:
+
+    1. two fact chunks land, each folded by a refresh;
+    2. the third chunk lands UNREFRESHED, then a TOMBSTONE takedown
+       of the ``order_id % 7 == 0`` slice commits — the next refresh
+       folds the new chunk's positives AND the takedown's negative
+       partials (``deleted_between``) in one pass;
+    3. a REWRITE takedown of the ``% 7 == 1`` slice redacts history —
+       the next refresh detects it (``redactions_between``) and
+       REBASES (truncate + refold);
+    4. a materializing compaction consumes the tombstone — its
+       redaction marker lands BELOW the fold horizon (the negatives
+       were already folded), so the follow-up refresh is a no-op, not
+       a rebase (serve-invariance of materialization);
+    5. the tombstone takedown REPLAYS (matches nothing, commits
+       nothing) and the serve answers from partials only.
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.etl import (
+        quarterly_sales_serve,
+        refresh_quarterly_agg,
+    )
+    from ..operators.sinks import make_sink
+
+    fact = sales_fact(spark, sf_dir, line_no=True).select(
+        "order_id",
+        "line_no",
+        "product_id",
+        "supplier_id",
+        "store_id",
+        "quarter",
+        "year",
+        "quantity_ordered",
+        "revenue_cents",
+    )
+    root = tempfile.mkdtemp(prefix="drv_q20_serve_")
+    try:
+        wh = make_sink(
+            spark,
+            root,
+            keys={
+                "sales_fact": [
+                    "order_id",
+                    "line_no",
+                    "product_id",
+                    "supplier_id",
+                    "quantity_ordered",
+                    "revenue_cents",
+                ]
+            },
+            backend="manifest",
+        )
+        for b in range(SERVE_CHUNK_MOD - 1):
+            wh.insert_if_absent(
+                "sales_fact",
+                fact.filter(F.col("order_id") % SERVE_CHUNK_MOD == b),
+            )
+            refresh_quarterly_agg(wh)
+        wh.insert_if_absent(
+            "sales_fact",
+            fact.filter(
+                F.col("order_id") % SERVE_CHUNK_MOD
+                == SERVE_CHUNK_MOD - 1
+            ),
+        )
+        tomb_keys = fact.filter(
+            F.col("order_id") % TAKEDOWN_MOD
+            == TAKEDOWN_TOMBSTONE_RESIDUE
+        ).select("order_id").distinct()
+        assert (
+            wh.delete_keys(
+                "sales_fact", tomb_keys, on=["order_id"],
+                mode="tombstone",
+            )
+            is not None
+        )
+        refresh_quarterly_agg(wh)  # positives + negatives, one fold
+        rw_keys = fact.filter(
+            F.col("order_id") % TAKEDOWN_MOD == TAKEDOWN_REWRITE_RESIDUE
+        ).select("order_id").distinct()
+        assert (
+            wh.delete_keys(
+                "sales_fact", rw_keys, on=["order_id"], mode="rewrite"
+            )
+            is not None
+        )
+        refresh_quarterly_agg(wh)  # redaction detected -> rebase
+        wh.compact("sales_fact", materialize_deletes=True)
+        assert refresh_quarterly_agg(wh) is None  # serve-invariant
+        # replayed takedown: matches nothing, commits nothing
+        assert (
+            wh.delete_keys(
+                "sales_fact", tomb_keys, on=["order_id"],
+                mode="tombstone",
+            )
+            is None
+        )
+        assert refresh_quarterly_agg(wh) is None
+        return quarterly_sales_serve(
+            wh, store_dim(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 OLAP_QUERIES = {
     "q00_pricing_summary": q00_pricing_summary,
     "q01_weekend_top_products": q01_weekend_top_products,
@@ -740,4 +1000,6 @@ OLAP_QUERIES = {
     "q16_top_parts_per_brand": q16_top_parts_per_brand,
     "q17_week_probe_zonemap": q17_week_probe_zonemap,
     "q18_quarterly_serve_maintained": q18_quarterly_serve_maintained,
+    "q19_pricing_summary_maintained": q19_pricing_summary_maintained,
+    "q20_quarterly_serve_after_takedown": q20_quarterly_serve_after_takedown,
 }

@@ -350,3 +350,39 @@ def test_group_fully_deleted_disappears_from_serve(spark, tmp_path):
     served = _served(sink)
     assert victim not in served
     assert served == _recomputed(sink.read("sales_fact"))
+
+
+def test_pricing_serve_plan_reads_partials_only(spark, tmp_path):
+    """q19's serve (maintained q00) must read the partial-sum table
+    only — never lineitem columns."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.plans.queries import (
+        LINEITEM_REPLAY_KEY,
+        _pricing_maintained,
+    )
+
+    li = spark.createDataFrame(
+        [
+            (1, 1, 10, 100, 5.0, 1000.0, "N", "O", 0.05, 0.02),
+            (1, 2, 11, 101, 3.0, 500.0, "R", "F", 0.0, 0.01),
+            (2, 1, 12, 102, 7.0, 700.0, "N", "O", 0.1, 0.0),
+        ],
+        "l_orderkey long, l_linenumber int, l_partkey long,"
+        " l_suppkey long, l_quantity double, l_extendedprice double,"
+        " l_returnflag string, l_linestatus string, l_discount double,"
+        " l_tax double",
+    )
+    sink = make_sink(
+        spark,
+        str(tmp_path),
+        keys={"lineitem_fact": list(LINEITEM_REPLAY_KEY)},
+        backend="manifest",
+    )
+    ma = _pricing_maintained(sink)
+    sink.insert_if_absent("lineitem_fact", li)
+    assert ma.refresh() is not None
+    plan = (
+        ma.serve()._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "qty_long:bigint" in plan and "base_cents:bigint" in plan
+    assert "lineitem_fact" not in plan
+    assert "l_extendedprice" not in plan and "l_discount" not in plan
