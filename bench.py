@@ -63,6 +63,7 @@ MEASUREMENT_QUERIES = frozenset(
         # compaction (q20) — sink round-trips, not operator throughput
         "q19_pricing_summary_maintained",
         "q20_quarterly_serve_after_takedown",
+        "corpus_takedown_intent_heal",
     }
 )
 

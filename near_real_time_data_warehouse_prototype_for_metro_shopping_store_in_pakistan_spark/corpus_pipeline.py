@@ -225,6 +225,45 @@ class CorpusPipeline:
 
         return _takedown(self.warehouse, ids, id_col=id_col)
 
+    def takedown_with_intent(
+        self,
+        ids: DataFrame,
+        id_col: str = "doc_id",
+        mode: str = "rewrite",
+        ann_index_root: str | None = None,
+    ) -> dict[str, object]:
+        """``takedown`` with the crash-atomic completion contract
+        (manifest backend): the key set commits to an INTENT log
+        before any delete, the cascade (including the persisted
+        ANN/PQ indexes under ``ann_index_root``) replays idempotently,
+        and a DONE marker records completion — a crash mid-cascade is
+        healable via ``heal_takedowns`` instead of silently leaving
+        the doc serving as an ANN neighbor. See
+        ``streaming.corpus.takedown_with_intent``."""
+        from .streaming.corpus import takedown_with_intent as _twi
+
+        return _twi(
+            self.warehouse,
+            ids,
+            id_col=id_col,
+            mode=mode,
+            ann_index_root=ann_index_root,
+        )
+
+    def heal_takedowns(self) -> dict[str, dict]:
+        """Finish every outstanding takedown intent (crash recovery /
+        compliance sweep) — see ``streaming.corpus.heal_takedowns``."""
+        from .streaming.corpus import heal_takedowns as _heal
+
+        return _heal(self.warehouse)
+
+    def outstanding_takedowns(self):
+        """Takedown intents without a completion marker (the
+        monitor's takedown-debt surface), as a DataFrame or None."""
+        from .streaming.corpus import outstanding_takedowns as _out
+
+        return _out(self.warehouse)
+
     def table(self) -> DataFrame:
         got = self.warehouse.read(CURATED_TABLE)
         if got is None:

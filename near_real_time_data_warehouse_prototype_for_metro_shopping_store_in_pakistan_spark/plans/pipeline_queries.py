@@ -1350,6 +1350,84 @@ WHERE doc_id % 10 <> 3 OR doc_id % 20 = 3
 """
 
 
+def corpus_takedown_intent_heal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CRASH-ATOMIC takedown lifecycle
+    (streaming.corpus.takedown_with_intent / heal_takedowns): one
+    request is left in the crashed state — its INTENT rows committed,
+    its cascade never run (exactly what a crash after the intent
+    commit leaves behind) — and must be finished by ``heal_takedowns``
+    from the recorded keys alone; a second request runs the complete
+    intent -> cascade -> done protocol; then BOTH requests replay
+    (deterministic takedown id -> done-marker short-circuit, nothing
+    re-deleted). The survivors — with zero outstanding intents,
+    asserted in-row — are hash-exact against set algebra over the
+    documents table. Reference equivalence: a MySQL deployment gets
+    takedown atomicity from DELETE-in-transaction; this is the same
+    guarantee rebuilt on insert-if-absent commits."""
+    import shutil
+    import tempfile
+
+    from ..operators.sinks import make_sink
+    from ..streaming import corpus as sc
+
+    docs = table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="drv_takedown_intent_")
+    try:
+        sink = make_sink(
+            spark,
+            root,
+            keys={sc.CURATED_TABLE: ["doc_id"]},
+            backend="manifest",
+        )
+        sink.insert_if_absent(sc.CURATED_TABLE, docs)
+        # request A crashed right after its intent commit: rows
+        # recorded, no cascade, no done marker
+        ids_a = docs.filter(F.col("doc_id") % 10 == 4).select("doc_id")
+        tid_a = sc._takedown_id_of(ids_a, "doc_id")
+        sink.keys.setdefault(
+            sc.TAKEDOWN_INTENTS_TABLE, ["takedown_id", "doc_id"]
+        )
+        sink.insert_if_absent(
+            sc.TAKEDOWN_INTENTS_TABLE,
+            ids_a.select(
+                F.lit(tid_a).alias("takedown_id"),
+                F.col("doc_id"),
+                F.lit("tombstone").alias("mode"),
+                F.lit(None).cast("string").alias("ann_index_root"),
+            ),
+        )
+        out = sc.outstanding_takedowns(sink)
+        assert out.count() == 1, "crashed intent must be visible"
+        healed = sc.heal_takedowns(sink)
+        assert tid_a in healed, "heal must finish the crashed intent"
+        # request B runs the complete protocol
+        ids_b = docs.filter(F.col("doc_id") % 10 == 6).select("doc_id")
+        res_b = sc.takedown_with_intent(sink, ids_b, mode="rewrite")
+        assert res_b["replayed"] is False
+        # both requests replay as no-ops
+        assert sc.takedown_with_intent(sink, ids_a, mode="tombstone")[
+            "replayed"
+        ] is True
+        assert sc.takedown_with_intent(sink, ids_b, mode="rewrite")[
+            "replayed"
+        ] is True
+        assert sc.outstanding_takedowns(sink).isEmpty()
+        return (
+            sink.read(sc.CURATED_TABLE)
+            .select("doc_id", "source", "n_chars")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_CORPUS_TAKEDOWN_INTENT_HEAL = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE doc_id % 10 NOT IN (4, 6)
+"""
+
+
 def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-trained BPE merge table (Sennrich et al. 2016
     shape): BPE_MERGES steps over the top-word dictionary, best pair
@@ -2200,6 +2278,7 @@ PIPELINE_QUERIES = {
     "snapshot_added_between": snapshot_added_between,
     "corpus_takedown": corpus_takedown,
     "corpus_takedown_tombstone": corpus_takedown_tombstone,
+    "corpus_takedown_intent_heal": corpus_takedown_intent_heal,
     "corpus_bpe_merges": corpus_bpe_merges,
     "corpus_bpe_token_stats": corpus_bpe_token_stats,
     "corpus_bpe_coverage": corpus_bpe_coverage,
@@ -6712,6 +6791,7 @@ SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT)
     "snapshot_added_between": ORACLE_SNAPSHOT_ADDED_BETWEEN,
     "corpus_takedown": ORACLE_CORPUS_TAKEDOWN,
     "corpus_takedown_tombstone": ORACLE_CORPUS_TAKEDOWN_TOMBSTONE,
+    "corpus_takedown_intent_heal": ORACLE_CORPUS_TAKEDOWN_INTENT_HEAL,
     "corpus_bpe_merges": _bpe_merges_oracle(),
     "corpus_bpe_token_stats": _bpe_token_stats_oracle(),
     "corpus_bpe_coverage": _bpe_coverage_oracle(),

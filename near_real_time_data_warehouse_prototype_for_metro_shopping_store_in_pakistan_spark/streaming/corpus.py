@@ -1544,3 +1544,163 @@ def takedown(
             tbl, keys, on=[col], **kwargs
         )
     return results
+
+
+# Intent log for the crash-atomic cascade (takedown_with_intent):
+# one row per (takedown id, doc id) committed BEFORE any delete, one
+# done-marker row per completed cascade. Underscore prefix: internal
+# bookkeeping tables, not corpus surfaces.
+TAKEDOWN_INTENTS_TABLE = "_takedown_intents"
+TAKEDOWN_DONE_TABLE = "_takedown_done"
+
+
+def _takedown_id_of(ids: DataFrame, id_col: str) -> str:
+    """Deterministic takedown id: md5 over the sorted distinct key
+    set — the same request (replayed, or re-derived from the same
+    ids) maps to the same intent row. One-row aggregate; takedown
+    requests are human-scale key lists, never corpus-scale."""
+    return (
+        ids.select(F.col(id_col).cast("string").alias("k"))
+        .distinct()
+        .agg(
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("k"))))
+            .alias("tid")
+        )
+        .first()["tid"]
+    )
+
+
+def _run_cascade(
+    warehouse: MergeSink,
+    ids: DataFrame,
+    id_col: str,
+    mode: str,
+    ann_index_root: str | None,
+) -> dict[str, object]:
+    """The cascade body shared by ``takedown_with_intent`` and
+    ``heal_takedowns``: corpus admission surfaces first, then the
+    persisted ANN/PQ indexes under ``ann_index_root`` (vec ids ==
+    doc ids in the pipeline wiring). Every per-table delete is an
+    idempotent replay-no-op, so re-running a partially-completed
+    cascade converges."""
+    results = takedown(warehouse, ids, id_col=id_col, mode=mode)
+    if ann_index_root:
+        from .ann_index import takedown_vectors
+
+        ann = takedown_vectors(
+            warehouse.spark,
+            ann_index_root,
+            ids.select(F.col(id_col).alias("vec_id")),
+            id_col="vec_id",
+        )
+        results.update({f"ann:{t}": v for t, v in ann.items()})
+    return results
+
+
+def takedown_with_intent(
+    warehouse: MergeSink,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    mode: str = "rewrite",
+    ann_index_root: str | None = None,
+) -> dict[str, object]:
+    """``takedown`` with a CRASH-ATOMIC completion contract. The
+    plain cascade is a loop of independent per-table commits: a crash
+    mid-loop leaves the doc still serving as an ANN neighbor / dedup
+    owner, and nothing records that the sweep is half done. Here:
+
+    1. the INTENT — one row per (takedown_id, doc id), plus the mode
+       and the ANN root — commits insert-if-absent FIRST (one
+       crash-atomic manifest commit);
+    2. the cascade runs (every per-table delete replays as a no-op);
+    3. the DONE marker commits last.
+
+    A crash at any point leaves the system healable: the intent rows
+    survive, ``outstanding_takedowns`` reports the gap, and
+    ``heal_takedowns`` re-runs the cascade from the recorded keys and
+    marks it done — idempotent, any number of times. A REPLAYED
+    request (same key set -> same deterministic takedown id) whose
+    done marker exists skips the cascade entirely.
+
+    Manifest backend only: the intent/done commits themselves must be
+    crash-atomic. Returns the per-table results plus ``takedown_id``
+    and ``replayed``."""
+    from ..operators.sinks import ManifestParquetSink
+
+    if not isinstance(warehouse, ManifestParquetSink):
+        raise ValueError(
+            "takedown_with_intent needs the manifest backend (the "
+            "intent log must commit crash-atomically); got "
+            f"{type(warehouse).__name__} — use plain takedown()"
+        )
+    warehouse.keys.setdefault(
+        TAKEDOWN_INTENTS_TABLE, ["takedown_id", "doc_id"]
+    )
+    warehouse.keys.setdefault(TAKEDOWN_DONE_TABLE, ["takedown_id"])
+    tid = _takedown_id_of(ids, id_col)
+    done = warehouse.read(TAKEDOWN_DONE_TABLE)
+    if done is not None and not done.filter(
+        F.col("takedown_id") == tid
+    ).isEmpty():
+        return {"takedown_id": tid, "replayed": True}
+    intent = ids.select(
+        F.lit(tid).alias("takedown_id"),
+        F.col(id_col).alias("doc_id"),
+        F.lit(mode).alias("mode"),
+        F.lit(ann_index_root).cast("string").alias("ann_index_root"),
+    ).dropDuplicates(["doc_id"])
+    warehouse.insert_if_absent(TAKEDOWN_INTENTS_TABLE, intent)
+    results = _run_cascade(warehouse, ids, id_col, mode, ann_index_root)
+    warehouse.insert_if_absent(
+        TAKEDOWN_DONE_TABLE,
+        warehouse.spark.createDataFrame([(tid,)], "takedown_id string"),
+    )
+    results["takedown_id"] = tid
+    results["replayed"] = False
+    return results
+
+
+def outstanding_takedowns(warehouse: MergeSink) -> DataFrame | None:
+    """Intents whose cascade has not recorded completion — the
+    monitor's takedown-debt surface. One row per outstanding intent:
+    (takedown_id, mode, ann_index_root, n_keys). None when the
+    intent log does not exist; empty when every cascade completed."""
+    intents = warehouse.read(TAKEDOWN_INTENTS_TABLE)
+    if intents is None:
+        return None
+    done = warehouse.read(TAKEDOWN_DONE_TABLE)
+    if done is not None:
+        intents = intents.join(
+            done.select("takedown_id"), "takedown_id", "left_anti"
+        )
+    return intents.groupBy(
+        "takedown_id", "mode", "ann_index_root"
+    ).agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+def heal_takedowns(warehouse: MergeSink) -> dict[str, dict]:
+    """Finish every outstanding takedown intent: re-run its cascade
+    from the recorded keys (each per-table delete is a replay-safe
+    no-op where the earlier attempt already got through) and commit
+    the done marker. Idempotent — run it at recovery, on a schedule,
+    or before compliance audits. Returns {takedown_id: results}."""
+    warehouse.keys.setdefault(TAKEDOWN_DONE_TABLE, ["takedown_id"])
+    out = outstanding_takedowns(warehouse)
+    if out is None:
+        return {}
+    healed: dict[str, dict] = {}
+    intents = warehouse.read(TAKEDOWN_INTENTS_TABLE)
+    for row in out.collect():  # metadata-scale: one row per intent
+        keys = intents.filter(
+            F.col("takedown_id") == row.takedown_id
+        ).select("doc_id")
+        healed[row.takedown_id] = _run_cascade(
+            warehouse, keys, "doc_id", row.mode, row.ann_index_root
+        )
+        warehouse.insert_if_absent(
+            TAKEDOWN_DONE_TABLE,
+            warehouse.spark.createDataFrame(
+                [(row.takedown_id,)], "takedown_id string"
+            ),
+        )
+    return healed
