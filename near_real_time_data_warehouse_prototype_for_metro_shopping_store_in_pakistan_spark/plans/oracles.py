@@ -254,6 +254,42 @@ GROUP BY f.store_id, st.store_name, f.quarter, f.year
 
 Q10_AFTER_TAKEDOWN = _q10_after_takedown()
 
+# q21's oracle: the quarterly view recomputed from the SOURCE
+# relations with the streaming ETL's exact derivations — the sampled
+# line set, the p_partkey-modulo store mapping, the reference's
+# round(quantity * price, 3) revenue (src/Meshjoin.java:724-725), and
+# the maintained aggregate's integer-mills fold. Generated from the
+# same constants the Spark lifecycle uses (plans.queries.STREAM_*).
+def _q21_stream_serve() -> str:
+    from .queries import STREAM_SAMPLE_MOD, STREAM_STORE_MOD
+
+    return f"""
+WITH fact AS (
+    SELECT
+        l.l_partkey % {STREAM_STORE_MOD}       AS st,
+        CAST(quarter(o.o_orderdate) AS INT)    AS quarter,
+        CAST(year(o.o_orderdate) AS INT)       AS year,
+        CAST(l.l_quantity AS INT)              AS qty,
+        CAST(ROUND(ROUND(CAST(l.l_quantity AS INT) * p.p_retailprice, 3)
+                   * 1000, 0) AS BIGINT)       AS mills
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_orderkey % {STREAM_SAMPLE_MOD} = 0
+)
+SELECT 'ST' || st                              AS store_id,
+       'Store ' || st                          AS store_name,
+       quarter,
+       year,
+       SUM(mills) / 1000.0                     AS total_quarterly_revenue,
+       CAST(SUM(qty) AS BIGINT)                AS total_quarterly_quantity
+FROM fact
+GROUP BY st, quarter, year
+"""
+
+
+Q21_STREAM_SERVE = _q21_stream_serve()
+
 Q00 = """
 WITH li AS (
     SELECT l_returnflag, l_linestatus, l_quantity,
@@ -404,4 +440,5 @@ OLAP_ORACLES = {
     "q18_quarterly_serve_maintained": Q10,
     "q19_pricing_summary_maintained": Q00,
     "q20_quarterly_serve_after_takedown": Q10_AFTER_TAKEDOWN,
+    "q21_stream_quarterly_serve": Q21_STREAM_SERVE,
 }

@@ -979,6 +979,120 @@ def q20_quarterly_serve_after_takedown(
         shutil.rmtree(root, ignore_errors=True)
 
 
+# q21's deterministic ETL wiring, shared with its generated oracle:
+# every product maps to store `p_partkey % STREAM_STORE_MOD`, and the
+# stream carries the `l_orderkey % STREAM_SAMPLE_MOD == 0` line sample.
+STREAM_STORE_MOD = 7
+STREAM_SAMPLE_MOD = 5
+
+
+def q21_stream_quarterly_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ST5's near-real-time serving story closed THROUGH THE REAL
+    STREAMING ENTRY POINT: transactions derived from the testdata are
+    written as CSV chunks, ``streaming.pipeline.stream_etl(
+    maintain_quarterly_agg=True)`` drains them with an availableNow
+    trigger one file per micro-batch — each foreachBatch runs the full
+    MESHJOIN-equivalent load (typed parse, broadcast master joins,
+    insert-if-absent) AND folds the admitted rows into the maintained
+    quarterly aggregate — and the serve answers from the partial-sum
+    table, hash-exact against recomputing the view from the source
+    relations in SQL. Unlike q18 (which replays sink commits
+    directly), every commit here goes through the checkpointed
+    streaming query; the ETL's own measure derivation
+    (round(quantity * price, 3), src/Meshjoin.java:724-725) is what
+    the maintained mills partials fold.
+
+    Determinism: order_id is an md5 over the unique lineitem 6-tuple
+    (one fact row per line survives the first-occurrence dedup);
+    products map to stores by ``p_partkey % STREAM_STORE_MOD``; the
+    stream carries the ``l_orderkey % STREAM_SAMPLE_MOD == 0`` sample
+    to bound the row's cost."""
+    import shutil
+    import tempfile
+
+    from ..operators.etl import quarterly_sales_serve, warehouse_for
+    from ..streaming.pipeline import stream_etl
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") % STREAM_SAMPLE_MOD == 0
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    root = tempfile.mkdtemp(prefix="drv_q21_stream_")
+    try:
+        tx = li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).select(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("l_orderkey"),
+                    F.col("l_linenumber"),
+                    F.col("l_partkey"),
+                    F.col("l_suppkey"),
+                    F.col("l_quantity").cast("int"),
+                    F.round(F.col("l_extendedprice") * 100, 0).cast(
+                        "long"
+                    ),
+                )
+            ).alias("order_id"),
+            F.date_format(
+                "o_orderdate", "yyyy-MM-dd H:mm:ss"
+            ).alias("order_date_raw"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("product_id"),
+            F.col("l_quantity")
+            .cast("int")
+            .cast("string")
+            .alias("quantity_ordered_raw"),
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("customer_id"),
+            F.concat(F.lit("T"), F.col("l_orderkey")).alias("time_id"),
+        )
+        tx.repartition(4).write.option("header", "true").csv(
+            f"{root}/tx"
+        )
+        products_master = part.select(
+            F.concat(F.lit("P"), F.col("p_partkey")).alias("product_id"),
+            F.col("p_name").alias("product_name"),
+            F.col("p_retailprice").alias("price"),
+            F.concat(
+                F.lit("S"), F.col("p_partkey") % STREAM_STORE_MOD
+            ).alias("supplier_id"),
+            F.lit("sup").alias("supplier_name"),
+            F.concat(
+                F.lit("ST"), F.col("p_partkey") % STREAM_STORE_MOD
+            ).alias("store_id"),
+            F.concat(
+                F.lit("Store "), F.col("p_partkey") % STREAM_STORE_MOD
+            ).alias("store_name"),
+        )
+        customers_master = spark.read.parquet(
+            f"{sf_dir}/customer.parquet"
+        ).select(
+            F.concat(F.lit("C"), F.col("c_custkey")).alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.lit("U").alias("gender"),
+        )
+        q = stream_etl(
+            spark,
+            f"{root}/tx",
+            f"{root}/wh",
+            f"{root}/ckpt",
+            products_master,
+            customers_master,
+            maintain_quarterly_agg=True,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        wh = warehouse_for(spark, f"{root}/wh", "manifest")
+        return quarterly_sales_serve(
+            wh, wh.read("store")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 OLAP_QUERIES = {
     "q00_pricing_summary": q00_pricing_summary,
     "q01_weekend_top_products": q01_weekend_top_products,
@@ -1002,4 +1116,5 @@ OLAP_QUERIES = {
     "q18_quarterly_serve_maintained": q18_quarterly_serve_maintained,
     "q19_pricing_summary_maintained": q19_pricing_summary_maintained,
     "q20_quarterly_serve_after_takedown": q20_quarterly_serve_after_takedown,
+    "q21_stream_quarterly_serve": q21_stream_quarterly_serve,
 }

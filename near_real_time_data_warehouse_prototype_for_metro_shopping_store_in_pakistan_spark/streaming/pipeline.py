@@ -81,6 +81,7 @@ def stream_etl(
     backend: str = "manifest",
     auto_compact_segments: int | None | str = "auto",
     maintain_quarterly_agg: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Run the streaming ETL; with ``available_now`` it drains pending
     files and stops (test/replay mode), otherwise it runs continuously
@@ -112,7 +113,7 @@ def stream_etl(
             "maintain_quarterly_agg needs the manifest backend (the "
             f"snapshot diff drives the refresh); got {backend!r}"
         )
-    stream = read_transaction_stream(spark, tx_dir)
+    stream = read_transaction_stream(spark, tx_dir, max_files_per_trigger)
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         typed = _typed(batch)

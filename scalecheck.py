@@ -1081,8 +1081,189 @@ def takedown_mode(
                 shutil.rmtree(root, ignore_errors=True)
 
 
+def refresh_mode(
+    spark,
+    counts: list[int],
+    batch_rows: int = 5000,
+) -> None:
+    """MaintainedAggregate refresh cost vs ACCUMULATED snapshot count
+    — the O(new segments) claim: each refresh folds only the
+    since-last-fold diff (one small groupBy) plus a metadata-scale
+    hwm read, so per-refresh cost must stay FLAT as the fact table
+    accumulates hundreds of snapshots. Also times the delete-aware
+    paths the r13 composition added: a refresh folding a tombstone's
+    negative partials (one admissions pass with the keys broadcast),
+    a rewrite-triggered REBASE (one fact scan — same order as the
+    rewrite that forced it), and the serve (O(snapshots x groups)
+    partials, never the fact)."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.etl import (
+        quarterly_maintained,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.sinks import (
+        make_sink,
+    )
+
+    for n_snaps in counts:
+        root = tempfile.mkdtemp(prefix="scalecheck_refresh_")
+        try:
+            sink = make_sink(
+                spark, root, keys={"sales_fact": ["order_id"]},
+                backend="manifest",
+            )
+            ma = quarterly_maintained(sink)
+
+            def batch(b: int):
+                return spark.range(
+                    b * batch_rows, (b + 1) * batch_rows
+                ).select(
+                    F.col("id").alias("order_id"),
+                    (F.col("id") % 5).cast("int").alias("store_id"),
+                    (1 + F.col("id") % 4).cast("int").alias("quarter"),
+                    (2019 + F.col("id") % 3).cast("int").alias("year"),
+                    (1 + F.col("id") % 7).alias("quantity_ordered"),
+                    (100 + F.col("id") % 9000).alias("revenue_cents"),
+                )
+
+            p0 = _probe()
+            times = []
+            for b in range(n_snaps):
+                sink.insert_if_absent("sales_fact", batch(b))
+                t0 = time.time()
+                ma.refresh()
+                times.append(time.time() - t0)
+            total = n_snaps * batch_rows
+            stride = max(1, total // 200)
+            keys = spark.range(0, total, stride).select(
+                F.col("id").alias("order_id")
+            )
+            sink.delete_keys(
+                "sales_fact", keys, on=["order_id"], mode="tombstone"
+            )
+            t0 = time.time()
+            ma.refresh()  # negative-partial fold
+            dt_tomb = round(time.time() - t0, 3)
+            sink.delete_keys(
+                "sales_fact",
+                spark.range(1, total, stride * 2).select(
+                    F.col("id").alias("order_id")
+                ),
+                on=["order_id"],
+                mode="rewrite",
+            )
+            t0 = time.time()
+            ma.refresh()  # redaction -> rebase
+            dt_rebase = round(time.time() - t0, 3)
+            t0 = time.time()
+            n_groups = ma.serve().count()
+            dt_serve = round(time.time() - t0, 3)
+            print(
+                json.dumps(
+                    {
+                        "mode": "refresh",
+                        "snapshots": n_snaps,
+                        "table_rows": total,
+                        "first_refresh_sec": round(times[0], 3),
+                        "last_refresh_sec": round(times[-1], 3),
+                        "mean_refresh_sec": round(
+                            sum(times) / len(times), 3
+                        ),
+                        "tombstone_refresh_sec": dt_tomb,
+                        "rebase_refresh_sec": dt_rebase,
+                        "serve_sec": dt_serve,
+                        "serve_groups": n_groups,
+                        "cpu_probe": round(p0, 3),
+                    }
+                ),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def cascade_mode(
+    spark,
+    table_counts: list[int],
+    rows_per_table: int = 100_000,
+    delete_n: int = 200,
+) -> None:
+    """Intent-logged takedown cascade wall-time vs the number of
+    derived tables swept: the cascade is one intent commit + one
+    O(keys) tombstone delete per table + one done commit, so cost
+    must grow LINEARLY in the table count with a per-table constant,
+    independent of which tables the keys actually hit. heal on a
+    clean log must be metadata-only."""
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.operators.sinks import (
+        make_sink,
+    )
+    from near_real_time_data_warehouse_prototype_for_metro_shopping_store_in_pakistan_spark.streaming import (
+        corpus as sc,
+    )
+
+    tables = list(sc.TAKEDOWN_TABLES.items())
+    for k in table_counts:
+        subset = tables[:k]
+        root = tempfile.mkdtemp(prefix="scalecheck_cascade_")
+        try:
+            sink = make_sink(
+                spark,
+                root,
+                keys={tbl: [col] for tbl, col in subset},
+                backend="manifest",
+            )
+            for tbl, col in subset:
+                sink.insert_if_absent(
+                    tbl,
+                    spark.range(rows_per_table).select(
+                        F.col("id").alias(col),
+                        F.md5(F.col("id").cast("string")).alias("v"),
+                    ),
+                )
+            stride = max(1, rows_per_table // delete_n)
+            ids = spark.range(0, rows_per_table, stride).select(
+                F.col("id").alias("doc_id")
+            )
+            p0 = _probe()
+            t0 = time.time()
+            res = sc.takedown_with_intent(sink, ids, mode="tombstone")
+            dt = round(time.time() - t0, 3)
+            assert res["replayed"] is False
+            t0 = time.time()
+            assert sc.heal_takedowns(sink) == {}
+            dt_heal = round(time.time() - t0, 3)
+            print(
+                json.dumps(
+                    {
+                        "mode": "cascade",
+                        "tables": k,
+                        "rows_per_table": rows_per_table,
+                        "deleted_keys": len(
+                            range(0, rows_per_table, stride)
+                        ),
+                        "cascade_sec": dt,
+                        "heal_noop_sec": dt_heal,
+                        "cpu_probe": round(p0, 3),
+                    }
+                ),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
+    if args and args[0] == "refresh":
+        rest = [int(a) for a in args[1:]]
+        spark = get_spark(app_name="scalecheck-refresh")
+        spark.sparkContext.setLogLevel("ERROR")
+        refresh_mode(spark, counts=rest or [20, 80, 240])
+        return
+    if args and args[0] == "cascade":
+        rest = [int(a) for a in args[1:]]
+        spark = get_spark(app_name="scalecheck-cascade")
+        spark.sparkContext.setLogLevel("ERROR")
+        cascade_mode(spark, table_counts=rest or [2, 5, 8])
+        return
     if args and args[0] == "takedown":
         rest = [int(a) for a in args[1:]]
         spark = get_spark(app_name="scalecheck-takedown")
