@@ -64,6 +64,7 @@ MEASUREMENT_QUERIES = frozenset(
         "q19_pricing_summary_maintained",
         "q20_quarterly_serve_after_takedown",
         "corpus_takedown_intent_heal",
+        "q21_stream_quarterly_serve",
     }
 )
 

@@ -40,48 +40,83 @@ def token_stats(
     )
 
 
-def _lang_score_from(hits: Column, residue: Column, lang: str) -> Column:
-    """Per-language ID score from ALREADY-PROJECTED columns: stopword
-    hits dominate, the script prior (functions.text.LANG_SCRIPTS —
-    capped char count in the language's distinctive ranges) decides
-    when no stopword fires. Latin-script languages carry no prior
-    (shared script identifies nothing), so their scores remain exactly
-    the pre-r12 hit counts scaled — predictions on Latin/ASCII corpora
-    are unchanged.
+# The 13-language ID machinery, array-shaped (r13): one bitmask map
+# lookup per TOKEN (each stopword's value has a bit per language that
+# lists it — overlapping lists count for each, exactly like the
+# per-list membership tests they replace), ONE aggregate pass builds
+# all 13 hit counts, and the argmax is array_position(max) with
+# first-index-wins — the same LANG_ORDER tie-break the old 13x12
+# comparison CASE chain encoded. Two measured wins over the
+# column-per-language form, values identical by construction: the
+# per-token work drops from 13 list-membership string scans to one
+# hash lookup + 13 bit tests, and the generated code shrinks from
+# ~170 inlined comparisons to a handful of array kernels (first-run
+# codegen ~2x faster, steady-state ~2x).
 
-    ``residue`` is the single-pass ``functions.text.script_residue``
-    column (all non-script characters stripped once per row): the
-    per-language count then scans only the residue — the r13 fix for
-    the 7-full-text-regex-passes-per-doc cost the 13-language matrix
-    introduced. The counts are identical by construction, so every
-    langid-gated oracle row hashes unchanged."""
+
+def _stopword_mask_map() -> Column:
+    """token -> bitmask-of-languages literal map (~80 entries)."""
+    mask: dict[str, int] = {}
+    for i, lang in enumerate(LANG_ORDER):
+        for w in LANG_STOPWORDS[lang]:
+            mask[w] = mask.get(w, 0) | (1 << i)
+    return F.create_map(
+        *[F.lit(x) for kv in sorted(mask.items()) for x in kv]
+    )
+
+
+def _lang_hits_array(masks: Column) -> Column:
+    """array<long>[13] of per-language stopword hits from the
+    projected per-token bitmask column — one pass over the tokens."""
+    n = len(LANG_ORDER)
+    bits = F.array(*[F.lit(1 << i).cast("long") for i in range(n)])
+    return F.aggregate(
+        masks,
+        F.array_repeat(F.lit(0).cast("long"), n),
+        lambda acc, mk: F.zip_with(
+            acc,
+            bits,
+            lambda a, b: a
+            + F.when(mk.bitwiseAND(b) != 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ),
+    )
+
+
+def _lang_scores_array(hits: Column, residue: Column) -> Column:
+    """array<long>[13] of ID scores: stopword hits dominate
+    (x LANG_SCORE_SCALE), the script prior — capped char count in the
+    language's distinctive ranges, scanned over the single-pass
+    ``script_residue`` column — decides when no stopword fires.
+    Latin-script languages carry no prior (a shared script identifies
+    nothing), so ASCII corpora keep their pre-r12 argmax exactly."""
     from ..functions.text import LANG_SCORE_SCALE, LANG_SCRIPTS, script_hits
 
-    score = hits.cast("long") * F.lit(LANG_SCORE_SCALE).cast("long")
-    ranges = LANG_SCRIPTS.get(lang)
-    if ranges:
-        score = score + F.least(
-            script_hits(residue, ranges),
-            F.lit(LANG_SCORE_SCALE - 1).cast("long"),
-        )
-    return score
+    def one(i: int, lang: str) -> Column:
+        score = F.element_at(hits, i + 1) * F.lit(
+            LANG_SCORE_SCALE
+        ).cast("long")
+        ranges = LANG_SCRIPTS.get(lang)
+        if ranges:
+            score = score + F.least(
+                script_hits(residue, ranges),
+                F.lit(LANG_SCORE_SCALE - 1).cast("long"),
+            )
+        return score
+
+    return F.array(*[one(i, lang) for i, lang in enumerate(LANG_ORDER)])
 
 
-def _lang_argmax_case() -> Column:
-    """First lang (in LANG_ORDER priority) whose ``score_{lang}``
-    column is >= all others — the shared argmax chain for
-    ``language_id`` and ``curation_flags``. Scores combine stopword
-    hits with the script prior (see ``_lang_score_from``)."""
-    chain = None
-    for lang in LANG_ORDER:
-        cond = None
-        for other in LANG_ORDER:
-            if other == lang:
-                continue
-            ge = F.col(f"score_{lang}") >= F.col(f"score_{other}")
-            cond = ge if cond is None else (cond & ge)
-        chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
-    return chain.otherwise(LANG_ORDER[0])
+def _argmax_lang(scores: Column) -> Column:
+    """First language (LANG_ORDER priority) holding the max score —
+    array_position returns the FIRST index of the max, which is
+    exactly the earliest-wins tie-break the old comparison chain
+    implemented."""
+    langs = F.array(*[F.lit(lang) for lang in LANG_ORDER])
+    return F.element_at(
+        langs, F.array_position(scores, F.array_max(scores)).cast("int")
+    )
 
 
 def language_id(
@@ -96,45 +131,52 @@ def language_id(
     particles only match as char-1-grams in this mode); the script
     priors are token-mode-independent (raw char counts).
 
-    Plan shape: token array and script residue are each projected
-    ONCE per row (separate Project steps Catalyst keeps — expensive
-    expressions referenced many times are not re-inlined), then the
-    13 hit counts scan the token column and the 7 script priors scan
-    the residue column — 1 tokenize + 1 full-text regex pass per doc
-    instead of 13 + 7."""
+    Plan shape: token array, per-token stopword bitmask, script
+    residue, and the hits array are each projected ONCE per row
+    (separate Project steps Catalyst keeps — expensive expressions
+    referenced many times are not re-inlined): 1 tokenize + 1 map
+    lookup per token + 1 full-text regex pass per doc, instead of
+    13 list-membership scans + 7 regex passes."""
     from ..functions.text import script_residue
 
+    m = _stopword_mask_map()
     staged = docs.select(
         "doc_id",
         F.col("lang").alias("lang_true"),
         tokens(F.lower(F.col(text_col)), token_mode).alias("__toks"),
         script_residue(F.col(text_col)).alias("__scripts"),
     )
-    hitted = staged.select(
+    masked = staged.select(
         "doc_id",
         "lang_true",
         "__scripts",
-        *[
-            _hits(F.col("__toks"), LANG_STOPWORDS[lang]).alias(
-                f"hits_{lang}"
-            )
-            for lang in LANG_ORDER
-        ],
+        F.transform(
+            F.col("__toks"),
+            lambda t: F.coalesce(m[t], F.lit(0).cast("long")),
+        ).alias("__masks"),
     )
-    out = hitted.select(
+    arred = masked.select(
         "doc_id",
         "lang_true",
-        *[F.col(f"hits_{lang}") for lang in LANG_ORDER],
+        "__scripts",
+        _lang_hits_array(F.col("__masks")).alias("__hits"),
+    )
+    out = arred.select(
+        "doc_id",
+        "lang_true",
         *[
-            _lang_score_from(
-                F.col(f"hits_{lang}"), F.col("__scripts"), lang
-            ).alias(f"score_{lang}")
-            for lang in LANG_ORDER
+            F.element_at("__hits", i + 1)
+            .cast("int")
+            .alias(f"hits_{lang}")
+            for i, lang in enumerate(LANG_ORDER)
         ],
+        _lang_scores_array(
+            F.col("__hits"), F.col("__scripts")
+        ).alias("__scores"),
     )
-    return out.withColumn("lang_pred", _lang_argmax_case()).drop(
-        *[f"score_{lang}" for lang in LANG_ORDER]
-    )
+    return out.withColumn(
+        "lang_pred", _argmax_lang(F.col("__scores"))
+    ).drop("__scores")
 
 
 def _quality_expr(n_tokens: Column, n_chars: Column, n_punct: Column,
@@ -752,6 +794,7 @@ def curation_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
     expression, so a funnel over 100 TB is one pass."""
     from ..functions.text import script_residue
 
+    m = _stopword_mask_map()
     staged = docs.select(
         "doc_id",
         F.col("lang").alias("lang_true"),
@@ -761,17 +804,38 @@ def curation_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
         punct_count(F.col(text_col)).cast("int").alias("n_punct"),
         F.md5(F.col(text_col)).alias("text_fp"),
     )
-    counted = staged.select(
+    masked = staged.select(
         "doc_id",
         "lang_true",
-        *[
-            _lang_score_from(
-                _hits(F.col("__toks"), LANG_STOPWORDS[lang]),
-                F.col("__scripts"),
-                lang,
-            ).alias(f"score_{lang}")
-            for lang in LANG_ORDER
-        ],
+        "__scripts",
+        "__toks",
+        F.transform(
+            F.col("__toks"),
+            lambda t: F.coalesce(m[t], F.lit(0).cast("long")),
+        ).alias("__masks"),
+        "n_chars",
+        "n_punct",
+        "text_fp",
+    )
+    # the hits array must be ITS OWN projection step: the scores
+    # array references it 13 times, and an inlined aggregate would
+    # re-run once per reference
+    arred = masked.select(
+        "doc_id",
+        "lang_true",
+        "__scripts",
+        "__toks",
+        _lang_hits_array(F.col("__masks")).alias("__hits"),
+        "n_chars",
+        "n_punct",
+        "text_fp",
+    )
+    counted = arred.select(
+        "doc_id",
+        "lang_true",
+        _lang_scores_array(
+            F.col("__hits"), F.col("__scripts")
+        ).alias("__scores"),
         F.size("__toks").alias("n_tokens"),
         "n_chars",
         "n_punct",
@@ -784,7 +848,9 @@ def curation_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return counted.select(
         "doc_id",
-        (_lang_argmax_case() == F.col("lang_true")).alias("lang_ok"),
+        (_argmax_lang(F.col("__scores")) == F.col("lang_true")).alias(
+            "lang_ok"
+        ),
         score.cast("int").alias("quality_score"),
         "text_fp",
     )

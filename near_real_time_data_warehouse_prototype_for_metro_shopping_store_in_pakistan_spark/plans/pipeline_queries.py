@@ -2354,7 +2354,7 @@ def _sql_in_list(words: list[str]) -> str:
 def _sql_lang_scores(text_expr: str = "text") -> tuple[str, str]:
     """(score select-list fragment over a relation exposing ``toks``
     and the text column, lang_pred CASE over ``score_{lang}``) — the
-    SQL twin of text_profile._lang_score/_lang_argmax_case, generated
+    SQL twin of text_profile._lang_scores_array/_argmax_lang, generated
     from the SAME constants (LANG_STOPWORDS, LANG_SCRIPTS,
     LANG_SCORE_SCALE) so the engines cannot drift. Shared by the
     langid, confusion, funnel, and rejection-audit oracles."""
