@@ -1106,9 +1106,15 @@ def refresh_mode(
     for n_snaps in counts:
         root = tempfile.mkdtemp(prefix="scalecheck_refresh_")
         try:
+            # the PRODUCTION config: bounded live segments via
+            # auto-compaction (the streaming-sink default). Without
+            # it, added_between/deleted_between degenerate into
+            # O(snapshots)-deep union plans — a harness artifact no
+            # deployed table exhibits (compacted segments answer the
+            # same diffs from their _snapshot column)
             sink = make_sink(
                 spark, root, keys={"sales_fact": ["order_id"]},
-                backend="manifest",
+                backend="manifest", auto_compact_segments=8,
             )
             ma = quarterly_maintained(sink)
 
