@@ -326,3 +326,75 @@ SQL_QUERIES: dict[str, str] = {
         ORDER BY store_name, year, quarter
     """,
 }
+
+
+def _lifecycle_twins() -> dict[str, str]:
+    """SQL twins for the r13 maintained-serve lifecycle rows. Like
+    q17/q18, the DataFrame surface under test is an ACCESS PATH
+    (chunked replay + refreshes + takedowns + the partial-sum serve);
+    the twin recomputes the same answer declaratively from the
+    registered views, generated from the SAME constants the Spark
+    lifecycle uses (plans.queries.TAKEDOWN_* / STREAM_*), so the two
+    sides cannot drift."""
+    from .queries import (
+        STREAM_SAMPLE_MOD,
+        STREAM_STORE_MOD,
+        TAKEDOWN_MOD,
+        TAKEDOWN_REWRITE_RESIDUE,
+        TAKEDOWN_TOMBSTONE_RESIDUE,
+    )
+
+    return {
+        # q19 serves the q00 pricing summary from maintained integer
+        # partials after a chunked replay (+ one replayed no-op chunk)
+        # — the answer IS the q00 summary; the twin is its text.
+        "q19_pricing_summary_maintained": SQL_QUERIES[
+            "q00_pricing_summary"
+        ],
+        # q20 = q10 recomputed WITHOUT the taken-down key slices
+        # (tombstone residue + rewrite residue), mirroring the oracle
+        # (plans.oracles.Q10_AFTER_TAKEDOWN).
+        "q20_quarterly_serve_after_takedown": f"""
+        SELECT /*+ BROADCAST(s) */ store_id, store_name, quarter, year,
+               SUM(revenue_cents) / 100.0D AS total_quarterly_revenue,
+               SUM(quantity_ordered) AS total_quarterly_quantity
+        FROM sales_fact f JOIN stores s USING (store_id)
+        WHERE order_id % {TAKEDOWN_MOD}
+              NOT IN ({TAKEDOWN_TOMBSTONE_RESIDUE},
+                      {TAKEDOWN_REWRITE_RESIDUE})
+        GROUP BY store_id, store_name, quarter, year
+        ORDER BY store_name, year, quarter
+    """,
+        # q21 = the quarterly view recomputed from the SOURCE
+        # relations with the streaming ETL's exact derivations: the
+        # sampled line set, the p_partkey-modulo store mapping, the
+        # reference's round(quantity * price, 3) revenue folded as
+        # integer mills (plans.oracles.Q21_STREAM_SERVE).
+        "q21_stream_quarterly_serve": f"""
+        WITH fact AS (
+            SELECT l.l_partkey % {STREAM_STORE_MOD}    AS st,
+                   CAST(quarter(o.o_orderdate) AS INT) AS quarter,
+                   CAST(year(o.o_orderdate) AS INT)    AS year,
+                   CAST(l.l_quantity AS INT)           AS qty,
+                   CAST(round(round(CAST(l.l_quantity AS INT)
+                                    * p.p_retailprice, 3) * 1000, 0)
+                        AS BIGINT)                     AS mills
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_orderkey % {STREAM_SAMPLE_MOD} = 0
+        )
+        SELECT concat('ST', CAST(st AS STRING))        AS store_id,
+               concat('Store ', CAST(st AS STRING))    AS store_name,
+               quarter,
+               year,
+               SUM(mills) / 1000.0D AS total_quarterly_revenue,
+               SUM(qty)             AS total_quarterly_quantity
+        FROM fact
+        GROUP BY st, quarter, year
+        ORDER BY store_name, year, quarter
+    """,
+    }
+
+
+SQL_QUERIES.update(_lifecycle_twins())

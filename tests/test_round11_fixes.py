@@ -301,10 +301,10 @@ def test_compaction_republishes_without_restaging(spark, tmp_path):
     stage_calls = []
     orig_stage = sink._stage_segment
 
-    def counting_stage(name, df, covers=None, min_row=None):
+    def counting_stage(name, df, covers=None, min_row=None, **kw):
         if covers is not None:
             stage_calls.append(1)
-        return orig_stage(name, df, covers=covers, min_row=min_row)
+        return orig_stage(name, df, covers=covers, min_row=min_row, **kw)
 
     sink._stage_segment = counting_stage
     orig_publish = sink._publish
