@@ -55,7 +55,6 @@ from pyspark.sql import functions as F
 from .similarity import (
     _centroid_array_from,
     _dot,
-    _floordiv,
     _sq_dist,
     ivf_assignments,
     kmeans_centroids,
@@ -106,26 +105,58 @@ def _grouped_kmeans_iterate(
     # smallest md5(id||'|seed') — same key as similarity._seed_key,
     # so every subspace seeds from the SAME vectors (slices of one
     # id set), mirrorable per-subspace in the oracle. TakeOrdered
-    # top-k over the distinct ids, then a broadcast semi-join attach.
+    # top-k over the distinct ids, then one filtered collect of the
+    # m×ksub seed slices.
+    #
+    # Per-round shape (r13, same rewrite as similarity._kmeans_iterate):
+    # the update's (subspace, cell, pos) partial sums — bounded by
+    # ksub×dim keys, metadata-scale by construction — are COLLECTED
+    # and folded driver-side (Python // ≡ the engines' pmod-identity
+    # floor division on exact int64 sums; empty cells keep their
+    # previous codeword), replacing the per-round collect_list
+    # re-aggregation + left-join + localCheckpoint chain. The final
+    # codebook relation is a driver-local m×ksub-row DataFrame with
+    # no lineage for encode/LUT consumers to re-execute. Bit-identical
+    # by the same argument.
     from .similarity import _seed_key
 
-    seed_ids = (
-        sub.select(F.col(id_col)).distinct()
-        .orderBy(_seed_key(id_col), F.col(id_col).asc())
-        .limit(ksub)
-    )
-    cents = (
-        sub.join(F.broadcast(seed_ids), id_col)
+    spark = sub.sparkSession
+    seed_ids = [
+        r[id_col]
+        for r in (
+            sub.select(F.col(id_col)).distinct()
+            .orderBy(_seed_key(id_col), F.col(id_col).asc())
+            .limit(ksub)
+            .collect()
+        )
+    ]
+    seed_rows = (
+        sub.filter(F.col(id_col).isin(seed_ids))
         .select(
             "subspace",
             F.col(id_col).alias("centroid_id"),
             F.col("q").alias("cq"),
         )
-        .localCheckpoint(eager=False)
+        .collect()
     )
+    # driver-local state: {(subspace, centroid_id): codeword}
+    cents_local: dict[tuple[int, int], list[int]] = {
+        (int(r["subspace"]), int(r["centroid_id"])): list(r["cq"])
+        for r in seed_rows
+    }
+
+    def cents_df() -> DataFrame:
+        return spark.createDataFrame(
+            [
+                (s, c, [int(x) for x in cq])
+                for (s, c), cq in sorted(cents_local.items())
+            ],
+            schema="subspace int, centroid_id long, cq array<bigint>",
+        )
+
     for _ in range(iters):
         carr = F.broadcast(
-            cents.groupBy("subspace").agg(
+            cents_df().groupBy("subspace").agg(
                 F.array_sort(
                     F.collect_list(F.struct("centroid_id", "cq"))
                 ).alias("cents")
@@ -141,31 +172,18 @@ def _grouped_kmeans_iterate(
             )
             .groupBy("subspace", "cell", "pos")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
         )
-        updated = (
-            sums.withColumn(
-                "cval", _floordiv(F.col("s"), F.col("n")).cast("long")
-            )
-            .groupBy("subspace", "cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                    lambda st: st["cval"],
-                ).alias("cq")
-            )
-            .select("subspace", F.col("cell").alias("centroid_id"), "cq")
-        )
-        cents = (
-            cents.alias("old")
-            .join(updated.alias("new"), ["subspace", "centroid_id"], "left")
-            .select(
-                "subspace",
-                "centroid_id",
-                F.coalesce(F.col("new.cq"), F.col("old.cq")).alias("cq"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return cents
+        per_cell: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            per_cell.setdefault(
+                (int(r["subspace"]), int(r["cell"])), {}
+            )[int(r["pos"])] = (int(r["s"]), int(r["n"]))
+        for key, by_pos in per_cell.items():
+            cents_local[key] = [
+                s // n for _, (s, n) in sorted(by_pos.items())
+            ]
+    return cents_df()
 
 
 def _dense_codes(cents: DataFrame) -> DataFrame:
@@ -328,7 +346,117 @@ def pq_encode(
     )
 
 
-def query_luts(qv: DataFrame, books: DataFrame, m: int) -> DataFrame:
+def _coarse_best_with_cq(q_col, norm_col):
+    """The coarse argmax of ``similarity._centroid_scores`` (cosine,
+    ties to the lower centroid id) with the WINNING centroid's
+    codeword carried in the struct: (ccos, neg_cid, ccq). Appending
+    ccq can never change the winner — neg_cid is unique per element,
+    so the lexicographic struct comparison is always decided before
+    the third field. Lets a fused projection derive both the cell and
+    the residual (q - ccq) without re-joining on cell."""
+
+    def score(c):
+        ccos = _dot(q_col, c["cq"]) / (
+            F.sqrt(norm_col.cast("double"))
+            * F.sqrt(c["cn"].cast("double"))
+        )
+        return F.struct(
+            ccos.alias("ccos"),
+            (-c["centroid_id"]).alias("neg_cid"),
+            c["cq"].alias("ccq"),
+        )
+
+    return F.array_max(F.transform(F.col("cents"), score))
+
+
+def _ivfpq_index(
+    emb: DataFrame,
+    cents: DataFrame,
+    books: DataFrame,
+    m: int,
+    vec_col: str,
+    id_col: str,
+    residual: bool,
+    subwidth: int | None = None,
+) -> DataFrame:
+    """The served IVF-PQ index relation (id, cell, codes, norm_sq)
+    built in ONE corpus scan: the coarse cosine argmax and the m
+    per-subspace encode argmins run inside a single zero-shuffle
+    projection with the centroid array and the codebooks attached as
+    broadcast one-row relations.
+
+    This replaces the previous two-scan shape (``ivf_assignments`` +
+    ``pq_encode``/``pq_encode_residual`` joined on id): the id-keyed
+    equi-join shuffled the full index relation just to glue two
+    columns computed from the same row — at 100 TB that is a
+    corpus-sized exchange for zero information. Values are identical:
+    the coarse scorer is ``_centroid_scores``'s expression verbatim
+    (residual mode carries the winner's codeword in the argmax struct
+    — see ``_coarse_best_with_cq``), and the encode argmin is
+    ``pq_encode``'s. The expensive argmax lands in a NAMED column
+    consumed by a separate projection, which CollapseProject keeps
+    un-inlined (non-cheap, referenced twice), so it evaluates once
+    per row."""
+    v = scaled_vectors(emb, vec_col, id_col)
+    w = F.lit(
+        subwidth
+        if subwidth is not None
+        else _validated_subwidth(v, "q", books, m)
+    )
+    carr = (
+        _centroid_array_from(cents)
+        if cents is not None
+        else None
+    )
+    if residual:
+        best = _coarse_best_with_cq(F.col("q"), F.col("norm_sq"))
+        assigned = (
+            v.crossJoin(carr)
+            .select(id_col, "q", "norm_sq", best.alias("_best"))
+            .select(
+                id_col,
+                "norm_sq",
+                (-F.col("_best")["neg_cid"]).alias("cell"),
+                F.zip_with(
+                    "q", F.col("_best")["ccq"], lambda a, b: a - b
+                ).alias("_t"),
+            )
+        )
+    else:
+        from .similarity import _centroid_scores
+
+        best = F.array_max(
+            _centroid_scores(F.col("q"), F.col("norm_sq"))
+        )
+        assigned = v.crossJoin(carr).select(
+            id_col,
+            "norm_sq",
+            (-best["neg_cid"]).alias("cell"),
+            F.col("q").alias("_t"),
+        )
+
+    def best_code(book, j):
+        sub = F.slice(F.col("_t"), j * w + 1, w)
+        scored = F.transform(
+            book,
+            lambda e: F.struct(
+                (-_sq_dist(sub, e["cq"])).alias("neg_d"),
+                (-e["code"]).alias("neg_code"),
+            ),
+        )
+        return (-F.array_max(scored)["neg_code"]).cast("int")
+
+    return assigned.crossJoin(_books_row(books)).select(
+        id_col,
+        "cell",
+        F.transform("books", best_code).alias("codes"),
+        "norm_sq",
+    )
+
+
+def query_luts(
+    qv: DataFrame, books: DataFrame, m: int, subwidth: int | None = None
+) -> DataFrame:
     """The per-query ADC lookup tables: (query_id, qn,
     lut array<array<long>>) where ``lut[j][c+1]`` = <q_slice_j,
     codebook_j[c]> — exact integer dots, built once per query
@@ -336,7 +464,11 @@ def query_luts(qv: DataFrame, books: DataFrame, m: int) -> DataFrame:
     in-flight ``ann_ivfpq_topk`` and the persisted-index serve path
     (``streaming.ann_index.ivfpq_index_topk``) so their scoring
     cannot drift. ``qv`` is (query_id, qq, qn)."""
-    w = F.lit(_validated_subwidth(qv, "qq", books, m))
+    w = F.lit(
+        subwidth
+        if subwidth is not None
+        else _validated_subwidth(qv, "qq", books, m)
+    )
     return qv.crossJoin(_books_row(books)).select(
         "query_id",
         "qn",
@@ -403,22 +535,24 @@ def ann_ivfpq_topk(
     if books is None:
         books = pq_codebooks(emb, m, ksub, iters, vec_col, id_col)
     books = books.localCheckpoint(eager=False)
-    assigned = ivf_assignments(
-        emb, vec_col=vec_col, id_col=id_col, centroids=cents
-    ).select(id_col, "cell")
-    enc = pq_encode(emb, books, m, vec_col, id_col)
-    index = enc.join(assigned, id_col)
-
     v = scaled_vectors(emb, vec_col, id_col)
-    qv = v.filter(F.col(id_col) < num_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.col("q").alias("qq"),
-        F.col("norm_sq").alias("qn"),
+    w = _validated_subwidth(v, "q", books, m)
+    index = _ivfpq_index(
+        emb, cents, books, m, vec_col, id_col, residual=False, subwidth=w
+    )
+    qv = (
+        v.filter(F.col(id_col) < num_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("norm_sq").alias("qn"),
+        )
+        .localCheckpoint(eager=False)
     )
     probes = probe_cells(qv, _centroid_array_from(cents), n_probe)
-    luts = query_luts(qv, books, m)
+    luts = query_luts(qv, books, m, subwidth=w)
     cand = index.join(
-        F.broadcast(probes.select("query_id", "cell").distinct()), "cell"
+        F.broadcast(probes.select("query_id", "cell")), "cell"
     ).filter(F.col("query_id") != F.col(id_col))
     scored = cand.join(F.broadcast(luts), "query_id")
     adc_cos = adc_dot() / (
@@ -672,16 +806,22 @@ def ann_ivfpq_res_topk(
             emb, cents, m, ksub, iters, vec_col, id_col
         )
     books = books.localCheckpoint(eager=False)
-    index = pq_encode_residual(emb, cents, books, m, vec_col, id_col)
-
     v = scaled_vectors(emb, vec_col, id_col)
-    qv = v.filter(F.col(id_col) < num_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.col("q").alias("qq"),
-        F.col("norm_sq").alias("qn"),
+    w = _validated_subwidth(v, "q", books, m)
+    index = _ivfpq_index(
+        emb, cents, books, m, vec_col, id_col, residual=True, subwidth=w
+    )
+    qv = (
+        v.filter(F.col(id_col) < num_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("norm_sq").alias("qn"),
+        )
+        .localCheckpoint(eager=False)
     )
     probes = probe_cells(qv, _centroid_array_from(cents), n_probe)
-    luts = query_luts(qv, books, m)
+    luts = query_luts(qv, books, m, subwidth=w)
     qc = (
         probes.join(
             F.broadcast(
@@ -697,7 +837,7 @@ def ann_ivfpq_res_topk(
         )
     )
     cand = index.join(
-        F.broadcast(probes.select("query_id", "cell").distinct()), "cell"
+        F.broadcast(probes.select("query_id", "cell")), "cell"
     ).filter(F.col("query_id") != F.col(id_col))
     scored = cand.join(F.broadcast(qc), ["query_id", "cell"]).join(
         F.broadcast(luts), "query_id"

@@ -1048,16 +1048,41 @@ def _seed_key(id_col: str):
     ).asc()
 
 
+def _cents_df(spark, cents_local: dict[int, list[int]]) -> DataFrame:
+    """(centroid_id, cq) relation from driver-local centroid state —
+    k rows of metadata, no lineage, no job to materialize."""
+    return spark.createDataFrame(
+        [(int(cid), [int(x) for x in cq])
+         for cid, cq in sorted(cents_local.items())],
+        schema="centroid_id long, cq array<bigint>",
+    )
+
+
 def _kmeans_iterate(
     v: DataFrame, k: int, iters: int, id_col: str
 ) -> DataFrame:
     """``iters`` Lloyd rounds over the quantized relation ``v``
-    (id, q); returns the final (centroid_id, cq) relation."""
-    cents = (
+    (id, q); returns the final (centroid_id, cq) relation.
+
+    Per-round shape (r13): assignment stays the zero-shuffle
+    broadcast-attach projection, and the update's k×dim partial sums
+    — ONE map-side-combinable shuffle bounded by k×dim keys, nothing
+    like corpus size — are COLLECTED and folded driver-side (exact
+    Python-int floor division ≡ the engines' ``_floordiv`` pmod
+    identity; empty cells keep their previous centroid). k×dim is
+    metadata-scale by construction (the same discipline as the
+    probe-cell and codebook collects), so this replaces the previous
+    per-round collect_list re-aggregation + left-join +
+    localCheckpoint chain — 2 extra exchanges and a checkpoint per
+    round — with one collect, and the final centroid relation is a
+    driver-local k-row DataFrame with NO lineage for consumers to
+    re-execute. Values are bit-identical: int64 sums are exact and
+    the fold order never matters."""
+    seed_rows = (
         v.orderBy(_seed_key(id_col), F.col(id_col).asc())
         .limit(k)
         .select(F.col(id_col).alias("centroid_id"), F.col("q").alias("cq"))
-        .localCheckpoint(eager=False)
+        .collect()
     )
     # Content-spread deterministic seeding: the k vectors with the
     # smallest md5(id||'|seed') — still pure and SQL-mirrorable (the
@@ -1068,41 +1093,37 @@ def _kmeans_iterate(
     # removes the old sparse-id-space hole (ids all >= k -> zero
     # seeds): any non-empty corpus now seeds min(n, k) centroids —
     # only a fully EMPTY corpus is degenerate, and that fails loudly.
-    if not cents.take(1):
+    if not seed_rows:
         raise ValueError(
             "k-means seeding found an empty vector relation: nothing "
             "to cluster"
         )
+    cents_local = {
+        int(r["centroid_id"]): list(r["cq"]) for r in seed_rows
+    }
+    spark = v.sparkSession
     for _ in range(iters):
+        cents = _cents_df(spark, cents_local)
         assigned = _kmeans_assign(v, cents, id_col)
         sums = (
             assigned.select("cell", F.posexplode("q").alias("pos", "val"))
             .groupBy("cell", "pos")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
         )
-        updated = (
-            sums.withColumn(
-                "cval", _floordiv(F.col("s"), F.col("n")).cast("long")
+        per_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            per_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = (
+                int(r["s"]),
+                int(r["n"]),
             )
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                    lambda st: st["cval"],
-                ).alias("cq")
-            )
-            .select(F.col("cell").alias("centroid_id"), "cq")
-        )
-        cents = (
-            cents.alias("old")
-            .join(updated.alias("new"), "centroid_id", "left")
-            .select(
-                "centroid_id",
-                F.coalesce(F.col("new.cq"), F.col("old.cq")).alias("cq"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return cents
+        for cell, by_pos in per_cell.items():
+            # Python // floors, exactly the engines' pmod-identity
+            # floor division (_floordiv) on the same exact integers
+            cents_local[cell] = [
+                s // n for _, (s, n) in sorted(by_pos.items())
+            ]
+    return _cents_df(spark, cents_local)
 
 
 def _kmeans_assign(v: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:

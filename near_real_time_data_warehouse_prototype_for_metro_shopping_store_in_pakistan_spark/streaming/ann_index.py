@@ -371,7 +371,7 @@ def ivfpq_index_topk(
     )
     luts = query_luts(qv, books, m)
     scored = (
-        pruned.join(F.broadcast(probes.select("query_id", "cell").distinct()),
+        pruned.join(F.broadcast(probes.select("query_id", "cell")),
                     "cell")
         .filter(F.col("query_id") != F.col("vec_id"))
         .join(F.broadcast(luts), "query_id")
