@@ -315,9 +315,25 @@ class MaintainedAggregate:
         if rebase:
             sink.truncate(self.agg_table)
             last = None
-        pos = sink.added_between(self.fact_table, last, latest)
-        if pos is not None and pos.isEmpty():
+        # Manifest-metadata fast path (no Spark action): a window that
+        # admitted 0 rows — the all-replay case — skips building the
+        # insert diff entirely; a window the manifests prove non-empty
+        # skips the emptiness probe. Only a compaction overlapping the
+        # window (rare; per-snapshot rows unknowable from metadata)
+        # falls back to probing the diff relation itself.
+        known_rows = sink.window_admission_rows(
+            self.fact_table, last, latest
+        )
+        if known_rows == 0:
             pos = None
+        else:
+            pos = sink.added_between(self.fact_table, last, latest)
+            if (
+                known_rows is None
+                and pos is not None
+                and pos.isEmpty()
+            ):
+                pos = None
         neg = sink.deleted_between(self.fact_table, last, latest)
         if pos is None and neg is None and not rebase:
             # a replayed upstream batch commits a 0-row fact
@@ -446,6 +462,7 @@ class WarehouseOps:
         customers_master: DataFrame,
         fact_key: tuple[str, ...] = DEFAULT_FACT_KEY,
         time_id_source: str | None = None,
+        skip_dims: bool = False,
     ) -> None:
         """One micro-batch (or one full batch) through the whole ETL:
         dims -> time dimension -> fact, each insert-if-absent.
@@ -454,10 +471,21 @@ class WarehouseOps:
         Time_ID field keys the time dimension (the reference's
         contract, src/GenerateStream.java:23-29) instead of the
         timestamp-derived id.
+
+        ``skip_dims=True`` skips the four master-data dimension
+        upserts. The dims derive solely from the two master relations
+        — when those are static (the streaming consumer's contract,
+        like the reference's memory-resident masters), re-upserting
+        them per batch is a guaranteed no-op that still pays four
+        anti-join + commit round-trips; callers that already loaded
+        them once skip straight to the per-batch tables (time
+        dimension + fact). Replay-safe: a restarted stream passes
+        False for its first batch and the upserts no-op.
         """
-        dims = normalize_dimensions(products_master, customers_master)
-        for name, df in dims.items():
-            self.insert_if_absent(name, df)
+        if not skip_dims:
+            dims = normalize_dimensions(products_master, customers_master)
+            for name, df in dims.items():
+                self.insert_if_absent(name, df)
         fact = build_fact(transactions, products_master, customers_master, fact_key)
         src = "time_id" if time_id_source == "stream" else None
         self.insert_if_absent(

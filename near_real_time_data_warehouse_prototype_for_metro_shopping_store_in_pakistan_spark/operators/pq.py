@@ -144,6 +144,22 @@ def _grouped_kmeans_iterate(
         (int(r["subspace"]), int(r["centroid_id"])): list(r["cq"])
         for r in seed_rows
     }
+    # Same bounded-collect invariant as similarity._kmeans_iterate:
+    # the per-round fold is m×ksub×subdim cells — metadata-scale by
+    # construction for every declared consumer; fail loudly if an
+    # oversized configuration would turn the collect data-scale.
+    from .similarity import KMEANS_MAX_FOLD_CELLS
+
+    if cents_local:
+        subdim = len(next(iter(cents_local.values())))
+        n_cells = len(cents_local) * subdim
+        if n_cells > KMEANS_MAX_FOLD_CELLS:
+            raise ValueError(
+                "PQ codebook driver-side fold bound exceeded: "
+                f"m×ksub×subdim = {n_cells} > {KMEANS_MAX_FOLD_CELLS}"
+                " — shrink ksub/m or raise KMEANS_MAX_FOLD_CELLS "
+                "deliberately"
+            )
 
     def cents_df() -> DataFrame:
         return spark.createDataFrame(

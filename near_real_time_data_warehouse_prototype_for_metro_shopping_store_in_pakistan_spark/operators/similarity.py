@@ -968,7 +968,13 @@ def _floordiv(s, c):
     """Floor division via the pmod identity, exact on both engines:
     Spark's ``div`` truncates and DuckDB's ``//`` floors, which differ
     on negative sums — but (s - pmod(s, c)) is exactly divisible by c,
-    where truncation, flooring, and true division coincide."""
+    where truncation, flooring, and true division coincide.
+
+    KEPT AS THE DOCUMENTED SQL-SIDE IDENTITY: since the r13 rewrite
+    the centroid fold runs driver-side (Python ``//`` floors the same
+    exact int64 sums — see ``_kmeans_iterate``), so no plan references
+    this expression anymore; the DuckDB oracle generators still mirror
+    the identity and the unit tests pin the equivalence."""
     return (s - (((s % c) + c) % c)).cast("long") / c
 
 
@@ -1006,9 +1012,14 @@ def kmeans_cells(
     - the update is ONE map-side-combinable shuffle bounded by k×dim
       keys (posexplode → groupBy(cell, pos) sum/count), nothing like
       corpus size;
-    - centroid relations are k rows, localCheckpoint-ed per round to
-      truncate the iterative lineage (same discipline as
-      ``connected_components``).
+    - the k×dim partial sums are collected and folded DRIVER-side
+      (bounded — see ``KMEANS_MAX_FOLD_CELLS``), so each round's
+      centroid relation is a lineage-free k-row local DataFrame and
+      consumers never re-execute training (``_kmeans_iterate``).
+
+    NOTE: training executes EAGERLY at construction time (the
+    per-round fold is a collect) — callers should hold on to the
+    returned relation rather than rebuild the operator per consumer.
 
     Returns (vec_id, cell, dist_sq) under the FINAL centroids.
     """
@@ -1027,7 +1038,12 @@ def kmeans_centroids(
     """The FINAL trained centroid relation from the same iteration as
     ``kmeans_cells``: (centroid_id, cq array<long>, cn norm_sq) — the
     shape ``ann_ivf_topk(centroids=...)`` plugs in, closing the
-    train → index → search loop."""
+    train → index → search loop.
+
+    NOTE: training executes EAGERLY here (the per-round fold is a
+    collect — see ``_kmeans_iterate``); the returned relation is a
+    lineage-free k-row local DataFrame. Cache/reuse it instead of
+    calling this again per consumer."""
     v = scaled_vectors(emb, vec_col, id_col).select(id_col, "q")
     cents = _kmeans_iterate(v, k, iters, id_col)
     cn = F.aggregate(
@@ -1056,6 +1072,16 @@ def _cents_df(spark, cents_local: dict[int, list[int]]) -> DataFrame:
          for cid, cq in sorted(cents_local.items())],
         schema="centroid_id long, cq array<bigint>",
     )
+
+
+# Hard cap on the k-means driver-side fold: the per-round partial-sum
+# collect is k×dim rows (similarly m×ksub×subdim for the PQ codebook
+# fold in operators.pq) — metadata-scale for every declared consumer
+# (k ≤ 4096, dim ≤ 4096 ⇒ ≤ 16M cells ~ a few hundred MB at the
+# absolute ceiling; real configs are ≤ 256×64). The guard makes the
+# invariant explicit so an oversized k at 100 TB fails loudly instead
+# of silently collecting data-scale rows to the driver.
+KMEANS_MAX_FOLD_CELLS = 16_777_216
 
 
 def _kmeans_iterate(
@@ -1101,6 +1127,19 @@ def _kmeans_iterate(
     cents_local = {
         int(r["centroid_id"]): list(r["cq"]) for r in seed_rows
     }
+    # The driver-side fold is sound ONLY while k×dim stays
+    # metadata-scale; every declared consumer satisfies that by
+    # construction, but an oversized k at 100 TB would otherwise
+    # silently collect data-scale rows — fail loudly instead.
+    dim = len(next(iter(cents_local.values())))
+    if k * dim > KMEANS_MAX_FOLD_CELLS:
+        raise ValueError(
+            f"k-means driver-side fold bound exceeded: k×dim = "
+            f"{k}×{dim} = {k * dim} > {KMEANS_MAX_FOLD_CELLS}; "
+            "the per-round partial-sum collect is only metadata-"
+            "scale while k×dim is — shrink k or raise "
+            "KMEANS_MAX_FOLD_CELLS deliberately"
+        )
     spark = v.sparkSession
     for _ in range(iters):
         cents = _cents_df(spark, cents_local)

@@ -1406,6 +1406,45 @@ class ManifestParquetSink(MergeSink):
             out = df if out is None else self._union(out, df)
         return out
 
+    def window_admission_rows(
+        self, name: str, since: int | None, until: int
+    ) -> int | None:
+        """Rows ADMITTED in ``(since, until]`` answered from manifest
+        metadata alone — no Spark job: the sum of the committed live
+        plain data segments' manifest ``rows`` in the window. Returns
+        None when a compacted covering segment overlaps the window
+        (its rows carry per-row first-admission ``_snapshot`` tags the
+        manifest does not split by snapshot), in which case callers
+        fall back to counting the ``added_between`` relation.
+
+        This is the incremental consumers' no-new-data fast path
+        (``operators.etl.MaintainedAggregate.refresh``): a refresh
+        over a window that admitted nothing — the all-replay case —
+        answers 0 here and skips building and probing the diff
+        DataFrame entirely."""
+        rows, _ = self._list_committed(name)
+        superseded: set[int] = set()
+        parsed = []
+        for n, _p, meta in rows:
+            covers = self._parse_covers(meta)
+            if covers is not None:
+                superseded.update(covers)
+            parsed.append((n, meta, covers))
+        lo = -1 if since is None else since
+        total = 0
+        for n, meta, covers in parsed:
+            if n in superseded or meta.get("tombstone_on") is not None:
+                continue
+            if covers is None:
+                if lo < n <= until:
+                    r = meta.get("rows")
+                    if r is None:
+                        return None  # pre-``rows`` manifest: count
+                    total += int(r)
+            elif covers and not (covers[0] > until or covers[-1] <= lo):
+                return None  # per-snapshot split not in metadata
+        return total
+
     def _carry_redactions(
         self, rows: list[tuple[int, str, dict]], nums: set[int]
     ) -> list[int]:

@@ -89,14 +89,14 @@ def customers_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not id(spark) — a stopped session's id() can be recycled by the
 # allocator and would hand a new session a DataFrame bound to a dead
 # context.
-_FACT_CACHE: dict[tuple[str, str, bool, bool], DataFrame] = {}
+_FACT_CACHE: dict[tuple[str, str, bool], dict[bool, DataFrame]] = {}
 
 
 def clear_fact_cache() -> None:
     """Unpersist and drop all memoized facts (e.g. between sessions)."""
-    for df in _FACT_CACHE.values():
+    for views in _FACT_CACHE.values():
         try:
-            df.unpersist()
+            views[True].unpersist()
         except Exception:
             pass  # context already stopped
     _FACT_CACHE.clear()
@@ -123,10 +123,16 @@ def sales_fact(
     bucketing); supplier is broadcast (100 rows at sf0.01 — and even at
     SF100k the supplier dim fits the 64 MB broadcast budget).
     """
-    key = (spark.sparkContext.applicationId, sf_dir, time_attrs, line_no)
+    # ONE persisted materialization serves both line-grain and
+    # order-grain consumers: the cached relation always carries
+    # ``line_no`` (one int column) and the line_no=False view drops
+    # it — otherwise the replay rows (q18/q20, line_no=True) would
+    # pay a SECOND full fact build + persist that the bench warmup
+    # (which materializes the default variant) never covers.
+    key = (spark.sparkContext.applicationId, sf_dir, time_attrs)
     cached = _FACT_CACHE.get(key)
     if cached is not None:
-        return cached
+        return cached[line_no]
     li = table(spark, sf_dir, "lineitem")  # noqa: E501  (cache decided below)
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
@@ -136,7 +142,7 @@ def sales_fact(
     )
     line_cols = (
         [F.col("l_linenumber").cast("int").alias("line_no")]
-        if line_no
+        if line_no or time_attrs
         else []
     )
     fact = (
@@ -173,8 +179,11 @@ def sales_fact(
         .drop("day", "week", "day_name")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _FACT_CACHE[key] = out
-    return out
+    # both views memoized: line-grain consumers get the persisted
+    # relation itself, order-grain consumers a stable dropped view of
+    # it — one materialization either way
+    _FACT_CACHE[key] = {True: out, False: out.drop("line_no")}
+    return _FACT_CACHE[key][line_no]
 
 
 def register_star_views(spark: SparkSession, sf_dir: str) -> None:

@@ -66,7 +66,24 @@ def get_spark(
         # line) never see interleaved JVM noise.
         .config("spark.driver.extraJavaOptions", "-Xlog:disable")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        # INITIAL shuffle partitions = 1x cores, scale-adaptive via
+        # $SPARK_GRAFT_CPUS (never a constant). 2-3x cores was
+        # A/B-measured in r14 and REJECTED at this workload shape:
+        # the commit-bound lifecycle rows pay ~+1s each in tiny-task
+        # overhead (q18 7.8->9.1s, q19 9.0->9.8s at 3x) while the
+        # parallel operator rows showed no gain — AQE's runtime
+        # coalescing already right-sizes the big shuffles, making the
+        # initial count a fixed-overhead knob here. On a real cluster
+        # with straggler-prone nodes 2-3x total cores remains the
+        # standard guidance; set it through this parameter.
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(
+                shuffle_partitions
+                or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", 0))
+                or cores
+            ),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

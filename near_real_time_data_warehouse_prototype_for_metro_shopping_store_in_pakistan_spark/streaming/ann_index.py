@@ -159,8 +159,16 @@ def probe_cells_for(
     """(query_id, qq, qn, cell) — the ``n_probe`` best cells per
     query. Quantizes the queries, then delegates to the SHARED
     ``similarity.probe_cells`` (the same expressions ``ann_ivf_topk``
-    probes with, so serve ≡ batch tie-breaks hold by construction)."""
-    qv = scaled_vectors(queries, "embedding", "query_id").select(
+    probes with, so serve ≡ batch tie-breaks hold by construction).
+
+    Queries are deduplicated on ``query_id`` up front: downstream
+    serve paths join candidates on (query_id, cell) WITHOUT a
+    distinct (the pairs are unique per deduplicated query by
+    construction of the top-n_probe explode), so a caller-supplied
+    duplicate id must not fan the join out."""
+    qv = scaled_vectors(
+        queries.dropDuplicates(["query_id"]), "embedding", "query_id"
+    ).select(
         "query_id",
         F.col("q").alias("qq"),
         F.col("norm_sq").alias("qn"),

@@ -60,7 +60,14 @@ def test_fact_cache_keyed_by_application(spark, sf_dir):
     b = star.sales_fact(spark, sf_dir)
     assert a is b  # memoized within one application
     app_id = spark.sparkContext.applicationId
-    assert (app_id, sf_dir, True, False) in star._FACT_CACHE
+    # one cache entry serves BOTH line-grain and order-grain views
+    # (r14: the line_no variants share a single materialization)
+    assert (app_id, sf_dir, True) in star._FACT_CACHE
+    assert (
+        star.sales_fact(spark, sf_dir, line_no=True)
+        is star.sales_fact(spark, sf_dir, line_no=True)
+    )
+    assert "line_no" not in a.columns
     star.clear_fact_cache()
     assert not star._FACT_CACHE
     # repopulating after a clear still works
