@@ -640,6 +640,22 @@ MINHASH_A = [_minhash_constant(j, "A") for j in range(MAX_NUM_HASHES)]
 MINHASH_B = [_minhash_constant(j, "B") for j in range(MAX_NUM_HASHES)]
 
 
+def minhash_signature_sets(
+    docs: DataFrame,
+    n: int = 5,
+    num_hashes: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``minhash_signatures`` PLUS the per-doc 60-bit shingle set
+    (``_shset array<long>``) from ONE fused Arrow pass — the md5
+    shingling is shared, so consumers that need both (the streaming
+    near-dup admission: banding for retrieval, sets for exact
+    verification) hash the corpus once instead of twice. Identical
+    values to calling the two passes separately."""
+    return _sig_pass(docs, n, num_hashes, text_col, id_col, with_sets=True)
+
+
 def minhash_signatures(
     docs: DataFrame,
     n: int = 5,

@@ -31,7 +31,7 @@ from ..operators.dedup import (
     band_keys,
     broadcast_eval_grams,
     connected_components,
-    minhash_signatures,
+    minhash_signature_sets,
     ngram_decontaminate,
     shingle_hash_sets,
 )
@@ -456,11 +456,17 @@ def admit_neardup_batch(
     scale it would be bucketed by ``band_khash`` so probe and claim
     co-locate — same code path.
     """
-    sig = minhash_signatures(kept, n, num_hashes, "text", "doc_id")
-    keys = band_keys(sig, num_hashes, band_size).localCheckpoint(eager=False)
-    sets = shingle_hash_sets(kept, n, "text", "doc_id").localCheckpoint(
-        eager=False
-    )
+    # ONE fused Arrow pass (r14): signature and shingle set share the
+    # md5 work and ONE lazy checkpoint — the r13 shape ran the
+    # shingling twice (minhash_signatures + shingle_hash_sets) and
+    # materialized two checkpoints per micro-batch. Band keys derive
+    # lazily from the checkpointed pass (a projection + explode over
+    # cached partitions — cheaper than a third materialization).
+    combined = minhash_signature_sets(
+        kept, n, num_hashes, "text", "doc_id"
+    ).localCheckpoint(eager=False)
+    keys = band_keys(combined.drop("_shset"), num_hashes, band_size)
+    sets = combined.select("doc_id", "_shset")
     a = keys.alias("a")
     b = keys.alias("b")
     cand = (
